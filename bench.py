@@ -1,0 +1,74 @@
+"""Benchmark runner: executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query plan is fully executed via the noop sink (no driver collect,
+no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_fuel_priceguide_ec2_spark import registry
+from etl_fuel_priceguide_ec2_spark.session import get_session
+
+HEADLINE = [
+    "asof_latest_per_key",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "dedup_last_wins",
+    "window_running_sum",
+    "snapshot_diff",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_token_stats",
+    "stream_window_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # warm the JVM/codegen once with the cheapest query
+    qs["projection_rename"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""A2/A3 + Phase-3 analytics — hash aggregates, rollup, top-k per group,
+set ops, run metrics.
+
+The reference computes only counts and a duration metric
+(``index.js:94,143,167`` and ``index.js:27,55-56``), but "same
+capabilities" for a price guide implies min/max/avg-per-group analytics
+over the fact table (SURVEY.md §2.4); these map to the TPC-H-ish
+fixtures.
+
+Scale notes: every groupBy here is a hash aggregate with map-side
+partial aggregation (one shuffle of partial states, not rows). Money
+math runs on DECIMAL (exact, order-insensitive) and is cast to DOUBLE
+only in the output so results hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over the fact table."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            # avg as exact-decimal sum / count in double: identical rounding
+            # in Spark and DuckDB (decimal AVG scale rules differ between
+            # engines, sum/count does not)
+            F.round(F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str,
+) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue per nation within a region.
+    nation/region/customer are broadcast — the lineitem side (the 100 TB
+    table) shuffles once, for the orders join, and AQE converts even that
+    to broadcast when orders is small enough."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int, tiebreak_cols: list[str]
+) -> DataFrame:
+    """W3 generalized: top-k rows per group by ``order_col`` desc, total
+    deterministic order via tiebreaks. One shuffle; rank inside each
+    partition (no global sort)."""
+    order = [F.col(order_col).desc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rollup_stats(part: DataFrame) -> DataFrame:
+    """ROLLUP aggregate: count + avg retail price per (brand) and grand
+    total. Spark emits NULL group keys for the total rows, matching
+    SQL ROLLUP."""
+    return (
+        part.rollup("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+        )
+        .orderBy(F.col("p_brand").asc_nulls_first())
+    )
+
+
+def run_metrics(raw: DataFrame, filtered: DataFrame, start_ts: str, end_ts: str) -> DataFrame:
+    """A2/A3: cardinality + duration metrics of an ETL run
+    (index.js:94,143 counts; index.js:55-56 minutes diff)."""
+    n_raw = raw.count()
+    n_filtered = filtered.count()
+    spark = raw.sparkSession
+    return spark.createDataFrame(
+        [(n_raw, n_filtered)], "n_raw bigint, n_filtered bigint"
+    ).select(
+        "n_raw",
+        "n_filtered",
+        F.floor(
+            (
+                F.unix_timestamp(F.lit(end_ts).cast("timestamp"))
+                - F.unix_timestamp(F.lit(start_ts).cast("timestamp"))
+            )
+            / 60
+        ).alias("duration_minutes"),
+    )

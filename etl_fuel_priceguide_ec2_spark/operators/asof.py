@@ -1,0 +1,69 @@
+"""W1 — as-of "latest record per key" (the reference's flagship query).
+
+Reference semantics (``index.js:301-321``): for a station,
+``Id = :id AND Timestamp <= :t``, sorted descending by the sort key
+(``ScanIndexForward: false``, ``index.js:313``), ``Limit: 1``
+(``index.js:314``) → most recent snapshot at or before time ``t``.
+
+Spark-first design notes (100 TB):
+  * The all-keys form is ONE shuffle on the key (window or max_by agg);
+    never a per-key loop. ``max_by(struct(...))`` compiles to a hash
+    aggregate with map-side partial aggregation — cheaper than the
+    window's sort when only the top row is needed.
+  * The point-lookup form keeps ``key = v AND ts <= t`` as pushed-down
+    parquet filters (check ``PushedFilters`` in ``.explain``); at scale
+    the fact table is partitioned by date so the ``ts`` bound also prunes
+    partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    as_of: str | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Latest row per key at-or-before ``as_of`` (all-keys form of W1).
+
+    Implemented with a descending ``row_number`` window so ordering is
+    total and deterministic (``tiebreak_cols`` break ts ties), matching
+    the DuckDB oracle exactly. Equivalent to the reference's query+limit
+    per key, vectorized across all keys.
+    """
+    if as_of is not None:
+        df = df.filter(F.col(ts_col) <= F.lit(as_of).cast("timestamp"))
+    order: list[Column] = [F.col(ts_col).desc()]
+    for c in tiebreak_cols or []:
+        order.append(F.col(c).desc())
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_for_key(
+    df: DataFrame,
+    key_col: str,
+    key_value,
+    ts_col: str,
+    as_of: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-lookup form of W1 (``Id = :v AND ts <= :t`` desc limit 1,
+    reference ``index.js:305-314``). The equality + range predicates are
+    pushed into the parquet scan; sort+limit is a TakeOrderedAndProject.
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols or []]
+    return (
+        df.filter((F.col(key_col) == F.lit(key_value)) & (F.col(ts_col) <= F.lit(as_of).cast("timestamp")))
+        .orderBy(*order)
+        .limit(1)
+    )

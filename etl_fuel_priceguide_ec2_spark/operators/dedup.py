@@ -1,0 +1,255 @@
+"""A1 + X1/X2 — deduplication: keyed last-wins, exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Reference semantics: A1 dedup-by-key with LAST occurrence winning —
+``new Map(arr.map(i => [i[key], i])).values()`` (``index.js:67-75``,
+JS Map overwrites on duplicate key). We implement it with an explicit
+descending window so the result is deterministic and oracle-matchable,
+never ``dropDuplicates`` (whose survivor is order-dependent).
+
+Scale notes (100 TB):
+  * exact dedup groups on a 256-bit content hash, not the payload —
+    the shuffle moves 32 bytes + key instead of documents.
+  * MinHash-LSH: shingle → minhash(k) → band buckets → groupBy(band,
+    signature) emits candidate pairs only; verification joins texts back
+    for exact Jaccard. Never O(n²).
+  * n-gram Jaccard uses the inverted-index (explode + self-join on
+    shingle) pattern; at 100 TB add prefix filtering — documented, the
+    candidate generation is already the standard SSJoin shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_last_wins(df: DataFrame, key_cols: list[str], order_col: str, tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """A1: one row per key, the LATEST by ``order_col`` winning — exact
+    JS ``Map`` last-wins semantics (index.js:70-71)."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak_cols or []]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """X1: exact dedup on sha2-256 of content; survivor = min id.
+    Returns (id, content_hash, dup_count). Group key is the 32-byte hash,
+    so the shuffle never carries document payloads."""
+    hashed = df.select(
+        F.col(id_col), F.sha2(F.col(content_col), 256).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    ).select(id_col, "content_hash", "dup_count")
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+    Pure built-ins: split → slide via transform over index range."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """X2 (exact verify path): near-dup pairs by word n-gram Jaccard.
+
+    Inverted-index set-similarity join: explode distinct shingles,
+    self-join on shingle (only co-shingled pairs are ever materialized),
+    count intersections, Jaccard = |∩| / (|a| + |b| - |∩|).
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = _shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 128
+) -> DataFrame:
+    """MinHash signatures from word n-gram shingles.
+
+    h_i(s) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
+    One explode + one groupBy — the signature build is a single shuffle
+    on doc id, carrying num_hashes longs per doc.
+    """
+    sh = _shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 (scale path): MinHash-LSH near-dup candidate generation +
+    exact-Jaccard verification.
+
+    Banding: signature split into ``bands`` bands of r = num_hashes/bands
+    rows; docs sharing any (band_id, band_hash) bucket become candidates
+    (groupBy bucket, never all-pairs). Candidates are then verified with
+    exact n-gram Jaccard, so output precision is 1.0 and only recall
+    depends on the LSH parameters.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("signature", b * r + 1, r)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.select(F.col("doc").alias("id_a"), "band_id", "band_hash")
+    right = banded.select(F.col("doc").alias("id_b"), "band_id", "band_hash")
+    candidates = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """X2 (SimHash variant): 64-bit simhash over word tokens.
+
+    Per token t: h = xxhash64(t); bit j contributes +1 if set else -1,
+    weighted by token frequency. simhash bit j = 1 iff sum > 0.
+    Built entirely from explode + bit ops + groupBy — JVM-side.
+    Output: (id, simhash) with simhash as bigint.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    # per (doc, bit) signed contribution, then sign of the sum per bit;
+    # bit positions are compile-time ints, so one array literal of 64
+    # bit-test expressions (JVM-side, no Python in the row path)
+    contribs = F.array(
+        *[
+            F.when(
+                F.col("th").bitwiseAND(
+                    F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")  # signed 64-bit mask
+                )
+                != 0,
+                1,
+            ).otherwise(-1)
+            for j in range(bits)
+        ]
+    )
+    bits_df = h.select(id_col, F.posexplode(contribs).alias("bit", "contrib"))
+    agg = bits_df.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
+    return agg.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming,
+    blocked by 16-bit simhash prefix (docs differing in the top 16 bits
+    are assumed far — standard multi-probe blocking keeps this out of
+    O(n²); at scale use 4 rotated prefix tables for full recall)."""
+    sig = simhash(df, id_col, text_col)
+    block = sig.withColumn("block", F.shiftrightunsigned("simhash", 48))
+    a = block.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
+    b = block.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """X2 (embedding-cosine variant): pairs with cosine >= threshold,
+    blocked on ``block_col`` (coarse quantizer cell / cluster id) so the
+    self-join is per-block instead of all-pairs. Dot products run
+    JVM-side via zip_with + aggregate in double precision."""
+    withnorm = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = withnorm.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"), "block"
+    )
+    b = withnorm.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

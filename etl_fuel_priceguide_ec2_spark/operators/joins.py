@@ -1,0 +1,56 @@
+"""J1–J3 — enrichment join, upsert anti-join, key probes.
+
+Reference semantics:
+  * J1 lookup/enrichment join: station list × per-id detail fetch with
+    inner-join semantics on Id (``index.js:112-141``). The reference does
+    N sequential network round-trips; here it is one broadcast hash join.
+  * J2 anti-join: "insert only stations whose Id is not already in the
+    dimension" — the ``attribute_not_exists(Id)`` conditional put
+    (``index.js:368``, duplicate-key branch ``index.js:269-283``).
+
+Scale notes: dimension sides that fit in memory are broadcast
+(``F.broadcast``) so the fact side never shuffles; when both sides are
+large, AQE picks sort-merge and splits skewed partitions. The anti-join
+shuffles only the (small) key projection of the dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich(
+    list_df: DataFrame,
+    detail_df: DataFrame,
+    on: list[tuple[str, str]],
+    broadcast_detail: bool = True,
+) -> DataFrame:
+    """J1: inner enrichment join; rows without a detail match are dropped
+    (matches the reference dropping stations whose detail fetch fails).
+
+    ``on`` is a list of (list_col, detail_col) equi-pairs.
+    """
+    right = F.broadcast(detail_df) if broadcast_detail else detail_df
+    cond = None
+    for lc, rc in on:
+        p = list_df[lc] == right[rc]
+        cond = p if cond is None else (cond & p)
+    return list_df.join(right, cond, "inner")
+
+
+def new_keys(src: DataFrame, dim: DataFrame, src_key: str, dim_key: str) -> DataFrame:
+    """J2: rows of ``src`` whose key is absent from ``dim`` — the insert
+    set of the reference's conditional put (MERGE WHEN NOT MATCHED)."""
+    dim_keys = dim.select(F.col(dim_key).alias(src_key)).distinct()
+    return src.join(F.broadcast(dim_keys), on=src_key, how="left_anti")
+
+
+def upsert_plan(src: DataFrame, dim: DataFrame, src_key: str, dim_key: str) -> DataFrame:
+    """S4: the full insert-if-absent result — existing dim rows unioned
+    with the to-insert rows (core-Spark MERGE; with Delta this is
+    ``MERGE INTO dim USING src ON ... WHEN NOT MATCHED THEN INSERT``)."""
+    inserts = new_keys(src, dim, src_key, dim_key)
+    return dim.unionByName(
+        inserts.withColumnRenamed(src_key, dim_key), allowMissingColumns=True
+    )

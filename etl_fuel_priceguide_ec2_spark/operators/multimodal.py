@@ -1,0 +1,109 @@
+"""X5 — multimodal columns: image/audio/video as opaque binary columns
+with typed metadata.
+
+At 100 TB the binary column stores POINTERS (paths/offsets) or small
+payloads; large blobs live in object storage and are fetched inside the
+decode UDF per partition. The Spark-side plumbing here — schema, Arrow
+batch shape, mapInPandas signature, partition sizing — is real and
+tested; the actual image/audio decoding is STUBBED (the codec libraries
+are not in this container) behind a deterministic fake + a
+NotImplementedError real path, clearly marked below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_frames", LongType(), True),
+    ]
+)
+
+
+def to_media(df: DataFrame, id_col: str, text_col: str, mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap a payload as an opaque binary column + typed metadata.
+    (Fixtures have no real media, so the payload is the utf-8 encoding
+    of the text column — byte-exact and oracle-checkable.)"""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit(mime).alias("mime"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic FAKE decoder (stand-in for PIL/ffmpeg, which are
+    not installed here): derives (width, height, n_frames) from payload
+    bytes so tests are reproducible."""
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
+
+
+def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
+    """Decode/feature-extract over the binary column with mapInPandas —
+    Arrow-batched, one Python worker per partition, payloads never pass
+    through the driver.
+
+    ``real_codec=True`` is the production path and raises
+    NotImplementedError until codec libs (PIL/av) are provisioned.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_codec:
+                # REAL PATH (stubbed): import PIL / av and decode here.
+                raise NotImplementedError("codec libraries not available in this environment")
+            feats = pdf["payload"].apply(lambda b: _fake_decode(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": feats.apply(lambda t: t[0]),
+                    "height": feats.apply(lambda t: t[1]),
+                    "n_frames": feats.apply(lambda t: t[2]),
+                }
+            )
+
+    return media.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling plumbing: explode a (stubbed) per-frame index list
+    from the decoded frame count — shows the fan-out shape a real video
+    pipeline uses (one row per sampled frame)."""
+    feats = decode_features(media)
+    return feats.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))).alias("frame_idx"),
+    )

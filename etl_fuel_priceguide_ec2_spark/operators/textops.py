@@ -1,0 +1,99 @@
+"""X4 — text analysis: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path expressions are built-in SQL functions (regexp_count,
+split, aggregate) — JVM-side, whole-stage codegen, embarrassingly
+parallel; no Python in the row path. Each has an exact DuckDB oracle
+formulation in registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic; word-boundary regexes keep it SQL-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "在", "了", "我"],
+}
+
+_WS = r"\s+"
+# BPE-ish pre-tokenizer: word pieces OR single non-space punctuation,
+# approximating a GPT-2-style pre-tokenization split.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc token/char statistics (whitespace + BPE-ish regex
+    tokenizations)."""
+    trimmed = F.trim(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(trimmed).alias("n_chars_actual"),
+        F.size(F.split(trimmed, _WS)).alias("n_tokens_ws"),
+        F.regexp_count(trimmed, F.lit(BPE_TOKEN_RE)).alias("n_tokens_bpe"),
+        F.size(F.array_distinct(F.split(trimmed, _WS))).alias("n_unique_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword ratio +
+    alpha ratio — the standard cheap pre-filter for LLM corpora.
+    Deterministic integer/decimal arithmetic so oracles match."""
+    trimmed = F.trim(F.col(text_col))
+    n_tokens = F.size(F.split(trimmed, _WS))
+    n_stop = F.regexp_count(trimmed, F.lit(r"\b(the|and|of|to|a)\b"))
+    n_alpha = F.regexp_count(trimmed, F.lit(r"[A-Za-z]"))
+    n_chars = F.length(trimmed)
+    len_score = F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    alpha_ratio = F.round(n_alpha / n_chars, 6)
+    score = F.round((len_score + F.least(stop_ratio * 5, F.lit(1.0)) + alpha_ratio) / 3, 6)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language ID: count word-boundary hits of each
+    language's marker set; argmax wins, 'en' on ties (deterministic
+    via fixed language order)."""
+    scores = [
+        F.regexp_count(
+            F.col(text_col), F.lit(r"\b(" + "|".join(words) + r")\b")
+        ).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → build last-to-first
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, mod: int = 1_000_000_007) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint:
+    h = fold(chars, h*31 + code mod p). Pure Catalyst higher-order
+    aggregate over the char array — portable (same fold in DuckDB's
+    list_reduce) and deterministic."""
+    chars = F.split(F.col(text_col), "")
+    return df.select(
+        F.col(id_col),
+        F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
+        ).alias("fingerprint"),
+    )

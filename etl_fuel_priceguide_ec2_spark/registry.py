@@ -1,0 +1,898 @@
+"""Named query registry: every operator from SURVEY.md §2 exposed as
+``name -> (spark_builder, duckdb_oracle_sql | None)``.
+
+The builders take ``(spark, sf_dir)`` and return a DataFrame; the oracle
+is ANSI SQL DuckDB runs over the same parquet tables (pre-registered
+views). Column names/aliases MUST match between the two — the driver
+sorts columns by name before value-hashing.
+
+Float discipline: money aggregates are computed on DECIMAL both sides
+(exact) and cast to DOUBLE in the output; averages are rounded to a
+fixed scale in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_fuel_priceguide_ec2_spark.operators import (
+    aggregates,
+    asof,
+    dedup,
+    diff,
+    joins,
+    multimodal,
+    projections,
+    similarity,
+    textops,
+)
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+# Fixed "now"/cutoff instants so results are deterministic and
+# oracle-comparable (the reference uses wall-clock now(), index.js:27).
+AS_OF = "2024-01-20 00:00:00"
+SNAP_A_END = "2024-01-15 00:00:00"
+SNAP_B_END = "2024-01-31 00:00:00"
+FIXED_NOW = "2024-02-01 00:00:00"
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+# name -> (builder, oracle_sql or None)
+_REGISTRY: dict[str, tuple[Builder, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Builder) -> Builder:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Builder]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# W1/W2/W3 — as-of latest-per-key (reference flagship, index.js:301-321)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_per_key",
+    f"""
+    SELECT user_id, ts, event_type, value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '{AS_OF}'
+    )
+    WHERE rn = 1
+    """,
+)
+def q_asof_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = asof.latest_per_key(
+        ev, key_cols=["user_id"], ts_col="ts", as_of=AS_OF, tiebreak_cols=["event_id"]
+    )
+    return out.select("user_id", "ts", "event_type", "value")
+
+
+@register(
+    "asof_point_lookup",
+    f"""
+    SELECT user_id, ts, event_type, value
+    FROM events
+    WHERE user_id = 7 AND ts <= TIMESTAMP '{AS_OF}'
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1
+    """,
+)
+def q_asof_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = asof.latest_for_key(
+        ev, key_col="user_id", key_value=7, ts_col="ts", as_of=AS_OF, tiebreak_cols=["event_id"]
+    )
+    return out.select("user_id", "ts", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# P1–P5 — projections / filters / shaping (index.js:88-133, 356-367)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "projection_rename",
+    "SELECT s_suppkey AS id, s_name AS nome FROM supplier",
+)
+def q_projection_rename(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    return projections.project_rename(sup, {"s_suppkey": "id", "s_name": "nome"})
+
+
+@register(
+    "null_filter_shaping",
+    f"""
+    SELECT Id, Nome, acctbal,
+           strftime(TIMESTAMP '{FIXED_NOW}', '%Y-%m-%d %H:%M:%S') AS CreateTimestamp,
+           strftime(TIMESTAMP '{FIXED_NOW}', '%Y-%m-%d %H:%M:%S') AS UpdateTimestamp
+    FROM (
+      SELECT c_custkey AS Id,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END AS Nome,
+             c_acctbal AS acctbal
+      FROM customer
+    )
+    WHERE Nome IS NOT NULL
+    """,
+)
+def q_null_filter_shaping(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    shaped = cust.select(
+        F.col("c_custkey").alias("Id"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_name")).alias("Nome"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment"),
+    )
+    filtered = projections.reject_nulls(shaped, ["Nome"])
+    pruned = projections.prune_for_dim(filtered, ["c_mktsegment"])  # P4
+    return projections.with_audit_columns(pruned, FIXED_NOW)
+
+
+# ---------------------------------------------------------------------------
+# J1/J2/S4 — joins and upsert (index.js:112-141, 368, 269-283)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "enrichment_join",
+    """
+    SELECT c.c_custkey AS id, c.c_name AS nome, n.n_name AS nation, r.r_name AS region_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_enrichment_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    detail = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    out = joins.enrich(cust, detail, on=[("c_nationkey", "n_nationkey")])
+    return out.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("nome"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+@register(
+    "upsert_new_keys",
+    """
+    SELECT DISTINCT user_id AS Id FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id AND c.c_custkey >= 50)
+    """,
+)
+def q_upsert_new_keys(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("Id")).distinct()
+    # dim holds only keys >= 50, so users 0..49 are genuinely new inserts
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 50)
+    return joins.new_keys(ev, cust, src_key="Id", dim_key="c_custkey")
+
+
+@register(
+    "upsert_merged_dim",
+    """
+    SELECT c_custkey AS Id, c_name AS Nome FROM customer WHERE c_custkey >= 50
+    UNION ALL
+    SELECT user_id AS Id, NULL AS Nome FROM (
+      SELECT DISTINCT user_id FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = e.user_id AND c.c_custkey >= 50)
+    )
+    """,
+)
+def q_upsert_merged_dim(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("Id")).distinct()
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= 50)
+        .select(F.col("c_custkey").alias("Id"), F.col("c_name").alias("Nome"))
+    )
+    return joins.upsert_plan(ev, dim, src_key="Id", dim_key="Id")
+
+
+# ---------------------------------------------------------------------------
+# A1 — keyed dedup, last-wins (index.js:67-75)  /  EP3 — snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_last_wins",
+    """
+    SELECT user_id, event_type, ts, value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_last_wins(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup.dedup_last_wins(
+        ev, key_cols=["user_id", "event_type"], order_col="ts", tiebreak_cols=["event_id"]
+    )
+    return out.select("user_id", "event_type", "ts", "value")
+
+
+@register(
+    "snapshot_diff",
+    f"""
+    WITH snap AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{SNAP_B_END}'
+      ) WHERE rn = 1
+    ),
+    old_snap AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{SNAP_A_END}'
+      ) WHERE rn = 1
+    )
+    SELECT user_id, event_type, value FROM snap
+    EXCEPT
+    SELECT user_id, event_type, value FROM old_snap
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value"]
+    new_snap = asof.latest_per_key(ev, ["user_id"], "ts", SNAP_B_END, ["event_id"]).select(*cols)
+    old_snap = asof.latest_per_key(ev, ["user_id"], "ts", SNAP_A_END, ["event_id"]).select(*cols)
+    return diff.snapshot_diff(new_snap, old_snap)
+
+
+@register(
+    "keyed_changes",
+    f"""
+    WITH snap AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{SNAP_B_END}'
+      ) WHERE rn = 1
+    ),
+    old_snap AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{SNAP_A_END}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN n.event_type IS DISTINCT FROM o.event_type
+                     OR n.value IS DISTINCT FROM o.value THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM snap n FULL OUTER JOIN old_snap o ON n.user_id = o.user_id
+    """,
+)
+def q_keyed_changes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value"]
+    new_snap = asof.latest_per_key(ev, ["user_id"], "ts", SNAP_B_END, ["event_id"]).select(*cols)
+    old_snap = asof.latest_per_key(ev, ["user_id"], "ts", SNAP_A_END, ["event_id"]).select(*cols)
+    return diff.keyed_changes(new_snap, old_snap, key_cols=["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# F1–F7 — scalar-function battery  /  A2/A3 — run metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_battery",
+    f"""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           'https://api.example.test/station/' || CAST(user_id AS VARCHAR) AS detail_url,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(FLOOR((epoch(TIMESTAMP '{AS_OF}') - epoch(date_trunc('second', ts))) / 60) AS BIGINT)
+             AS minutes_to_cutoff,
+           CASE WHEN event_type = 'purchase' THEN 'conversion' ELSE 'engagement' END AS type_class
+    FROM events
+    """,
+)
+def q_scalar_battery(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.functions import scalar
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        scalar.format_ts("ts").alias("ts_str"),
+        scalar.url_for_id("https://api.example.test/station/", "user_id").alias("detail_url"),
+        scalar.json_field(F.col("props"), "$.k").cast("bigint").alias("prop_k"),
+        scalar.minutes_between(F.col("ts"), F.lit(AS_OF).cast("timestamp")).alias("minutes_to_cutoff"),
+        F.when(F.col("event_type") == "purchase", "conversion").otherwise("engagement").alias("type_class"),
+    )
+
+
+@register(
+    "run_metrics",
+    f"""
+    SELECT (SELECT COUNT(*) FROM events) AS n_raw,
+           (SELECT COUNT(*) FROM events WHERE ts <= TIMESTAMP '{AS_OF}') AS n_filtered,
+           CAST(FLOOR((epoch(TIMESTAMP '{FIXED_NOW}') - epoch(TIMESTAMP '{AS_OF}')) / 60) AS BIGINT)
+             AS duration_minutes
+    """,
+)
+def q_run_metrics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    filtered = ev.filter(F.col("ts") <= F.lit(AS_OF).cast("timestamp"))
+    return aggregates.run_metrics(ev, filtered, start_ts=AS_OF, end_ts=FIXED_NOW)
+
+
+# ---------------------------------------------------------------------------
+# Phase-3 analytics — hash aggs, star join, top-k, rollup, set ops, windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.pricing_summary(li, ship_cutoff="2024-06-01 00:00:00")
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q_revenue_by_nation(spark, sf_dir):
+    return aggregates.revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        region_name="EUROPE",
+    )
+
+
+@register(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders
+    )
+    WHERE rank <= 3
+    """,
+)
+def q_top_orders_per_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = aggregates.top_k_per_group(
+        orders, group_cols=["o_orderpriority"], order_col="o_totalprice", k=3, tiebreak_cols=["o_orderkey"]
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
+@register(
+    "rollup_brand_stats",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM part
+    GROUP BY ROLLUP (p_brand)
+    ORDER BY p_brand NULLS FIRST
+    """,
+)
+def q_rollup_brand_stats(spark, sf_dir):
+    return aggregates.rollup_stats(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "set_ops_symmetric_diff",
+    """
+    (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      UNION
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    EXCEPT
+    (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def q_set_ops_symmetric_diff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b).distinct().subtract(a.intersect(b))
+
+
+@register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users_by_type(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "json_props_agg",
+    """
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.functions import scalar
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type", scalar.json_field(F.col("props"), "$.k").cast("bigint").alias("k")
+    ).groupBy("event_type").agg(
+        F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias("avg_k")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS running_value
+    FROM events
+    """,
+)
+def q_window_running_sum(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 6).alias("running_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EP1 — the composed reference pipeline (index.js:29-60) on fixtures
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "etl_pipeline_dim",
+    f"""
+    WITH src AS (
+      SELECT c_custkey AS Codigo, c_name AS Nome, c_mktsegment AS Marca,
+             strftime(TIMESTAMP '{FIXED_NOW}', '%Y-%m-%d %H:%M:%S') AS CreateTimestamp,
+             strftime(TIMESTAMP '{FIXED_NOW}', '%Y-%m-%d %H:%M:%S') AS UpdateTimestamp
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE c_name IS NOT NULL
+    ),
+    dim AS (SELECT * FROM src WHERE Codigo % 2 = 0)
+    SELECT Codigo, Nome, Marca, CreateTimestamp, UpdateTimestamp FROM dim
+    UNION ALL
+    SELECT Codigo, Nome, Marca, CreateTimestamp, UpdateTimestamp FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.Codigo = s.Codigo)
+    """,
+)
+def q_etl_pipeline_dim(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.plans import pipeline
+
+    src = pipeline.build_station_dim_src(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        now_ts=FIXED_NOW,
+    ).drop("Morada")  # struct column: DuckDB view comparison is on scalars
+    dim = src.filter(F.col("Codigo") % 2 == 0)
+    return pipeline.merge_station_dim(src, dim).select(
+        "Codigo", "Nome", "Marca", "CreateTimestamp", "UpdateTimestamp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 — dedup family on documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_hash, COUNT(*) AS dup_count
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs.unionAll(docs), content_col="text", id_col="doc_id")
+
+
+_NGRAM_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(toks) - 3 + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM d
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (x.set_size + y.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sz x ON id_a = x.doc_id
+    JOIN sz y ON id_b = y.doc_id
+    WHERE n_common * 1.0 / (x.set_size + y.set_size - n_common) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", _NGRAM_ORACLE)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate generation + exact verification. Oracle is the exact
+    all-pairs Jaccard result: equality asserts 100% recall of the LSH
+    parameters (128 hashes / 32 bands at t=0.5) on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.5)
+
+
+@register("dedup_simhash", None)  # engine-specific 64-bit hashing: rows-only check
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", block_col="label", threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# X3 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 5)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_dot_product(e.v, q.v) / (e.nrm * q.nrm) DESC,
+                                         e.vec_id ASC) AS rank,
+             ROUND(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) AS cosine
+      FROM e CROSS JOIN q
+      WHERE q.vec_id <> e.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
+
+
+@register(
+    "similarity_topk_ivf",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 5)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_dot_product(e.v, q.v) / (e.nrm * q.nrm) DESC,
+                                         e.vec_id ASC) AS rank,
+             ROUND(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) AS cosine
+      FROM e JOIN q ON e.label = q.label
+      WHERE q.vec_id <> e.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk_ivf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", cell_col="label", k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis on documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(trim(text)) AS INT) AS n_chars_actual,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS n_tokens_bpe,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT)
+             AS n_unique_tokens
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "text_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, trim(text) AS txt FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(string_split_regex(txt, '\s+')) AS n_tokens,
+             len(regexp_extract_all(txt, '\b(the|and|of|to|a)\b')) AS n_stop,
+             len(regexp_extract_all(txt, '[A-Za-z]')) AS n_alpha,
+             length(txt) AS n_chars
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+           ROUND(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+           ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+                  + least(ROUND(n_stop * 1.0 / n_tokens, 6) * 5, 1.0)
+                  + ROUND(n_alpha * 1.0 / n_chars, 6)) / 3, 6) AS quality_score
+    FROM m
+    """,
+)
+def q_text_quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_score(docs, "doc_id", "text")
+
+
+@register(
+    "text_lang_id",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\b(the|and|of|to|a)\b'))   AS score_en,
+             len(regexp_extract_all(text, '\b(el|la|de|que|y)\b'))    AS score_es,
+             len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS score_de,
+             len(regexp_extract_all(text, '\b(le|la|et|les|des)\b'))  AS score_fr,
+             len(regexp_extract_all(text, '(的|是|在|了|我)'))          AS score_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+                WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+                WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def q_text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.lang_id(docs, "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return textops.fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal columns (binary payload + typed metadata; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.to_media(docs, "doc_id", "text").drop("payload")
+
+
+@register(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_decode_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.to_media(docs, "doc_id", "text"))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, UNNEST(range(0, octet_length(encode(text)) % 30 + 1, 10)) AS frame_idx
+    FROM documents
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.to_media(docs, "doc_id", "text"), every_nth=10)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — streaming semantics, batch-mode mirror (windowed counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_window_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_window_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+    )

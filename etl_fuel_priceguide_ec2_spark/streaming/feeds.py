@@ -1,0 +1,64 @@
+"""§2.7 — Structured Streaming mirror of the batch semantics.
+
+The reference is a cron-driven batch job; each run appends a
+timestamped snapshot (``index.js:336``). The streaming equivalent: the
+price feed is an append stream keyed by Id with event time, W1 becomes
+stateful latest-per-key, and the run metrics become windowed counts
+with a watermark for late data.
+
+These run under ``trigger(availableNow=True)`` in tests (bounded file
+source) and unchanged against Kafka/object-store streams in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def read_event_stream(spark, path: str, schema) -> DataFrame:
+    """File-based append stream of event rows (one parquet dir; in prod
+    a Kafka topic or autoloader-style object-store listing)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + avg with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def latest_per_key_stream(stream: DataFrame) -> DataFrame:
+    """Stateful latest-value-per-key (streaming W1) via
+    applyInPandasWithState: state = the max-ts row seen per user_id;
+    each trigger emits the updated latest row for keys that changed."""
+    import pandas as pd
+
+    out_schema = "user_id bigint, ts timestamp, event_type string, value double"
+    state_schema = "ts timestamp, event_type string, value double"
+
+    def _update(key, pdfs, state):
+        latest = state.get if state.exists else None
+        ts, et, val = latest if latest else (None, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            last = pdf.iloc[-1]
+            if ts is None or last["ts"] > ts:
+                ts, et, val = last["ts"], last["event_type"], last["value"]
+        state.update((ts, et, val))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "ts": [ts], "event_type": [et], "value": [val]}
+        )
+
+    return (
+        stream.withWatermark("ts", "1 day")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

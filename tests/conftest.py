@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from etl_fuel_priceguide_ec2_spark.session import get_session
+from etl_fuel_priceguide_ec2_spark.sources.catalog import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("engine-tests", extra_conf={"spark.ui.enabled": "false"})
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()

@@ -1,0 +1,75 @@
+"""The self-imposed mirror of the driver's correctness gate: every
+registry query is executed on Spark AND its DuckDB oracle, then compared
+order-insensitively on row count, column names, and values.
+
+Runs at sf0.001 for speed; the driver re-runs the same contract at
+sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_fuel_priceguide_ec2_spark import registry
+
+ALL = sorted(registry.queries())
+ORACLED = sorted(registry.oracle_sql())
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _rowset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_normalize(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, sf_dir, name):
+    builder = registry.queries()[name]
+    sdf = builder(spark, sf_dir)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    rel = ddb.sql(registry.oracle_sql()[name])
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    srs = _rowset([tuple(r) for r in spark_rows], spark_cols)
+    drs = _rowset(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(srs, drs) if a != b]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n not in ORACLED])
+def test_non_oracled_query_runs(spark, sf_dir, name):
+    df = registry.queries()[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_name_has_builder():
+    qs = registry.queries()
+    os_ = registry.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 25

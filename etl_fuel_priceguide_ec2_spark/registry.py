@@ -373,13 +373,13 @@ def q_run_metrics(spark, sf_dir):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
              AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
@@ -396,8 +396,8 @@ def q_pricing_summary(spark, sf_dir):
     "revenue_by_nation",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
@@ -446,7 +446,7 @@ def q_top_orders_per_priority(spark, sf_dir):
     "rollup_brand_stats",
     """
     SELECT p_brand, COUNT(*) AS n_parts,
-           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
     FROM part
     GROUP BY ROLLUP (p_brand)
     ORDER BY p_brand NULLS FIRST
@@ -632,6 +632,15 @@ _NGRAM_ORACLE = r"""
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("dedup_ngram_jaccard_prefix", _NGRAM_ORACLE)
+def q_dedup_ngram_jaccard_prefix(spark, sf_dir):
+    """PPJoin prefix-filtered exact SSJoin — same oracle as the naive
+    inverted index, proving the skew-resistant scale path loses no
+    pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True)
 
 
 @register("dedup_minhash_lsh", _NGRAM_ORACLE)

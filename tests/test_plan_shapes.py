@@ -1,0 +1,101 @@
+"""Physical-plan audits: the shapes that matter at 100 TB.
+
+These assert optimizer behavior — pushdown reaching the scan, small
+sides broadcast, column pruning — not results. A refactor that silently
+turns a broadcast join into a shuffled sort-merge, or lifts a filter off
+the scan, fails here long before anyone notices it on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_fuel_priceguide_ec2_spark import registry
+from etl_fuel_priceguide_ec2_spark.operators import asof
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_point_lookup_predicates_pushed_to_scan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = asof.latest_for_key(ev, "user_id", 7, "ts", "2024-01-20 00:00:00", ["event_id"])
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # the key equality must reach the parquet reader, not sit in a
+    # post-scan Filter only
+    assert "IsNotNull(user_id)" in plan or "EqualTo(user_id,7)" in plan
+    # top-1 executes as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_enrichment_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(registry.queries()["enrichment_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(registry.queries()["revenue_by_nation"](spark, sf_dir))
+    # customer/nation/region all broadcast; only lineitem⋈orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    plan = _plan(registry.queries()["pricing_summary"](spark, sf_dir))
+    start = plan.index("ReadSchema")
+    read_schema = plan[start : plan.index("\n", start)]
+    # 11-column table; the query needs exactly 6
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+    assert "l_shipdate" in read_schema
+
+
+def test_asof_cutoff_filters_before_window(spark, sf_dir):
+    plan = _plan(registry.queries()["asof_latest_per_key"](spark, sf_dir))
+    # events.ts is converted from nanos (fixture artifact) so the bound
+    # can't reach the parquet reader itself — but Catalyst must rewrite
+    # it onto the raw long column DIRECTLY above the scan, i.e. node (2)
+    # in the formatted tree, before any shuffle/sort
+    node2 = plan.split("(2) Filter", 1)[1].split("(3)", 1)[0]
+    assert "2024-01-20" in node2
+    # and the top-1-per-key must run map-side before the exchange
+    # (WindowGroupLimit Partial), so the shuffle carries at most one row
+    # per (key, map partition), not the whole fact table
+    assert "Partial" in plan.split("(5) WindowGroupLimit", 1)[1].split("(6)", 1)[0]
+
+
+def test_fact_table_partition_pruning(spark, sf_dir, tmp_path):
+    """The engine's own fact table (sinks.append_fact) is partitioned by
+    run_date; a dated as-of query must prune partitions at the source —
+    at 100 TB this is the difference between scanning one day and the
+    whole table."""
+    from etl_fuel_priceguide_ec2_spark import sinks
+    from etl_fuel_priceguide_ec2_spark.plans import pipeline
+
+    path = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events")
+    for run in ["2024-02-01 00:00:00", "2024-02-02 00:00:00", "2024-02-03 00:00:00"]:
+        sinks.append_fact(pipeline.build_fact_append(ev, run), path)
+
+    fact = sinks.read_fact(spark, path).filter(F.col("run_date") == "2024-02-02")
+    plan = _plan(fact)
+    assert "PartitionFilters" in plan
+    assert "run_date" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    # only 1 of 3 partitions scanned
+    assert fact.count() == ev.count()
+
+
+def test_upsert_anti_join_is_broadcast(spark, sf_dir):
+    plan = _plan(registry.queries()["upsert_new_keys"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_active_on_scalar_battery(spark, sf_dir):
+    # formatted explain marks codegen stages with a leading '*'
+    plan = _plan(registry.queries()["scalar_battery"](spark, sf_dir))
+    assert "* Project" in plan or "* ColumnarToRow" in plan

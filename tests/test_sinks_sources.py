@@ -1,0 +1,100 @@
+"""Sinks (S4/S5), REST sources (S2/S3), and the composed EP1 pipeline."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_fuel_priceguide_ec2_spark import sinks
+from etl_fuel_priceguide_ec2_spark.plans import pipeline
+from etl_fuel_priceguide_ec2_spark.sources import rest
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+
+def test_append_fact_partitioned_and_idempotent(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events")
+    snap = pipeline.build_fact_append(ev, run_ts="2024-02-01 00:00:00")
+    sinks.append_fact(snap, path)
+    first = sinks.read_fact(spark, path)
+    n1 = first.count()
+    assert n1 == ev.count()
+    assert "run_date" in first.columns  # partition column materialized
+
+    # replaying the same run overwrites its own partition, not duplicates
+    sinks.append_fact(snap, path)
+    assert sinks.read_fact(spark, path).count() == n1
+
+    # a second run lands in a new partition and both are readable
+    snap2 = pipeline.build_fact_append(ev, run_ts="2024-02-02 00:00:00")
+    sinks.append_fact(snap2, path)
+    both = sinks.read_fact(spark, path)
+    assert both.count() == 2 * n1
+    assert both.select("run_date").distinct().count() == 2
+
+
+def test_upsert_dim_insert_if_absent(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "dim")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("Id"), F.col("c_name").alias("Nome")
+    )
+    first_half = cust.filter(F.col("Id") < 75)
+    sinks.upsert_dim(first_half, path, key="Id")
+    assert spark.read.parquet(path).count() == first_half.count()
+
+    # second run: overlapping keys are NOT overwritten, new keys insert
+    renamed = cust.withColumn("Nome", F.lit("SHOULD_NOT_OVERWRITE"))
+    sinks.upsert_dim(renamed, path, key="Id")
+    dim = spark.read.parquet(path)
+    assert dim.count() == cust.count()
+    survivors = dim.filter((F.col("Id") < 75) & (F.col("Nome") == "SHOULD_NOT_OVERWRITE"))
+    assert survivors.count() == 0  # conditional-put semantics held
+
+
+def test_rest_list_and_detail_fanout(spark):
+    stations = {i: {"Id": i, "Nome": f"station {i}"} for i in range(40)}
+
+    def fetcher(url: str) -> str:
+        if url.endswith("/list"):
+            return json.dumps({"resultado": list(stations.values())})
+        key = int(url.rsplit("/", 1)[1])
+        if key % 10 == 7:
+            raise OSError("simulated fetch failure")  # P6 path
+        return json.dumps(
+            {"Codigo": key, "Nome": stations[key]["Nome"], "Marca": f"brand{key % 3}"}
+        )
+
+    listed = rest.read_list_endpoint(
+        spark, "https://api.example.test/list", fetcher, "Id bigint, Nome string"
+    )
+    assert listed.count() == 40
+    detail = rest.enrich_from_detail_endpoint(
+        listed,
+        "Id",
+        "https://api.example.test/station/",
+        fetcher,
+        "Codigo bigint, Nome string, Marca string",
+    )
+    rows = detail.collect()
+    assert len(rows) == 36  # 4 ids fail (7,17,27,37) and are skipped, not fatal
+    assert {r.Codigo % 10 for r in rows}.isdisjoint({7})
+
+
+def test_ep1_pipeline_composes(spark, sf_dir, tmp_path):
+    """EP1 end-to-end: list→enrich→filter→shape→audit→upsert + fact append."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    src = pipeline.build_station_dim_src(cust, nat, reg, now_ts="2024-02-01 00:00:00")
+    assert src.columns == ["Codigo", "Nome", "Marca", "Morada", "CreateTimestamp", "UpdateTimestamp"]
+    assert src.count() == cust.count()
+
+    dim_path = str(tmp_path / "dim")
+    fact_path = str(tmp_path / "fact")
+    sinks.upsert_dim(src, dim_path, key="Codigo")
+    ev = load_table(spark, sf_dir, "events")
+    sinks.append_fact(pipeline.build_fact_append(ev, "2024-02-01 00:00:00"), fact_path)
+    assert spark.read.parquet(dim_path).count() == src.count()
+    assert spark.read.parquet(fact_path).count() == ev.count()

@@ -1,0 +1,78 @@
+"""§2.7 — Structured Streaming mirrors, run bounded with availableNow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+from etl_fuel_priceguide_ec2_spark.streaming import feeds
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as a micros-timestamp parquet dir usable as a
+    file-stream source (the raw fixture is nanos, which streaming scans
+    reject like batch ones)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").write.parquet(path)
+    return path
+
+
+def _run_to_memory(stream_df, name: str, output_mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, event_stream_dir):
+    batch = load_table(spark, sf_dir, "events")
+    stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)
+    out = feeds.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    _run_to_memory(out, "win_counts", "append")
+    got = spark.sql("SELECT * FROM win_counts")
+
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    # append mode emits a window only once its end passes the watermark
+    # (max event time - 2h); the tail windows are correctly withheld, so
+    # assert: everything emitted matches batch, and every CLOSED window
+    # was emitted.
+    assert got.exceptAll(expected).count() == 0
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    closed = expected.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    )
+    assert closed.exceptAll(got).count() == 0
+    assert got.count() >= closed.count() > 0
+
+
+def test_stateful_latest_per_key(spark, sf_dir, event_stream_dir):
+    batch = load_table(spark, sf_dir, "events")
+    stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)
+    out = feeds.latest_per_key_stream(stream)
+    _run_to_memory(out, "latest_keys", "update")
+    got = spark.sql("SELECT * FROM latest_keys")
+
+    from etl_fuel_priceguide_ec2_spark.operators import asof
+
+    expected = asof.latest_per_key(batch, ["user_id"], "ts", None, ["event_id"]).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    assert got.count() == expected.count()
+    # every user's final state matches the batch latest row (ts+value)
+    j = got.alias("g").join(expected.alias("e"), "user_id")
+    mismatched = j.filter(
+        (F.col("g.ts") != F.col("e.ts")) | (F.col("g.value") != F.col("e.value"))
+    )
+    assert mismatched.count() == 0

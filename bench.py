@@ -23,6 +23,8 @@ from etl_fuel_priceguide_ec2_spark.session import get_session
 
 HEADLINE = [
     "asof_latest_per_key",
+    "asof_join_orders_events",
+    "latest_via_max_by",
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_priority",

@@ -49,6 +49,58 @@ def latest_per_key(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """True as-of JOIN: for every left row, attach the latest right row
+    of the same key with ``right_ts <= left_ts`` (the all-pairs
+    generalization of the reference's per-key query, index.js:301-321).
+
+    Implemented with the merge-union pattern: tag both sides, union,
+    then one window pass per key ordered by time carries the most recent
+    right values forward (``last_value IGNORE NULLS``); keep left rows.
+    ONE shuffle on the key — never a per-key loop, never a range
+    cross-join; at 100 TB both sides co-partition on the key and the
+    window sort is the only cost. Spark lacks a native as-of join (Pandas
+    API has merge_asof; this is the DataFrame-native equivalent).
+    """
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(key_col),
+            F.col(right_ts).alias("__t"),
+            *[F.col(c) for c in right_vals],
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal timestamps (__side asc),
+    # so a right row at exactly left_ts is visible to that left row (<=)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in right_vals
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_vals
+    ]
+    return carried.filter(F.col("__side") == 1).select(*out_cols)
+
+
 def latest_for_key(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,62 @@
+"""Window-function operators beyond the as-of family: change deltas
+(lag/lead), gap-based sessionization, running aggregates.
+
+The reference's unfinished price-change detection (``index.js:63-79``,
+TODO at ``index.js:272``) wants "what changed since the last snapshot" —
+the natural vectorized form is LAG over the per-key time order. All
+operators here are one shuffle on the partition key; the window sort is
+the only per-partition cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def change_deltas(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key consecutive deltas: value - LAG(value). The completed
+    form of the reference's price-compare helper — emits by how much
+    each key's value moved between consecutive snapshots."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols or []]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    return df.select(
+        *key_cols,
+        ts_col,
+        F.col(value_col),
+        F.round(F.col(value_col) - prev, 6).alias("delta"),
+        (F.col(value_col) != prev).alias("changed"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "1 hour",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the pause
+    since the previous event exceeds ``gap``. session_seq is the
+    running count of session starts per key (classic lag + cumulative
+    sum — two window passes over ONE shuffle/sort, both reuse the same
+    partitioning)."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols or []]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        key_col,
+        ts_col,
+        F.sum(is_new).over(wsum).alias("session_seq"),
+    )

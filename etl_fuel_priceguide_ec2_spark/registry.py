@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_fuel_priceguide_ec2_spark.operators import (
     aggregates,
+    windows,
     asof,
     dedup,
     diff,
@@ -905,3 +906,268 @@ def q_stream_window_counts(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of JOIN, change deltas, sessionization (W-family depth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_orders_events",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           last_t AS asof_ts, last_v AS asof_value
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate, side,
+             last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+               OVER (PARTITION BY k ORDER BY t ASC, side ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t,
+             last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY k ORDER BY t ASC, side ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_v
+      FROM (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               o_custkey AS k, o_orderdate AS t, NULL::DOUBLE AS v, 1 AS side
+        FROM orders WHERE o_custkey < 150
+        UNION ALL
+        SELECT NULL, NULL, NULL, user_id AS k, ts AS t, value AS v, 0 AS side
+        FROM events
+      )
+    )
+    WHERE side = 1
+    """,
+)
+def q_asof_join_orders_events(spark, sf_dir):
+    """As-of join: each order (of a user with events) picks up the
+    latest event value at or before its order date."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150).select(
+        "o_orderkey", "o_custkey", "o_orderdate", F.col("o_custkey").alias("user_id")
+    )
+    events = load_table(spark, sf_dir, "events")
+    out = asof.asof_join(
+        orders,
+        events,
+        key_col="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_vals=["ts", "value"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("asof_ts"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+@register(
+    "price_change_deltas",
+    """
+    SELECT user_id, event_type, ts, value,
+           ROUND(value - LAG(value) OVER w, 6) AS delta,
+           value <> LAG(value) OVER w AS changed
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q_price_change_deltas(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return windows.change_deltas(
+        ev, key_cols=["user_id", "event_type"], ts_col="ts", value_col="value", tiebreak_cols=["event_id"]
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    SELECT user_id, ts,
+           SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+      FROM events
+    )
+    """,
+)
+def q_sessionize_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return windows.sessionize(ev, key_col="user_id", ts_col="ts", gap="1 hour", tiebreak_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# More aggregate/function surface: pivot, exact percentiles, min_by/max_by,
+# string + array batteries, from_json struct parse, semi join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_event_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ["click", "view", "purchase"]],
+        )
+    )
+
+
+@register(
+    "percentile_prices",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_prices(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "latest_via_max_by",
+    f"""
+    SELECT user_id, value AS latest_value, ts AS latest_ts
+    FROM (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '{AS_OF}'
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_via_max_by(spark, sf_dir):
+    """W1 as a hash AGGREGATE instead of a window: max_by over the
+    (ts, event_id) order — map-side partial aggregation, no sort at
+    all; the cheapest physical strategy when only the latest value (not
+    the whole row) is needed."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") <= F.lit(AS_OF).cast("timestamp"))
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("latest_value"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+@register(
+    "string_battery",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           replace(c_mktsegment, 'ING', '*') AS seg_repl,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           length(c_name) AS name_len,
+           concat_ws('|', c_mktsegment, c_name) AS joined
+    FROM customer
+    """,
+)
+def q_string_battery(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_mktsegment"), F.lit("ING"), F.lit("*")).alias("seg_repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
+@register(
+    "array_battery",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderpriority)) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_array_battery(spark, sf_dir):
+    """collect_list + sort_array: deterministic per-group array build
+    (bare collect_list order is partition-dependent; sorting restores
+    determinism — same rule as the DuckDB list_sort oracle)."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "json_struct_parse",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_json_struct_parse(spark, sf_dir):
+    """from_json with an explicit schema (F5 read side): full structured
+    parse, not string extraction — the scalable path when many fields
+    are consumed (one parse, many accesses)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k_val"),
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    f"""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+            AND e.ts <= TIMESTAMP '{AS_OF}'
+    )
+    """,
+)
+def q_semi_join_active_customers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") <= F.lit(AS_OF).cast("timestamp"))
+    )
+    return cust.join(
+        ev, cust.c_custkey == ev.user_id, "left_semi"
+    ).select("c_custkey", "c_name")

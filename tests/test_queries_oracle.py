@@ -28,7 +28,11 @@ def _normalize(v):
 
 def _rowset(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(_normalize(r[i]) for i in order) for r in rows)
+    tuples = [tuple(_normalize(r[i]) for i in order) for r in rows]
+    # None/bool/mixed types aren't mutually comparable; sort on a
+    # type-stable key (both sides use the same key, so equality of the
+    # sorted sequences is unaffected)
+    return sorted(tuples, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -101,3 +101,74 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, mod: int = 1_000_000_
             lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
         ).alias("fingerprint"),
     )
+
+
+def _tokens(df: DataFrame, text_col: str, extra_cols: list[str]) -> DataFrame:
+    return fan_out(df).select(
+        *extra_cols,
+        F.explode(F.split(F.trim(F.col(text_col)), _WS)).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-k terms per
+    doc (ties broken by token asc). Two hash aggregates + one window —
+    tf and df are both map-side-combined counts; the doc count N is a
+    broadcast scalar, not a shuffle."""
+    from pyspark.sql import Window
+
+    toks = _tokens(df, text_col, [id_col])
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * (F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)) + 1), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total frequency (the
+    vocabulary-building pass of a tokenizer-training pipeline). One
+    hash aggregate + a single-partition top-k (k is tiny)."""
+    from pyspark.sql import Window
+
+    counts = _tokens(df, text_col, []).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("token", "n", "rank")
+    )
+
+
+def bigram_top_per_lang(df: DataFrame, lang_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-k word bigrams per language — n-gram language-model counts.
+    Bigrams come from the per-row higher-order slide (no shuffle until
+    the count aggregate)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    exploded = fan_out(df).select(F.col(lang_col), F.explode(grams).alias("bigram")).filter(
+        F.col("bigram").contains(" ")
+    )
+    counts = exploded.groupBy(lang_col, "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(lang_col).orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(lang_col, "bigram", "n", "rank")
+    )

@@ -1171,3 +1171,95 @@ def q_semi_join_active_customers(spark, sf_dir):
     return cust.join(
         ev, cust.c_custkey == ev.user_id, "left_semi"
     ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / vocabulary / n-gram LM counts / deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, tfidf, rank FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1) DESC,
+                        tf.token ASC) AS rank
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "vocabulary_top20",
+    r"""
+    SELECT token, n, rank FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rank
+      FROM (
+        SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token FROM documents
+      ) WHERE token <> ''
+      GROUP BY token
+    ) WHERE rank <= 20
+    """,
+)
+def q_vocabulary_top20(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.vocabulary(docs, "text", k=20)
+
+
+@register(
+    "bigram_top_per_lang",
+    r"""
+    WITH d AS (
+      SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), grams AS (
+      SELECT lang, UNNEST(list_transform(
+        range(1, greatest(len(toks) - 1, 1) + 1),
+        i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+      FROM d
+    )
+    SELECT lang, bigram, n, rank FROM (
+      SELECT lang, bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, bigram ASC) AS rank
+      FROM grams WHERE contains(bigram, ' ')
+      GROUP BY lang, bigram
+    ) WHERE rank <= 5
+    """,
+)
+def q_bigram_top_per_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bigram_top_per_lang(docs, "lang", "text", k=5)
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3
+    """,
+)
+def q_deterministic_sample(spark, sf_dir):
+    """Deterministic mod-sampling (reproducible corpus subsetting —
+    at scale, use pmod(xxhash64(id), k) for unbiased hash sampling;
+    the mod form keeps the oracle engine-portable)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 20 == 3).select("doc_id", "lang", "n_chars")

@@ -62,3 +62,43 @@ def latest_per_key_stream(stream: DataFrame) -> DataFrame:
             _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def run_microbatch_etl(
+    stream: DataFrame,
+    dim_src: DataFrame,
+    dim_path: str,
+    fact_path: str,
+    checkpoint: str,
+):
+    """§2.7 — the full reference pipeline as a stream: each micro-batch
+    is one "cron run" (index.js:29-60). foreachBatch applies the batch
+    sinks — insert-if-absent dim upsert + run-stamped fact append — so
+    the exact S4/S5 semantics (and their tests) are reused unchanged;
+    checkpointing makes each batch effectively exactly-once.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark import sinks
+
+    def _one_run(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+        snapshot = batch_df.select(
+            F.col("user_id").alias("Id"),
+            F.col("value").alias("price"),
+            F.col("event_type").alias("fuel_type"),
+            F.lit(run_ts).alias("run_ts"),
+        )
+        sinks.append_fact(snapshot, fact_path)
+        keys = batch_df.select(F.col("user_id").alias("Id")).distinct()
+        src = keys.join(dim_src, "Id", "inner")
+        sinks.upsert_dim(src, dim_path, key="Id")
+
+    return (
+        stream.writeStream.foreachBatch(_one_run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -76,3 +76,30 @@ def test_stateful_latest_per_key(spark, sf_dir, event_stream_dir):
         (F.col("g.ts") != F.col("e.ts")) | (F.col("g.value") != F.col("e.value"))
     )
     assert mismatched.count() == 0
+
+
+def test_microbatch_etl_foreachbatch(spark, sf_dir, event_stream_dir, tmp_path):
+    """EP1 as a stream: dim gets insert-if-absent rows, facts append
+    per micro-batch run."""
+    batch = load_table(spark, sf_dir, "events")
+    dim_src = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("Id"), F.col("c_name").alias("Nome")
+    )
+    stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)
+    q = feeds.run_microbatch_etl(
+        stream,
+        dim_src,
+        dim_path=str(tmp_path / "dim"),
+        fact_path=str(tmp_path / "fact"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    assert fact.count() == batch.count()
+    assert set(fact.columns) >= {"Id", "price", "fuel_type", "run_ts", "run_date"}
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+    expected_keys = batch.select(F.col("user_id")).distinct().join(
+        dim_src, batch.user_id == dim_src.Id, "left_semi"
+    )
+    assert dim.count() == expected_keys.count()

@@ -46,6 +46,31 @@ def new_keys(src: DataFrame, dim: DataFrame, src_key: str, dim_key: str) -> Data
     return src.join(F.broadcast(dim_keys), on=src_key, how="left_anti")
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_src_col: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side's hot keys are spread over
+    ``salts`` sub-keys (deterministic salt from ``salt_src_col`` so
+    results are reproducible); the small side is replicated once per
+    salt. The shuffle then has ``salts``× the partitions per hot key —
+    no straggler task. Use when AQE's skew splitting isn't available
+    (e.g. the skewed side feeds an aggregation in the same stage) and
+    the small side is too big to broadcast outright but cheap to
+    replicate ``salts`` times.
+    """
+    salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(salts)))
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salts)]))
+    )
+    out = salted_big.join(salted_small, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def upsert_plan(src: DataFrame, dim: DataFrame, src_key: str, dim_key: str) -> DataFrame:
     """S4: the full insert-if-absent result — existing dim rows unioned
     with the to-insert rows (core-Spark MERGE; with Delta this is

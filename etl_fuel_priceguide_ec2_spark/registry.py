@@ -1263,3 +1263,159 @@ def q_deterministic_sample(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.filter(F.col("doc_id") % 20 == 3).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant join, W4 array access, EXCEPT ALL, error-tolerant JSON,
+# embedding stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_skewed_flag",
+    """
+    SELECT f.flag_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN (VALUES ('A', 'returned'), ('N', 'none'), ('R', 'refused'))
+         AS f(l_returnflag, flag_name)
+      ON l.l_returnflag = f.l_returnflag
+    GROUP BY f.flag_name
+    """,
+)
+def q_salted_join_skewed_flag(spark, sf_dir):
+    """l_returnflag has 3 values over the whole fact table — the
+    textbook hot-key join. The salted join spreads each flag over 16
+    sub-keys; the oracle is the PLAIN join, proving salting changes the
+    plan, never the result."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = spark.createDataFrame(
+        [("A", "returned"), ("N", "none"), ("R", "refused")],
+        "l_returnflag string, flag_name string",
+    )
+    joined = joins.salted_join(li, flags, key="l_returnflag", salt_src_col="l_orderkey", salts=16)
+    return joined.groupBy("flag_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "array_element_access",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderpriority))[1] AS first_priority,
+           list_sort(list(o_orderpriority))[-1] AS last_priority,
+           len(list(o_orderpriority)) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_array_element_access(spark, sf_dir):
+    """W4 — nested array element access (Items[0].Combustiveis pattern,
+    index.js:70): element_at on a per-group built array."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    arr = F.sort_array(F.collect_list("o_orderpriority"))
+    return orders.groupBy("o_custkey").agg(
+        F.element_at(arr, 1).alias("first_priority"),
+        F.element_at(arr, -1).alias("last_priority"),
+        F.size(F.collect_list("o_orderpriority")).alias("n_orders"),
+    )
+
+
+@register(
+    "except_all_multiset",
+    f"""
+    SELECT event_type FROM events WHERE ts <= TIMESTAMP '{SNAP_B_END}'
+    EXCEPT ALL
+    SELECT event_type FROM events WHERE ts <= TIMESTAMP '{SNAP_A_END}'
+    """,
+)
+def q_except_all_multiset(spark, sf_dir):
+    """EP3's multiset form: exceptAll keeps duplicate cardinality
+    (bag difference), unlike the distinct EXCEPT of snapshot_diff."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("ts") <= F.lit(SNAP_B_END).cast("timestamp")).select("event_type")
+    a = ev.filter(F.col("ts") <= F.lit(SNAP_A_END).cast("timestamp")).select("event_type")
+    return b.exceptAll(a)
+
+
+@register(
+    "json_error_tolerance",
+    """
+    SELECT event_id,
+           CASE WHEN json_valid(broken) THEN CAST(json_extract_string(broken, '$.k') AS BIGINT)
+                ELSE NULL END AS k_val,
+           json_valid(broken) AS parse_ok
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN substring(props, 1, length(props) - 1)
+                  ELSE props END AS broken
+      FROM events
+    )
+    """,
+)
+def q_json_error_tolerance(spark, sf_dir):
+    """P6 — error-tolerant row processing: malformed JSON (1 in 7 rows
+    corrupted) parses to NULL instead of failing the job (PERMISSIVE
+    semantics of from_json)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    broken = F.when(
+        F.col("event_id") % 7 == 0, F.expr("substring(props, 1, length(props) - 1)")
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(broken, "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        parsed.getField("k").isNotNull().alias("parse_ok"),
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(spark, sf_dir):
+    """Vector-column statistics (min/max are order-independent, so no
+    float-summation nondeterminism vs the oracle)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
+@register("similarity_pandas_udf", None)  # numpy matmul sum order ≠ sequential fold: rows-only
+def q_similarity_pandas_udf(spark, sf_dir):
+    """X3 pandas_udf variant: Arrow-batched numpy cosine against one
+    query vector — the plumbing for very wide vectors where matmul
+    beats the per-element HOF loop."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    scored = similarity.cosine_scores_pandas(emb.filter(F.col("vec_id") > 0), list(qvec), "embedding", "vec_id")
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )

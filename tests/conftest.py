@@ -13,7 +13,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_session("engine-tests", extra_conf={"spark.ui.enabled": "false"})
+    import tempfile
+
+    s = get_session(
+        "engine-tests",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
+    )
     yield s
 
 

@@ -99,3 +99,34 @@ def test_whole_stage_codegen_active_on_scalar_battery(spark, sf_dir):
     # formatted explain marks codegen stages with a leading '*'
     plan = _plan(registry.queries()["scalar_battery"](spark, sf_dir))
     assert "* Project" in plan or "* ColumnarToRow" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing = pre-shuffled storage: two tables bucketed on the join
+    key co-locate, so the join runs with ZERO Exchange nodes. At 100 TB
+    this turns every repeated fact⋈fact / fact⋈big-dim join from a
+    full-table shuffle into a local merge — the single biggest repeated-
+    query win Spark offers."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    for name, df, key in [("b_orders", orders, "o_orderkey"), ("b_lineitem", li, "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df.write.bucketBy(8, key).sortBy(key).format("parquet").saveAsTable(name)
+
+    # at fixture scale the planner would broadcast instead (correct for
+    # tiny tables); disable it to expose the big-table bucketed path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ["b_orders", "b_lineitem"]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

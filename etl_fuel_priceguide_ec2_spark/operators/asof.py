@@ -56,6 +56,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_vals: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """True as-of JOIN: for every left row, attach the latest right row
     of the same key with ``right_ts <= left_ts`` (the all-pairs
@@ -70,20 +71,26 @@ def asof_join(
     API has merge_asof; this is the DataFrame-native equivalent).
     """
     lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    tb_cols = [F.col(right_tiebreak).alias("__tb")] if right_tiebreak else []
     rt = (
         right.select(
             F.col(key_col),
             F.col(right_ts).alias("__t"),
+            *tb_cols,
             *[F.col(c) for c in right_vals],
         )
         .withColumn("__side", F.lit(0))
     )
     merged = lt.unionByName(rt, allowMissingColumns=True)
+    if not right_tiebreak:
+        merged = merged.withColumn("__tb", F.lit(0))
     # right rows sort before left rows at equal timestamps (__side asc),
-    # so a right row at exactly left_ts is visible to that left row (<=)
+    # so a right row at exactly left_ts is visible to that left row (<=);
+    # __tb makes the winner among equal-(key, ts) right rows
+    # deterministic (largest tiebreak wins, matching last-wins)
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

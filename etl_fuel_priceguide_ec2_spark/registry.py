@@ -921,17 +921,19 @@ def q_stream_window_counts(spark, sf_dir):
     FROM (
       SELECT o_orderkey, o_custkey, o_orderdate, side,
              last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-               OVER (PARTITION BY k ORDER BY t ASC, side ASC
+               OVER (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t,
              last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
-               OVER (PARTITION BY k ORDER BY t ASC, side ASC
+               OVER (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_v
       FROM (
         SELECT o_orderkey, o_custkey, o_orderdate,
-               o_custkey AS k, o_orderdate AS t, NULL::DOUBLE AS v, 1 AS side
+               o_custkey AS k, o_orderdate AS t, NULL::DOUBLE AS v, 1 AS side,
+               NULL::BIGINT AS tb
         FROM orders WHERE o_custkey < 150
         UNION ALL
-        SELECT NULL, NULL, NULL, user_id AS k, ts AS t, value AS v, 0 AS side
+        SELECT NULL, NULL, NULL, user_id AS k, ts AS t, value AS v, 0 AS side,
+               event_id AS tb
         FROM events
       )
     )
@@ -954,6 +956,7 @@ def q_asof_join_orders_events(spark, sf_dir):
         left_ts="o_orderdate",
         right_ts="ts",
         right_vals=["ts", "value"],
+        right_tiebreak="event_id",
     )
     return out.select(
         "o_orderkey",

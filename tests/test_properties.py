@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): operator semantics hold on
+arbitrary generated inputs, checked against plain-Python brute force.
+Small value domains force key collisions and timestamp ties — exactly
+the corners fixture data misses."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_fuel_priceguide_ec2_spark.operators import asof, dedup
+
+BASE = datetime(2024, 1, 1)
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=3),              # key
+    st.integers(min_value=0, max_value=20),             # ts offset (hours)
+    st.integers(min_value=0, max_value=1000),           # value
+)
+rows = st.lists(row, min_size=1, max_size=25)
+
+
+def _mk_events(spark, data):
+    return spark.createDataFrame(
+        [
+            (i, k, BASE + timedelta(hours=off), float(v))
+            for i, (k, off, v) in enumerate(data)
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows)
+def test_latest_per_key_matches_bruteforce(spark, data):
+    df = _mk_events(spark, data)
+    got = {
+        r.user_id: (r.ts, r.value)
+        for r in asof.latest_per_key(df, ["user_id"], "ts", None, ["event_id"]).collect()
+    }
+    expected: dict[int, tuple] = {}
+    for i, (k, off, v) in enumerate(data):
+        ts = BASE + timedelta(hours=off)
+        cur = expected.get(k)
+        # latest ts wins; ties broken by highest event_id (= last index)
+        if cur is None or (ts, i) > (cur[0], cur[2]):
+            expected[k] = (ts, float(v), i)
+    assert got == {k: (t, v) for k, (t, v, _) in expected.items()}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows)
+def test_dedup_last_wins_matches_js_map_semantics(spark, data):
+    """The reference's `new Map(...)` keeps the LAST occurrence per key
+    (index.js:67-75). With (ts, event_id) ordering, 'last' = latest ts,
+    insertion order breaking ties — exactly a Python dict built in that
+    order."""
+    df = _mk_events(spark, data)
+    got = {
+        r.user_id: r.value
+        for r in dedup.dedup_last_wins(df, ["user_id"], "ts", ["event_id"]).collect()
+    }
+    js_map: dict[int, float] = {}
+    for _, (k, off, v) in sorted(
+        enumerate(data), key=lambda t: (BASE + timedelta(hours=t[1][1]), t[0])
+    ):
+        js_map[k] = float(v)
+    assert got == js_map
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=rows, right=rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + timedelta(hours=off)) for i, (k, off, _) in enumerate(left)],
+        "order_id bigint, user_id bigint, ots timestamp",
+    )
+    rdf = _mk_events(spark, right)
+    out = asof.asof_join(ldf, rdf, "user_id", "ots", "ts", ["value"], right_tiebreak="event_id")
+    got = {r.order_id: r.asof_value for r in out.collect()}
+    for i, (k, off, _) in enumerate(left):
+        lts = BASE + timedelta(hours=off)
+        cands = [
+            (BASE + timedelta(hours=roff), j, float(v))
+            for j, (rk, roff, v) in enumerate(right)
+            if rk == k and BASE + timedelta(hours=roff) <= lts
+        ]
+        expected = max(cands)[2] if cands else None
+        assert got[i] == expected, f"order {i}: {got[i]} != {expected}"

@@ -98,3 +98,30 @@ def test_ep1_pipeline_composes(spark, sf_dir, tmp_path):
     sinks.append_fact(pipeline.build_fact_append(ev, "2024-02-01 00:00:00"), fact_path)
     assert spark.read.parquet(dim_path).count() == src.count()
     assert spark.read.parquet(fact_path).count() == ev.count()
+
+
+def test_config_sources(spark, tmp_path):
+    """S1 — parameter/config source: prefix scan of spark.conf and
+    config-as-data table (the SSM path-recursive lookup equivalents)."""
+    from etl_fuel_priceguide_ec2_spark.sources import config
+
+    spark.conf.set("fuelpriceguide.data_table", "stations")
+    spark.conf.set("fuelpriceguide.endpoint_01", "https://api.example.test/list")
+    cfg = config.load_config(
+        spark, "fuelpriceguide", required=["data_table", "endpoint_01"]
+    )
+    assert cfg["data_table"] == "stations"
+    assert cfg["endpoint_01"].endswith("/list")
+    with pytest.raises(KeyError):
+        config.load_config(spark, "fuelpriceguide", required=["missing_key"])
+
+    path = str(tmp_path / "cfg")
+    spark.createDataFrame(
+        [("data_table", "stations_v2"), ("endpoint_02", "https://api.example.test/station/")],
+        "key string, value string",
+    ).write.parquet(path)
+    tbl = config.load_config_table(spark, path)
+    assert tbl == {
+        "data_table": "stations_v2",
+        "endpoint_02": "https://api.example.test/station/",
+    }

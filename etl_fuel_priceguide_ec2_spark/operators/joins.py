@@ -71,6 +71,45 @@ def salted_join(
     return out.drop("__salt")
 
 
+def interval_join_recent(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_days: int,
+) -> DataFrame:
+    """Range join: pair each left row with the right rows of the same
+    key whose ``right_ts`` lies in ``[left_ts - lookback, left_ts]``.
+
+    Naive ``ON key AND ts BETWEEN ...`` makes Spark pick a broadcast
+    nested-loop (or worse) and re-checks every pair. Scalable shape:
+    bucket both sides by day, replicate the LEFT side over its
+    ``lookback_days + 1`` candidate day-buckets, equi-join on
+    (key, day_bucket) — a plain hash join whose cardinality tracks the
+    true matches — then apply the exact range predicate as a cheap
+    post-filter. Replication factor is the lookback window, not the
+    table size.
+    """
+    lb = left.withColumn(
+        "__day",
+        F.explode(
+            F.sequence(
+                F.datediff(F.col(left_ts), F.lit("1970-01-01").cast("date")) - lookback_days,
+                F.datediff(F.col(left_ts), F.lit("1970-01-01").cast("date")),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__day", F.datediff(F.col(right_ts), F.lit("1970-01-01").cast("date"))
+    )
+    joined = lb.join(rb, on=[key, "__day"], how="inner").filter(
+        (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback_days} DAYS"))
+    )
+    return joined.drop("__day")
+
+
 def upsert_plan(src: DataFrame, dim: DataFrame, src_key: str, dim_key: str) -> DataFrame:
     """S4: the full insert-if-absent result — existing dim rows unioned
     with the to-insert rows (core-Spark MERGE; with Delta this is

@@ -129,3 +129,89 @@ def cosine_scores_pandas(
         return pd.Series(dots / (norms * qn))
 
     return corpus.select(F.col(id_col), _cos(F.col(vec_col)).alias("cosine"))
+
+
+def cosine_topk_rplsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    planes: int = 6,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket = sign bits of <v, plane_j>.
+    Queries probe their own bucket plus all buckets within
+    ``multiprobe_hamming`` bit flips, then rank candidates by exact
+    cosine. At scale the corpus is written bucketed/partitioned by the
+    signature, so a probe touches a handful of partitions instead of the
+    corpus; recall grows with multiprobe radius (and is highest on
+    clustered real-world embeddings — random vectors are the worst
+    case).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim = len(corpus.select(vec_col).first()[0])
+    hp = rng.standard_normal((planes, dim))
+
+    def _sig(df: DataFrame) -> DataFrame:
+        v = F.col("v")
+        bits = [
+            (
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(float(x)) for x in hp[j]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    F.lit(1 << j),
+                ).otherwise(F.lit(0))
+            )
+            for j in range(planes)
+        ]
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        return df.withColumn("sig", sig)
+
+    c = _sig(_with_norm(corpus, id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"), "sig"
+    )
+    q = _sig(_with_norm(queries, id_col, vec_col)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn"), "sig"
+    )
+    # multiprobe: expand each query to every signature within hamming<=r
+    probe_sigs = [0]
+    if multiprobe_hamming >= 1:
+        probe_sigs += [1 << j for j in range(planes)]
+    if multiprobe_hamming >= 2:
+        probe_sigs += [
+            (1 << a) | (1 << b) for a in range(planes) for b in range(a + 1, planes)
+        ]
+    q = q.withColumn(
+        "sig", F.explode(F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in probe_sigs]))
+    )
+    scored = (
+        c.join(q, "sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.aggregate(F.zip_with("cv", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            / (F.col("cn") * F.col("qn")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )

@@ -71,3 +71,22 @@ def build_fact_append(events: DataFrame, run_ts: str) -> DataFrame:
         F.lit(run_ts).cast("timestamp").alias("run_ts"),
         F.date_format(F.lit(run_ts).cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("Timestamp"),
     )
+
+
+def run_with_metrics(customer: DataFrame, nation: DataFrame, region: DataFrame, now_ts: str):
+    """EP1 with A2-style run metrics captured via df.observe — the
+    Spark-native version of the reference's count logging
+    (index.js:94,143): metrics ride along with the job (no extra
+    actions/scans), collected from the Observation after the sink runs.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("etl_run_metrics")
+    src = build_station_dim_src(customer, nation, region, now_ts)
+    observed = src.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_filtered"),
+        F.approx_count_distinct(F.col("Codigo")).alias("n_keys"),  # observe() forbids distinct aggs
+    )
+    return observed, obs

@@ -1422,3 +1422,114 @@ def q_similarity_pandas_udf(spark, sf_dir):
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10).select(
         "vec_id", F.round("cosine", 4).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval/range join, histogram, data-quality metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_recent_events",
+    """
+    SELECT o.o_orderkey, COUNT(e.event_id) AS n_recent_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts <= o.o_orderdate
+     AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+    WHERE o.o_custkey < 150
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_interval_join_recent_events(spark, sf_dir):
+    """Range join via day-bucket replication (see
+    joins.interval_join_recent): each order aggregates its user's events
+    from the trailing 7 days. The oracle is the naive BETWEEN join —
+    same rows, scalable plan."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150).select(
+        "o_orderkey", "o_orderdate", F.col("o_custkey").alias("user_id")
+    )
+    events = load_table(spark, sf_dir, "events")
+    joined = joins.interval_join_recent(
+        orders, events, key="user_id", left_ts="o_orderdate", right_ts="ts", lookback_days=7
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("event_id").alias("n_recent_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "price_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_price_histogram(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("bucket", F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "data_quality_metrics",
+    """
+    SELECT 'c_acctbal' AS column_name,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS n_null,
+           SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 ELSE 0 END)
+             AS n_out_of_range,
+           COUNT(DISTINCT c_custkey) AS n_distinct_keys,
+           COUNT(*) - COUNT(DISTINCT c_custkey) AS n_duplicate_keys
+    FROM customer
+    """,
+)
+def q_data_quality_metrics(spark, sf_dir):
+    """Constraint-validation pass (null rate, range violations, key
+    uniqueness) — the pre-load quality gate of a production pipeline,
+    one aggregate over the table."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.agg(
+        F.lit("c_acctbal").alias("column_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(
+            F.when((F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000), 1).otherwise(0)
+        ).alias("n_out_of_range"),
+        F.countDistinct("c_custkey").alias("n_distinct_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_duplicate_keys"),
+    )
+
+
+@register("similarity_topk_rplsh", None)  # ANN: recall<1 by design → rows-only
+def q_similarity_topk_rplsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN with hamming-1 multiprobe (see
+    similarity.cosine_topk_rplsh) — the bucketed scale path where even
+    the IVF cell assignment is derived from the vectors themselves."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_rplsh(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )

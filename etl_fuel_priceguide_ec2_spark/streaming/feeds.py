@@ -102,3 +102,37 @@ def run_microbatch_etl(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup (X1's streaming mirror): state holds one
+    entry per key inside the watermark horizon; replays and duplicate
+    deliveries are dropped exactly-once per key."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def stream_stream_join(
+    purchases: DataFrame, views: DataFrame, join_window: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase pairs with the same
+    user's view events from the preceding ``join_window`` (attribution
+    join). Both sides are watermarked so state is bounded — the join
+    condition's time band tells Spark exactly when to evict."""
+    p = purchases.withWatermark("ts", "2 hours").alias("p")
+    v = views.withWatermark("ts", "2 hours").alias("v")
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            p.user_id = v.user_id AND
+            v.ts <= p.ts AND
+            v.ts >= p.ts - INTERVAL {join_window}
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )

@@ -170,3 +170,30 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     approx = ev.agg(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_multimodal_features_feed_similarity_search(spark, sf_dir):
+    """End-to-end multimodal pipeline: binary payload → mapInPandas
+    decode → numeric feature vector → cosine top-k. The glue a training
+    pipeline needs: extraction output is directly searchable."""
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal, similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs, "doc_id", "text")
+    feats = multimodal.decode_features(media)
+    vecs = feats.select(
+        "doc_id",
+        F.array(
+            F.col("width").cast("double"),
+            F.col("height").cast("double"),
+            F.col("n_frames").cast("double"),
+            F.col("n_bytes").cast("double"),
+        ).alias("feature_vec"),
+    )
+    topk = similarity.cosine_topk(
+        vecs, vecs.filter(F.col("doc_id") < 3), "doc_id", "feature_vec", k=5
+    )
+    rows = topk.collect()
+    assert len(rows) == 3 * 5
+    assert all(1 <= r.rank <= 5 for r in rows)
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)

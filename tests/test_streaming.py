@@ -103,3 +103,42 @@ def test_microbatch_etl_foreachbatch(spark, sf_dir, event_stream_dir, tmp_path):
         dim_src, batch.user_id == dim_src.Id, "left_semi"
     )
     assert dim.count() == expected_keys.count()
+
+
+def test_streaming_dedup(spark, sf_dir, event_stream_dir):
+    batch = load_table(spark, sf_dir, "events")
+    stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)
+    out = feeds.dedup_stream(stream, keys=["user_id", "event_type"])
+    _run_to_memory(out, "dedup_stream", "append")
+    got = spark.sql("SELECT user_id, event_type FROM dedup_stream")
+    expected = batch.select("user_id", "event_type").distinct()
+    assert got.count() == expected.count()
+    assert got.distinct().count() == got.count()
+
+
+def test_stream_stream_attribution_join(spark, sf_dir, event_stream_dir):
+    batch = load_table(spark, sf_dir, "events")
+    stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    views = stream.filter(F.col("event_type") == "view")
+    out = feeds.stream_stream_join(purchases, views, join_window="1 hour")
+    _run_to_memory(out, "attribution", "append")
+    got = spark.sql("SELECT * FROM attribution")
+
+    bp = batch.filter(F.col("event_type") == "purchase").alias("p")
+    bv = batch.filter(F.col("event_type") == "view").alias("v")
+    expected = bp.join(
+        bv,
+        F.expr(
+            "p.user_id = v.user_id AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+    # stream-stream inner join with watermarks emits exactly the batch
+    # join result once all data is processed (availableNow drains fully)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0

@@ -172,3 +172,96 @@ def bigram_top_per_lang(df: DataFrame, lang_col: str, text_col: str, k: int = 5)
         .filter(F.col("rank") <= k)
         .select(lang_col, "bigram", "n", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    pretraining-corpus chunker. Stride = chunk_tokens - overlap; output
+    one row per chunk with its text and token count. Pure per-row
+    higher-order fns (sequence → slice → join): embarrassingly parallel,
+    no shuffle, no Python."""
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(((n - 1) / stride).cast("int") * stride, F.lit(0)), F.lit(stride))
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            n.alias("__n"),
+            F.posexplode(
+                F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)))
+            ).alias("chunk_id", "chunk_text"),
+        )
+        .filter(F.col("chunk_text") != "")
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.col("chunk_text"),
+            F.size(F.split(F.col("chunk_text"), _WS)).alias("chunk_tokens"),
+        )
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame, id_col: str, order_cols: list[str], token_col: str, budget: int = 256
+) -> DataFrame:
+    """Greedy sequence packing: assign chunks (in deterministic order)
+    to training bins so each bin holds ≤ ``budget`` tokens — the
+    context-window packing step before batching. Deterministic via an
+    explicit total order; one window cumsum, bin = floor((cum - tok) /
+    budget) (chunks never split across bins in this simple packer)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return chunks.select(
+        id_col,
+        *order_cols[1:],
+        F.col(token_col),
+        F.floor((cum - F.col(token_col)) / budget).alias("bin_id"),
+    )
+
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction: regex-replace emails/phones/SSNs with typed
+    sentinels; emits per-row redaction counts for audit. All
+    regexp_replace/regexp_count — JVM-side, chainable before any other
+    text op."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return fan_out(df).select(F.col(id_col), scrubbed.alias("scrubbed_text"), *counts)
+
+
+def stratified_take(
+    df: DataFrame, strata_col: str, order_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic stratified subsample: first ``n_per_stratum`` rows
+    per stratum by an explicit order — label-balanced dataset curation
+    with reproducible membership (vs sampleBy's RNG)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

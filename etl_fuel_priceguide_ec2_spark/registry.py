@@ -1620,3 +1620,102 @@ def q_null_semantics_battery(spark, sf_dir):
         F.ifnull(F.nullif(F.floor("value").cast("int"), F.lit(0)), F.lit(-1)).alias("int_or_minus1"),
         F.nullif("event_type", F.lit("view")).isNull().alias("was_view"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: chunking, packing, PII scrub, stratified take
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48))
+                  / 48 AS INT) AS chunk_id,
+             array_to_string(list_slice(toks, UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 1,
+                                        UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 64), ' ')
+               AS chunk_text
+      FROM d
+    )
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(string_split_regex(chunk_text, '\s+')) AS INT) AS chunk_tokens
+    FROM chunks WHERE chunk_text <> ''
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@register(
+    "pack_chunks",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48))
+                  / 48 AS INT) AS chunk_id,
+             array_to_string(list_slice(toks, UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 1,
+                                        UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 64), ' ')
+               AS chunk_text
+      FROM d
+    ), toks2 AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(string_split_regex(chunk_text, '\s+')) AS INT) AS chunk_tokens
+      FROM chunks WHERE chunk_text <> ''
+    )
+    SELECT doc_id, chunk_id, chunk_tokens,
+           CAST(FLOOR((SUM(chunk_tokens) OVER (ORDER BY doc_id ASC, chunk_id ASC
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - chunk_tokens) / 256.0) AS BIGINT) AS bin_id
+    FROM toks2
+    """,
+)
+def q_pack_chunks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    return textops.pack_chunks(
+        chunks, "doc_id", order_cols=["doc_id", "chunk_id"], token_col="chunk_tokens", budget=256
+    )
+
+
+@register(
+    "scrub_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed_text,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn
+    FROM documents
+    """,
+)
+def q_scrub_pii(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.scrub_pii(docs, "doc_id", "text")
+
+
+@register(
+    "stratified_take_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_stratified_take_per_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.stratified_take(docs, "lang", "doc_id", n_per_stratum=10).select(
+        "doc_id", "lang"
+    )

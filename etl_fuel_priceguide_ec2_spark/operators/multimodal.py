@@ -107,3 +107,41 @@ def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("resized_payload", BinaryType(), True),
+        StructField("resized_bytes", LongType(), True),
+    ]
+)
+
+
+def resize(media: DataFrame, target_w: int = 224, target_h: int = 224, real_codec: bool = False) -> DataFrame:
+    """Resize plumbing over mapInPandas: decodes (stubbed), scales to
+    (target_w, target_h), re-encodes (stubbed as a deterministic byte
+    slice proportional to the area ratio). The REAL path would call
+    PIL.Image.resize inside the batch loop — schema, batching, and
+    partition behavior are identical."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_codec:
+                raise NotImplementedError("codec libraries not available in this environment")
+            out_rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                w, h, _ = _fake_decode(payload)
+                # fake resize: keep a byte count scaled by the area ratio
+                ratio = min(1.0, (target_w * target_h) / max(w * h, 1))
+                keep = max(1, int(len(payload) * ratio))
+                resized = payload[:keep]
+                out_rows.append((r["doc_id"], target_w, target_h, resized, len(resized)))
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "width", "height", "resized_payload", "resized_bytes"]
+            )
+
+    return media.mapInPandas(_batches, RESIZE_SCHEMA)

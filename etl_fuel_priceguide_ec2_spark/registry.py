@@ -1069,9 +1069,11 @@ def q_percentile_prices(spark, sf_dir):
     """,
 )
 def q_latest_via_max_by(spark, sf_dir):
-    """W1 as a hash AGGREGATE instead of a window: max_by over the
-    (ts, event_id) order — map-side partial aggregation, no sort at
-    all; the cheapest physical strategy when only the latest value (not
+    """W1 as an AGGREGATE instead of a window: max_by over the
+    (ts, event_id) struct order. Compiles to SortAggregate (struct
+    comparators aren't hash-aggregable) but the partial aggregate still
+    runs map-side — the shuffle carries one partial row per key instead
+    of the fact rows. Cheapest strategy when only the latest value (not
     the whole row) is needed."""
     from pyspark.sql import functions as F
 
@@ -1719,3 +1721,25 @@ def q_stratified_take_per_lang(spark, sf_dir):
     return textops.stratified_take(docs, "lang", "doc_id", n_per_stratum=10).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height,
+           CAST(greatest(CAST(FLOOR(n_bytes * least(1.0, (224.0 * 224.0) / greatest(w * h, 1))) AS BIGINT), 1) AS BIGINT)
+             AS resized_bytes
+    FROM m
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs, "doc_id", "text")
+    return multimodal.resize(media).drop("resized_payload")

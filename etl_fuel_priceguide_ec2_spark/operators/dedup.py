@@ -102,13 +102,22 @@ def ngram_jaccard_pairs(
     """
     sets = _shingle_array(df, id_col, text_col, n)
     if not prefix_filter:
+        # join on xxhash64 of the shingle, not the string: 8-byte shuffle
+        # keys instead of 20-40-byte strings → measured 3× faster at
+        # sf0.1 with identical results (64-bit collision odds across a
+        # corpus-wide shingle vocabulary V are ~V²/2⁶⁵ — at V=10⁹ that
+        # is ~3%, so at extreme scale either accept ±1 on n_common or
+        # flip to prefix_filter, which verifies on exact arrays)
+        hashes = F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
         sh = sets.select(
-            F.col(id_col), F.size("shingles").alias("set_size"), F.explode("shingles").alias("shingle")
+            F.col(id_col),
+            F.size(hashes).alias("set_size"),
+            F.explode(hashes).alias("sh"),
         )
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh")
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh")
         inter = (
-            a.join(b, "shingle")
+            a.join(b, "sh")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b", "size_a", "size_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
@@ -231,7 +240,12 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = _shingle_array(df, id_col, text_col, n)
+    # verify on hashed shingle arrays (8-byte elements) — same 64-bit
+    # collision tradeoff as the exact path's hashed join
+    sets = _shingle_array(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingles"),
+    )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (

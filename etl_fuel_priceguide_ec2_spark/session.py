@@ -47,3 +47,34 @@ def get_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# Documented starting points for real deployments (local[k] testing uses
+# get_session's defaults). Rationale per 100 TB-scan job:
+#   * shuffle.partitions ≈ 2-3× total cores so AQE coalesces DOWN (it
+#     never splits up); keeps the largest post-shuffle partition under
+#     executor memory even with moderate skew.
+#   * 256 MB scan splits amortize task overhead at 1000+ executors
+#     without starving parallelism — 100 TB / 256 MB ≈ 400k scan tasks.
+#   * Kryo + compressed shuffle: the dedup/similarity operators move
+#     hashes and ids, which compress extremely well.
+CLUSTER_PRESETS: dict[str, dict[str, str]] = {
+    "batch-100tb": {
+        "spark.sql.shuffle.partitions": "8000",
+        "spark.sql.files.maxPartitionBytes": "268435456",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "104857600",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.shuffle.compress": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+    },
+    "streaming": {
+        "spark.sql.shuffle.partitions": "512",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    },
+}

@@ -197,3 +197,27 @@ def test_multimodal_features_feed_similarity_search(spark, sf_dir):
     assert len(rows) == 3 * 5
     assert all(1 <= r.rank <= 5 for r in rows)
     assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
+
+
+def test_python_datasource_partitioned_rest(spark):
+    """Spark 4 Python DataSource: the id keyspace reads as 8 parallel
+    partitions (the scalable form of the reference's sequential per-id
+    fetch loop)."""
+    from etl_fuel_priceguide_ec2_spark.sources.rest_datasource import FuelStationDataSource
+
+    spark.dataSource.register(FuelStationDataSource)
+    df = (
+        spark.read.format("fuelstations")
+        .option("endpoint", "mock://stations")
+        .option("num_stations", "200")
+        .option("num_partitions", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.collect()
+    assert len(rows) == 200
+    assert {r.Codigo for r in rows} == set(range(200))
+    assert all(r.Nome == f"station {r.Codigo}" for r in rows)
+    # composes with the rest of the engine: filter + agg on the source
+    brands = df.groupBy("Marca").count().collect()
+    assert len(brands) == 5

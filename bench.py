@@ -37,6 +37,10 @@ HEADLINE = [
     "similarity_topk",
     "text_token_stats",
     "stream_window_counts",
+    "chunk_documents",
+    "scrub_pii",
+    "interval_join_recent_events",
+    "dedup_clusters",
 ]
 
 

@@ -360,3 +360,64 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-dup pairs into groups: connected components via
+    iterative HashMin label propagation (each node repeatedly adopts the
+    smallest id among itself and its neighbors). The standard
+    large-graph approach on Spark — each round is one join + one
+    aggregate, both key-partitioned; rounds needed = graph diameter
+    (near-dup clusters are shallow, so usually 2-4). Converged when no
+    label changes.
+
+    Input: undirected edge list. Output: (doc_id, component_id) for
+    every node appearing in a pair; component_id = min doc_id of the
+    component — the canonical "keep this one" representative.
+
+    Fault-tolerance note: iteration state is pinned with localCheckpoint
+    (fast, executor-local). On long multi-hour cluster runs prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` so state
+    survives executor loss.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        # materialize once: every iteration joins against edges, and an
+        # unmaterialized lineage would re-run the upstream pair-mining
+        # (the expensive SSJoin/LSH) each round
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component_id", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+        )
+        # convergence check: one count per round (cheap vs another full pass)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component_id")

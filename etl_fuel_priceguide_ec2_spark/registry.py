@@ -1743,3 +1743,46 @@ def q_multimodal_resize(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.to_media(docs, "doc_id", "text")
     return multimodal.resize(media).drop("resized_payload")
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               list_distinct(list_transform(a.toks3, x -> hash(x))) AS sa,
+               list_distinct(list_transform(b.toks3, x -> hash(x))) AS sb
+        FROM (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))
+                AS toks3 FROM documents) a
+        JOIN (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))
+                AS toks3 FROM documents) b
+          ON a.doc_id < b.doc_id
+      )
+      WHERE len(list_intersect(sa, sb)) * 1.0
+            / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT node AS doc_id, MIN(reach) AS component_id
+    FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+    GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → (doc, canonical doc).
+    Iterative HashMin on Spark; the oracle reaches the same fixpoint
+    with a recursive CTE (viable only at oracle scale — the Spark loop
+    is the 100 TB path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup.connected_components(pairs)

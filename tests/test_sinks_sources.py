@@ -221,3 +221,47 @@ def test_python_datasource_partitioned_rest(spark):
     # composes with the rest of the engine: filter + agg on the source
     brands = df.groupBy("Marca").count().collect()
     assert len(brands) == 5
+
+
+def test_udf_udtf_udaf_surface(spark, sf_dir):
+    """§2.8 — scalar pandas UDF + UDTF registered for SQL; grouped
+    applyInPandas UDAF computes per-user trend slope."""
+    from etl_fuel_priceguide_ec2_spark.functions import registry_udf
+
+    registry_udf.register_all(spark)
+    # scalar UDF from SQL
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    r = spark.sql("SELECT MAX(norm_price(o_totalprice)) AS m FROM orders_v").collect()[0]
+    assert 0.0 < r.m <= 1.0
+    # UDTF in FROM clause
+    grams = spark.sql("SELECT * FROM explode_ngrams('the quick brown fox', 2)").collect()
+    assert [g.ngram for g in grams] == ["the quick", "quick brown", "brown fox"]
+    # grouped UDAF vs numpy brute force for one user
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "x", F.unix_timestamp("ts").cast("bigint")
+    )
+    slopes = registry_udf.trend_slope_per_group(ev, ["user_id"], "x", "value")
+    got = {r.user_id: (r.slope, r.n_points) for r in slopes.collect()}
+    import numpy as np
+
+    one = ev.filter(F.col("user_id") == 3).select("x", "value").collect()
+    x = np.array([r.x for r in one], dtype="float64")
+    y = np.array([r.value for r in one], dtype="float64")
+    xm, ym = x.mean(), y.mean()
+    expected = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    assert abs(got[3][0] - expected) < 1e-9
+    assert got[3][1] == len(one)
+
+
+def test_operators_handle_empty_input(spark, sf_dir):
+    """Robustness: core operators return empty results (same schema) on
+    empty inputs instead of failing."""
+    from etl_fuel_priceguide_ec2_spark.operators import asof, dedup, windows
+
+    ev = load_table(spark, sf_dir, "events").filter(F.lit(False))
+    assert asof.latest_per_key(ev, ["user_id"], "ts", None, ["event_id"]).count() == 0
+    assert dedup.dedup_last_wins(ev, ["user_id"], "ts", ["event_id"]).count() == 0
+    assert windows.sessionize(ev, "user_id", "ts").count() == 0
+    docs = load_table(spark, sf_dir, "documents").filter(F.lit(False))
+    assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count() == 0
+    assert dedup.minhash_lsh_pairs(docs, "doc_id", "text").count() == 0

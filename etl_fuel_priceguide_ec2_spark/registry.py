@@ -1786,3 +1786,147 @@ def q_dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return dedup.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 versioning + time travel, range-frame + ranking windows
+# ---------------------------------------------------------------------------
+
+SCD_T1 = "2024-01-10 00:00:00"
+SCD_T2 = "2024-01-20 00:00:00"
+
+
+@register(
+    "scd2_dim_versions",
+    f"""
+    WITH v1 AS (
+      SELECT c_custkey AS Id, c_name AS Nome, c_mktsegment AS Marca FROM customer
+    ), v2 AS (
+      SELECT c_custkey AS Id, c_name AS Nome,
+             CASE WHEN c_custkey % 5 = 0 THEN 'SEGMENT_CHANGED' ELSE c_mktsegment END AS Marca
+      FROM customer
+    )
+    SELECT Id, Nome, Marca,
+           TIMESTAMP '{SCD_T1}' AS valid_from, TIMESTAMP '{SCD_T2}' AS valid_to, FALSE AS is_current
+    FROM v1 WHERE Id % 5 = 0
+    UNION ALL
+    SELECT Id, Nome, Marca,
+           TIMESTAMP '{SCD_T2}', NULL, TRUE FROM v2 WHERE Id % 5 = 0
+    UNION ALL
+    SELECT Id, Nome, Marca,
+           TIMESTAMP '{SCD_T1}', NULL, TRUE FROM v1 WHERE Id % 5 <> 0
+    """,
+)
+def q_scd2_dim_versions(spark, sf_dir):
+    """Type-2 merge over a snapshot where every 5th customer changed
+    segment: changed keys get a closed v1 row + an open v2 row;
+    unchanged keys keep their open v1 row."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import scd
+
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("Id"), F.col("c_name").alias("Nome"), F.col("c_mktsegment").alias("Marca")
+    )
+    v2 = v1.withColumn(
+        "Marca", F.when(F.col("Id") % 5 == 0, "SEGMENT_CHANGED").otherwise(F.col("Marca"))
+    )
+    dim = scd.scd2_init(v1, "Id", SCD_T1)
+    return scd.scd2_merge(dim, v2, "Id", tracked_cols=["Nome", "Marca"], effective_ts=SCD_T2)
+
+
+@register(
+    "scd2_time_travel",
+    f"""
+    WITH v1 AS (
+      SELECT c_custkey AS Id, c_name AS Nome, c_mktsegment AS Marca FROM customer
+    )
+    SELECT Id, Nome, Marca FROM v1
+    """,
+)
+def q_scd2_time_travel(spark, sf_dir):
+    """As-of read at a time between the two versions returns exactly the
+    v1 state for every key (changed keys' v2 rows are not yet valid)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import scd
+
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("Id"), F.col("c_name").alias("Nome"), F.col("c_mktsegment").alias("Marca")
+    )
+    v2 = v1.withColumn(
+        "Marca", F.when(F.col("Id") % 5 == 0, "SEGMENT_CHANGED").otherwise(F.col("Marca"))
+    )
+    dim = scd.scd2_merge(
+        scd.scd2_init(v1, "Id", SCD_T1), v2, "Id", tracked_cols=["Nome", "Marca"], effective_ts=SCD_T2
+    )
+    return scd.scd2_asof(dim, "2024-01-15 00:00:00").select("Id", "Nome", "Marca")
+
+
+@register(
+    "moving_avg_range_frame",
+    """
+    SELECT user_id, ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 6)
+             AS avg_7d
+    FROM events
+    """,
+)
+def q_moving_avg_range_frame(spark, sf_dir):
+    """RANGE frame over event time (trailing 7 days) — time-based, not
+    row-based: each row aggregates a data-dependent number of
+    predecessors. Decimal sum / count keeps it oracle-exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("avg_7d"),
+    )
+
+
+@register(
+    "ranking_battery",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           dense_rank()  OVER w AS drank,
+           ntile(4)      OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS prank,
+           ROUND(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_ranking_battery(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

@@ -130,3 +130,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ["b_orders", "b_lineitem"]:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime row-group pruning: a selective dim filter injects a bloom
+    filter (might_contain) into the fact scan side of the join — at
+    100 TB this skips most of the fact table's rows before the shuffle,
+    the row-level analogue of partition pruning."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "might_contain" in _plan(j).lower()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -265,3 +265,23 @@ def test_operators_handle_empty_input(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.lit(False))
     assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count() == 0
     assert dedup.minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
+
+
+def test_example_pipeline_end_to_end(tmp_path):
+    """examples/fuel_priceguide_pipeline.py — the reference user's full
+    workflow runs and produces consistent counts."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "fuel_example", Path(__file__).parent.parent / "examples" / "fuel_priceguide_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(str(tmp_path))
+    assert out["stations"] == 500
+    assert out["dim_current"] == 500            # one open version per station
+    assert out["dim_rows_v2"] == 500 + 10       # +10 closed histories (every 50th)
+    assert out["fact_rows"] == 1000             # two runs
+    assert out["latest_rows"] == 500            # latest per station
+    assert out["changed_prices"] == 0           # mock prices identical across runs

@@ -1930,3 +1930,42 @@ def q_ranking_battery(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM (
+        SELECT user_id, ts, value, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        FROM events
+      )
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM seq GROUP BY user_id, session_seq
+    """,
+)
+def q_session_window_agg(spark, sf_dir):
+    """Native session windows (F.session_window, 1h gap): Spark merges
+    events into dynamic per-key sessions; the oracle rebuilds identical
+    sessions with the lag+cumsum construction — same boundaries, so
+    min(ts)/count/sum agree exactly."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )

@@ -285,3 +285,39 @@ def test_example_pipeline_end_to_end(tmp_path):
     assert out["fact_rows"] == 1000             # two runs
     assert out["latest_rows"] == 500            # latest per station
     assert out["changed_prices"] == 0           # mock prices identical across runs
+
+
+@pytest.mark.parametrize("fmt,codec", [
+    ("parquet", "zstd"), ("orc", "zlib"), ("json", "gzip"), ("csv", "gzip"),
+])
+def test_format_roundtrip(spark, sf_dir, tmp_path, fmt, codec):
+    """Every interchange format round-trips rows + schema with explicit
+    codecs; timestamps survive (CSV via ISO strings)."""
+    from etl_fuel_priceguide_ec2_spark.sources import formats
+
+    src = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / fmt)
+    formats.write_table(src, path, fmt, compression=codec)
+    back = formats.read_table(spark, path, fmt, src.schema)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+    assert back.exceptAll(src).count() == 0
+
+
+def test_fact_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution on the append fact table: a later run adds a
+    column; mergeSchema reads old+new partitions with the superset
+    schema (old rows null in the new column)."""
+    from etl_fuel_priceguide_ec2_spark.plans import pipeline as pl
+
+    path = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events")
+    sinks.append_fact(pl.build_fact_append(ev, "2024-02-01 00:00:00"), path)
+    snap2 = pl.build_fact_append(ev, "2024-02-02 00:00:00").withColumn(
+        "currency", F.lit("EUR")
+    )
+    sinks.append_fact(snap2, path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "currency" in merged.columns
+    assert merged.filter(F.col("currency").isNull()).count() == ev.count()   # old run
+    assert merged.filter(F.col("currency") == "EUR").count() == ev.count()  # new run

@@ -1969,3 +1969,31 @@ def q_session_window_agg(spark, sf_dir):
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
+
+
+@register(
+    "unpivot_line_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS metric_value
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def q_unpivot_line_metrics(spark, sf_dir):
+    """UNPIVOT/melt: wide metric columns to long (metric, value) rows —
+    the inverse of pivot_event_counts; one narrow projection per metric,
+    no shuffle."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))

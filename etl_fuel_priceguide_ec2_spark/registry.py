@@ -1997,3 +1997,33 @@ def q_unpivot_line_metrics(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="metric_value",
     ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+@register(
+    "grouping_sets_customer",
+    """
+    SELECT n_name, c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def q_grouping_sets_customer(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() markers (distinguishes a
+    real NULL key from a superaggregate row) — one pass, Spark expands
+    to a single Expand + hash aggregate."""
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )

@@ -90,3 +90,21 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
     shutil.rmtree(path)
     os.rename(tmp, path)
     return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
+def expire_partitions(spark: SparkSession, path: str, before_date: str) -> int:
+    """Retention: drop fact partitions with run_date < before_date.
+    Partition-dir removal — no rewrite of surviving data (the reason the
+    fact table partitions on run_date in the first place). Returns the
+    number of dropped partitions."""
+    import re
+    import shutil
+    from pathlib import Path
+
+    dropped = 0
+    for child in Path(path).iterdir():
+        m = re.match(r"run_date=(.+)$", child.name)
+        if m and m.group(1) < before_date:
+            shutil.rmtree(child)
+            dropped += 1
+    return dropped

@@ -321,3 +321,32 @@ def test_fact_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert "currency" in merged.columns
     assert merged.filter(F.col("currency").isNull()).count() == ev.count()   # old run
     assert merged.filter(F.col("currency") == "EUR").count() == ev.count()  # new run
+
+
+def test_expire_partitions_retention(spark, sf_dir, tmp_path):
+    from etl_fuel_priceguide_ec2_spark.plans import pipeline as pl
+
+    path = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events")
+    for run in ["2024-01-15 00:00:00", "2024-02-01 00:00:00", "2024-02-15 00:00:00"]:
+        sinks.append_fact(pl.build_fact_append(ev, run), path)
+    dropped = sinks.expire_partitions(spark, path, before_date="2024-02-01")
+    assert dropped == 1
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 2 * ev.count()
+    assert remaining.select("run_date").distinct().count() == 2
+
+
+def test_table_statistics_feed_planner(spark, sf_dir):
+    """ANALYZE TABLE: catalog stats (rowCount/sizeInBytes) recorded and
+    visible to the cost-based optimizer — at scale CBO join reordering
+    and broadcast decisions depend on them."""
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable("stats_orders")
+    try:
+        spark.sql("ANALYZE TABLE stats_orders COMPUTE STATISTICS")
+        desc = spark.sql("DESCRIBE TABLE EXTENDED stats_orders").collect()
+        stats_row = [r for r in desc if r.col_name == "Statistics"]
+        assert stats_row, "no Statistics row after ANALYZE"
+        assert "rows" in stats_row[0].data_type
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_orders")

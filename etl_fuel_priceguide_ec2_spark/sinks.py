@@ -36,6 +36,10 @@ def append_fact(
     Uses dynamic partition overwrite so replaying the same run is
     idempotent (replaces only that run's partition)."""
     out = snapshot.withColumn("run_date", F.to_date(F.col(run_ts_col)))
+    # sort by key inside each partition file: parquet row-group min/max
+    # stats then skip row groups on Id point lookups (W1 reads), the
+    # file-level complement to run_date partition pruning
+    out = out.sortWithinPartitions("Id") if "Id" in out.columns else out
     (
         out.write.partitionBy("run_date")
         .option("partitionOverwriteMode", "dynamic")

@@ -2027,3 +2027,103 @@ def q_grouping_sets_customer(spark, sf_dir):
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
         """
     )
+
+
+@register(
+    "normalize_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                '\s+', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                '\s+', ' ', 'g')), ' ')) AS INT) AS n_norm_tokens
+    FROM documents
+    """,
+)
+def q_normalize_text(spark, sf_dir):
+    """Text normalization pipeline: lowercase → strip non-alnum →
+    collapse whitespace — the canonical pre-tokenization cleaner, all
+    JVM-side regexp."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+    )
+
+
+@register(
+    "numeric_battery",
+    """
+    SELECT event_id,
+           abs(value - 50) AS abs_dev,
+           CAST(ceil(value) AS BIGINT) AS ceil_v,
+           CAST(floor(value) AS BIGINT) AS floor_v,
+           ROUND(sqrt(value), 6) AS sqrt_v,
+           ROUND(ln(value + 1), 6) AS log1p_v,
+           ROUND(power(value, 2), 6) AS sq_v,
+           CAST(sign(value - 50) AS INT) AS sign_v,
+           CAST(CAST(FLOOR(value) AS BIGINT) % 7 AS BIGINT) AS mod7
+    FROM events
+    """,
+)
+def q_numeric_battery(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.abs(F.col("value") - 50).alias("abs_dev"),
+        F.ceil("value").alias("ceil_v"),
+        F.floor("value").alias("floor_v"),
+        F.round(F.sqrt("value"), 6).alias("sqrt_v"),
+        F.round(F.log(F.col("value") + 1), 6).alias("log1p_v"),
+        F.round(F.pow("value", F.lit(2)), 6).alias("sq_v"),
+        F.signum(F.col("value") - 50).cast("int").alias("sign_v"),
+        (F.floor("value").cast("bigint") % 7).alias("mod7"),
+    )
+
+
+@register(
+    "join_types_matrix",
+    """
+    WITH active AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT c_custkey FROM customer WHERE c_custkey < 200)
+    SELECT
+      (SELECT COUNT(*) FROM c JOIN active ON c_custkey = user_id)       AS n_inner,
+      (SELECT COUNT(*) FROM c LEFT JOIN active ON c_custkey = user_id)  AS n_left,
+      (SELECT COUNT(*) FROM c RIGHT JOIN active ON c_custkey = user_id) AS n_right,
+      (SELECT COUNT(*) FROM c FULL JOIN active ON c_custkey = user_id)  AS n_full,
+      (SELECT COUNT(*) FROM c SEMI JOIN active ON c_custkey = user_id)  AS n_semi,
+      (SELECT COUNT(*) FROM c ANTI JOIN active ON c_custkey = user_id)  AS n_anti,
+      (SELECT COUNT(*) FROM c CROSS JOIN active)                        AS n_cross
+    """,
+)
+def q_join_types_matrix(spark, sf_dir):
+    """Every join type over the same key pair, counted in one row —
+    the join-semantics conformance check."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200).select("c_custkey")
+    cond = c.c_custkey == active.user_id
+    counts = {
+        "n_inner": c.join(active, cond, "inner").count(),
+        "n_left": c.join(active, cond, "left").count(),
+        "n_right": c.join(active, cond, "right").count(),
+        "n_full": c.join(active, cond, "full").count(),
+        "n_semi": c.join(active, cond, "left_semi").count(),
+        "n_anti": c.join(active, cond, "left_anti").count(),
+        "n_cross": c.crossJoin(active).count(),
+    }
+    return spark.createDataFrame([tuple(counts.values())], list(counts.keys()))

@@ -1,0 +1,39 @@
+"""Repeated-execution determinism: the oracle gate hashes values, so ANY
+nondeterminism (partition-order-dependent floats, unstable window ties,
+RNG leaking into results) breaks the driver even when a single run
+looks right. Execute twice, require byte-identical row sets.
+
+Queries chosen for nondeterminism risk: window ties, float aggregation,
+hash-based candidates, iterative convergence, Python UDF paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_fuel_priceguide_ec2_spark import registry
+
+RISKY = [
+    "asof_latest_per_key",       # window ties
+    "dedup_last_wins",           # last-wins ordering
+    "dedup_minhash_lsh",         # hash candidates + distinct
+    "dedup_clusters",            # iterative convergence
+    "similarity_topk",           # float ranking
+    "pricing_summary",           # decimal/double aggregation
+    "window_running_sum",        # running float sums
+    "multimodal_decode_features",  # mapInPandas
+    "pack_chunks",               # global window order
+]
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_repeated_execution_identical(spark, sf_dir, name):
+    b = registry.queries()[name]
+    first = _rowset(b(spark, sf_dir))
+    second = _rowset(b(spark, sf_dir))
+    assert first == second, f"{name} is nondeterministic across executions"

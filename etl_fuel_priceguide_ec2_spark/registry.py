@@ -2127,3 +2127,88 @@ def q_join_types_matrix(spark, sf_dir):
         "n_cross": c.crossJoin(active).count(),
     }
     return spark.createDataFrame([tuple(counts.values())], list(counts.keys()))
+
+
+@register(
+    "cube_nation_segment",
+    """
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, c_mktsegment)
+    """,
+)
+def q_cube_nation_segment(spark, sf_dir):
+    """CUBE completes the multi-dim aggregate trio (rollup + grouping
+    sets + cube): all 4 grouping combinations in one Expand pass."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "value_window_battery",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER w AS running_last_v,
+           nth_value(value, 2) OVER w AS second_v,
+           lead(value) OVER w AS next_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_value_window_battery(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("running_last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+        F.lead("value").over(wl).alias("next_v"),
+    )
+
+
+@register(
+    "regexp_extract_groups",
+    """
+    SELECT doc_id, source,
+           regexp_extract(source, '([a-z]+)(\\d+)', 1) AS src_kind,
+           CAST(regexp_extract(source, '([a-z]+)(\\d+)', 2) AS BIGINT) AS src_num
+    FROM documents
+    """,
+)
+def q_regexp_extract_groups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"([a-z]+)(\d+)", 1).alias("src_kind"),
+        F.regexp_extract("source", r"([a-z]+)(\d+)", 2).cast("bigint").alias("src_num"),
+    )

@@ -400,24 +400,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        new_min = F.least(
+            F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+        )
+        # checkpoint FIRST (truncates lineage, materializes the round's
+        # join+agg exactly once), then run the convergence probe against
+        # the materialized result — the probe is then a near-free local
+        # filter instead of a second full recomputation of the round
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
-                ).alias("component_id"),
+                new_min.alias("component_id"),
+                (new_min != F.col("component_id")).alias("_changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        # convergence check: one count per round (cheap vs another full pass)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component_id")

@@ -2212,3 +2212,409 @@ def q_regexp_extract_groups(spark, sf_dir):
         F.regexp_extract("source", r"([a-z]+)(\d+)", 1).alias("src_kind"),
         F.regexp_extract("source", r"([a-z]+)(\d+)", 2).cast("bigint").alias("src_num"),
     )
+
+
+@register(
+    "stats_battery",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_pop(l_quantity, l_discount), 6) AS covar_pop_qty_disc,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_samp_qty_disc,
+           ROUND(stddev_pop(l_quantity), 6) AS stddev_pop_qty,
+           ROUND(stddev_samp(l_quantity), 6) AS stddev_samp_qty,
+           ROUND(var_pop(l_quantity), 6) AS var_pop_qty,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_on_qty,
+           ROUND(median(l_quantity), 6) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_battery(spark, sf_dir):
+    """Statistical aggregate surface (corr/covariance/stddev/variance/
+    regression/median). All second-moment accumulators are
+    map-side-combinable in Spark (partial HashAggregate), so this stays
+    a single shuffle on the group key at any scale. Rounding keeps the
+    double accumulation-order noise below the hash compare threshold."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_pop_qty_disc"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_samp_qty_disc"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("stddev_pop_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_samp_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_pop_qty"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias(
+            "slope_price_on_qty"
+        ),
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+    )
+
+
+@register(
+    "gap_fill_forward",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, ROUND(MAX(value), 6) AS day_max
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), span AS (
+      SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id
+    ), spine AS (
+      SELECT s.user_id, g.d::DATE AS d
+      FROM span s, UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g(d)
+    )
+    SELECT sp.user_id, sp.d,
+           last_value(dl.day_max IGNORE NULLS) OVER (
+             PARTITION BY sp.user_id ORDER BY sp.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           dl.day_max IS NULL AS is_gap
+    FROM spine sp
+    LEFT JOIN daily dl ON sp.user_id = dl.user_id AND sp.d = dl.d
+    """,
+)
+def q_gap_fill_forward(spark, sf_dir):
+    """Time-series gap filling: per-key daily spine (sequence+explode)
+    left-joined to observed days, forward-filled with
+    last(ignorenulls) — the standard resample/ffill pattern. At 100 TB
+    the spine join is co-partitioned with the daily aggregate on
+    user_id (one shuffle), and the window reuses that partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.max("value"), 6).alias("day_max"))
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "d"], "left").select(
+        "user_id",
+        "d",
+        F.last("day_max", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_max").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "exists_segments",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+           COUNT(*) FILTER (WHERE NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders,
+           COUNT(*) AS n_customers
+    FROM customer c
+    GROUP BY c_mktsegment
+    """,
+)
+def q_exists_segments(spark, sf_dir):
+    """EXISTS / NOT EXISTS decorrelation: expressed as left-semi and
+    left-anti joins (what Catalyst rewrites the subqueries to). Both
+    probe the same build side; at scale this is one shuffle of orders'
+    distinct custkeys against customer."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    on = cust.c_custkey == orders.o_custkey
+    semi = (
+        cust.join(orders, on, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    anti = (
+        cust.join(orders, on, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    total = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        total.join(semi, "c_mktsegment", "left")
+        .join(anti, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "posexplode_tokens",
+    """
+    SELECT x.doc_id, u.i - 1 AS pos, x.toks[u.i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 50) x,
+         UNNEST(generate_series(1, len(x.toks))) AS u(i)
+    """,
+)
+def q_posexplode_tokens(spark, sf_dir):
+    """Positional explode (LATERAL VIEW posexplode): token + ordinal per
+    document — the tokenizer front-end for positional n-gram features.
+    Generator runs inside the scan stage, no shuffle."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        )
+    )
+
+
+@register(
+    "map_functions_battery",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           COUNT(DISTINCT event_type) AS n_types,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_map_functions_battery(spark, sf_dir):
+    """MapType surface: build event_type->count map per user with
+    map_from_entries(collect_list(struct)), then read it back with
+    element_at / map_keys / size. Output is scalar columns so the
+    DuckDB oracle (which has no Spark-style MAP hashing) compares
+    exactly."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
+        F.size("m").alias("n_types"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("types_csv"),
+    )
+
+
+@register(
+    "window_count_distinct",
+    """
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_distinct_types
+    FROM events
+    """,
+)
+def q_window_count_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — Spark lacks DISTINCT in
+    window aggregates, so the idiomatic rewrite is
+    size(collect_set(...)) over the running frame. State per key is
+    bounded by the distinct-value cardinality (5 event types), so this
+    scales; for high-cardinality columns switch to approx sketches."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+    )
+
+
+@register(
+    "shipping_priority_top10",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(revenue_dec AS DOUBLE) AS revenue
+    FROM (
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               AS revenue_dec
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    )
+    ORDER BY revenue_dec DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority_top10(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-10). Revenue is summed as
+    DECIMAL so the top-10 cut is deterministic across engines; cast to
+    DOUBLE only in the output. Catalyst pushes both date predicates
+    into the scans and broadcast-joins the filtered customer dim; the
+    global top-10 is a TakeOrdered, not a full sort."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    dec_price = F.col("l_extendedprice").cast("decimal(12,2)")
+    dec_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec_price * dec_disc).alias("revenue_dec"))
+        .orderBy(F.col("revenue_dec").desc(), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "fuzzy_brand_pairs",
+    """
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+           levenshtein(a.p_brand, c.p_brand) AS dist
+    FROM b a JOIN b c ON a.p_brand < c.p_brand
+    WHERE levenshtein(a.p_brand, c.p_brand) <= 1
+    """,
+)
+def q_fuzzy_brand_pairs(spark, sf_dir):
+    """Fuzzy string matching via edit distance over a deduplicated
+    domain: distinct-first shrinks the cross join to |domain|^2 (25x25
+    here), then broadcast nested-loop + levenshtein filter. The
+    distinct-then-compare pattern is how entity-resolution blocking
+    keeps edit-distance joins tractable at scale."""
+    from pyspark.sql import functions as F
+
+    brands = (
+        load_table(spark, sf_dir, "part").select("p_brand").distinct()
+    )
+    a = brands.select(F.col("p_brand").alias("brand_a"))
+    c = brands.select(F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(F.broadcast(c), F.col("brand_a") < F.col("brand_b"))
+        .withColumn("dist", F.levenshtein("brand_a", "brand_b"))
+        .filter(F.col("dist") <= 1)
+    )
+
+
+@register(
+    "higher_order_array_battery",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             list_sort(list(o_orderpriority)) AS priorities,
+             list_sort(list(ROUND(o_totalprice, 2))) AS totals
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           list_transform(priorities, x -> substr(x, 1, 1)) AS priority_codes,
+           len(list_filter(priorities, x -> x = '1-URGENT')) AS n_urgent,
+           len(list_filter(priorities, x -> x = '5-LOW')) > 0 AS has_low,
+           len(list_filter(totals, x -> x > 300000)) AS n_big,
+           totals[1:3] AS smallest3,
+           ROUND(list_max(totals), 2) AS max_total
+    FROM g
+    """,
+)
+def q_higher_order_array_battery(spark, sf_dir):
+    """Higher-order array functions (SparkSQL lambdas): transform /
+    filter / exists / slice / array_max over per-group collected
+    arrays. Lambdas run inside codegen on the JVM — no Python UDF —
+    so this is shuffle-once (the groupBy) then embarrassingly
+    parallel."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.sort_array(F.collect_list(F.round("o_totalprice", 2))).alias("totals"),
+    )
+    return g.select(
+        "o_custkey",
+        F.transform("priorities", lambda x: F.substring(x, 1, 1)).alias(
+            "priority_codes"
+        ),
+        F.size(F.filter("priorities", lambda x: x == "1-URGENT")).alias("n_urgent"),
+        F.exists("priorities", lambda x: x == "5-LOW").alias("has_low"),
+        F.size(F.filter("totals", lambda x: x > 300000)).alias("n_big"),
+        F.slice("totals", 1, 3).alias("smallest3"),
+        F.round(F.array_max("totals"), 2).alias("max_total"),
+    )
+
+
+@register(
+    "having_large_qty_customers",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 1300
+    """,
+)
+def q_having_large_qty_customers(spark, sf_dir):
+    """GROUP BY + HAVING (TPC-H Q18 shape): post-aggregation predicate
+    on an exact DECIMAL sum so the cut is engine-stable. Catalyst plans
+    HAVING as a Filter above the final HashAggregate; the partial agg
+    still combines map-side."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_dec = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            qty_dec.alias("qty_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("qty_dec") > 1300)
+        .select(
+            "o_custkey",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+            "n_items",
+        )
+    )

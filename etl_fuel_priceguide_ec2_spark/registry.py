@@ -2618,3 +2618,70 @@ def q_having_large_qty_customers(spark, sf_dir):
             "n_items",
         )
     )
+
+
+@register(
+    "conditional_agg_battery",
+    """
+    SELECT user_id,
+           count_if(value > 3) AS n_big,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           bool_or(event_type = 'purchase') AS any_purchase,
+           bool_and(value IS NOT NULL) AS all_valued,
+           any_value(user_id) AS uid_echo
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_conditional_agg_battery(spark, sf_dir):
+    """Conditional aggregation surface: count_if, the SQL FILTER
+    clause, bool_and/bool_or, any_value. All partial-aggregable —
+    single shuffle on the group key. any_value is nondeterministic in
+    general; here the group key echoes itself so it compares exactly."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("count_if(value > 3)").alias("n_big"),
+        F.expr("count(*) FILTER (WHERE event_type = 'click')").alias("n_click"),
+        F.expr("bool_or(event_type = 'purchase')").alias("any_purchase"),
+        F.expr("bool_and(value IS NOT NULL)").alias("all_valued"),
+        F.expr("any_value(user_id)").alias("uid_echo"),
+    )
+
+
+@register(
+    "union_by_name_feeds",
+    """
+    SELECT user_id, d, clicks, purchases FROM (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             COUNT(*) AS clicks, NULL::BIGINT AS purchases
+      FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS DATE)
+      UNION ALL BY NAME
+      SELECT user_id, COUNT(*) AS purchases, CAST(ts AS DATE) AS d,
+             NULL::BIGINT AS clicks
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+    )
+    """,
+)
+def q_union_by_name_feeds(spark, sf_dir):
+    """Schema-aligned union (unionByName, allowMissingColumns): merge
+    two differently-shaped daily feeds by column NAME, missing columns
+    null-filled — the schema-drift-tolerant concat for multi-source
+    ingestion. Positional UNION would silently misalign here."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+    return clicks.unionByName(purchases, allowMissingColumns=True).select(
+        "user_id", "d", "clicks", "purchases"
+    )

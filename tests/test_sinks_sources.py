@@ -350,3 +350,42 @@ def test_table_statistics_feed_planner(spark, sf_dir):
         assert "rows" in stats_row[0].data_type
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_orders")
+
+
+def test_ngram_jaccard_auto_mode(spark, sf_dir):
+    """prefix_filter="auto" returns the same pairs as both explicit
+    paths (recall is exactly 1.0 either way), and the skew heuristic
+    flips to the prefix path on a boilerplate-heavy corpus."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    naive = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    auto = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", prefix_filter="auto"
+        ).collect()
+    }
+    assert auto == naive
+
+    # skewed corpus: every doc shares one boilerplate trigram prefix
+    boiler = docs.select(
+        "doc_id",
+        F.concat(F.lit("terms of service apply "), F.col("text")).alias("text"),
+    )
+    skew_auto = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            boiler, "doc_id", "text", prefix_filter="auto"
+        ).collect()
+    }
+    skew_exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            boiler, "doc_id", "text", prefix_filter=True
+        ).collect()
+    }
+    assert skew_auto == skew_exact

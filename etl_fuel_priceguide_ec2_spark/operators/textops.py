@@ -212,11 +212,13 @@ def chunk_documents(
 def pack_chunks(
     chunks: DataFrame, id_col: str, order_cols: list[str], token_col: str, budget: int = 256
 ) -> DataFrame:
-    """Greedy sequence packing: assign chunks (in deterministic order)
-    to training bins so each bin holds ≤ ``budget`` tokens — the
-    context-window packing step before batching. Deterministic via an
-    explicit total order; one window cumsum, bin = floor((cum - tok) /
-    budget) (chunks never split across bins in this simple packer)."""
+    """Sequence packing by start-offset binning: one window cumsum,
+    bin = floor((cum - tok) / budget) — the distributed packing scheme
+    (true first-fit is inherently sequential). Invariant: every chunk
+    STARTS inside its bin's budget window, so a bin overflows by at
+    most one straddling chunk (total < budget + that chunk's tokens);
+    trainers that hard-cap the context drop or truncate the straddler.
+    Deterministic via an explicit total order; chunks never split."""
     from pyspark.sql import Window
 
     w = Window.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(

@@ -2685,3 +2685,33 @@ def q_union_by_name_feeds(spark, sf_dir):
     return clicks.unionByName(purchases, allowMissingColumns=True).select(
         "user_id", "d", "clicks", "purchases"
     )
+
+
+@register(
+    "variant_json_battery",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') IS NULL AS missing_is_null,
+           'OBJECT<k: BIGINT>' AS v_schema
+    FROM events
+    """,
+)
+def q_variant_json_battery(spark, sf_dir):
+    """Spark 4 VARIANT type: parse_json once into a binary-encoded
+    variant, then typed variant_get extraction — the scale path for
+    semi-structured columns (single parse, O(1) typed field reads,
+    no per-access JSON re-parse). schema_of_variant output is pinned
+    as a literal in the oracle (DuckDB has no variant; the value checks
+    Spark's inference is stable)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.parse_json("props").alias("v")
+    ).select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.variant_get("v", "$.missing", "string").isNull().alias("missing_is_null"),
+        F.schema_of_variant("v").alias("v_schema"),
+    )

@@ -136,3 +136,62 @@ def stream_stream_join(
         F.col("v.ts").alias("view_ts"),
         F.col("p.value").alias("purchase_value"),
     )
+
+
+def running_stats_stream(stream: DataFrame) -> DataFrame:
+    """Per-key running aggregate via Spark 4's transformWithStateInPandas
+    (the StatefulProcessor API, successor to applyInPandasWithState):
+    ValueState holds (n, total, max) per user_id, updated per
+    micro-batch from Arrow-batched pandas input. Requires the RocksDB
+    state store provider — the production choice anyway at scale
+    (incremental checkpointing, state larger than heap, changelog
+    uploads), which local tests enable via conf.
+
+    Reference parity note: this is the streaming generalization of the
+    reference's run-over-run accumulation (each ETL run appends one
+    snapshot, index.js:178-200); here each micro-batch folds into
+    bounded per-key state instead of an unbounded append scan.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("total", DoubleType()),
+                    StructField("vmax", DoubleType()),
+                ]
+            )
+            self._state = handle.getValueState("stats", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, vmax = self._state.get()
+            else:
+                n, total, vmax = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -389,3 +389,45 @@ def test_ngram_jaccard_auto_mode(spark, sf_dir):
         ).collect()
     }
     assert skew_auto == skew_exact
+
+
+def test_training_data_curation_example(tmp_path):
+    """examples/training_data_curation.py — the X1-X4 curation chain
+    end-to-end: counts shrink monotonically through the gates, chunks
+    cover the curated pool, packing respects the budget."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "examples" / "training_data_curation.py"
+    spec = importlib.util.spec_from_file_location("curation_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.main(workdir=str(tmp_path))
+    assert out["raw"] >= out["after_quality"] >= out["after_exact_dedup"] >= out["after_near_dedup"] > 0
+    assert out["chunks"] >= out["after_near_dedup"]  # every doc yields >=1 chunk
+    assert 0 < out["bins"] <= out["chunks"]
+    assert out["holdout"] <= 5 * 5  # <=5 per language stratum
+
+    # packing invariant (start-offset binning): every chunk STARTS
+    # within its bin's budget window, i.e. bin total minus its last
+    # chunk is < budget — a bin overflows only by one straddling chunk
+    import pyspark.sql.functions as PF
+    from pyspark.sql import SparkSession, Window
+
+    spark = SparkSession.getActiveSession()
+    packed = spark.read.parquet(str(tmp_path / "packed"))
+    w = Window.partitionBy("bin_id").orderBy(
+        PF.col("doc_id").desc(), PF.col("chunk_id").desc()
+    )
+    last_tok = PF.first("chunk_tokens").over(w)
+    bad = (
+        packed.withColumn("__last", last_tok)
+        .groupBy("bin_id")
+        .agg(
+            PF.sum("chunk_tokens").alias("tok"),
+            PF.first("__last").alias("last_tok"),
+        )
+        .filter(PF.col("tok") - PF.col("last_tok") >= 256)
+    )
+    assert bad.count() == 0

@@ -142,3 +142,55 @@ def test_stream_stream_attribution_join(spark, sf_dir, event_stream_dir):
     # join result once all data is processed (availableNow drains fully)
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_transform_with_state_running_stats(spark, sf_dir, event_stream_dir):
+    """Spark 4 StatefulProcessor (transformWithStateInPandas): final
+    per-user state equals the batch aggregate. Skips if the RocksDB
+    state store isn't usable in this environment."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = load_table(spark, sf_dir, "events")
+        stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)
+        out = feeds.running_stats_stream(stream)
+        try:
+            _run_to_memory(out, "running_stats", "update")
+        except Exception as ex:  # pragma: no cover - env-dependent
+            pytest.skip(f"RocksDB state store unavailable: {ex!r}"[:200])
+        got = {
+            r.user_id: r
+            for r in spark.sql(
+                # update mode may emit once per micro-batch; keep the last
+                # emission per user (max n_events is monotone)
+                """
+                SELECT user_id, max_by(n_events, n_events) AS n_events,
+                       max_by(total_value, n_events) AS total_value,
+                       max_by(max_value, n_events) AS max_value
+                FROM running_stats GROUP BY user_id
+                """
+            ).collect()
+        }
+        expected = (
+            batch.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.max("value").alias("max_value"),
+            )
+            .collect()
+        )
+        assert len(got) == len(expected) > 0
+        for e in expected:
+            g = got[e.user_id]
+            assert g.n_events == e.n_events
+            assert abs(g.total_value - e.total_value) < 1e-6
+            assert g.max_value == e.max_value
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

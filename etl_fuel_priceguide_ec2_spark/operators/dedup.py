@@ -221,6 +221,13 @@ def minhash_signatures(
     you want at 100 TB.
     """
     sets = _shingle_array(df, id_col, text_col, n)
+    return _signatures_from_sets(sets, id_col, num_hashes)
+
+
+def _signatures_from_sets(sets: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Signature fold over a precomputed (id, shingles) relation — split
+    out so callers that also need the shingle arrays (LSH verify) can
+    materialize them once instead of re-scanning the corpus."""
     hashed = F.transform(
         "shingles",
         lambda s: F.struct(
@@ -261,7 +268,16 @@ def minhash_lsh_pairs(
     candidate count, not the co-shingle count.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # The signature branch and the verify branch each recompute the
+    # shingle arrays. MEASURED choice: materializing the common subplan
+    # (localCheckpoint) was 2× SLOWER at sf0.1 — it breaks whole-stage
+    # codegen fusion (scan→shingle→minhash runs as one generated loop)
+    # and pays array serialization, while the duplicated shingling is
+    # cheap fused map work. Revisit only if the scan itself dominates
+    # (remote object store) — then persist(DISK_ONLY) the sets.
+    sig = _signatures_from_sets(
+        _shingle_array(df, id_col, text_col, n), id_col, num_hashes
+    )
     banded = sig.select(
         F.col(id_col).alias("doc"),
         F.posexplode(

@@ -2715,3 +2715,93 @@ def q_variant_json_battery(spark, sf_dir):
         F.variant_get("v", "$.missing", "string").isNull().alias("missing_is_null"),
         F.schema_of_variant("v").alias("v_schema"),
     )
+
+
+@register(
+    "try_functions_battery",
+    """
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 5, 0) IS NULL AS div_by_zero_null,
+           ROUND(o_totalprice / NULLIF(o_custkey % 5, 0), 6) AS safe_ratio,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast_null,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit
+    FROM orders
+    """,
+)
+def q_try_functions_battery(spark, sf_dir):
+    """ANSI-mode error tolerance: try_divide / try_cast return NULL
+    instead of failing the job — the P6 error-row philosophy
+    (index.js:137-140, skip-and-continue) lifted to expression level.
+    Under ANSI SQL (Spark 4 default) plain '/' and CAST throw; try_*
+    is the idiom for dirty data at scale where one bad row must not
+    kill a 100 TB job."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    safe = F.try_divide("o_totalprice", F.col("o_custkey") % 5)
+    return orders.select(
+        "o_orderkey",
+        safe.isNull().alias("div_by_zero_null"),
+        F.round(safe, 6).alias("safe_ratio"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast_null"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").alias("prio_digit"),
+    )
+
+
+@register(
+    "bitwise_battery",
+    """
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 1365) AS xored,
+           event_id << 3 AS shifted_left,
+           event_id >> 2 AS shifted_right,
+           bit_count(event_id) AS popcount
+    FROM events
+    """,
+)
+def q_bitwise_battery(spark, sf_dir):
+    """Bitwise expression surface (& | ^ shifts popcount) — flag words,
+    bloom/bitmap membership math, hash mixing. Pure codegen
+    expressions."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ 1365").alias("xored"),
+        F.shiftleft("event_id", 3).alias("shifted_left"),
+        F.shiftright("event_id", 2).alias("shifted_right"),
+        F.bit_count("event_id").alias("popcount"),
+    )
+
+
+@register(
+    "csv_roundtrip_battery",
+    """
+    SELECT o_orderkey,
+           o_orderkey || ',' || o_orderpriority || ',' || o_orderstatus AS csv_line,
+           o_orderpriority AS prio_back,
+           o_orderkey AS key_back
+    FROM orders
+    """,
+)
+def q_csv_roundtrip_battery(spark, sf_dir):
+    """to_csv / from_csv round-trip: struct → CSV line → parsed struct,
+    outputs compared against the source columns (the oracle builds the
+    same line with plain concatenation). The embedded-codec pattern for
+    line-oriented interchange without a file hop."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.to_csv(F.struct("o_orderkey", "o_orderpriority", "o_orderstatus"))
+    parsed = F.from_csv(line, "k LONG, p STRING, s STRING")
+    return orders.select(
+        "o_orderkey",
+        line.alias("csv_line"),
+        parsed.getField("p").alias("prio_back"),
+        parsed.getField("k").alias("key_back"),
+    )

@@ -2805,3 +2805,56 @@ def q_csv_roundtrip_battery(spark, sf_dir):
         parsed.getField("p").alias("prio_back"),
         parsed.getField("k").alias("key_back"),
     )
+
+
+@register(
+    "lateral_topk_orders",
+    """
+    SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topk_orders(spark, sf_dir):
+    """Correlated LATERAL subquery (top-2 orders per customer).
+    Catalyst decorrelates the per-row subquery into the set-based
+    WindowGroupLimit top-k + one join — the nested-loop the SQL implies
+    never executes; orderkey tiebreak keeps the cut deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@register(
+    "intersect_all_multiset",
+    """
+    SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+    INTERSECT ALL
+    SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    """,
+)
+def q_intersect_all_multiset(spark, sf_dir):
+    """INTERSECT ALL (multiset semantics — duplicates kept up to the
+    min multiplicity on each side), completing the set-op family with
+    except_all/union/intersect. Planned as an aggregate on the row
+    value with per-side counts, one shuffle."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("ts") < "2024-01-20").select("user_id", "event_type")
+    b = ev.filter(F.col("ts") >= "2024-01-10").select("user_id", "event_type")
+    return a.intersectAll(b)

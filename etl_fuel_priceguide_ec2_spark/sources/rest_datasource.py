@@ -27,7 +27,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -104,3 +109,71 @@ class FuelStationDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _StationReader(self.options)
+
+
+TICK_SCHEMA = StructType(
+    [
+        StructField("tick", LongType(), False),
+        StructField("Codigo", LongType(), False),
+        StructField("Preco", DoubleType(), True),
+    ]
+)
+
+
+def _tick_price(tick: int, key: int) -> float:
+    """Deterministic per-(run, station) price — replayable from the
+    offset alone, which is what makes readBetweenOffsets exact."""
+    return round(1.5 + (key % 40) / 100.0 + (tick % 7) / 1000.0, 3)
+
+
+class _TickStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the reference's scheduled re-run: each
+    micro-batch is one "ETL run" (index.js appends one timestamped
+    snapshot per run; here each offset step emits one price tick per
+    station). Offsets are plain dicts; replay between any two offsets
+    regenerates identical rows, so the source supports exactly-once
+    recovery from the checkpoint with no external state."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("num_stations", "50"))
+        self.ticks_per_batch = int(options.get("ticks_per_batch", "1"))
+        self.max_ticks = int(options.get("max_ticks", "0"))  # 0 = unbounded
+
+    def initialOffset(self) -> dict:
+        return {"tick": 0}
+
+    def read(self, start: dict):
+        t0 = start["tick"]
+        if self.max_ticks and t0 >= self.max_ticks:
+            return [], {"tick": t0}
+        t1 = t0 + self.ticks_per_batch
+        if self.max_ticks:
+            t1 = min(t1, self.max_ticks)
+        return self._rows(t0, t1), {"tick": t1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["tick"], end["tick"])
+
+    def _rows(self, t0: int, t1: int) -> list[tuple]:
+        # concrete list, not a generator — prefetched rows are pickled
+        # between the driver-side prefetcher and the planner
+        return [
+            (t, key, _tick_price(t, key))
+            for t in range(t0, t1)
+            for key in range(self.n)
+        ]
+
+
+class FuelPriceTickStream(DataSource):
+    """spark.readStream.format("fuelpriceticks") — deterministic price
+    tick stream over the station keyspace."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fuelpriceticks"
+
+    def schema(self) -> StructType:
+        return TICK_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _TickStreamReader(self.options)

@@ -194,3 +194,48 @@ def test_transform_with_state_running_stats(spark, sf_dir, event_stream_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_python_streaming_datasource_price_ticks(spark, tmp_path):
+    """Spark 4 Python streaming DataSource (SimpleDataSourceStreamReader):
+    the tick source emits exactly one deterministic price row per
+    (tick, station); bounded via max_ticks and drained to a memory sink."""
+    import time
+
+    from etl_fuel_priceguide_ec2_spark.sources.rest_datasource import (
+        FuelPriceTickStream,
+        _tick_price,
+    )
+
+    spark.dataSource.register(FuelPriceTickStream)
+    stream = (
+        spark.readStream.format("fuelpriceticks")
+        .option("num_stations", "20")
+        .option("ticks_per_batch", "2")
+        .option("max_ticks", "6")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("price_ticks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        expected_rows = 6 * 20
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) FROM price_ticks").collect()[0][0] >= expected_rows:
+                break
+            time.sleep(1)
+        got = spark.sql("SELECT tick, Codigo, Preco FROM price_ticks").collect()
+    finally:
+        q.stop()
+
+    assert len(got) == expected_rows
+    seen = {(r.tick, r.Codigo) for r in got}
+    assert len(seen) == expected_rows  # exactly-once per (tick, station)
+    for r in got:
+        assert r.Preco == _tick_price(r.tick, r.Codigo)

@@ -60,3 +60,30 @@ def sessionize(
         ts_col,
         F.sum(is_new).over(wsum).alias("session_seq"),
     )
+
+
+def gap_fill_daily(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Time-series gap filling: per-key daily spine (sequence+explode)
+    left-joined to observed days (daily value = max, rounded), forward-
+    filled with last(ignorenulls) — the standard resample/ffill
+    pattern. Output: (key, d, filled_value, is_gap). The span-agg
+    shuffle on the key feeds the spine Generate AND the fill window
+    with no re-exchange (explode preserves partitioning)."""
+    daily = df.groupBy(
+        key_col, F.to_date(ts_col).alias("d")
+    ).agg(F.round(F.max(value_col), 6).alias("day_max"))
+    span = daily.groupBy(key_col).agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(key_col, F.explode(F.sequence("d0", "d1")).alias("d"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, [key_col, "d"], "left").select(
+        key_col,
+        "d",
+        F.last("day_max", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_max").isNull().alias("is_gap"),
+    )

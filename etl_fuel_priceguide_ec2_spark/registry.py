@@ -2275,35 +2275,10 @@ def q_stats_battery(spark, sf_dir):
     """,
 )
 def q_gap_fill_forward(spark, sf_dir):
-    """Time-series gap filling: per-key daily spine (sequence+explode)
-    left-joined to observed days, forward-filled with
-    last(ignorenulls) — the standard resample/ffill pattern. At 100 TB
-    the spine join is co-partitioned with the daily aggregate on
-    user_id (one shuffle), and the window reuses that partitioning."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
+    """Time-series gap filling (see windows.gap_fill_daily): per-key
+    daily spine + forward fill, one shuffle chain on the key."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).agg(F.round(F.max("value"), 6).alias("day_max"))
-    span = daily.groupBy("user_id").agg(
-        F.min("d").alias("d0"), F.max("d").alias("d1")
-    )
-    spine = span.select(
-        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return spine.join(daily, ["user_id", "d"], "left").select(
-        "user_id",
-        "d",
-        F.last("day_max", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("day_max").isNull().alias("is_gap"),
-    )
+    return windows.gap_fill_daily(ev, "user_id", "ts", "value")
 
 
 @register(

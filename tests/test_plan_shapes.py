@@ -161,3 +161,36 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL top-k subquery must decorrelate to the
+    set-based WindowGroupLimit + equi-join — if Catalyst ever planned
+    the nested loop the SQL literally describes, per-customer subquery
+    execution would be O(customers × orders) at scale."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["lateral_topk_orders"](spark, sf_dir)
+    plan = _plan(df)
+    assert "windowgrouplimit" in plan.lower()
+    assert "broadcastnestedloopjoin" not in plan.lower()
+    assert "cartesianproduct" not in plan.lower()
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """Join hints steer the planner: merge() forces sort-merge even
+    under broadcast thresholds; broadcast() forces BHJ on the hinted
+    side; shuffle_hash() forces a hash join build. Hints are the
+    per-query escape hatch when stats mislead the planner at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cond = cust.c_nationkey == nat.n_nationkey
+
+    merged = cust.join(nat.hint("merge"), cond)
+    assert "sortmergejoin" in _plan(merged).lower()
+
+    bcast = cust.join(nat.hint("broadcast"), cond)
+    assert "broadcasthashjoin" in _plan(bcast).lower()
+
+    shashed = cust.join(nat.hint("shuffle_hash"), cond)
+    assert "shuffledhashjoin" in _plan(shashed).lower()

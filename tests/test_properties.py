@@ -89,3 +89,48 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         ]
         expected = max(cands)[2] if cands else None
         assert got[i] == expected, f"order {i}: {got[i]} != {expected}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows)
+def test_gap_fill_daily_matches_bruteforce(spark, data):
+    """gap_fill_daily: the spine covers exactly [min_day, max_day] per
+    key, filled_value is the last observed daily max at or before each
+    day, and is_gap marks exactly the unobserved days."""
+    from datetime import date, timedelta as td
+
+    from etl_fuel_priceguide_ec2_spark.operators import windows
+
+    # spread hour offsets into days so multi-day spans with holes occur
+    df = spark.createDataFrame(
+        [
+            (i, k, BASE + timedelta(days=off % 7, hours=i % 24), float(v))
+            for i, (k, off, v) in enumerate(data)
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.d): (r.filled_value, r.is_gap)
+        for r in windows.gap_fill_daily(df, "user_id", "ts", "value").collect()
+    }
+
+    by_key_day: dict[tuple, float] = {}
+    for i, (k, off, v) in enumerate(data):
+        d = (BASE + timedelta(days=off % 7, hours=i % 24)).date()
+        cur = by_key_day.get((k, d))
+        by_key_day[(k, d)] = max(cur, float(v)) if cur is not None else float(v)
+
+    expected: dict[tuple, tuple] = {}
+    for k in {k for k, _ in by_key_day}:
+        days = sorted(d for kk, d in by_key_day if kk == k)
+        lo, hi = days[0], days[-1]
+        last = None
+        d = lo
+        while d <= hi:
+            observed = (k, d) in by_key_day
+            if observed:
+                last = round(by_key_day[(k, d)], 6)
+            expected[(k, d)] = (last, not observed)
+            d += td(days=1)
+
+    assert got == expected

@@ -431,3 +431,17 @@ def test_training_data_curation_example(tmp_path):
         .filter(PF.col("tok") - PF.col("last_tok") >= 256)
     )
     assert bad.count() == 0
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """approx_percentile (t-digest-style sketch) lands within the
+    requested accuracy band of the exact percentile — the sketch is
+    the 100 TB path (mergeable partial state, one shuffle of sketches
+    instead of a global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    got = li.agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("ex"),
+    ).collect()[0]
+    for approx, exact in zip(got.ap, got.ex):
+        assert abs(approx - exact) / exact < 0.02

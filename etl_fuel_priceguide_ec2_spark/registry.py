@@ -2833,3 +2833,17 @@ def q_intersect_all_multiset(spark, sf_dir):
     a = ev.filter(F.col("ts") < "2024-01-20").select("user_id", "event_type")
     b = ev.filter(F.col("ts") >= "2024-01-10").select("user_id", "event_type")
     return a.intersectAll(b)
+
+
+@register("similarity_topk_int8", None)  # rows-only: float norm at the
+# quantization boundary can flip a ±1 int component across engines;
+# recall vs the exact path is asserted in tests instead
+def q_similarity_topk_int8(spark, sf_dir):
+    """Scalar-quantized (int8) ANN — the storage/bandwidth scale path:
+    4× smaller vectors, exact integer scoring (order-independent, so
+    ranking cuts are deterministic under any partitioning)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_int8(emb, queries, "vec_id", "embedding", k=5)

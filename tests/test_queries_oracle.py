@@ -100,3 +100,21 @@ def test_rplsh_ann_recall_vs_exact(spark, sf_dir):
     random_baseline = 10 / n_corpus
     assert recall > 3 * random_baseline
     assert all(rank <= 10 for (_, _) in a for rank in [1])
+
+
+def test_int8_ann_recall_vs_exact(spark, sf_dir):
+    """int8 scalar quantization: top-5 neighbors nearly match the exact
+    float cosine ranking (quantization error ~1%, far under the
+    neighbor-gap scale of the fixture corpus)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    quant = similarity.cosine_topk_int8(emb, queries, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    assert len(e & a) / len(e) >= 0.9

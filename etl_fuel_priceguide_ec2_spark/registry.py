@@ -2847,3 +2847,106 @@ def q_similarity_topk_int8(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_int8(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "revenue_share_by_nation",
+    """
+    WITH rev AS (
+      SELECT n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               AS revenue_dec
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(revenue_dec AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue_dec AS DOUBLE) /
+                 CAST(SUM(revenue_dec) OVER () AS DOUBLE), 6) AS share
+    FROM rev
+    """,
+)
+def q_revenue_share_by_nation(spark, sf_dir):
+    """Percent-of-total (ratio-to-report): group aggregate + an
+    unpartitioned window over the AGGREGATED output — the global window
+    is safe because it runs over |groups| rows (25 nations), never the
+    fact table. Share computed on the exact decimal totals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("revenue_dec")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue_dec").cast("double")
+            / F.sum("revenue_dec").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                 6) AS promo_share_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+)
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share by month): conditional
+    decimal sums in one aggregate pass — the numerator CASE folds into
+    the same partial-aggregate state as the denominator; part joins as
+    a broadcast."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

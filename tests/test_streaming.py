@@ -239,3 +239,58 @@ def test_python_streaming_datasource_price_ticks(spark, tmp_path):
     assert len(seen) == expected_rows  # exactly-once per (tick, station)
     for r in got:
         assert r.Preco == _tick_price(r.tick, r.Codigo)
+
+
+def test_streaming_datasource_checkpoint_recovery(spark, tmp_path):
+    """Offset-only exactly-once recovery: run the tick stream bounded at
+    3 ticks into a parquet sink, stop, raise the bound to 6 and restart
+    from the SAME checkpoint — the final table holds every tick 0..5
+    exactly once (no replay of 0..2, no gaps). The memory sink can't
+    recover checkpoints; the file sink's commit log is the real
+    exactly-once surface anyway."""
+    import time
+
+    from etl_fuel_priceguide_ec2_spark.sources.rest_datasource import FuelPriceTickStream
+
+    spark.dataSource.register(FuelPriceTickStream)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(max_ticks: int, expected_total: int):
+        stream = (
+            spark.readStream.format("fuelpriceticks")
+            .option("num_stations", "10")
+            .option("ticks_per_batch", "1")
+            .option("max_ticks", str(max_ticks))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                if n >= expected_total:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        return spark.read.parquet(out).collect()
+
+    first = run(3, 3 * 10)
+    assert {r.tick for r in first} == {0, 1, 2}
+    assert len(first) == 3 * 10
+
+    second = run(6, 6 * 10)
+    assert {r.tick for r in second} == {0, 1, 2, 3, 4, 5}
+    assert len(second) == 6 * 10  # no replay of 0..2, no gaps
+    assert len({(r.tick, r.Codigo) for r in second}) == 6 * 10

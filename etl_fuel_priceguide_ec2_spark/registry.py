@@ -2950,3 +2950,155 @@ def q_promo_revenue_share(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           SUM(n) AS n_rows,
+           MAX(n) AS max_per_key,
+           ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mean_per_key,
+           ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6) AS skew_ratio,
+           CAST(median(n) AS DOUBLE) AS median_per_key
+    FROM per_key
+    """,
+)
+def q_key_skew_profile(spark, sf_dir):
+    """Key-skew diagnostic: per-key counts folded to (max/mean) skew
+    ratio + median — the profile you run BEFORE deciding on salting /
+    AQE skew thresholds for a join key. Two partial-aggregable passes;
+    the second runs over |keys| rows only."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 6).alias("mean_per_key"),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 6
+        ).alias("skew_ratio"),
+        F.median("n").alias("median_per_key"),
+    )
+
+
+@register(
+    "rolling_7d_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM du)
+    SELECT dd.d, COUNT(DISTINCT du.user_id) AS active_7d
+    FROM days dd
+    JOIN du ON du.d BETWEEN dd.d - INTERVAL 6 DAY AND dd.d
+    GROUP BY dd.d
+    """,
+)
+def q_rolling_7d_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct actives (the MAU/WAU family). COUNT
+    DISTINCT can't ride a sliding window, so: dedup to (day, user)
+    grain FIRST (collapses N events to ≤ K·days rows), then replicate
+    each observation to the ≤7 report days it supports and count
+    distinct per day. Replication factor is the window length — bounded
+    and known — and everything downstream of the dedup runs on day-
+    grain data, not events."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    contributes = du.select(
+        "user_id",
+        F.explode(F.sequence("d", F.date_add("d", 6))).alias("report_d"),
+    )
+    days = du.select(F.col("d").alias("report_d")).distinct()
+    return (
+        contributes.join(days, "report_d")
+        .groupBy(F.col("report_d").alias("d"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH fp AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), cohorts AS (
+      SELECT user_id, CAST(date_trunc('week', cohort_d) AS DATE) AS cohort_week
+      FROM fp
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE) AS act_week
+      FROM events e WHERE e.event_type = 'purchase'
+    )
+    SELECT c.cohort_week,
+           CAST((act_week - cohort_week) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+    WHERE act_week >= cohort_week
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-purchase week,
+    counted distinct per (cohort, weeks-since) cell — the standard
+    product-analytics triangle. Cohort assignment is one aggregate;
+    the matrix is one join on user_id + one distinct count, all keyed."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week",
+                 (F.datediff("act_week", "cohort_week") / 7).cast("bigint").alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "explode_outer_null_preserving",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> len(t) > 6) AS longs
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, tok FROM (
+      SELECT t.doc_id, u.tok FROM toks t, UNNEST(t.longs) AS u(tok)
+      UNION ALL
+      SELECT doc_id, NULL AS tok FROM toks WHERE len(longs) = 0
+    )
+    """,
+)
+def q_explode_outer_null_preserving(spark, sf_dir):
+    """explode_outer: rows with empty arrays survive as (id, NULL)
+    instead of vanishing — the generator form of a LEFT join, needed
+    whenever downstream counts must still see every parent row. (DuckDB
+    has no outer unnest; the oracle union-alls the empty-array rows.)"""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    longs = F.filter(F.split("text", " "), lambda t: F.length(t) > 6)
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode_outer(longs).alias("tok"))
+    )

@@ -3102,3 +3102,37 @@ def q_explode_outer_null_preserving(spark, sf_dir):
         docs.filter(F.col("doc_id") < 100)
         .select("doc_id", F.explode_outer(longs).alias("tok"))
     )
+
+
+@register(
+    "most_frequent_event_type",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS top_type, n AS n_events
+    FROM (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def q_most_frequent_event_type(spark, sf_dir):
+    """Deterministic per-key mode: count per (key, value), keep the
+    top-1 by (count desc, value asc). Bare mode() breaks ties
+    arbitrarily across engines AND across partitionings — the explicit
+    tie-break is what makes the answer stable at any scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), F.col("n").alias("n_events"))
+    )

@@ -64,7 +64,12 @@ def asof_join(
 
     Implemented with the merge-union pattern: tag both sides, union,
     then one window pass per key ordered by time carries the most recent
-    right values forward (``last_value IGNORE NULLS``); keep left rows.
+    right ROW forward — as a single struct of all ``right_vals``, so the
+    attached values always come from one right row even when some of its
+    value columns are NULL (carrying each column independently with
+    ``last(..., ignorenulls)`` would mix columns from different right
+    rows and resurrect stale non-NULL values). A genuinely-NULL field in
+    the latest right row is attached as NULL. Keep left rows.
     ONE shuffle on the key — never a per-key loop, never a range
     cross-join; at 100 TB both sides co-partition on the key and the
     window sort is the only cost. Spark lacks a native as-of join (Pandas
@@ -93,17 +98,16 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # one struct per right row (NULL on left rows): last(..., ignorenulls)
+    # skips left rows but never tears a right row apart field-wise
+    right_struct = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in right_vals])
+    )
     carried = merged.select(
-        "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{c}")
-            for c in right_vals
-        ],
+        "*", F.last(right_struct, ignorenulls=True).over(w).alias("__asof")
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_vals
+        F.col("__asof").getField(c).alias(f"asof_{c}") for c in right_vals
     ]
     return carried.filter(F.col("__side") == 1).select(*out_cols)
 

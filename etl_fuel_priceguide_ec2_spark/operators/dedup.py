@@ -313,54 +313,76 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """X2 (SimHash variant): 64-bit simhash over word tokens.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """X2 (SimHash variant): ``bits``-bit simhash over word tokens.
 
-    Per token t: h = xxhash64(t); bit j contributes +1 if set else -1,
+    Per token t: h = hash(t); bit j contributes +1 if set in h else -1,
     weighted by token frequency. simhash bit j = 1 iff sum > 0.
-    Built entirely from explode + bit ops + groupBy — JVM-side.
+
+    The signature is folded ENTIRELY per-row: one ``aggregate`` over the
+    token array carries a ``bits``-element running-sum array, so the
+    plan has NO shuffle at all in the signature build (the previous
+    posexplode formulation shuffled tokens×64 rows through two
+    aggregations — a 64× row blow-up that would not survive 100 TB).
+    Docs with zero tokens are dropped (no signal to hash).
+
+    ``hash_fn``:
+      * ``"xxhash64"`` (default) — full 64-bit Spark xxhash64; fastest.
+      * ``"md5_60"`` — top 60 bits of md5 (15 hex chars), numerically
+        identical to DuckDB ``CAST('0x'||substring(md5(t),1,15) AS
+        BIGINT)``, which makes the whole operator oracle-checkable
+        cross-engine. Use bits<=60 with this.
+
     Output: (id, simhash) with simhash as bigint.
     """
-    toks = fan_out(df).select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    h = toks.withColumn("th", F.xxhash64("tok"))
-    # per (doc, bit) signed contribution, then sign of the sum per bit;
-    # bit positions are compile-time ints, so one array literal of 64
-    # bit-test expressions (JVM-side, no Python in the row path)
-    contribs = F.array(
-        *[
-            F.when(
-                F.col("th").bitwiseAND(
-                    F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")  # signed 64-bit mask
-                )
-                != 0,
-                1,
-            ).otherwise(-1)
-            for j in range(bits)
-        ]
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    if hash_fn == "md5_60":
+        hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit masks are compile-time longs (bit 63 = sign bit as negative mask)
+    masks = F.array(*[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(bits)])
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            masks,
+            acc,
+            lambda m, a: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
-    bits_df = h.select(id_col, F.posexplode(contribs).alias("bit", "contrib"))
-    agg = bits_df.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
-    return agg.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    sig = F.aggregate(
+        F.zip_with(sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        fan_out(df)
+        .filter(F.size(toks) > 0)
+        .select(F.col(id_col), sig.alias("simhash"))
     )
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming,
     blocked by 16-bit simhash prefix (docs differing in the top 16 bits
     are assumed far — standard multi-probe blocking keeps this out of
     O(n²); at scale use 4 rotated prefix tables for full recall)."""
-    sig = simhash(df, id_col, text_col)
-    block = sig.withColumn("block", F.shiftrightunsigned("simhash", 48))
+    sig = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    block = sig.withColumn("block", F.shiftrightunsigned("simhash", bits - 16))
     a = block.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
     b = block.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")
     return (

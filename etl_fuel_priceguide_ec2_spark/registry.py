@@ -653,10 +653,48 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.5)
 
 
-@register("dedup_simhash", None)  # engine-specific 64-bit hashing: rows-only check
+@register(
+    "dedup_simhash",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), th AS (
+      SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ), bitsums AS (
+      SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS j)
+      GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+      FROM bitsums GROUP BY doc_id
+    ), blocked AS (
+      SELECT doc_id, simhash, simhash >> 44 AS block FROM sig
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    """,
+)
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-pairs on a 60-bit md5-derived hash — the hash choice
+    (top 15 hex chars of md5) is computable bit-identically in DuckDB
+    (``CAST('0x'||substring(md5(t),1,15) AS BIGINT)``), so the whole
+    operator — tokenize, signed bit-fold, signature, prefix block,
+    Hamming filter — is oracle-verified end to end. The engine default
+    (xxhash64, 64-bit) is exercised by tests/test_determinism."""
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=12)
+    pairs = dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=12, bits=60, hash_fn="md5_60"
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 @register(
@@ -988,10 +1026,10 @@ def q_price_change_deltas(spark, sf_dir):
     "sessionize_events",
     """
     SELECT user_id, ts,
-           SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 1 HOUR
+           CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 1 HOUR
                     THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
     FROM (
       SELECT user_id, ts, event_id,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
@@ -1014,9 +1052,9 @@ def q_sessionize_events(spark, sf_dir):
     "pivot_event_counts",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
     FROM events GROUP BY user_id
     """,
 )
@@ -1116,21 +1154,23 @@ def q_string_battery(spark, sf_dir):
     "array_battery",
     """
     SELECT o_custkey,
-           list_sort(list(o_orderpriority)) AS priorities,
+           list_aggr(list_sort(list(o_orderpriority)), 'string_agg', '|') AS priorities,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
     """,
 )
 def q_array_battery(spark, sf_dir):
-    """collect_list + sort_array: deterministic per-group array build
-    (bare collect_list order is partition-dependent; sorting restores
-    determinism — same rule as the DuckDB list_sort oracle)."""
+    """collect_list + sort_array + array_join: deterministic per-group
+    array build (bare collect_list order is partition-dependent; sorting
+    restores determinism). The array is serialized to a '|'-joined string
+    on BOTH sides because the driver's pandas canonicalizer cannot hash
+    list-typed cells — the joined string is an equivalent canonical form."""
     from pyspark.sql import functions as F
 
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_list("o_orderpriority")), "|").alias("priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

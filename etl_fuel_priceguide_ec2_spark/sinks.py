@@ -9,11 +9,12 @@ Reference semantics:
     snapshots (``index.js:178-200``, ``329-345``).
 
 Spark-first storage design (100 TB):
-  * Fact table: parquet, append mode, partitioned by run date
-    (``run_date=YYYY-MM-DD``) — every as-of/latest query with a time
-    bound prunes partitions; a re-run of the same run_ts overwrites
-    only its own partition (idempotent replay, fixing the reference's
-    non-idempotent append noted in SURVEY.md §4).
+  * Fact table: parquet, partitioned by run date AND run id
+    (``run_date=YYYY-MM-DD/run_id=<ts>``) — every as-of/latest query
+    with a time bound prunes on run_date; the overwrite unit is ONE RUN
+    (the run_id sub-partition), so replaying a run is idempotent while
+    multiple runs per day (cron, micro-batches) never clobber each
+    other.
   * Dimension: anti-join + append per run (core Spark). This is
     MERGE-WHEN-NOT-MATCHED; with Delta/Iceberg available the same
     ``upsert_plan`` DataFrame feeds ``MERGE INTO`` for transactional
@@ -32,16 +33,30 @@ from etl_fuel_priceguide_ec2_spark.operators import joins
 def append_fact(
     snapshot: DataFrame, path: str, run_ts_col: str = "run_ts"
 ) -> None:
-    """S5: append a run's snapshot rows, partitioned by run date.
-    Uses dynamic partition overwrite so replaying the same run is
-    idempotent (replaces only that run's partition)."""
-    out = snapshot.withColumn("run_date", F.to_date(F.col(run_ts_col)))
+    """S5: append a run's snapshot rows, partitioned by
+    ``run_date=.../run_id=...``.
+
+    The overwrite unit equals ONE RUN: dynamic partition overwrite
+    replaces only the ``(run_date, run_id)`` sub-partition derived from
+    the run's timestamp, so replaying the same run_ts is idempotent
+    while a second run on the same calendar date (cron every N minutes,
+    streaming micro-batches) lands in its own run_id dir and never
+    deletes earlier snapshots. run_date stays the pruning key for
+    time-bounded reads; run_id adds no read-side cost (readers filter
+    on run_date / the data's run_ts column).
+
+    Assumes one distinct run_ts per call (the reference's per-run cron
+    model, index.js:329-345); multi-run DataFrames still work — each
+    run lands in its own sub-partition."""
+    out = snapshot.withColumn("run_date", F.to_date(F.col(run_ts_col))).withColumn(
+        "run_id", F.date_format(F.col(run_ts_col), "yyyyMMdd'T'HHmmssSSS")
+    )
     # sort by key inside each partition file: parquet row-group min/max
     # stats then skip row groups on Id point lookups (W1 reads), the
     # file-level complement to run_date partition pruning
     out = out.sortWithinPartitions("Id") if "Id" in out.columns else out
     (
-        out.write.partitionBy("run_date")
+        out.write.partitionBy("run_date", "run_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(path)
@@ -84,15 +99,38 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
     import shutil
 
     df = spark.read.parquet(path)
-    partition_cols = [c for c in df.columns if c == "run_date"]
+    partition_cols = [c for c in df.columns if c in ("run_date", "run_id")]
     tmp = path.rstrip("/") + ".compacting"
-    writer = df.repartition(target_partitions, *partition_cols) if partition_cols else df.coalesce(target_partitions)
+    if partition_cols:
+        # target_partitions files PER partition dir: salt each row into
+        # one of target_partitions buckets within its partition, then
+        # hash-repartition on (partition cols, salt) with enough slots
+        # for every (partition, bucket) combination. Plain
+        # repartition(N, run_date) would put each date into ONE task —
+        # 1 file per date and a full-date-in-one-task skew at scale.
+        n_parts = df.select(*partition_cols).distinct().count()
+        salted = df.withColumn(
+            "__salt", (F.rand(seed=7) * target_partitions).cast("int")
+        )
+        writer = salted.repartition(
+            max(n_parts * target_partitions, 1), *partition_cols, "__salt"
+        ).drop("__salt")
+    else:
+        writer = df.coalesce(target_partitions)
     w = writer.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
-    shutil.rmtree(path)
+    # swap with a rename-aside: the live path is missing only between
+    # the two renames (microseconds), and the old data survives at
+    # path.old until the new tree is in place — a crash at any point
+    # leaves at least one complete copy on disk.
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 

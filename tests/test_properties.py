@@ -91,6 +91,29 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert got[i] == expected, f"order {i}: {got[i]} != {expected}"
 
 
+def test_asof_join_null_fields_come_from_one_right_row(spark):
+    """Regression (round-1 ADVICE): the attached values must all come
+    from THE latest right row — a NULL field in that row must surface as
+    NULL, never be back-filled from an older right row."""
+    ldf = spark.createDataFrame(
+        [(1, 1, BASE + timedelta(hours=10))],
+        "order_id bigint, user_id bigint, ots timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (0, 1, BASE + timedelta(hours=1), 111.0, "old-label"),
+            (1, 1, BASE + timedelta(hours=2), 222.0, None),  # latest: label NULL
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double, label string",
+    )
+    out = asof.asof_join(
+        ldf, rdf, "user_id", "ots", "ts", ["value", "label"], right_tiebreak="event_id"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].asof_value == 222.0
+    assert out[0].asof_label is None  # NOT "old-label"
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(data=rows)
 def test_gap_fill_daily_matches_bruteforce(spark, data):

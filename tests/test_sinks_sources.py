@@ -35,6 +35,26 @@ def test_append_fact_partitioned_and_idempotent(spark, sf_dir, tmp_path):
     assert both.select("run_date").distinct().count() == 2
 
 
+def test_append_fact_two_runs_same_day_both_survive(spark, sf_dir, tmp_path):
+    """Regression (round-1 ADVICE): overwrite unit must be one RUN, not
+    one calendar date — a cron firing twice a day (or per micro-batch)
+    must never wipe earlier snapshots from the same date."""
+    path = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events")
+    morning = pipeline.build_fact_append(ev, run_ts="2024-02-01 06:00:00")
+    evening = pipeline.build_fact_append(ev, run_ts="2024-02-01 18:00:00")
+    sinks.append_fact(morning, path)
+    n1 = sinks.read_fact(spark, path).count()
+    sinks.append_fact(evening, path)
+    both = sinks.read_fact(spark, path)
+    assert both.count() == 2 * n1  # morning run still there
+    assert both.select("run_date").distinct().count() == 1
+    assert both.select("run_id").distinct().count() == 2
+    # replaying the evening run is still idempotent (its own run_id only)
+    sinks.append_fact(evening, path)
+    assert sinks.read_fact(spark, path).count() == 2 * n1
+
+
 def test_upsert_dim_insert_if_absent(spark, sf_dir, tmp_path):
     path = str(tmp_path / "dim")
     cust = load_table(spark, sf_dir, "customer").select(

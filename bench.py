@@ -41,6 +41,11 @@ HEADLINE = [
     "scrub_pii",
     "interval_join_recent_events",
     "dedup_clusters",
+    # appended round 2 (keep the 19 above stable for series comparability)
+    "scd2_dim_versions",
+    "grouping_sets_customer",
+    "cohort_retention",
+    "dedup_ngram_jaccard_auto_skew",
 ]
 
 
@@ -58,12 +63,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):  # min of 2: strips JIT/GC noise from the signal
+        # min-of-2, plus a third rep when the first two disagree by >25%
+        # (transient host contention detector — this box shows 2-4x
+        # noise spikes; the min over stable reps is the signal)
+        reps = []
+        for _ in range(2):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        if max(reps) > 1.25 * min(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(min(reps), 3)
 
     total = round(sum(timings.values()), 3)
     print(

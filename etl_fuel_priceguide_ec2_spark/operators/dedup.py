@@ -77,7 +77,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    prefix_filter: bool | str = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """X2 (exact verify path): near-dup pairs by word n-gram Jaccard.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
@@ -93,17 +93,19 @@ def ngram_jaccard_pairs(
     100 TB shape: one df-count aggregate, one prefix-index join whose
     cardinality tracks true near-dups, not co-occurrence.
 
-    Without it (default): the plain inverted-index join. Measured
-    choice: on corpora with NO hot shingles (fixture max df = 25) the
-    naive join is 2× faster than paying the df-aggregate + sort
-    shuffles; flip ``prefix_filter`` on when shingle document frequency
-    is skewed (web-scale corpora: boilerplate shingles with df in the
-    millions make the naive join quadratic).
+    Without it (``False``): the plain inverted-index join. Measured:
+    on corpora with NO hot shingles (fixture max df = 25) the naive
+    join is 2× faster than paying the df-aggregate + sort shuffles;
+    but on web-scale corpora boilerplate shingles with df in the
+    millions make the naive join quadratic.
 
-    ``prefix_filter="auto"``: sample 5% of docs, aggregate shingle df,
-    and choose the prefix path iff a hot shingle (>2% sampled-doc
-    frequency) exists. Costs two small jobs up front; right answer on
-    both corpus shapes without the caller knowing the skew.
+    ``prefix_filter="auto"`` (DEFAULT — the only safe choice when the
+    corpus shape is unknown, i.e. always at 100 TB): sample 5% of docs,
+    aggregate shingle df, and choose the prefix path iff a hot shingle
+    (>2% sampled-doc frequency) exists. Costs two small jobs up front;
+    right answer on both corpus shapes without the caller knowing the
+    skew. Callers that KNOW their corpus (benchmarks, fixtures) may pin
+    ``False``/``True`` to skip the probe.
     """
     sets = _shingle_array(df, id_col, text_col, n)
     if prefix_filter == "auto":
@@ -112,7 +114,10 @@ def ngram_jaccard_pairs(
         # hot shingles, so if any sampled shingle appears in >2% of
         # sampled docs (boilerplate/templates), pay the PPJoin prefix
         # pass; on skew-free corpora skip it (measured 2× faster).
-        sample = sets.sample(fraction=0.05, seed=42)
+        # persist the sampled shingle arrays: the probe needs two
+        # aggregates (per-shingle df, sampled doc count) and without the
+        # persist each re-runs the scan + shingle transform
+        sample = sets.sample(fraction=0.05, seed=42).persist()
         agg = (
             sample.select(F.explode("shingles").alias("s"))
             .groupBy("s")
@@ -124,6 +129,7 @@ def ngram_jaccard_pairs(
             .collect()[0]
         )
         n_sampled = sample.count()
+        sample.unpersist()
         prefix_filter = bool(
             agg.max_df is not None
             and agg.max_df >= max(8.0, 0.02 * n_sampled)

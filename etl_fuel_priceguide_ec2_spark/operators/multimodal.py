@@ -5,9 +5,16 @@ At 100 TB the binary column stores POINTERS (paths/offsets) or small
 payloads; large blobs live in object storage and are fetched inside the
 decode UDF per partition. The Spark-side plumbing here — schema, Arrow
 batch shape, mapInPandas signature, partition sizing — is real and
-tested; the actual image/audio decoding is STUBBED (the codec libraries
-are not in this container) behind a deterministic fake + a
-NotImplementedError real path, clearly marked below.
+tested. The decode interior has two tiers:
+
+  * ``real_codec=True`` — genuine bytes -> pixels -> resize -> re-encode
+    for PPM(P6) and 24-bit BMP via the dependency-free
+    ``operators.imagecodec`` (numpy only). Other formats raise
+    NotImplementedError until PIL/av are provisioned; they slot into the
+    same (width, height, rgb-array) contract.
+  * ``real_codec=False`` (default for text-backed fixtures) — a
+    deterministic fake deriving dims from byte length, so oracle checks
+    stay byte-exact on corpora with no real media.
 """
 
 from __future__ import annotations
@@ -74,16 +81,22 @@ def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
     Arrow-batched, one Python worker per partition, payloads never pass
     through the driver.
 
-    ``real_codec=True`` is the production path and raises
-    NotImplementedError until codec libs (PIL/av) are provisioned.
+    ``real_codec=True`` decodes PPM/BMP payloads for real (header parse
+    -> pixel array; one still frame). Unsupported formats raise
+    NotImplementedError — provision PIL/av and extend
+    ``imagecodec.decode`` for more.
     """
 
+    def _real_decode(payload: bytes) -> tuple[int, int, int]:
+        from etl_fuel_priceguide_ec2_spark.operators import imagecodec
+
+        img = imagecodec.decode(payload)
+        return (img.shape[1], img.shape[0], 1)
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_decode if real_codec else _fake_decode
         for pdf in it:
-            if real_codec:
-                # REAL PATH (stubbed): import PIL / av and decode here.
-                raise NotImplementedError("codec libraries not available in this environment")
-            feats = pdf["payload"].apply(lambda b: _fake_decode(bytes(b)))
+            feats = pdf["payload"].apply(lambda b: decode(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -121,24 +134,32 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize(media: DataFrame, target_w: int = 224, target_h: int = 224, real_codec: bool = False) -> DataFrame:
-    """Resize plumbing over mapInPandas: decodes (stubbed), scales to
-    (target_w, target_h), re-encodes (stubbed as a deterministic byte
-    slice proportional to the area ratio). The REAL path would call
-    PIL.Image.resize inside the batch loop — schema, batching, and
-    partition behavior are identical."""
+    """Resize over mapInPandas.
+
+    ``real_codec=True``: decode PPM/BMP -> nearest-neighbor resample to
+    (target_w, target_h) via vectorized numpy index maps -> re-encode as
+    PPM. Genuine pixels in, genuine pixels out, no codec libraries
+    needed. ``real_codec=False``: deterministic fake (byte slice scaled
+    by the area ratio) for text-backed fixture corpora. Schema,
+    batching, and partition behavior are identical on both paths."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_fuel_priceguide_ec2_spark.operators import imagecodec
+
         for pdf in it:
-            if real_codec:
-                raise NotImplementedError("codec libraries not available in this environment")
             out_rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                w, h, _ = _fake_decode(payload)
-                # fake resize: keep a byte count scaled by the area ratio
-                ratio = min(1.0, (target_w * target_h) / max(w * h, 1))
-                keep = max(1, int(len(payload) * ratio))
-                resized = payload[:keep]
+                if real_codec:
+                    img = imagecodec.decode(payload)
+                    resized = imagecodec.encode_ppm(
+                        imagecodec.resize_nearest(img, target_w, target_h)
+                    )
+                else:
+                    w, h, _ = _fake_decode(payload)
+                    # fake resize: keep a byte count scaled by the area ratio
+                    ratio = min(1.0, (target_w * target_h) / max(w * h, 1))
+                    resized = payload[: max(1, int(len(payload) * ratio))]
                 out_rows.append((r["doc_id"], target_w, target_h, resized, len(resized)))
             yield pd.DataFrame(
                 out_rows, columns=["doc_id", "width", "height", "resized_payload", "resized_bytes"]

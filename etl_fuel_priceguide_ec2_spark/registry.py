@@ -710,8 +710,16 @@ _NGRAM_ORACLE = r"""
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Naive inverted-index SSJoin, pinned (prefix_filter=False): the
+    test corpus is known skew-free (max shingle df ~ 1% of docs), where
+    the naive join is measured 2x faster than the PPJoin pass and 3x
+    faster than paying the auto probe per run. Unknown corpora should
+    use the operator default ('auto' — see dedup_ngram_jaccard_auto_skew
+    for the skewed case)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=False
+    )
 
 
 @register("dedup_ngram_jaccard_prefix", _NGRAM_ORACLE)
@@ -721,6 +729,40 @@ def q_dedup_ngram_jaccard_prefix(spark, sf_dir):
     pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True)
+
+
+# Skewed-corpus variant: every doc gets the same boilerplate footer, so
+# its shingles have df = n_docs (the web-corpus template pathology). The
+# oracle is the same exact all-pairs Jaccard on the modified text —
+# asserting the auto-selected PPJoin path loses no pairs under skew.
+_NGRAM_SKEW_ORACLE = (
+    _NGRAM_ORACLE.replace("FROM documents", "FROM boil")
+    .replace(
+        "WITH d AS",
+        "WITH boil AS (SELECT doc_id, trim(text) || "
+        "' legal disclaimer all rights reserved contact us' AS text "
+        "FROM documents), d AS",
+    )
+)
+
+
+@register("dedup_ngram_jaccard_auto_skew", _NGRAM_SKEW_ORACLE)
+def q_dedup_ngram_jaccard_auto_skew(spark, sf_dir):
+    """prefix_filter='auto' on a hot-shingle corpus: the 5% df sample
+    detects the boilerplate skew and selects the PPJoin prefix path
+    (the naive inverted index would blow up as sum(df^2) here)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.trim(F.col("text")),
+            F.lit(" legal disclaimer all rights reserved contact us"),
+        ),
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter="auto"
+    )
 
 
 @register("dedup_minhash_lsh", _NGRAM_ORACLE)
@@ -1903,7 +1945,9 @@ def q_dedup_clusters(spark, sf_dir):
     with a recursive CTE (viable only at oracle scale — the Spark loop
     is the 100 TB path)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=False
+    )
     return dedup.connected_components(pairs)
 
 

@@ -84,13 +84,15 @@ def run_microbatch_etl(
     def _one_run(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        run_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+        # run_ts = the batch's max event time, attached via a broadcast
+        # cross join with the 1-row aggregate — stays inside the plan
+        # (no driver-side collect in the per-batch hot path)
+        run = batch_df.agg(F.max("ts").alias("run_ts"))
         snapshot = batch_df.select(
             F.col("user_id").alias("Id"),
             F.col("value").alias("price"),
             F.col("event_type").alias("fuel_type"),
-            F.lit(run_ts).alias("run_ts"),
-        )
+        ).crossJoin(F.broadcast(run))
         sinks.append_fact(snapshot, fact_path)
         keys = batch_df.select(F.col("user_id").alias("Id")).distinct()
         src = keys.join(dim_src, "Id", "inner")

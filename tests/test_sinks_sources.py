@@ -219,6 +219,44 @@ def test_multimodal_features_feed_similarity_search(spark, sf_dir):
     assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
 
 
+def test_multimodal_real_codec_decode_and_resize(spark):
+    """real_codec=True on genuine image bytes: deterministic PPM and BMP
+    fixtures flow bytes -> pixels -> nearest-neighbor resize -> PPM
+    re-encode through the same mapInPandas plumbing as the fake path.
+    Output payloads decode back to exact expected pixel arrays."""
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import imagecodec, multimodal
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, (40 + i, 60 + i, 3), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (i, bytearray(imagecodec.encode_ppm(img) if i % 2 == 0 else imagecodec.encode_bmp(img)))
+        for i, img in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary").select(
+        "doc_id",
+        "payload",
+        F.lit(None).cast("string").alias("mime"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha"),
+    )
+
+    feats = {r.doc_id: r for r in multimodal.decode_features(media, real_codec=True).collect()}
+    for i, img in imgs.items():
+        assert (feats[i].width, feats[i].height, feats[i].n_frames) == (img.shape[1], img.shape[0], 1)
+
+    resized = {r.doc_id: r for r in multimodal.resize(media, 32, 24, real_codec=True).collect()}
+    for i, img in imgs.items():
+        out = imagecodec.decode_ppm(bytes(resized[i].resized_payload))
+        assert np.array_equal(out, imagecodec.resize_nearest(img, 32, 24))
+
+    # unsupported format still raises through the real path
+    bad = media.withColumn("payload", F.encode(F.lit("not an image"), "utf-8"))
+    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+        multimodal.decode_features(bad, real_codec=True).collect()
+
+
 def test_python_datasource_partitioned_rest(spark):
     """Spark 4 Python DataSource: the id keyspace reads as 8 parallel
     partitions (the scalable form of the reference's sequential per-id

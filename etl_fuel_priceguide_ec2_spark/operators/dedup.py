@@ -260,6 +260,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """X2 (scale path): MinHash-LSH near-dup candidate generation +
     exact-Jaccard verification.
@@ -272,6 +273,18 @@ def minhash_lsh_pairs(
     1.0 and only recall depends on the LSH parameters. Unlike the exact
     SSJoin, total cost is map work + a join whose cardinality is the
     candidate count, not the co-shingle count.
+
+    ``max_bucket``: hot-bucket cap for pathological corpora (a band
+    bucket holding B docs emits B²/2 candidate rows — one
+    million-identical-boilerplate bucket is an O(10¹²) self-join). Band
+    buckets larger than ``max_bucket`` are dropped BEFORE the self-join
+    (a count pre-filter on the bucket key, same move as the SSJoin
+    length filter). Near-identical docs collide in MANY bands, so a
+    capped bucket rarely costs recall — any pair also sharing a
+    non-hot band still surfaces; the exact-Jaccard verify keeps
+    precision at 1.0 regardless. Default None (off) — correct for
+    corpora without massive exact-dup families, where X1 exact dedup
+    should run first anyway.
     """
     r = num_hashes // bands
     # The signature branch and the verify branch each recompute the
@@ -290,6 +303,19 @@ def minhash_lsh_pairs(
             F.array(*[F.hash(F.slice("signature", b * r + 1, r)) for b in range(bands)])
         ).alias("band_id", "band_hash"),
     )
+    if max_bucket is not None:
+        # drop hot buckets before the self-join: one aggregate on the
+        # bucket key (small: one row per bucket), broadcast-joined back
+        bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        banded = (
+            banded.join(
+                F.broadcast(bucket_sizes.filter(F.col("__bsz") > max_bucket)),
+                ["band_id", "band_hash"],
+                "left_anti",
+            )
+        )
     left = banded.select(F.col("doc").alias("id_a"), "band_id", "band_hash")
     right = banded.select(F.col("doc").alias("id_b"), "band_id", "band_hash")
     candidates = (

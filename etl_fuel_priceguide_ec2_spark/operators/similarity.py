@@ -139,7 +139,8 @@ def cosine_topk_rplsh(
     k: int = 10,
     planes: int = 6,
     seed: int = 42,
-    multiprobe_hamming: int = 1,
+    multiprobe_hamming: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket = sign bits of <v, plane_j>.
     Queries probe their own bucket plus all buckets within
@@ -149,11 +150,22 @@ def cosine_topk_rplsh(
     corpus; recall grows with multiprobe radius (and is highest on
     clustered real-world embeddings — random vectors are the worst
     case).
+
+    Pass ``dim`` (the embedding width — a schema-level constant in any
+    real corpus) to keep plan construction action-free; when omitted, a
+    one-row ``first()`` infers it at build time.
+
+    Defaults are evidenced by the round-2 sweep (docs/SCALE.md §6):
+    multiprobe radius dominates recall (probe=2 is 2-4× probe=1 on the
+    worst-case random corpus at ~10% wall cost), while ``planes`` sizes
+    the bucket space (2^planes) and should grow with corpus size, not
+    be used as a recall knob.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     hp = rng.standard_normal((planes, dim))
 
     def _sig(df: DataFrame) -> DataFrame:

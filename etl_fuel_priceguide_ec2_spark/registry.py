@@ -1694,7 +1694,7 @@ def q_similarity_topk_rplsh(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_rplsh(
-        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64
     )
 
 

@@ -194,3 +194,22 @@ def test_join_strategy_hints_respected(spark, sf_dir):
 
     shashed = cust.join(nat.hint("shuffle_hash"), cond)
     assert "shuffledhashjoin" in _plan(shashed).lower()
+
+
+def test_simhash_signature_build_is_shuffle_free(spark, sf_dir):
+    """Round-2 regression: the simhash signature fold must stay per-row
+    (one aggregate over the token array) — the round-1 posexplode
+    formulation pushed tokens x 64 rows through two keyed shuffles. The
+    full signature relation must plan with ZERO Exchange operators."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.simhash(docs, "doc_id", "text"))
+    # fan_out's round-robin repartition is allowed (parallelism floor);
+    # what must NOT appear is a hash-partitioned aggregation shuffle
+    assert "hashpartitioning" not in plan.lower()
+    assert "HashAggregate" not in plan
+    # and near-pair mining adds only the block-join shuffles, no
+    # per-token aggregation stages
+    pairs_plan = _plan(dedup.simhash_near_pairs(docs, "doc_id", "text"))
+    assert "posexplode" not in pairs_plan.lower()

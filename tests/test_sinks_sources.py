@@ -449,6 +449,43 @@ def test_ngram_jaccard_auto_mode(spark, sf_dir):
     assert skew_auto == skew_exact
 
 
+def test_minhash_hot_bucket_cap(spark, sf_dir):
+    """max_bucket drops oversized band buckets before the self-join
+    (the O(B²) hot-bucket defense). On a corpus whose near-dup families
+    are small, a generous cap changes nothing; a pathological
+    all-identical family larger than the cap is excluded from LSH
+    candidates (the documented contract: exact dedup handles those)."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=50).collect()
+    }
+    assert capped == uncapped  # families here are far below the cap
+
+    # pathological: 30 identical docs; cap 10 excludes the family
+    clones = spark.range(30).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        F.lit("the same exact boilerplate document body repeated verbatim "
+              "across every clone in this synthetic family").alias("text"),
+    )
+    fam = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(clones, "doc_id", "text", max_bucket=10).collect()
+    }
+    assert fam == set()
+    fam_uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(clones, "doc_id", "text").collect()
+    }
+    assert len(fam_uncapped) == 30 * 29 // 2
+
+
 def test_training_data_curation_example(tmp_path):
     """examples/training_data_curation.py — the X1-X4 curation chain
     end-to-end: counts shrink monotonically through the gates, chunks

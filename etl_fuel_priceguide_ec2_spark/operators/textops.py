@@ -267,3 +267,135 @@ def stratified_take(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Column expr: array of word n-grams (lowercased, whitespace
+    tokens) — per-row higher-order fns, zero shuffle."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+        lambda g: g != "",
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every (corpus doc, benchmark
+    item) pair sharing at least one word ``n``-gram, report the number
+    of distinct shared n-grams and the contaminated fraction of the
+    benchmark item (n_overlap / benchmark n-gram count).
+
+    The standard eval-hygiene gate before training: docs with high
+    contamination against a test set are dropped or flagged.
+
+    100 TB design: the benchmark side is SMALL by definition (eval sets
+    are thousands of items) — its exploded n-gram hashes broadcast, so
+    the corpus scan stays shuffle-free until the final per-pair count
+    aggregate (which carries only matched pairs, a tiny fraction of the
+    corpus). 8-byte xxhash64 n-gram keys, never strings.
+    """
+    d = fan_out(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(_word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+            )
+        ).alias("gh"),
+    )
+    b_grams = benchmark.select(
+        F.col(bench_id),
+        F.array_distinct(
+            F.transform(_word_ngrams(bench_text, n), lambda g: F.xxhash64(g))
+        ).alias("ghs"),
+    )
+    b = b_grams.select(
+        F.col(bench_id),
+        F.size("ghs").alias("bench_ngrams"),
+        F.explode("ghs").alias("gh"),
+    )
+    return (
+        d.join(F.broadcast(b), "gh")
+        .groupBy(id_col, bench_id, "bench_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            id_col,
+            bench_id,
+            "n_overlap",
+            "bench_ngrams",
+            F.round(F.col("n_overlap") / F.col("bench_ngrams"), 6).alias("contamination"),
+        )
+    )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals, all per-row (zero
+    shuffle): duplicate word-bigram/trigram fractions
+    (1 - distinct/total) and the top-token fraction (most frequent
+    token's share of all tokens).
+
+    The top-token mode is O(unique x total) per row via nested
+    higher-order fns — fine for natural documents (hundreds of unique
+    tokens); for pathological million-token rows, chunk first
+    (chunk_documents) like every other per-row text op here.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), _WS), lambda t: t != "")
+    uniq = F.array_distinct(toks)
+    top_count = F.array_max(
+        F.transform(uniq, lambda u: F.size(F.filter(toks, lambda t: t == u)))
+    )
+
+    def dup_frac(n: int):
+        grams = _word_ngrams(text_col, n)
+        return F.when(F.size(grams) > 0,
+                      F.round(1 - F.size(F.array_distinct(grams)) / F.size(grams), 6)
+                      ).otherwise(F.lit(None).cast("double"))
+
+    return fan_out(df).select(
+        F.col(id_col),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+        F.when(F.size(toks) > 0,
+               F.round(top_count / F.size(toks), 6)).otherwise(F.lit(None).cast("double")
+               ).alias("top_token_frac"),
+    )
+
+
+def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-unigram-LM quality score: mean ln P(token) per document
+    under the corpus's own (add-one-smoothed) unigram distribution.
+    Low scores flag gibberish / OOV-heavy / machine-generated text —
+    the cheap statistical cousin of perplexity filtering.
+
+    Plan: one token-count aggregate (map-side combined, carries one row
+    per vocab entry), then tokens re-join the counts and fold back per
+    doc. At 100 TB keep the vocab join broadcast by capping to top-K
+    tokens (vocab follows Zipf; the tail is the smoothing floor anyway).
+    """
+    toks = _tokens(df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t")), "__t", [id_col])
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log((F.col("cnt") + 1) / (F.col("n_total") + F.col("n_vocab"))).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -213,3 +213,24 @@ def test_simhash_signature_build_is_shuffle_free(spark, sf_dir):
     # per-token aggregation stages
     pairs_plan = _plan(dedup.simhash_near_pairs(docs, "doc_id", "text"))
     assert "posexplode" not in pairs_plan.lower()
+
+
+def test_tpch_star_shapes_broadcast_all_dims(spark, sf_dir):
+    """Round-2 TPC-H battery: every dimension join must plan as
+    BroadcastHashJoin — a silent fallback to sort-merge on
+    supplier/customer/nation would shuffle the fact table once per dim
+    at scale. The only tolerated nested-loop is the 1-row scalar
+    broadcast (Q22's global average)."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    qs = registry.queries()
+    for name in ("q7_volume_shipping", "q8_market_share", "q10_returned_top_customers"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 2, name
+
+    q22 = _plan(qs["q22_idle_customers"](spark, sf_dir))
+    assert "SortMergeJoin" not in q22
+    # anti-join on the key column, scalar avg as broadcast nested loop
+    assert "LeftAnti" in q22

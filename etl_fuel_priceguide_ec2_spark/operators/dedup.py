@@ -173,10 +173,21 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         )
 
-    sh = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # everything below runs on 8-byte xxhash64 shingle keys, never the
+    # strings (same accepted 64-bit collision tradeoff as the naive path
+    # and the LSH verify): the df aggregate, the per-doc sort structs,
+    # and the prefix join shuffle long keys instead of 20-40-byte
+    # strings. Measured ~15% on the skewed benchmark locally (CPU-bound
+    # there); the byte-size win compounds at real network-shuffle scale.
+    hsets = sets.select(
+        F.col(id_col),
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingles"),
+    )
+    sh = hsets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # order each doc's shingles by (df asc, shingle) — rare first — and
-    # keep only the prefix that any qualifying pair must intersect
+    # order each doc's shingles by (df asc, hash) — rare first; any
+    # total order shared by all docs satisfies the PPJoin prefix
+    # theorem — and keep only the prefix any qualifying pair must hit
     ordered = (
         sh.join(freq, "shingle")
         .groupBy(id_col)
@@ -198,8 +209,8 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sa = hsets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = hsets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")

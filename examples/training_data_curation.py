@@ -4,9 +4,13 @@ corpus build actually runs:
 
     raw docs
       → quality gate        (length/stopword/alpha heuristics)
+      → repetition gate     (Gopher-style dup n-gram / top-token caps)
+      → unigram-LM gate     (corpus-unigram log-prob floor)
       → exact dedup         (sha2 content hash, keep min doc_id)
       → near-dup clustering (MinHash-LSH pairs → connected components,
                              keep each cluster's canonical doc)
+      → contamination gate  (word-5-gram overlap vs the eval holdout
+                             benchmark — dropped BEFORE training packs)
       → PII scrub           (email/phone/SSN masking)
       → chunk               (overlapping token windows)
       → pack                (greedy token-budget bin packing)
@@ -48,6 +52,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001", workdir: str | None = None) -> 
     docs = docs.join(kept_ids, "doc_id", "left_semi")
     counts["after_quality"] = docs.count()
 
+    # 1b. repetition gate — drop template/spam-like docs (dup n-gram
+    # and top-token caps); map-only like the quality gate
+    rep = textops.repetition_signals(docs, "doc_id", "text")
+    rep_ok = rep.filter(
+        (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= 0.5)
+        & (F.coalesce(F.col("top_token_frac"), F.lit(1.0)) <= 0.3)
+    ).select("doc_id")
+    docs = docs.join(rep_ok, "doc_id", "left_semi")
+    counts["after_repetition"] = docs.count()
+
+    # 1c. unigram-LM gate — drop the lowest-likelihood tail (gibberish
+    # / OOV-heavy); the corpus itself is the model, no external deps
+    lm = textops.unigram_logprob_score(docs, "doc_id", "text")
+    floor = lm.approxQuantile("avg_logprob", [0.02], 0.001)[0]
+    docs = docs.join(
+        lm.filter(F.col("avg_logprob") >= floor).select("doc_id"), "doc_id", "left_semi"
+    )
+    counts["after_unigram_lm"] = docs.count()
+
     # 2. exact dedup — survivors carry min doc_id per content hash
     survivors = dedup.dedup_exact(docs, "text", "doc_id").select("doc_id")
     docs = docs.join(survivors, "doc_id", "left_semi")
@@ -87,6 +110,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001", workdir: str | None = None) -> 
     holdout = textops.stratified_take(docs, "lang", "doc_id", 5)
     counts["holdout"] = holdout.count()
     holdout.write.mode("overwrite").parquet(f"{workdir}/holdout")
+
+    # 8. eval hygiene: flag training docs contaminated against the
+    # holdout benchmark (>=30% of an item's 5-grams) — at 100 TB the
+    # benchmark side broadcasts, the corpus scan stays shuffle-free
+    bench = holdout.select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+    train = docs.join(holdout.select("doc_id"), "doc_id", "left_anti")
+    contam = textops.contamination_check(
+        train, bench, "doc_id", "text", "bench_id", "bench_text", n=5
+    ).filter(F.col("contamination") >= 0.3)
+    counts["contaminated_train_docs"] = contam.select("doc_id").distinct().count()
 
     counts["workdir"] = workdir
     return counts

@@ -371,7 +371,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def unigram_logprob_score(
+    df: DataFrame, id_col: str, text_col: str, vocab_top_k: int | None = None
+) -> DataFrame:
     """Corpus-unigram-LM quality score: mean ln P(token) per document
     under the corpus's own (add-one-smoothed) unigram distribution.
     Low scores flag gibberish / OOV-heavy / machine-generated text —
@@ -379,22 +381,49 @@ def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
     Plan: one token-count aggregate (map-side combined, carries one row
     per vocab entry), then tokens re-join the counts and fold back per
-    doc. At 100 TB keep the vocab join broadcast by capping to top-K
-    tokens (vocab follows Zipf; the tail is the smoothing floor anyway).
+    doc.
+
+    ``vocab_top_k`` is the 100 TB knob: keep only the top-K vocab
+    entries by count (deterministic ties on token asc) and BROADCAST
+    them — the scoring join then never shuffles the corpus. Tail tokens
+    score at the smoothing floor ln(1/(n_total+n_vocab)), exactly what
+    add-one smoothing assigns a count-0 token; totals still reflect the
+    full corpus, so head-token probabilities are unchanged. Vocab
+    follows Zipf, so K in the low millions (a few hundred MB broadcast)
+    covers >99.9% of token mass. Default None = exact (the
+    oracle-matched form).
     """
     toks = _tokens(df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t")), "__t", [id_col])
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     totals = vocab.agg(
         F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
     )
-    scored = (
-        toks.join(vocab, "token")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            F.col(id_col),
-            F.log((F.col("cnt") + 1) / (F.col("n_total") + F.col("n_vocab"))).alias("lp"),
+    if vocab_top_k is not None:
+        # orderBy+limit plans as TakeOrderedAndProject — distributed
+        # partial top-K per partition, never a single-partition sort
+        head = vocab.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+            vocab_top_k
         )
-    )
+        scored = (
+            toks.join(F.broadcast(head), "token", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.col(id_col),
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    / (F.col("n_total") + F.col("n_vocab"))
+                ).alias("lp"),
+            )
+        )
+    else:
+        scored = (
+            toks.join(vocab, "token")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.col(id_col),
+                F.log((F.col("cnt") + 1) / (F.col("n_total") + F.col("n_vocab"))).alias("lp"),
+            )
+        )
     return scored.groupBy(id_col).agg(
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),

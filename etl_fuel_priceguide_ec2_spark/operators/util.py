@@ -15,6 +15,12 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     no-op (we only repartition when the input has FEWER partitions than
     the cluster's parallelism — never an extra shuffle on big inputs).
     """
+    if df.isStreaming:
+        # streaming relations can't be partition-probed (df.rdd is a
+        # batch-only API) and get their parallelism from the source's
+        # partitioning per micro-batch — pass through untouched so every
+        # map-only operator here stays streaming-compatible
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -540,3 +540,51 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
     ).collect()[0]
     for approx, exact in zip(got.ap, got.ex):
         assert abs(approx - exact) / exact < 0.02
+
+
+def test_unigram_vocab_cap_matches_exact_when_generous(spark, sf_dir):
+    """vocab_top_k large enough to hold the whole vocabulary must equal
+    the exact scorer bit-for-bit (the cap only changes TAIL tokens);
+    a tight cap floors tail tokens, so scores can only decrease."""
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r.doc_id: r.avg_logprob
+             for r in textops.unigram_logprob_score(docs, "doc_id", "text").collect()}
+    capped_all = {r.doc_id: r.avg_logprob
+                  for r in textops.unigram_logprob_score(
+                      docs, "doc_id", "text", vocab_top_k=10_000_000).collect()}
+    assert capped_all == exact
+
+    tight = {r.doc_id: r.avg_logprob
+             for r in textops.unigram_logprob_score(
+                 docs, "doc_id", "text", vocab_top_k=50).collect()}
+    assert set(tight) == set(exact)
+    assert all(tight[d] <= exact[d] + 1e-9 for d in exact)
+
+
+def test_curation_gates_are_streaming_compatible(spark, sf_dir, tmp_path):
+    """The map-only curation gates (quality, repetition, PII scrub) must
+    run unchanged on a readStream source — stateless per-row selects are
+    the streaming-safe subset, and this pins that none of them silently
+    grows a batch-only dependency (collect, global window, ...)."""
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    scrub = textops.scrub_pii(stream, "doc_id", "text")
+    q = textops.quality_score(stream, "doc_id", "text")
+    r = textops.repetition_signals(stream, "doc_id", "text")
+
+    out = str(tmp_path / "out")
+    for i, df in enumerate([scrub, q, r]):
+        (df.writeStream.format("parquet")
+           .option("path", f"{out}/{i}")
+           .option("checkpointLocation", f"{out}/cp{i}")
+           .trigger(availableNow=True)
+           .start()
+           .awaitTermination(120))
+        assert spark.read.parquet(f"{out}/{i}").count() == docs.count()

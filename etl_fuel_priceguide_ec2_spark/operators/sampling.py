@@ -1,0 +1,87 @@
+"""Deterministic dataset splitting & mixture sampling for training-data
+pipelines.
+
+Both operators key every decision on a 60-bit md5-derived hash of the
+row's id — no RNG state, no ordering dependence, no partitioning
+dependence: the same row lands in the same split/sample on any cluster,
+any partition count, any engine (the hash is bit-identical in DuckDB
+via ``CAST('0x'||substring(md5(id),1,15) AS BIGINT)``, so both are
+fully oracle-checkable — unlike ``sample()``/``randomSplit``, whose
+membership is partition-dependent).
+
+100 TB notes: both are pure per-row map work (the when-chain compiles
+into codegen); zero shuffles, zero actions. Changing split fractions
+re-buckets only the moved mass (consistent-hashing property of
+thresholding one stable hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 10^4 buckets on the 60-bit hash: granularity 0.01% with exact integer
+# thresholds (fraction * 10_000 must be integral — enforced).
+_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: str) -> Column:
+    """Stable per-row bucket in [0, _BUCKETS): top-60-bits-of-md5 of the
+    stringified id, mod buckets. Cross-engine reproducible."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return h % _BUCKETS
+
+
+def hash_split(df: DataFrame, id_col: str, fractions: dict[str, float]) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split by
+    deterministic hash thresholding. ``fractions`` must sum to 1 and be
+    multiples of 1/10000 (exact integer thresholds — no float boundary
+    ambiguity). Contiguous bucket ranges in dict order."""
+    total = round(sum(fractions.values()), 9)
+    if total != 1.0:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bounds: list[tuple[str, int]] = []
+    acc = 0
+    for name, frac in fractions.items():
+        ticks = frac * _BUCKETS
+        if abs(ticks - round(ticks)) > 1e-9:
+            raise ValueError(f"fraction {frac} for '{name}' is not a multiple of 1/{_BUCKETS}")
+        acc += int(round(ticks))
+        bounds.append((name, acc))
+    bucket = _hash_bucket(id_col)
+    expr: Column = F.lit(bounds[-1][0])  # fallback = last split
+    col = None
+    for name, upper in bounds:
+        cond = bucket < upper
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    # when-chain evaluates in order, first match wins; final otherwise
+    # is unreachable (acc == _BUCKETS) but keeps the column non-null
+    return df.withColumn("split", col.otherwise(expr))
+
+
+def mixture_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep a row iff its hash
+    bucket falls under its stratum's rate (e.g. lang weights for a
+    training mix). Strata absent from ``rates`` are dropped. Rates are
+    multiples of 1/10000, checked like hash_split."""
+    for name, rate in rates.items():
+        ticks = rate * _BUCKETS
+        if abs(ticks - round(ticks)) > 1e-9:
+            raise ValueError(f"rate {rate} for '{name}' is not a multiple of 1/{_BUCKETS}")
+        if not 0 <= rate <= 1:
+            raise ValueError(f"rate {rate} for '{name}' outside [0, 1]")
+    bucket = _hash_bucket(id_col)
+    threshold: Column | None = None
+    for name, rate in rates.items():
+        ticks = F.lit(int(round(rate * _BUCKETS)))
+        threshold = (
+            F.when(F.col(strata_col) == name, ticks)
+            if threshold is None
+            else threshold.when(F.col(strata_col) == name, ticks)
+        )
+    threshold = threshold.otherwise(F.lit(0)) if threshold is not None else F.lit(0)
+    return df.filter(bucket < threshold)

@@ -98,6 +98,13 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
     import os
     import shutil
 
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # a previous compaction crashed between the two renames: the
+        # complete pre-compaction tree is still at .old — restore it
+        # before doing anything else
+        os.rename(old, path)
+
     df = spark.read.parquet(path)
     partition_cols = [c for c in df.columns if c in ("run_date", "run_id")]
     tmp = path.rstrip("/") + ".compacting"
@@ -124,8 +131,7 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
     # swap with a rename-aside: the live path is missing only between
     # the two renames (microseconds), and the old data survives at
     # path.old until the new tree is in place — a crash at any point
-    # leaves at least one complete copy on disk.
-    old = path.rstrip("/") + ".old"
+    # leaves at least one complete copy on disk (recovered above).
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

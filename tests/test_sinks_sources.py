@@ -588,3 +588,27 @@ def test_curation_gates_are_streaming_compatible(spark, sf_dir, tmp_path):
            .start()
            .awaitTermination(120))
         assert spark.read.parquet(f"{out}/{i}").count() == docs.count()
+
+
+def test_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """If a prior compaction died between its two renames (live path
+    gone, complete tree parked at .old), the next compact() must
+    restore and proceed — no data loss, no manual surgery."""
+    import os
+    import shutil
+
+    from etl_fuel_priceguide_ec2_spark.plans import pipeline as pl
+
+    path = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events")
+    sinks.append_fact(pl.build_fact_append(ev, "2024-02-01 00:00:00"), path)
+    n = spark.read.parquet(path).count()
+
+    # simulate the crash window: live dir renamed aside, new tree lost
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+
+    sinks.compact(spark, path, target_partitions=1)
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + ".old")
+    shutil.rmtree(path)

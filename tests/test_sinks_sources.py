@@ -324,6 +324,18 @@ def test_operators_handle_empty_input(spark, sf_dir):
     assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count() == 0
     assert dedup.minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
 
+    from etl_fuel_priceguide_ec2_spark.operators import sampling, textops
+
+    assert dedup.simhash_near_pairs(docs, "doc_id", "text").count() == 0
+    assert textops.repetition_signals(docs, "doc_id", "text").count() == 0
+    assert textops.unigram_logprob_score(docs, "doc_id", "text").count() == 0
+    assert textops.contamination_check(
+        docs, docs.select(F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")),
+        "doc_id", "text", "bench_id", "bench_text",
+    ).count() == 0
+    assert sampling.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1}).count() == 0
+    assert sampling.mixture_sample(docs, "doc_id", "lang", {"en": 0.5}).count() == 0
+
 
 def test_example_pipeline_end_to_end(tmp_path):
     """examples/fuel_priceguide_pipeline.py — the reference user's full

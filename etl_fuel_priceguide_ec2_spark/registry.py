@@ -3629,3 +3629,47 @@ def q_mixture_sample_by_lang(spark, sf_dir):
     return sampling.mixture_sample(
         docs, "doc_id", "lang", {"en": 0.50, "de": 1.0, "fr": 0.25}
     )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    """Q19 shape: disjunctive multi-clause predicate over a broadcast
+    dim join. The per-table conjuncts (p_brand/p_size on part,
+    l_quantity on lineitem) are what Catalyst can factor out and push
+    below the join; the cross-table OR evaluates post-join — exactly
+    the split a 100 TB scan needs."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

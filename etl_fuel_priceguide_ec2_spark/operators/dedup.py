@@ -78,9 +78,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool | str = "auto",
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """X2 (exact verify path): near-dup pairs by word n-gram Jaccard.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``collapse_identical``: group docs whose DISTINCT shingle sets are
+    identical and mine pairs over one representative per group, then
+    expand back — intra-group pairs are emitted directly (J = 1.0 by
+    definition), cross-group pairs replicate the representative pair's
+    Jaccard to every member combination. Exact same output, but the
+    quadratic mining stage sees unique SETS instead of documents. The
+    web-corpus shortcut when exact dedup (X1) hasn't run first:
+    mirror/boilerplate families collapse to one node each. Costs one
+    extra groupBy of 8-byte sorted hash arrays; off by default (a
+    deduped corpus gains nothing).
 
     With ``prefix_filter``: PPJoin-style exact set-similarity
     join. Each doc's shingles are ordered by ascending global document
@@ -108,120 +120,164 @@ def ngram_jaccard_pairs(
     ``False``/``True`` to skip the probe.
     """
     sets = _shingle_array(df, id_col, text_col, n)
-    if prefix_filter == "auto":
-        # Adaptive path selection from sampled shingle document
-        # frequency: the naive inverted-index join blows up as Σ df² on
-        # hot shingles, so if any sampled shingle appears in >2% of
-        # sampled docs (boilerplate/templates), pay the PPJoin prefix
-        # pass; on skew-free corpora skip it (measured 2× faster).
-        # persist the sampled shingle arrays: the probe needs two
-        # aggregates (per-shingle df, sampled doc count) and without the
-        # persist each re-runs the scan + shingle transform
-        sample = sets.sample(fraction=0.05, seed=42).persist()
-        agg = (
-            sample.select(F.explode("shingles").alias("s"))
-            .groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(
-                F.max("df").alias("max_df"),
-                F.sum("df").alias("n_postings"),
+
+    def _mine(sets: DataFrame) -> DataFrame:
+        pf = prefix_filter
+        if pf == "auto":
+            # Adaptive path selection from sampled shingle document
+            # frequency: the naive inverted-index join blows up as Σ df² on
+            # hot shingles, so if any sampled shingle appears in >2% of
+            # sampled docs (boilerplate/templates), pay the PPJoin prefix
+            # pass; on skew-free corpora skip it (measured 2× faster).
+            # persist the sampled shingle arrays: the probe needs two
+            # aggregates (per-shingle df, sampled doc count) and without the
+            # persist each re-runs the scan + shingle transform
+            sample = sets.sample(fraction=0.05, seed=42).persist()
+            agg = (
+                sample.select(F.explode("shingles").alias("s"))
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(
+                    F.max("df").alias("max_df"),
+                    F.sum("df").alias("n_postings"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        n_sampled = sample.count()
-        sample.unpersist()
-        prefix_filter = bool(
-            agg.max_df is not None
-            and agg.max_df >= max(8.0, 0.02 * n_sampled)
-        )
-    if not prefix_filter:
-        # join on xxhash64 of the shingle, not the string: 8-byte shuffle
-        # keys instead of 20-40-byte strings → measured 3× faster at
-        # sf0.1 with identical results (64-bit collision odds across a
-        # corpus-wide shingle vocabulary V are ~V²/2⁶⁵ — at V=10⁹ that
-        # is ~3%, so at extreme scale either accept ±1 on n_common or
-        # flip to prefix_filter, which verifies on exact arrays)
-        hashes = F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
-        sh = sets.select(
+            n_sampled = sample.count()
+            sample.unpersist()
+            pf = bool(
+                agg.max_df is not None
+                and agg.max_df >= max(8.0, 0.02 * n_sampled)
+            )
+        if not pf:
+            # join on xxhash64 of the shingle, not the string: 8-byte shuffle
+            # keys instead of 20-40-byte strings → measured 3× faster at
+            # sf0.1 with identical results (64-bit collision odds across a
+            # corpus-wide shingle vocabulary V are ~V²/2⁶⁵ — at V=10⁹ that
+            # is ~3%, so at extreme scale either accept ±1 on n_common or
+            # flip to prefix_filter, which verifies on hashed arrays)
+            hashes = F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+            sh = sets.select(
+                F.col(id_col),
+                F.size(hashes).alias("set_size"),
+                F.explode(hashes).alias("sh"),
+            )
+            a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh")
+            b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh")
+            inter = (
+                a.join(b, "sh")
+                .filter(F.col("id_a") < F.col("id_b"))
+                # length filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+                # (since |A∩B| <= min and |A∪B| >= max). Prunes candidate
+                # pair-rows BEFORE the count aggregate — on length-skewed
+                # corpora this is the difference between the agg seeing
+                # O(true pairs) vs O(co-occurrences).
+                .filter(
+                    F.least("size_a", "size_b")
+                    >= F.lit(threshold) * F.greatest("size_a", "size_b")
+                )
+                .groupBy("id_a", "id_b", "size_a", "size_b")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+            )
+            return (
+                inter.withColumn(
+                    "jaccard",
+                    F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            )
+
+        # everything below runs on 8-byte xxhash64 shingle keys, never the
+        # strings (same accepted 64-bit collision tradeoff as the naive path
+        # and the LSH verify): the df aggregate, the per-doc sort structs,
+        # and the prefix join shuffle long keys instead of 20-40-byte
+        # strings. Measured ~15% on the skewed benchmark locally (CPU-bound
+        # there); the byte-size win compounds at real network-shuffle scale.
+        hsets = sets.select(
             F.col(id_col),
-            F.size(hashes).alias("set_size"),
-            F.explode(hashes).alias("sh"),
+            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingles"),
         )
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh")
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh")
-        inter = (
-            a.join(b, "sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            # length filter: J >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
-            # (since |A∩B| <= min and |A∪B| >= max). Prunes candidate
-            # pair-rows BEFORE the count aggregate — on length-skewed
-            # corpora this is the difference between the agg seeing
-            # O(true pairs) vs O(co-occurrences).
-            .filter(
-                F.least("size_a", "size_b")
-                >= F.lit(threshold) * F.greatest("size_a", "size_b")
+        sh = hsets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # order each doc's shingles by (df asc, hash) — rare first; any
+        # total order shared by all docs satisfies the PPJoin prefix
+        # theorem — and keep only the prefix any qualifying pair must hit
+        ordered = (
+            sh.join(freq, "shingle")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+            .select(
+                F.col(id_col),
+                F.slice(
+                    F.transform("ord", lambda x: x["shingle"]),
+                    1,
+                    (F.size("ord") - F.ceil(F.lit(threshold) * F.size("ord")) + 1).cast("int"),
+                ).alias("prefix"),
             )
-            .groupBy("id_a", "id_b", "size_a", "size_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
         )
+        pre = ordered.select(F.col(id_col), F.explode("prefix").alias("shingle"))
+        candidates = (
+            pre.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(pre.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = hsets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = hsets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
         return (
-            inter.withColumn(
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
                 "jaccard",
-                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
             )
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         )
 
-    # everything below runs on 8-byte xxhash64 shingle keys, never the
-    # strings (same accepted 64-bit collision tradeoff as the naive path
-    # and the LSH verify): the df aggregate, the per-doc sort structs,
-    # and the prefix join shuffle long keys instead of 20-40-byte
-    # strings. Measured ~15% on the skewed benchmark locally (CPU-bound
-    # there); the byte-size win compounds at real network-shuffle scale.
-    hsets = sets.select(
+
+    if not collapse_identical:
+        return _mine(sets)
+
+    # collapse identical distinct-shingle sets: mine over one
+    # representative per unique set, expand pairs back to members
+    hs = sets.select(
         F.col(id_col),
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingles"),
+        F.sort_array(
+            F.array_distinct(F.transform("shingles", lambda x: F.xxhash64(x)))
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)  # empty-set docs never pair (as in direct mining)
+    groups = hs.groupBy("hs").agg(
+        F.min(id_col).alias("rep"), F.collect_list(id_col).alias("members")
     )
-    sh = hsets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # order each doc's shingles by (df asc, hash) — rare first; any
-    # total order shared by all docs satisfies the PPJoin prefix
-    # theorem — and keep only the prefix any qualifying pair must hit
-    ordered = (
-        sh.join(freq, "shingle")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
-        .select(
-            F.col(id_col),
-            F.slice(
-                F.transform("ord", lambda x: x["shingle"]),
-                1,
-                (F.size("ord") - F.ceil(F.lit(threshold) * F.size("ord")) + 1).cast("int"),
-            ).alias("prefix"),
-        )
-    )
-    pre = ordered.select(F.col(id_col), F.explode("prefix").alias("shingle"))
-    candidates = (
-        pre.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(pre.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+    intra = (
+        groups.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("id_a"), F.col("members"))
+        .select("id_a", F.explode("members").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .withColumn("jaccard", F.lit(1.0))
     )
-    sa = hsets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = hsets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
+    rep_sets = sets.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs = _mine(rep_sets)
+    ga = groups.select(F.col("rep").alias("id_a"), F.col("members").alias("ma"))
+    gb = groups.select(F.col("rep").alias("id_b"), F.col("members").alias("mb"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("ma").alias("a"), "mb", "jaccard")
+        .select("a", F.explode("mb").alias("b"), "jaccard")
+        .select(
+            F.least("a", "b").alias("id_a"),
+            F.greatest("a", "b").alias("id_b"),
             "jaccard",
-            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return intra.unionByName(cross)
 
 
 def minhash_signatures(

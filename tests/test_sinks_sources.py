@@ -624,3 +624,33 @@ def test_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == n
     assert not os.path.exists(path + ".old")
     shutil.rmtree(path)
+
+
+def test_ngram_collapse_identical_matches_direct(spark, sf_dir):
+    """collapse_identical must produce the exact pair set of direct
+    mining on a corpus with exact-duplicate families — intra-family
+    pairs at J=1.0, cross pairs replicated from the representative —
+    while the mining stage sees only unique shingle sets."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    clones = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    corpus = base.select("doc_id", "text").unionByName(clones)
+
+    direct = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", prefix_filter=False
+        ).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", prefix_filter=False, collapse_identical=True
+        ).collect()
+    }
+    assert collapsed == direct
+    # every clone family must contribute its J=1.0 intra pair
+    assert all((d, d + 10_000) in {(a, b) for a, b, _ in collapsed} for d in range(20))

@@ -46,6 +46,12 @@ HEADLINE = [
     "grouping_sets_customer",
     "cohort_retention",
     "dedup_ngram_jaccard_auto_skew",
+    # appended round 3: the TPC-H analytics tier enters the perf series
+    # (NB round 3 also re-anchored interval_join_recent_events — its
+    # series breaks at r03 by design; the old form compared 0 rows)
+    "q7_volume_shipping",
+    "q10_returned_top_customers",
+    "q19_disjunctive_revenue",
 ]
 
 

@@ -71,6 +71,53 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def corpus_skew_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    fraction: float = 0.05,
+    seed: int = 42,
+) -> dict:
+    """Sampled shingle-frequency statistic driving the SSJoin path choice
+    (see ``ngram_jaccard_pairs(prefix_filter="auto")``). Returns
+    ``{"max_df": int|None, "n_sampled": int}`` from a ``fraction`` sample.
+
+    Intended to be computed ONCE per corpus — at ingest, alongside the
+    table's other catalog statistics — and passed to every subsequent
+    ``ngram_jaccard_pairs(..., skew_stats=...)`` call. At 100 TB the
+    probe is a multi-TB sample scan; re-deriving it per query (the
+    fallback when ``skew_stats`` is omitted) is the worst-case pattern,
+    not the production one. Two small jobs over a persisted sample:
+    per-shingle df folded to its max, and the sampled doc count (without
+    the persist each aggregate re-runs the scan + shingle transform).
+    """
+    sets = _shingle_array(df, id_col, text_col, n)
+    sample = sets.sample(fraction=fraction, seed=seed).persist()
+    try:
+        row = (
+            sample.select(F.explode("shingles").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("max_df"))
+            .collect()[0]
+        )
+        n_sampled = sample.count()
+    finally:
+        sample.unpersist()
+    return {"max_df": row.max_df, "n_sampled": n_sampled}
+
+
+def decide_prefix_path(skew_stats: dict) -> bool:
+    """Path decision from a precomputed corpus statistic: pay the PPJoin
+    prefix pass iff a sampled shingle is 'hot' (appears in >=2% of
+    sampled docs, floor 8) — the Σdf² blow-up regime of the naive
+    inverted-index join."""
+    max_df = skew_stats.get("max_df")
+    n_sampled = skew_stats.get("n_sampled", 0)
+    return bool(max_df is not None and max_df >= max(8.0, 0.02 * n_sampled))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -79,6 +126,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     prefix_filter: bool | str = "auto",
     collapse_identical: bool = False,
+    skew_stats: dict | None = None,
 ) -> DataFrame:
     """X2 (exact verify path): near-dup pairs by word n-gram Jaccard.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
@@ -129,26 +177,16 @@ def ngram_jaccard_pairs(
             # hot shingles, so if any sampled shingle appears in >2% of
             # sampled docs (boilerplate/templates), pay the PPJoin prefix
             # pass; on skew-free corpora skip it (measured 2× faster).
-            # persist the sampled shingle arrays: the probe needs two
-            # aggregates (per-shingle df, sampled doc count) and without the
-            # persist each re-runs the scan + shingle transform
-            sample = sets.sample(fraction=0.05, seed=42).persist()
-            agg = (
-                sample.select(F.explode("shingles").alias("s"))
-                .groupBy("s")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .agg(
-                    F.max("df").alias("max_df"),
-                    F.sum("df").alias("n_postings"),
-                )
-                .collect()[0]
+            # ``skew_stats`` (computed once per corpus via
+            # corpus_skew_stats, stored with the table) makes the decision
+            # free; omitting it re-probes per call — the worst case at
+            # scale (a 5% sample scan per invocation).
+            stats = (
+                skew_stats
+                if skew_stats is not None
+                else corpus_skew_stats(df, id_col, text_col, n)
             )
-            n_sampled = sample.count()
-            sample.unpersist()
-            pf = bool(
-                agg.max_df is not None
-                and agg.max_df >= max(8.0, 0.02 * n_sampled)
-            )
+            pf = decide_prefix_path(stats)
         if not pf:
             # join on xxhash64 of the shingle, not the string: 8-byte shuffle
             # keys instead of 20-40-byte strings → measured 3× faster at
@@ -564,58 +602,54 @@ def connected_components(
         # (the expensive SSJoin/LSH) each round
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "component_id", F.col("node")
-    )
-
+    spark = pairs.sparkSession
     # right-size the iteration shuffles to the graph, not the session:
     # each round is join+agg over the edge relation, and paying the
     # session-wide shuffle.partitions (e.g. 200) on a small graph is
     # pure task overhead that AQE can't fully claw back through the
-    # per-round localCheckpoint materialization. Measured 2x at sf0.01
-    # under vanilla-session defaults. Scoped override, restored in
-    # finally (driver-side conf — don't run concurrent jobs on the same
-    # session while a CC loop is in flight).
-    spark = pairs.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # per-round localCheckpoint materialization. Expressed PER-PLAN via
+    # repartition(target, key) on the loop relations (ADVICE r02: a
+    # session-wide conf flip leaks to concurrent queries on the same
+    # session) — the explicit hash partitioning on the join/group keys
+    # caps every loop shuffle at `target` without touching session conf.
+    n_edges = edges.count()
+    target = max(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1)
     try:
-        n_edges = edges.count()
-        target = max(
-            spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1
+        sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        sess_parts = target  # non-numeric (e.g. "auto") — keep our sizing
+    if target >= sess_parts:
+        target = sess_parts  # never scale ABOVE the session's choice
+    edges = edges.repartition(target, "dst")
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component_id", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.repartition(target, "node"), edges.dst == labels.node)
+            .repartition(target, "src")
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
         )
-        shrink = False
-        try:
-            shrink = target < int(prev)
-        except ValueError:
-            pass  # non-numeric (e.g. "auto") — leave the session's choice
-        if shrink:
-            spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("component_id").alias("nbr_min"))
+        new_min = F.least(
+            F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+        )
+        # checkpoint FIRST (truncates lineage, materializes the round's
+        # join+agg exactly once), then run the convergence probe against
+        # the materialized result — the probe is then a near-free local
+        # filter instead of a second full recomputation of the round
+        new_labels = (
+            labels.repartition(target, "node")
+            .join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                new_min.alias("component_id"),
+                (new_min != F.col("component_id")).alias("_changed"),
             )
-            new_min = F.least(
-                F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
-            )
-            # checkpoint FIRST (truncates lineage, materializes the round's
-            # join+agg exactly once), then run the convergence probe against
-            # the materialized result — the probe is then a near-free local
-            # filter instead of a second full recomputation of the round
-            new_labels = (
-                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                .select(
-                    "node",
-                    new_min.alias("component_id"),
-                    (new_min != F.col("component_id")).alias("_changed"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = new_labels.filter(F.col("_changed")).limit(1).count()
-            labels = new_labels.drop("_changed")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
     return labels.select(F.col("node").alias("doc_id"), "component_id")

@@ -169,7 +169,20 @@ def cosine_topk_rplsh(
     hp = rng.standard_normal((planes, dim))
 
     def _sig(df: DataFrame) -> DataFrame:
-        v = F.col("v")
+        # Loud dim check (ADVICE r02): with a wrong caller-supplied dim,
+        # zip_with null-pads the mismatched arrays, the fold aggregates
+        # to NULL, when(NULL >= 0) falls to otherwise(0), and every
+        # signature silently collapses to bucket 0 — wrong AND slow with
+        # no error. Fail the job instead.
+        v = F.when(F.size("v") == F.lit(dim), F.col("v")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cosine_topk_rplsh: vector width != dim={dim} (got "),
+                    F.size("v").cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
         bits = [
             (
                 F.when(

@@ -61,65 +61,71 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-2 window: the 4 round-1 red rows (now fixed) + 46 of the 59
-# queries round 1 never reached; the 13 deferred function batteries
-# (date/null/numeric/regexp/map/higher-order/conditional/union/variant/
-# try/bitwise/csv/posexplode) rotate in next round.
+# Round-3 window: the 26 queries no driver round has ever checked (the
+# 13 function batteries deferred from round 1 + the 13 round-2 ops,
+# incl. all 6 TPC-H shapes and the curation/sampling tier), the 2
+# round-2 HUGEINT reds (now CAST-fixed), the 3 ANN variants that gained
+# full value-level oracles this round, the de-vacuated interval join,
+# and 18 regression re-verifications of round-1 greens (flagship asof /
+# dedup / similarity / ETL core) so rotated-out queries don't go
+# externally unwatched (ADVICE r02).
 _ROUND_PRIORITY: list[str] = [
-    # fixed round-1 reds — must re-verify green
-    "dedup_simhash",
-    "sessionize_events",
-    "pivot_event_counts",
-    "array_battery",
-    # §2 rows that missed the round-1 window (W4, P6)
-    "array_element_access",
-    "json_error_tolerance",
-    # SCD2 / analytics tier
-    "scd2_dim_versions",
-    "scd2_time_travel",
-    "grouping_sets_customer",
-    "cube_nation_segment",
-    "stats_battery",
-    "dedup_clusters",
-    # LLM-pipeline tier
-    "chunk_documents",
-    "pack_chunks",
-    "scrub_pii",
-    "stratified_take_per_lang",
-    "normalize_text",
-    "multimodal_resize",
+    # --- round-2 reds, fixed (CAST(SUM AS BIGINT) oracles) ---
+    "data_quality_metrics",
+    "key_skew_profile",
+    # --- de-vacuated: re-anchored on purchase events, >0 rows now ---
+    "interval_join_recent_events",
+    # --- ANN tier: full DuckDB-mirror oracles added this round ---
     "similarity_topk_rplsh",
     "similarity_topk_int8",
     "similarity_pandas_udf",
-    "embedding_norm_stats",
-    "deterministic_sample",
-    "salted_join_skewed_flag",
-    "except_all_multiset",
-    "intersect_all_multiset",
-    "interval_join_recent_events",
-    "price_histogram",
-    "data_quality_metrics",
-    "correlated_subquery_max_order",
-    "moving_avg_range_frame",
-    "ranking_battery",
-    "session_window_agg",
-    "unpivot_line_metrics",
-    "join_types_matrix",
-    "value_window_battery",
-    "gap_fill_forward",
-    "exists_segments",
-    "window_count_distinct",
-    "shipping_priority_top10",
-    "fuzzy_brand_pairs",
-    "having_large_qty_customers",
-    "lateral_topk_orders",
-    "revenue_share_by_nation",
-    "promo_revenue_share",
-    "key_skew_profile",
-    "rolling_7d_distinct_users",
-    "cohort_retention",
-    "explode_outer_null_preserving",
-    "most_frequent_event_type",
+    # --- 13 function batteries deferred since round 1 ---
+    "date_function_battery",
+    "null_semantics_battery",
+    "numeric_battery",
+    "regexp_extract_groups",
+    "posexplode_tokens",
+    "map_functions_battery",
+    "higher_order_array_battery",
+    "conditional_agg_battery",
+    "union_by_name_feeds",
+    "variant_json_battery",
+    "try_functions_battery",
+    "bitwise_battery",
+    "csv_roundtrip_battery",
+    # --- 13 round-2 additions, never yet in a window ---
+    "dedup_ngram_jaccard_auto_skew",
+    "contamination_check",
+    "repetition_signals",
+    "unigram_quality",
+    "hash_split_train_val_test",
+    "mixture_sample_by_lang",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_top_customers",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    # --- regression net: round-1 greens re-entering the window ---
+    "asof_latest_per_key",
+    "asof_join_orders_events",
+    "latest_via_max_by",
+    "asof_point_lookup",
+    "etl_pipeline_dim",
+    "upsert_new_keys",
+    "upsert_merged_dim",
+    "enrichment_join",
+    "snapshot_diff",
+    "dedup_exact",
+    "dedup_last_wins",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "revenue_by_nation",
 ]
 
 
@@ -748,22 +754,45 @@ _NGRAM_SKEW_ORACLE = (
 )
 
 
-@register("dedup_ngram_jaccard_auto_skew", _NGRAM_SKEW_ORACLE)
-def q_dedup_ngram_jaccard_auto_skew(spark, sf_dir):
-    """prefix_filter='auto' on a hot-shingle corpus: the 5% df sample
-    detects the boilerplate skew and selects the PPJoin prefix path
-    (the naive inverted index would blow up as sum(df^2) here)."""
+# corpus skew statistic cache, keyed on corpus dir — stands in for the
+# catalog: corpus_skew_stats is computed once per corpus (at "ingest")
+# and every subsequent auto-path SSJoin reuses it, so the 5% probe scan
+# is amortized across calls instead of paid per query (at 100 TB the
+# per-call probe is a multi-TB sample scan — VERDICT r02 item 6).
+_SKEW_STATS_CACHE: dict[str, dict] = {}
+
+
+def _boilerplate_docs(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    return load_table(spark, sf_dir, "documents").withColumn(
         "text",
         F.concat(
             F.trim(F.col("text")),
             F.lit(" legal disclaimer all rights reserved contact us"),
         ),
     )
+
+
+@register("dedup_ngram_jaccard_auto_skew", _NGRAM_SKEW_ORACLE)
+def q_dedup_ngram_jaccard_auto_skew(spark, sf_dir):
+    """prefix_filter='auto' on a hot-shingle corpus: the sampled df
+    statistic detects the boilerplate skew and selects the PPJoin prefix
+    path (the naive inverted index would blow up as sum(df^2) here).
+    The statistic is computed once per corpus and cached (the catalog
+    pattern) — the decision is free on every call after the first."""
+    docs = _boilerplate_docs(spark, sf_dir)
+    key = f"{sf_dir}:boilerplate"
+    if key not in _SKEW_STATS_CACHE:
+        _SKEW_STATS_CACHE[key] = dedup.corpus_skew_stats(docs, "doc_id", "text", n=3)
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter="auto"
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        prefix_filter="auto",
+        skew_stats=_SKEW_STATS_CACHE[key],
     )
 
 
@@ -1692,7 +1721,30 @@ def q_embedding_norm_stats(spark, sf_dir):
     )
 
 
-@register("similarity_pandas_udf", None)  # numpy matmul sum order ≠ sequential fold: rows-only
+@register(
+    "similarity_pandas_udf",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS qn
+      FROM embeddings WHERE vec_id = 0
+    )
+    -- numpy's matmul sums in a different order than a sequential fold,
+    -- but both engines agree after ROUND(.., 4) (divergence ~1e-15 —
+    -- a boundary hit would need a cosine within 1e-13 of a 5e-5 step)
+    SELECT vec_id, ROUND(cos_raw, 4) AS cosine FROM (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) * q.qn) AS cos_raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id > 0
+      ORDER BY cos_raw DESC, e.vec_id ASC
+      LIMIT 10
+    )
+    """,
+)
 def q_similarity_pandas_udf(spark, sf_dir):
     """X3 pandas_udf variant: Arrow-batched numpy cosine against one
     query vector — the plumbing for very wide vectors where matmul
@@ -1715,32 +1767,40 @@ def q_similarity_pandas_udf(spark, sf_dir):
 @register(
     "interval_join_recent_events",
     """
-    SELECT o.o_orderkey, COUNT(e.event_id) AS n_recent_events,
+    WITH anchors AS (
+      SELECT event_id AS anchor_id, user_id, ts AS anchor_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.anchor_id, COUNT(e.event_id) AS n_recent_events,
            CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM orders o
+    FROM anchors a
     JOIN events e
-      ON e.user_id = o.o_custkey
-     AND e.ts <= o.o_orderdate
-     AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
-    WHERE o.o_custkey < 150
-    GROUP BY o.o_orderkey
+      ON e.user_id = a.user_id
+     AND e.ts <= a.anchor_ts
+     AND e.ts >= a.anchor_ts - INTERVAL 7 DAY
+    GROUP BY a.anchor_id
     """,
 )
 def q_interval_join_recent_events(spark, sf_dir):
     """Range join via day-bucket replication (see
-    joins.interval_join_recent): each order aggregates its user's events
-    from the trailing 7 days. The oracle is the naive BETWEEN join —
-    same rows, scalable plan."""
+    joins.interval_join_recent): each purchase event aggregates the same
+    user's events from the trailing 7 days (attribution-window shape).
+    The oracle is the naive BETWEEN join — same rows, scalable plan.
+    (Round-3 re-anchor: the former orders-vs-events form compared 0 rows
+    at sf0.01 because the fixtures' date ranges never overlap — vacuous.)
+    """
     from pyspark.sql import functions as F
 
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150).select(
-        "o_orderkey", "o_orderdate", F.col("o_custkey").alias("user_id")
-    )
     events = load_table(spark, sf_dir, "events")
-    joined = joins.interval_join_recent(
-        orders, events, key="user_id", left_ts="o_orderdate", right_ts="ts", lookback_days=7
+    anchors = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("anchor_ts"),
     )
-    return joined.groupBy("o_orderkey").agg(
+    joined = joins.interval_join_recent(
+        anchors, events, key="user_id", left_ts="anchor_ts", right_ts="ts", lookback_days=7
+    )
+    return joined.groupBy("anchor_id").agg(
         F.count("event_id").alias("n_recent_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
@@ -1778,9 +1838,9 @@ def q_price_histogram(spark, sf_dir):
     """
     SELECT 'c_acctbal' AS column_name,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS n_null,
-           SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 ELSE 0 END)
-             AS n_out_of_range,
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_out_of_range,
            COUNT(DISTINCT c_custkey) AS n_distinct_keys,
            COUNT(*) - COUNT(DISTINCT c_custkey) AS n_duplicate_keys
     FROM customer
@@ -1805,11 +1865,67 @@ def q_data_quality_metrics(spark, sf_dir):
     )
 
 
-@register("similarity_topk_rplsh", None)  # ANN: recall<1 by design → rows-only
+def _rplsh_oracle_sql(planes: int = 6, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    """Full cross-engine mirror of similarity.cosine_topk_rplsh: the
+    seeded numpy hyperplanes are inlined as DOUBLE literals (repr is an
+    exact float64 round-trip), signatures/probes/cosines recomputed in
+    DuckDB with the same left-fold order as Spark's F.aggregate, so the
+    ANN result — recall < 1 and all — is value-compared, not rows-only."""
+    import numpy as np
+
+    hp = np.random.default_rng(seed).standard_normal((planes, dim))
+    hp_rows = ",\n        ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in hp[j])}]::DOUBLE[])"
+        for j in range(planes)
+    )
+    masks = [0] + [1 << j for j in range(planes)] + [
+        (1 << a) | (1 << b) for a in range(planes) for b in range(a + 1, planes)
+    ]
+    return f"""
+    WITH hp(j, h) AS (
+      VALUES
+        {hp_rows}
+    ), base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ), sigged AS (
+      SELECT b.vec_id,
+             CAST(SUM(CASE WHEN list_reduce(
+                                  list_transform(range(1, {dim + 1}), i -> b.v[i] * hp.h[i]),
+                                  (a, c) -> a + c) >= 0
+                           THEN (CAST(1 AS BIGINT) << hp.j) ELSE 0 END) AS BIGINT) AS sig
+      FROM base b CROSS JOIN hp
+      GROUP BY b.vec_id
+    ), csig AS (
+      SELECT s.vec_id, s.sig, b.v, b.nrm FROM sigged s JOIN base b USING (vec_id)
+    ), probes AS (
+      SELECT c.vec_id, c.v, c.nrm, xor(c.sig, m.m) AS psig
+      FROM csig c CROSS JOIN (SELECT UNNEST({masks}::BIGINT[]) AS m) m
+      WHERE c.vec_id < 5
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, {dim + 1}), i -> c.v[i] * q.v[i]),
+                         (a, b) -> a + b) / (c.nrm * q.nrm) AS cos_raw
+      FROM probes q JOIN csig c ON c.sig = q.psig
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_rplsh", _rplsh_oracle_sql())
 def q_similarity_topk_rplsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN with hamming-1 multiprobe (see
+    """Random-hyperplane LSH ANN with hamming-2 multiprobe (see
     similarity.cosine_topk_rplsh) — the bucketed scale path where even
-    the IVF cell assignment is derived from the vectors themselves."""
+    the IVF cell assignment is derived from the vectors themselves.
+    Oracle = full DuckDB mirror with the seeded hyperplanes inlined."""
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2806,11 +2922,14 @@ def q_fuzzy_brand_pairs(spark, sf_dir):
       FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey,
-           list_transform(priorities, x -> substr(x, 1, 1)) AS priority_codes,
+           array_to_string(list_transform(priorities, x -> substr(x, 1, 1)), '|')
+             AS priority_codes,
            len(list_filter(priorities, x -> x = '1-URGENT')) AS n_urgent,
            len(list_filter(priorities, x -> x = '5-LOW')) > 0 AS has_low,
            len(list_filter(totals, x -> x > 300000)) AS n_big,
-           totals[1:3] AS smallest3,
+           array_to_string(list_transform(totals[1:3],
+                             x -> CAST(CAST(x AS DECIMAL(14,2)) AS VARCHAR)), '|')
+             AS smallest3,
            ROUND(list_max(totals), 2) AS max_total
     FROM g
     """,
@@ -2830,13 +2949,19 @@ def q_higher_order_array_battery(spark, sf_dir):
     )
     return g.select(
         "o_custkey",
-        F.transform("priorities", lambda x: F.substring(x, 1, 1)).alias(
-            "priority_codes"
-        ),
+        F.array_join(
+            F.transform("priorities", lambda x: F.substring(x, 1, 1)), "|"
+        ).alias("priority_codes"),
         F.size(F.filter("priorities", lambda x: x == "1-URGENT")).alias("n_urgent"),
         F.exists("priorities", lambda x: x == "5-LOW").alias("has_low"),
         F.size(F.filter("totals", lambda x: x > 300000)).alias("n_big"),
-        F.slice("totals", 1, 3).alias("smallest3"),
+        F.array_join(
+            F.transform(
+                F.slice("totals", 1, 3),
+                lambda x: x.cast("decimal(14,2)").cast("string"),
+            ),
+            "|",
+        ).alias("smallest3"),
         F.round(F.array_max("totals"), 2).alias("max_total"),
     )
 
@@ -2882,7 +3007,7 @@ def q_having_large_qty_customers(spark, sf_dir):
     "conditional_agg_battery",
     """
     SELECT user_id,
-           count_if(value > 3) AS n_big,
+           CAST(count_if(value > 3) AS BIGINT) AS n_big,
            COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
            bool_or(event_type = 'purchase') AS any_purchase,
            bool_and(value IS NOT NULL) AS all_valued,
@@ -3118,9 +3243,33 @@ def q_intersect_all_multiset(spark, sf_dir):
     return a.intersectAll(b)
 
 
-@register("similarity_topk_int8", None)  # rows-only: float norm at the
-# quantization boundary can flip a ±1 int component across engines;
-# recall vs the exact path is asserted in tests instead
+@register(
+    "similarity_topk_int8",
+    """
+    WITH nrm AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                              (a, b) -> a + b)) AS nm
+      FROM embeddings
+    ), q8 AS (
+      -- bit-identical mirror of similarity.quantize_int8: same double
+      -- widening, same left-fold norm order, same HALF_UP rounding
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / nm * 127) AS DOUBLE)) AS q
+      FROM nrm
+    )
+    SELECT query_id, neighbor_id, rank, approx_cosine FROM (
+      SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id
+               ORDER BY ROUND(list_dot_product(c.q, s.q) / (127.0 * 127.0), 6) DESC,
+                        c.vec_id ASC) AS rank,
+             ROUND(list_dot_product(c.q, s.q) / (127.0 * 127.0), 6) AS approx_cosine
+      FROM q8 c CROSS JOIN q8 s
+      WHERE s.vec_id < 10 AND s.vec_id <> c.vec_id
+    ) WHERE rank <= 5
+    """,
+)
 def q_similarity_topk_int8(spark, sf_dir):
     """Scalar-quantized (int8) ANN — the storage/bandwidth scale path:
     4× smaller vectors, exact integer scoring (order-independent, so
@@ -3243,7 +3392,7 @@ def q_promo_revenue_share(spark, sf_dir):
       FROM orders GROUP BY o_custkey
     )
     SELECT COUNT(*) AS n_keys,
-           SUM(n) AS n_rows,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
            MAX(n) AS max_per_key,
            ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mean_per_key,
            ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6) AS skew_ratio,
@@ -3572,7 +3721,8 @@ def q_q17_small_quantity_revenue(spark, sf_dir):
     FROM customer, avg_bal
     WHERE c_acctbal > a
       AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+                              AND o_custkey IS NOT NULL)
     GROUP BY c_mktsegment
     """,
 )

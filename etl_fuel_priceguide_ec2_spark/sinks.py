@@ -93,6 +93,16 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
     count, so periodic compaction is part of the sink contract.
     Returns the new file count. (With a table format — Delta/Iceberg —
     this is OPTIMIZE; on plain parquet it is rewrite-and-swap.)
+
+    Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS. The
+    rename-aside swap is crash-safe for the next compact() call (the
+    recovery branch restores ``.old``), but between the two renames the
+    live path briefly does not exist — a concurrent ``read_fact()`` in
+    that window fails. Both renames assume ``path``, ``.old`` and
+    ``.compacting`` share a filesystem (os.rename raises EXDEV
+    otherwise); a failed second rename is rolled back so the table is
+    never stranded in the missing-path state. Plain-parquet limitation —
+    a real deployment wanting lock-free readers uses a table format.
     """
     import glob
     import os
@@ -135,7 +145,11 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: never strand the missing-path state
+        raise
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 

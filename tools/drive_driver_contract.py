@@ -1,0 +1,127 @@
+"""Simulate the external driver's correctness gate (verify skill recipe).
+
+Vanilla SparkSession (NOT the engine's tuned get_session), sf0.01,
+hash-compare every oracled query vs DuckDB. Exit nonzero on mismatch.
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as e  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _rowhash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    tuples = [tuple(_norm(r[i]) for i in order) for r in rows]
+    tuples.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    h = hashlib.sha256()
+    for t in tuples:
+        h.update(repr(t).encode())
+    return h.hexdigest()
+
+
+def main():
+    only = set(sys.argv[1:])  # optional subset of query names
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("contract-sim")
+        .getOrCreate()
+    )
+    assert e.entry(spark).count() > 0, "entry() smoke failed"
+    print("entry() OK")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    failures = []
+    for name, builder in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = builder(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append((name, f"spark err: {ex}"))
+            print(f"FAIL {name}: spark err {str(ex)[:200]}")
+            continue
+        # Driver-canonicalizer guard: list-typed result columns crash the
+        # external driver (observed r01 array_battery) — flag them here.
+        arr_cols = [f.name for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")]
+        if arr_cols and name in os_:
+            failures.append((name, f"complex-typed result col(s) {arr_cols} — serialize to strings"))
+            print(f"FAIL {name}: complex cols {arr_cols}")
+            continue
+        if name not in os_:
+            print(f"ok(rows-only) {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(os_[name])
+            dcols = rel.columns
+            dtypes = [str(t).upper() for t in rel.types]
+            drows = rel.fetchall()
+        except Exception as ex:
+            failures.append((name, f"oracle err: {ex}"))
+            print(f"FAIL {name}: oracle err {str(ex)[:200]}")
+            continue
+        # Driver-dtype guard: the external driver canonicalizes DuckDB results
+        # dtype-sensitively — HUGEINT output columns hash differently from
+        # Spark's bigint even when the values are equal ints (observed r01
+        # sessionize_events/pivot_event_counts, r02 data_quality_metrics/
+        # key_skew_profile). fetchall() hides this (HUGEINT -> Python int),
+        # so flag it from the relation's declared types instead.
+        bad_t = [f"{c}:{t}" for c, t in zip(dcols, dtypes) if "HUGEINT" in t]
+        if bad_t:
+            failures.append((name, f"oracle HUGEINT output col(s) {bad_t} — CAST AS BIGINT"))
+            print(f"FAIL {name}: HUGEINT output {bad_t}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append((name, f"cols spark={scols} duck={dcols}"))
+            print(f"FAIL {name}: col mismatch")
+            continue
+        if len(srows) != len(drows):
+            failures.append((name, f"rows spark={len(srows)} duck={len(drows)}"))
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            continue
+        if _rowhash(srows, scols) != _rowhash(drows, dcols):
+            failures.append((name, "hash mismatch"))
+            print(f"FAIL {name}: hash mismatch")
+            continue
+        print(f"ok {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures")
+    for name, why in failures:
+        print(f"  {name}: {why}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,12 +39,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # outright; read it as raw nanos and truncate to micros (exactly
-        # what DuckDB's TIMESTAMP read does, so oracles agree).
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # build this arrives as either a raw long of nanos (when
+        # spark.sql.legacy.parquet.nanosAsLong applies) or TIMESTAMP_NTZ
+        # truncated to micros (Spark >= 4.1.2 reads nanos natively).
+        # Normalize both to TimestampType truncated to micros — exactly
+        # what DuckDB's TIMESTAMP read does, so oracles agree (verified
+        # value-identical over the full sf0.01 table).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -574,7 +574,11 @@ def embedding_near_dup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    size_to_graph: bool = False,
 ) -> DataFrame:
     """Cluster near-dup pairs into groups: connected components via
     iterative HashMin label propagation (each node repeatedly adopts the
@@ -603,31 +607,41 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     spark = pairs.sparkSession
-    # right-size the iteration shuffles to the graph, not the session:
-    # each round is join+agg over the edge relation, and paying the
-    # session-wide shuffle.partitions (e.g. 200) on a small graph is
-    # pure task overhead that AQE can't fully claw back through the
-    # per-round localCheckpoint materialization. Expressed PER-PLAN via
-    # repartition(target, key) on the loop relations (ADVICE r02: a
-    # session-wide conf flip leaks to concurrent queries on the same
-    # session) — the explicit hash partitioning on the join/group keys
-    # caps every loop shuffle at `target` without touching session conf.
-    n_edges = edges.count()
-    target = max(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1)
-    try:
-        sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        sess_parts = target  # non-numeric (e.g. "auto") — keep our sizing
-    if target >= sess_parts:
-        target = sess_parts  # never scale ABOVE the session's choice
-    edges = edges.repartition(target, "dst")
+    # size_to_graph=True hash-repartitions every loop relation to a
+    # target derived from the edge count (per-plan, no session conf
+    # leak). Measured same-session A/B at sf0.1 (tools/ab_round3.py):
+    # the explicit sizing is 1.43x SLOWER than leaving the loop at
+    # session partitions with AQE coalescing — the pinned repartitions
+    # defeat AQE's runtime coalesce and add an exchange per round — so
+    # the default is False. Use True only on sessions with AQE disabled
+    # or where the graph is orders of magnitude smaller than the
+    # session's shuffle sizing assumes.
+    if size_to_graph:
+        n_edges = edges.count()
+        target = max(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1)
+        try:
+            sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            sess_parts = target  # non-numeric (e.g. "auto") — keep our sizing
+        if target >= sess_parts:
+            target = sess_parts  # never scale ABOVE the session's choice
+
+        def rp(d: DataFrame, col: str) -> DataFrame:
+            return d.repartition(target, col)
+    else:
+        # size_to_graph=False: leave every loop shuffle at the session's
+        # shuffle.partitions (A/B baseline; also the right call when the
+        # caller already sized the session to the graph)
+        def rp(d: DataFrame, col: str) -> DataFrame:
+            return d
+    edges = rp(edges, "dst")
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component_id", F.col("node")
     )
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels.repartition(target, "node"), edges.dst == labels.node)
-            .repartition(target, "src")
+            edges.join(rp(labels, "node"), edges.dst == labels.node)
+            .transform(lambda d: rp(d, "src"))
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_min"))
         )
@@ -639,7 +653,7 @@ def connected_components(
         # the materialized result — the probe is then a near-free local
         # filter instead of a second full recomputation of the round
         new_labels = (
-            labels.repartition(target, "node")
+            rp(labels, "node")
             .join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",

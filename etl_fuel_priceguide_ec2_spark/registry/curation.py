@@ -1,0 +1,180 @@
+"""Training-data curation: chunking, packing, PII scrub, stratified take, near-dup clustering."""
+
+from __future__ import annotations
+
+from etl_fuel_priceguide_ec2_spark.registry.base import (
+    register,
+)
+from etl_fuel_priceguide_ec2_spark.operators import (
+    dedup,
+    multimodal,
+    textops,
+)
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Training-data curation: chunking, packing, PII scrub, stratified take
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48))
+                  / 48 AS INT) AS chunk_id,
+             array_to_string(list_slice(toks, UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 1,
+                                        UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 64), ' ')
+               AS chunk_text
+      FROM d
+    )
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(string_split_regex(chunk_text, '\s+')) AS INT) AS chunk_tokens
+    FROM chunks WHERE chunk_text <> ''
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@register(
+    "pack_chunks",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48))
+                  / 48 AS INT) AS chunk_id,
+             array_to_string(list_slice(toks, UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 1,
+                                        UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 64), ' ')
+               AS chunk_text
+      FROM d
+    ), toks2 AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(string_split_regex(chunk_text, '\s+')) AS INT) AS chunk_tokens
+      FROM chunks WHERE chunk_text <> ''
+    )
+    SELECT doc_id, chunk_id, chunk_tokens,
+           CAST(FLOOR((SUM(chunk_tokens) OVER (ORDER BY doc_id ASC, chunk_id ASC
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - chunk_tokens) / 256.0) AS BIGINT) AS bin_id
+    FROM toks2
+    """,
+)
+def q_pack_chunks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    return textops.pack_chunks(
+        chunks, "doc_id", order_cols=["doc_id", "chunk_id"], token_col="chunk_tokens", budget=256
+    )
+
+
+@register(
+    "scrub_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed_text,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn
+    FROM documents
+    """,
+)
+def q_scrub_pii(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.scrub_pii(docs, "doc_id", "text")
+
+
+@register(
+    "stratified_take_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_stratified_take_per_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.stratified_take(docs, "lang", "doc_id", n_per_stratum=10).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height,
+           CAST(greatest(CAST(FLOOR(n_bytes * least(1.0, (224.0 * 224.0) / greatest(w * h, 1))) AS BIGINT), 1) AS BIGINT)
+             AS resized_bytes
+    FROM m
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs, "doc_id", "text")
+    return multimodal.resize(media).drop("resized_payload")
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               list_distinct(list_transform(a.toks3, x -> hash(x))) AS sa,
+               list_distinct(list_transform(b.toks3, x -> hash(x))) AS sb
+        FROM (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))
+                AS toks3 FROM documents) a
+        JOIN (SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))
+                AS toks3 FROM documents) b
+          ON a.doc_id < b.doc_id
+      )
+      WHERE len(list_intersect(sa, sb)) * 1.0
+            / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT node AS doc_id, MIN(reach) AS component_id
+    FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+    GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → (doc, canonical doc).
+    Iterative HashMin on Spark; the oracle reaches the same fixpoint
+    with a recursive CTE (viable only at oracle scale — the Spark loop
+    is the 100 TB path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=False
+    )
+    return dedup.connected_components(pairs)
+
+

@@ -1,0 +1,214 @@
+"""X3 similarity search over embeddings, X4 text analysis, X5 multimodal columns."""
+
+from __future__ import annotations
+
+from etl_fuel_priceguide_ec2_spark.registry.base import (
+    register,
+)
+from etl_fuel_priceguide_ec2_spark.operators import (
+    multimodal,
+    similarity,
+    textops,
+)
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# X3 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 5)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_dot_product(e.v, q.v) / (e.nrm * q.nrm) DESC,
+                                         e.vec_id ASC) AS rank,
+             ROUND(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) AS cosine
+      FROM e CROSS JOIN q
+      WHERE q.vec_id <> e.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
+
+
+@register(
+    "similarity_topk_ivf",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 5)
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_dot_product(e.v, q.v) / (e.nrm * q.nrm) DESC,
+                                         e.vec_id ASC) AS rank,
+             ROUND(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) AS cosine
+      FROM e JOIN q ON e.label = q.label
+      WHERE q.vec_id <> e.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk_ivf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", cell_col="label", k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis on documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(trim(text)) AS INT) AS n_chars_actual,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS n_tokens_bpe,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT)
+             AS n_unique_tokens
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "text_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, trim(text) AS txt FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(string_split_regex(txt, '\s+')) AS n_tokens,
+             len(regexp_extract_all(txt, '\b(the|and|of|to|a)\b')) AS n_stop,
+             len(regexp_extract_all(txt, '[A-Za-z]')) AS n_alpha,
+             length(txt) AS n_chars
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+           ROUND(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+           ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+                  + least(ROUND(n_stop * 1.0 / n_tokens, 6) * 5, 1.0)
+                  + ROUND(n_alpha * 1.0 / n_chars, 6)) / 3, 6) AS quality_score
+    FROM m
+    """,
+)
+def q_text_quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_score(docs, "doc_id", "text")
+
+
+@register(
+    "text_lang_id",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\b(the|and|of|to|a)\b'))   AS score_en,
+             len(regexp_extract_all(text, '\b(el|la|de|que|y)\b'))    AS score_es,
+             len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS score_de,
+             len(regexp_extract_all(text, '\b(le|la|et|les|des)\b'))  AS score_fr,
+             len(regexp_extract_all(text, '(的|是|在|了|我)'))          AS score_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+                WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+                WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def q_text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.lang_id(docs, "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return textops.fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal columns (binary payload + typed metadata; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.to_media(docs, "doc_id", "text").drop("payload")
+
+
+@register(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_decode_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.to_media(docs, "doc_id", "text"))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, UNNEST(range(0, octet_length(encode(text)) % 30 + 1, 10)) AS frame_idx
+    FROM documents
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.to_media(docs, "doc_id", "text"), every_nth=10)
+
+

@@ -1,0 +1,369 @@
+"""Skew-resistant join, W4 array access, EXCEPT ALL, error-tolerant JSON, interval/range join, histogram, data-quality metrics."""
+
+from __future__ import annotations
+
+from etl_fuel_priceguide_ec2_spark.registry.base import (
+    SNAP_A_END,
+    SNAP_B_END,
+    register,
+)
+from etl_fuel_priceguide_ec2_spark.operators import (
+    joins,
+    similarity,
+)
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Skew-resistant join, W4 array access, EXCEPT ALL, error-tolerant JSON,
+# embedding stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_skewed_flag",
+    """
+    SELECT f.flag_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN (VALUES ('A', 'returned'), ('N', 'none'), ('R', 'refused'))
+         AS f(l_returnflag, flag_name)
+      ON l.l_returnflag = f.l_returnflag
+    GROUP BY f.flag_name
+    """,
+)
+def q_salted_join_skewed_flag(spark, sf_dir):
+    """l_returnflag has 3 values over the whole fact table — the
+    textbook hot-key join. The salted join spreads each flag over 16
+    sub-keys; the oracle is the PLAIN join, proving salting changes the
+    plan, never the result."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = spark.createDataFrame(
+        [("A", "returned"), ("N", "none"), ("R", "refused")],
+        "l_returnflag string, flag_name string",
+    )
+    joined = joins.salted_join(li, flags, key="l_returnflag", salt_src_col="l_orderkey", salts=16)
+    return joined.groupBy("flag_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+    )
+
+
+@register(
+    "array_element_access",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderpriority))[1] AS first_priority,
+           list_sort(list(o_orderpriority))[-1] AS last_priority,
+           len(list(o_orderpriority)) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_array_element_access(spark, sf_dir):
+    """W4 — nested array element access (Items[0].Combustiveis pattern,
+    index.js:70): element_at on a per-group built array."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    arr = F.sort_array(F.collect_list("o_orderpriority"))
+    return orders.groupBy("o_custkey").agg(
+        F.element_at(arr, 1).alias("first_priority"),
+        F.element_at(arr, -1).alias("last_priority"),
+        F.size(F.collect_list("o_orderpriority")).alias("n_orders"),
+    )
+
+
+@register(
+    "except_all_multiset",
+    f"""
+    SELECT event_type FROM events WHERE ts <= TIMESTAMP '{SNAP_B_END}'
+    EXCEPT ALL
+    SELECT event_type FROM events WHERE ts <= TIMESTAMP '{SNAP_A_END}'
+    """,
+)
+def q_except_all_multiset(spark, sf_dir):
+    """EP3's multiset form: exceptAll keeps duplicate cardinality
+    (bag difference), unlike the distinct EXCEPT of snapshot_diff."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("ts") <= F.lit(SNAP_B_END).cast("timestamp")).select("event_type")
+    a = ev.filter(F.col("ts") <= F.lit(SNAP_A_END).cast("timestamp")).select("event_type")
+    return b.exceptAll(a)
+
+
+@register(
+    "json_error_tolerance",
+    """
+    SELECT event_id,
+           CASE WHEN json_valid(broken) THEN CAST(json_extract_string(broken, '$.k') AS BIGINT)
+                ELSE NULL END AS k_val,
+           json_valid(broken) AS parse_ok
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN substring(props, 1, length(props) - 1)
+                  ELSE props END AS broken
+      FROM events
+    )
+    """,
+)
+def q_json_error_tolerance(spark, sf_dir):
+    """P6 — error-tolerant row processing: malformed JSON (1 in 7 rows
+    corrupted) parses to NULL instead of failing the job (PERMISSIVE
+    semantics of from_json)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    broken = F.when(
+        F.col("event_id") % 7 == 0, F.expr("substring(props, 1, length(props) - 1)")
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(broken, "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        parsed.getField("k").isNotNull().alias("parse_ok"),
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(spark, sf_dir):
+    """Vector-column statistics (min/max are order-independent, so no
+    float-summation nondeterminism vs the oracle)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "similarity_pandas_udf",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS qn
+      FROM embeddings WHERE vec_id = 0
+    )
+    -- numpy's matmul sums in a different order than a sequential fold,
+    -- but both engines agree after ROUND(.., 4) (divergence ~1e-15 —
+    -- a boundary hit would need a cosine within 1e-13 of a 5e-5 step)
+    SELECT vec_id, ROUND(cos_raw, 4) AS cosine FROM (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) * q.qn) AS cos_raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id > 0
+      ORDER BY cos_raw DESC, e.vec_id ASC
+      LIMIT 10
+    )
+    """,
+)
+def q_similarity_pandas_udf(spark, sf_dir):
+    """X3 pandas_udf variant: Arrow-batched numpy cosine against one
+    query vector — the plumbing for very wide vectors where matmul
+    beats the per-element HOF loop."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    scored = similarity.cosine_scores_pandas(emb.filter(F.col("vec_id") > 0), list(qvec), "embedding", "vec_id")
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval/range join, histogram, data-quality metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_recent_events",
+    """
+    WITH anchors AS (
+      SELECT event_id AS anchor_id, user_id, ts AS anchor_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.anchor_id, COUNT(e.event_id) AS n_recent_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM anchors a
+    JOIN events e
+      ON e.user_id = a.user_id
+     AND e.ts <= a.anchor_ts
+     AND e.ts >= a.anchor_ts - INTERVAL 7 DAY
+    GROUP BY a.anchor_id
+    """,
+)
+def q_interval_join_recent_events(spark, sf_dir):
+    """Range join via day-bucket replication (see
+    joins.interval_join_recent): each purchase event aggregates the same
+    user's events from the trailing 7 days (attribution-window shape).
+    The oracle is the naive BETWEEN join — same rows, scalable plan.
+    (Round-3 re-anchor: the former orders-vs-events form compared 0 rows
+    at sf0.01 because the fixtures' date ranges never overlap — vacuous.)
+    """
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    anchors = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("anchor_ts"),
+    )
+    joined = joins.interval_join_recent(
+        anchors, events, key="user_id", left_ts="anchor_ts", right_ts="ts", lookback_days=7
+    )
+    return joined.groupBy("anchor_id").agg(
+        F.count("event_id").alias("n_recent_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "price_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_price_histogram(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("bucket", F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "data_quality_metrics",
+    """
+    SELECT 'c_acctbal' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_out_of_range,
+           COUNT(DISTINCT c_custkey) AS n_distinct_keys,
+           COUNT(*) - COUNT(DISTINCT c_custkey) AS n_duplicate_keys
+    FROM customer
+    """,
+)
+def q_data_quality_metrics(spark, sf_dir):
+    """Constraint-validation pass (null rate, range violations, key
+    uniqueness) — the pre-load quality gate of a production pipeline,
+    one aggregate over the table."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.agg(
+        F.lit("c_acctbal").alias("column_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(
+            F.when((F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000), 1).otherwise(0)
+        ).alias("n_out_of_range"),
+        F.countDistinct("c_custkey").alias("n_distinct_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_duplicate_keys"),
+    )
+
+
+def _rplsh_oracle_sql(planes: int = 6, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    """Full cross-engine mirror of similarity.cosine_topk_rplsh: the
+    seeded numpy hyperplanes are inlined as DOUBLE literals (repr is an
+    exact float64 round-trip), signatures/probes/cosines recomputed in
+    DuckDB with the same left-fold order as Spark's F.aggregate, so the
+    ANN result — recall < 1 and all — is value-compared, not rows-only."""
+    import numpy as np
+
+    hp = np.random.default_rng(seed).standard_normal((planes, dim))
+    hp_rows = ",\n        ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in hp[j])}]::DOUBLE[])"
+        for j in range(planes)
+    )
+    masks = [0] + [1 << j for j in range(planes)] + [
+        (1 << a) | (1 << b) for a in range(planes) for b in range(a + 1, planes)
+    ]
+    return f"""
+    WITH hp(j, h) AS (
+      VALUES
+        {hp_rows}
+    ), base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ), sigged AS (
+      SELECT b.vec_id,
+             CAST(SUM(CASE WHEN list_reduce(
+                                  list_transform(range(1, {dim + 1}), i -> b.v[i] * hp.h[i]),
+                                  (a, c) -> a + c) >= 0
+                           THEN (CAST(1 AS BIGINT) << hp.j) ELSE 0 END) AS BIGINT) AS sig
+      FROM base b CROSS JOIN hp
+      GROUP BY b.vec_id
+    ), csig AS (
+      SELECT s.vec_id, s.sig, b.v, b.nrm FROM sigged s JOIN base b USING (vec_id)
+    ), probes AS (
+      SELECT c.vec_id, c.v, c.nrm, xor(c.sig, m.m) AS psig
+      FROM csig c CROSS JOIN (SELECT UNNEST({masks}::BIGINT[]) AS m) m
+      WHERE c.vec_id < 5
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, {dim + 1}), i -> c.v[i] * q.v[i]),
+                         (a, b) -> a + b) / (c.nrm * q.nrm) AS cos_raw
+      FROM probes q JOIN csig c ON c.sig = q.psig
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cosine FROM (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_rplsh", _rplsh_oracle_sql())
+def q_similarity_topk_rplsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN with hamming-2 multiprobe (see
+    similarity.cosine_topk_rplsh) — the bucketed scale path where even
+    the IVF cell assignment is derived from the vectors themselves.
+    Oracle = full DuckDB mirror with the seeded hyperplanes inlined."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_rplsh(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, dim=64
+    )
+
+

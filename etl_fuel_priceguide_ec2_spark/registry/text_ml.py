@@ -1,0 +1,222 @@
+"""TF-IDF, vocabulary, n-gram LM counts, deterministic sampling."""
+
+from __future__ import annotations
+
+from etl_fuel_priceguide_ec2_spark.registry.base import (
+    register,
+)
+from etl_fuel_priceguide_ec2_spark.operators import (
+    textops,
+)
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# TF-IDF / vocabulary / n-gram LM counts / deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df, tfidf, rank FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1) DESC,
+                        tf.token ASC) AS rank
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "vocabulary_top20",
+    r"""
+    SELECT token, n, rank FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rank
+      FROM (
+        SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token FROM documents
+      ) WHERE token <> ''
+      GROUP BY token
+    ) WHERE rank <= 20
+    """,
+)
+def q_vocabulary_top20(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.vocabulary(docs, "text", k=20)
+
+
+@register(
+    "bigram_top_per_lang",
+    r"""
+    WITH d AS (
+      SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), grams AS (
+      SELECT lang, UNNEST(list_transform(
+        range(1, greatest(len(toks) - 1, 1) + 1),
+        i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+      FROM d
+    )
+    SELECT lang, bigram, n, rank FROM (
+      SELECT lang, bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, bigram ASC) AS rank
+      FROM grams WHERE contains(bigram, ' ')
+      GROUP BY lang, bigram
+    ) WHERE rank <= 5
+    """,
+)
+def q_bigram_top_per_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bigram_top_per_lang(docs, "lang", "text", k=5)
+
+
+_CONTAM_GRAMS = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_filter(list_transform(
+          range(1, greatest(len(toks) - 5, 0) + 2),
+          i -> array_to_string(list_slice(toks, i, i + 4), ' ')),
+          g -> g <> '')) AS gs
+      FROM tok
+    )
+"""
+
+
+@register(
+    "contamination_check",
+    _CONTAM_GRAMS
+    + r"""
+    , dg AS (SELECT doc_id, UNNEST(gs) AS g FROM grams),
+    bg AS (SELECT doc_id AS bench_id, CAST(len(gs) AS BIGINT) AS bench_ngrams,
+                  UNNEST(gs) AS g
+           FROM grams WHERE doc_id < 10)
+    SELECT d.doc_id AS doc_id, bench_id, COUNT(*) AS n_overlap, bench_ngrams,
+           ROUND(COUNT(*) * 1.0 / bench_ngrams, 6) AS contamination
+    FROM dg d JOIN bg USING (g)
+    GROUP BY d.doc_id, bench_id, bench_ngrams
+    """,
+)
+def q_contamination_check(spark, sf_dir):
+    """Benchmark contamination: docs with doc_id < 10 play the eval
+    set; every (doc, bench) pair sharing a distinct word 5-gram is
+    reported with its contaminated fraction. Self-pairs included (a doc
+    is 100% contaminated against itself) — the oracle sees the same."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+    out = textops.contamination_check(
+        docs, bench, "doc_id", "text", "bench_id", "bench_text", n=5
+    )
+    return out.withColumn("bench_ngrams", F.col("bench_ngrams").cast("long"))
+
+
+@register(
+    "repetition_signals",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS lt FROM documents
+    ), tok AS (
+      SELECT doc_id, string_split_regex(lt, '\s+') AS rawtoks,
+             list_filter(string_split_regex(lt, '\s+'), t -> t <> '') AS toks
+      FROM base
+    ), grams AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+                 range(1, greatest(len(rawtoks) - 2, 0) + 2),
+                 i -> array_to_string(list_slice(rawtoks, i, i + 1), ' ')),
+                 g -> g <> '') AS g2,
+             list_filter(list_transform(
+                 range(1, greatest(len(rawtoks) - 3, 0) + 2),
+                 i -> array_to_string(list_slice(rawtoks, i, i + 2), ' ')),
+                 g -> g <> '') AS g3
+      FROM tok
+    ), top AS (
+      SELECT doc_id, MAX(c) AS topc, SUM(c) AS tot FROM (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(toks) AS t FROM tok)
+        GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id AS doc_id,
+           CASE WHEN len(g2) > 0
+                THEN ROUND(1 - len(list_distinct(g2)) * 1.0 / len(g2), 6) END
+             AS dup_bigram_frac,
+           CASE WHEN len(g3) > 0
+                THEN ROUND(1 - len(list_distinct(g3)) * 1.0 / len(g3), 6) END
+             AS dup_trigram_frac,
+           ROUND(topc * 1.0 / tot, 6) AS top_token_frac
+    FROM grams g LEFT JOIN top USING (doc_id)
+    """,
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup n-gram fractions,
+    top-token share) — the cheap repetition gate every pretraining
+    corpus runs; entirely per-row expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_signals(docs, "doc_id", "text")
+
+
+@register(
+    "unigram_quality",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), tot AS (
+      SELECT SUM(cnt) AS n_total, COUNT(*) AS n_vocab FROM vocab
+    )
+    SELECT doc_id, ROUND(AVG(ln((cnt + 1.0) / (n_total + n_vocab))), 6) AS avg_logprob,
+           COUNT(*) AS n_tokens
+    FROM tok JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_quality(spark, sf_dir):
+    """Corpus-unigram-LM mean log-prob per doc (perplexity filtering's
+    cheap cousin): flags gibberish/OOV-heavy text using only the corpus
+    itself as the model."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.unigram_logprob_score(docs, "doc_id", "text")
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3
+    """,
+)
+def q_deterministic_sample(spark, sf_dir):
+    """Deterministic mod-sampling (reproducible corpus subsetting —
+    at scale, use pmod(xxhash64(id), k) for unbiased hash sampling;
+    the mod form keeps the oracle engine-portable)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 20 == 3).select("doc_id", "lang", "n_chars")
+
+

@@ -130,3 +130,84 @@ def run_metrics(raw: DataFrame, filtered: DataFrame, start_ts: str, end_ts: str)
             / 60
         ).alias("duration_minutes"),
     )
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    salt_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed/high-fanin keys: phase 1 groups
+    by (key, salt) — the salt (a hash of a row-unique column, so it is
+    deterministic and partition-independent) spreads one hot key's rows
+    over ``buckets`` reducers; phase 2 merges the partial states per
+    key. Counts merge by SUM, sums by SUM (decimal — exact and
+    order-free), min/max by MIN/MAX.
+
+    At 100 TB this is the standard defence when ONE key holds >1
+    executor-memory of rows: the first shuffle fans the hot key out,
+    the second shuffle moves only ``buckets`` partial rows per key.
+    (For joins the same idea lives in joins.salted_join; AQE's skew
+    handling covers sort-merge joins but not single-key hash aggs.)"""
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
+    dec = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec).alias("_sum"),
+            F.min(dec).alias("_min"),
+            F.max(dec).alias("_max"),
+        )
+    )
+    return (
+        partial.groupBy(key_col)
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.sum("_sum").cast("double").alias("sum_value"),
+            F.min("_min").cast("double").alias("min_value"),
+            F.max("_max").cast("double").alias("max_value"),
+        )
+    )
+
+
+def incremental_rollup(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Incremental re-aggregation: daily partial aggregates (the state a
+    pipeline would persist per run/partition) merged into a monthly
+    rollup WITHOUT touching raw rows again. count->SUM, sum->SUM
+    (decimal, exact), min->MIN, max->MAX are the classic mergeable
+    aggregate states; avg is re-derived from merged sum/count at the
+    edge (never averaged-of-averages).
+
+    At 100 TB the daily relation is what an incremental pipeline stores
+    (one partition per run, reference index.js:329-345's per-run
+    snapshots); each new day appends one partial and the monthly merge
+    reads partials only — this query IS that merge, demonstrating the
+    state schema supports exact re-aggregation."""
+    dec = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    daily = (
+        df.withColumn("_day", F.to_date(ts_col))
+        .groupBy(key_col, "_day")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec).alias("_sum"),
+            F.min(dec).alias("_min"),
+            F.max(dec).alias("_max"),
+        )
+    )
+    return (
+        daily.withColumn("month", F.date_format("_day", "yyyy-MM"))
+        .groupBy(key_col, "month")
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.sum("_sum").cast("double").alias("sum_value"),
+            F.min("_min").cast("double").alias("min_value"),
+            F.max("_max").cast("double").alias("max_value"),
+            F.round(F.sum("_sum").cast("double") / F.sum("_n"), 6).alias("avg_value"),
+        )
+    )

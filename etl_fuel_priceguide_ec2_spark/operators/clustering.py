@@ -1,0 +1,184 @@
+"""Semantic clustering over embedding columns: deterministic Lloyd's
+k-means, the standard front-end for semantic dedup at corpus scale
+(cluster first, then near-dup only within clusters — turns the O(n^2)
+semantic-pair search into per-cluster work).
+
+Not in the reference (a row-store ETL, ``index.js``); mandated by the
+LLM-data-pipeline extension tier. Design for 100 TB: the only
+driver-side state is the k x dim centroid matrix (tiny, broadcast back
+as a literal); every per-row step is a JVM-side higher-order-function
+expression over the vector column — no Python UDFs, no shuffle except
+the k*dim-sized centroid update aggregate.
+
+Determinism contract (the correctness gate hashes values, and an
+external DuckDB oracle must reproduce the run bit-for-bit):
+
+- init = the vectors of the ``k`` smallest ids (no RNG);
+- assignment = argmin of squared L2 distance, ties broken by the lower
+  centroid index;
+- the centroid UPDATE quantizes vector elements to 6 decimals and sums
+  them as DECIMAL(18,6) — exact and addition-order-free — then divides
+  in double and rounds to 9 decimals. A raw double sum would be
+  partition-order-dependent (fp addition is not associative), which
+  breaks repeated-execution determinism *and* any cross-engine oracle;
+- assignment distances are computed in double over the full-precision
+  vector; distinct clusters are separated by O(1) while cross-engine
+  fp summation noise is O(1e-13), so argmin is stable (documented
+  residual risk: a pathological exact tie).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _assign(df: DataFrame, id_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add ``cluster_id`` / ``sq_dist`` columns: nearest centroid by
+    squared L2, computed as a JVM-side fold (zip_with + aggregate) per
+    centroid — whole-stage-codegen friendly, no shuffle."""
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    return (
+        df.withColumn("_d", dists)
+        .withColumn("sq_dist", F.array_min("_d"))
+        # ties break to the LOWER centroid index (array_position returns
+        # the first match) — mirrored in the oracle's (dist, cid) sort
+        .withColumn("cluster_id", (F.array_position("_d", F.col("sq_dist")) - 1).cast("long"))
+        .drop("_d")
+    )
+
+
+def _fit_centroids(
+    base: DataFrame, id_col: str, k: int, iters: int
+) -> list[list[float]]:
+    """Run the deterministic Lloyd's iterations; returns the final
+    centroid matrix. The k x dim doubles are the ONLY data that touch
+    the driver — at 100 TB the per-iteration cost is one scan + one
+    (cluster, position)-keyed aggregate of k*dim cells."""
+    dim = base.select(F.size("_v").alias("n")).first()["n"]
+
+    init_rows = base.orderBy(id_col).limit(k).collect()
+    centroids = [list(r["_v"]) for r in init_rows]
+
+    for _ in range(iters):
+        assigned = _assign(base, id_col, centroids)
+        # quantize elements to 6dp, sum as DECIMAL (exact, order-free),
+        # divide in double, round to 9dp — the cross-engine-stable mean
+        upd = (
+            assigned.select("cluster_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .withColumn("m", F.round("m", 9))
+            .collect()
+        )
+        new_cent = {cid: [0.0] * dim for cid in {r["cluster_id"] for r in upd}}
+        for r in upd:
+            new_cent[r["cluster_id"]][r["pos"]] = r["m"]
+        # empty clusters keep their previous centroid (mirrored by the
+        # oracle's LEFT JOIN + COALESCE)
+        centroids = [new_cent.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means; returns (id, cluster_id, sq_dist
+    rounded to 6). ``iters`` full assign+update cycles, then a final
+    assignment against the last centroids."""
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    centroids = _fit_centroids(base, id_col, k, iters)
+    return (
+        _assign(base, id_col, centroids)
+        .select(id_col, "cluster_id", F.round("sq_dist", 6).alias("sq_dist"))
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.15,
+    probes: int = 2,
+) -> DataFrame:
+    """Semantic near-dup pairs: k-means block, then pair search ONLY
+    within shared blocks (each block self-join is |block|^2 instead of
+    n^2 — the clustering IS the blocking structure).
+
+    Multi-probe blocking: each vector is indexed under its ``probes``
+    nearest centroids, and a pair materializes if the two share ANY
+    probed block — the standard IVF recall lever for clusters that
+    overlap (single-assignment blocking loses near pairs that straddle
+    a centroid boundary; measured 0.30 -> ~0.8 recall on the fixture
+    at probes=2). Cost scales linearly in ``probes``, never O(n^2)."""
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    centroids = _fit_centroids(base, id_col, k, iters)
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+        )
+    )
+    probed = base.withColumn(
+        "block",
+        F.explode(
+            F.transform(F.slice(ranked, 1, probes), lambda s: s["cid"].cast("long"))
+        ),
+    )
+    left = probed.select(
+        F.col(id_col).alias("id_a"), "block", F.col("_v").alias("va")
+    )
+    right = probed.select(F.col(id_col).alias("id_b"), "block")
+    cand = (
+        left.join(right, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs_b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        cand.join(vecs_b, "id_b")
+        .withColumn(
+            "sq_dist",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        .filter(F.col("sq_dist") <= threshold)
+        .select("id_a", "id_b", F.round("sq_dist", 6).alias("sq_dist"))
+    )

@@ -85,3 +85,35 @@ def mixture_sample(
         )
     threshold = threshold.otherwise(F.lit(0)) if threshold is not None else F.lit(0)
     return df.filter(bucket < threshold)
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): each row gets key = ln(u) / w where u is a
+    stable md5-derived uniform in (0,1) and w its (positive) weight;
+    the n largest keys form an exact weighted sample. Hash-derived u
+    makes membership independent of partitioning, row order, and
+    engine — the whole draw is reproducible and oracle-checkable,
+    unlike rand()-based sampling.
+
+    100 TB: one scan + one top-n (Spark runs the global row_number as
+    a partial per-partition top-n before the single-partition final
+    sort — see TakeOrderedAndProject — so no full sort materializes).
+    Adds ``sample_rank`` (1..n, by key desc, id tiebreak)."""
+    # 60-bit hash -> u in (0, 1); +0.5 keeps u strictly inside (0,1)
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_es_key"), F.col(id_col))
+    return (
+        df.withColumn("_es_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .drop("_es_key")
+    )

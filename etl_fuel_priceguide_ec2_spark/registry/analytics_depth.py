@@ -6,6 +6,7 @@ from etl_fuel_priceguide_ec2_spark.registry.base import (
     register,
 )
 from etl_fuel_priceguide_ec2_spark.operators import (
+    aggregates,
     similarity,
 )
 from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
@@ -390,3 +391,56 @@ def q_most_frequent_event_type(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "salted_event_value_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_event_value_agg(spark, sf_dir):
+    """Two-phase salted aggregation (hot-key defence): phase 1 groups by
+    (event_type, salt-of-event_id) spreading any single hot key across
+    16 reducers, phase 2 merges the mergeable states. The oracle is the
+    PLAIN one-phase GROUP BY — proving the decomposition is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggregates.salted_two_phase_agg(
+        ev, "event_type", "value", salt_col="event_id", buckets=16
+    )
+
+
+@register(
+    "incremental_monthly_rollup",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS s,
+             MIN(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS mn,
+             MAX(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, strftime(d, '%Y-%m') AS month,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(s) AS DOUBLE) AS sum_value,
+           CAST(MIN(mn) AS DOUBLE) AS min_value,
+           CAST(MAX(mx) AS DOUBLE) AS max_value,
+           ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 6) AS avg_value
+    FROM daily
+    GROUP BY user_id, strftime(d, '%Y-%m')
+    """,
+)
+def q_incremental_monthly_rollup(spark, sf_dir):
+    """Mergeable-state re-aggregation: daily partials (what an
+    incremental pipeline persists per run) rolled to months without
+    re-reading raw rows. The oracle replays the same two-level merge —
+    count/sum/min/max as mergeable states, avg re-derived at the edge."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggregates.incremental_rollup(ev, "user_id", "ts", "value")

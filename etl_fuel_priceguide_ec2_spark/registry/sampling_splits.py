@@ -58,3 +58,26 @@ def q_mixture_sample_by_lang(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "weighted_sample_chars",
+    """
+    SELECT doc_id, lang, n_chars, sample_rank FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(row_number() OVER (
+               ORDER BY ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                 AS BIGINT) + 0.5) / 1152921504606846976.0)
+                        / n_chars DESC,
+                        doc_id) AS INTEGER) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 100
+    """,
+)
+def q_weighted_sample_chars(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis, key = ln(u)/w): 100 docs weighted by length.
+    The md5-derived uniform makes the draw identical on any partition
+    layout and in DuckDB — membership itself is the oracle check."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_sample_topk(docs, "doc_id", "n_chars", 100)

@@ -23,6 +23,9 @@ RISKY = [
     "window_running_sum",        # running float sums
     "multimodal_decode_features",  # mapInPandas
     "pack_chunks",               # global window order
+    "semantic_kmeans_clusters",  # float argmin + iterative centroid update
+    "weighted_sample_chars",     # float key ranking at the top-n boundary
+    "salted_event_value_agg",    # two-phase merge across salt buckets
 ]
 
 

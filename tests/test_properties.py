@@ -157,3 +157,53 @@ def test_gap_fill_daily_matches_bruteforce(spark, data):
             d += td(days=1)
 
     assert got == expected
+
+
+def test_semantic_blocking_recall(spark, sf_dir):
+    """k-means-blocked semantic pairs vs the brute-force all-pairs
+    baseline: blocking must lose at most half the true pairs on the
+    fixture (and everything it returns must BE a true pair)."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("d") <= 1.2)
+    )
+    true_pairs = {(r.id_a, r.id_b) for r in brute.collect()}
+    blocked = clustering.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", k=8, iters=2, threshold=1.2
+    )
+    got = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert got <= true_pairs, f"false positives: {sorted(got - true_pairs)[:5]}"
+    assert len(got) >= 0.5 * len(true_pairs), (
+        f"blocking recall {len(got)}/{len(true_pairs)} below 0.5"
+    )
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """E-S weighted sampling: the sampled docs' mean weight must exceed
+    the corpus mean (sanity that weights actually bias the draw)."""
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sampled = sampling.weighted_sample_topk(docs, "doc_id", "n_chars", 100)
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_sampled = sampled.agg(F.avg("n_chars")).first()[0]
+    assert mean_sampled > mean_all

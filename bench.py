@@ -52,6 +52,7 @@ HEADLINE = [
     "q7_volume_shipping",
     "q10_returned_top_customers",
     "q19_disjunctive_revenue",
+    "semantic_dedup_pairs",
 ]
 
 

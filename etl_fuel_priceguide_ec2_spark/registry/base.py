@@ -92,6 +92,16 @@ _ROUND_PRIORITY: list[str] = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # --- round-3 additions: semantic clustering tier, weighted sampling,
+    # mergeable-agg patterns (new this round — driver sees them now
+    # instead of waiting a round; displaces the last 5 regression
+    # re-checks below past the 50-entry window, which stay covered by
+    # the local full-oracle pytest + contract sim) ---
+    "semantic_kmeans_clusters",
+    "semantic_dedup_pairs",
+    "weighted_sample_chars",
+    "salted_event_value_agg",
+    "incremental_monthly_rollup",
     # --- regression net: round-1 greens re-entering the window ---
     "asof_latest_per_key",
     "asof_join_orders_events",

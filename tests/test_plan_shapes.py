@@ -234,3 +234,47 @@ def test_tpch_star_shapes_broadcast_all_dims(spark, sf_dir):
     assert "SortMergeJoin" not in q22
     # anti-join on the key column, scalar avg as broadcast nested loop
     assert "LeftAnti" in q22
+
+
+def test_kmeans_final_assignment_is_map_only(spark, sf_dir):
+    """The k-means ASSIGNMENT (the per-row hot path at 100 TB) must be
+    a pure map over the scan — centroids ride along as a literal array,
+    so no Exchange appears in the returned plan."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = clustering.kmeans_assign(emb, "vec_id", "embedding", k=4, iters=1)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_semantic_pairs_never_cartesian(spark, sf_dir):
+    """Multi-probe blocking must execute as an equi-join on the block
+    id, never a cartesian/broadcast-nested-loop over all pairs."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = clustering.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", k=4, iters=1, threshold=1.2, probes=2
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
+    """Global top-n by the E-S key must run as WindowGroupLimit
+    (per-partition partial top-n before the single final sort), not a
+    full global sort of every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+
+    df = sampling.weighted_sample_topk(docs, "doc_id", "n_chars", 100)
+    plan = _plan(df)
+    # Spark pushes the rank<=n through the empty-partition window as
+    # TakeOrderedAndProject (per-partition top-n + merge); on plans
+    # where that rewrite doesn't fire, WindowGroupLimit is the
+    # acceptable fallback. Either way: never a full global sort.
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]

@@ -78,7 +78,10 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
-        if max(reps) > 1.25 * min(reps):
+        # third rep when the first two disagree >25% (transient host
+        # contention) or the query is heavy (>2s min — a 2-rep min can
+        # still be double-noised on this box; a min over 3 only lowers)
+        if max(reps) > 1.25 * min(reps) or min(reps) > 2.0:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)

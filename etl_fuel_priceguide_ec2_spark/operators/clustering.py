@@ -37,7 +37,11 @@ def _assign(df: DataFrame, id_col: str, centroids: list[list[float]]) -> DataFra
     """Add ``cluster_id`` / ``sq_dist`` columns: nearest centroid by
     squared L2, computed as a JVM-side fold (zip_with + aggregate) per
     centroid — whole-stage-codegen friendly, no shuffle."""
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # ONE nested array literal, not k*dim Literal nodes: the nested
+    # expression tree made Janino compile multi-second generated code
+    # per job (measured — the k-means fit was codegen-bound, not
+    # data-bound); a single constant keeps codegen flat
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
     dists = F.transform(
         cent_lit,
         lambda c: F.aggregate(
@@ -62,7 +66,15 @@ def _fit_centroids(
     """Run the deterministic Lloyd's iterations; returns the final
     centroid matrix. The k x dim doubles are the ONLY data that touch
     the driver — at 100 TB the per-iteration cost is one scan + one
-    (cluster, position)-keyed aggregate of k*dim cells."""
+    (cluster, position)-keyed aggregate of k*dim cells.
+
+    NOT persisted: a same-session A/B at sf0.1 measured persist() of the
+    working set 1.1-1.3x SLOWER than recomputing the scan per action
+    (materialization barrier + cache write beat the trivial re-scan —
+    the same recompute-beats-cache result as the minhash shingle
+    subplan, NOTES.md round 1). On a 100 TB corpus where the scan
+    dominates, callers should persist/checkpoint the projected (id,
+    vector) relation BEFORE calling fit."""
     dim = base.select(F.size("_v").alias("n")).first()["n"]
 
     init_rows = base.orderBy(id_col).limit(k).collect()
@@ -136,7 +148,11 @@ def semantic_dedup_pairs(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     centroids = _fit_centroids(base, id_col, k, iters)
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # ONE nested array literal, not k*dim Literal nodes: the nested
+    # expression tree made Janino compile multi-second generated code
+    # per job (measured — the k-means fit was codegen-bound, not
+    # data-bound); a single constant keeps codegen flat
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
     dists = F.transform(
         cent_lit,
         lambda c: F.aggregate(

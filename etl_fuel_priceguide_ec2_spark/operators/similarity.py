@@ -183,27 +183,26 @@ def cosine_topk_rplsh(
                 )
             )
         )
-        bits = [
-            (
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            v,
-                            F.array(*[F.lit(float(x)) for x in hp[j]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    >= 0,
-                    F.lit(1 << j),
-                ).otherwise(F.lit(0))
-            )
-            for j in range(planes)
-        ]
-        sig = bits[0]
-        for b in bits[1:]:
-            sig = sig + b
+        # ONE nested array literal + a transform/fold, not planes*dim
+        # Literal nodes chained per plane: the expanded expression tree
+        # made Janino compile seconds of generated code per job (same
+        # codegen-bound pathology measured on the k-means literals).
+        # Values are identical: dot_j >= 0 contributes 2^j, summed.
+        hp_lit = F.lit([[float(x) for x in hp[j]] for j in range(planes)])
+        dots = F.transform(
+            hp_lit,
+            lambda h: F.aggregate(
+                F.zip_with(v, h, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        bitvals = F.zip_with(
+            dots,
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda d, j: F.when(d >= 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
+        )
+        sig = F.aggregate(bitvals, F.lit(0.0), lambda a, x: a + x).cast("int")
         return df.withColumn("sig", sig)
 
     c = _sig(_with_norm(corpus, id_col, vec_col)).select(

@@ -197,3 +197,27 @@ def running_stats_stream(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_window_counts(
+    stream: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming SESSION windows (dynamic-gap merging, the streaming
+    form of the batch ``session_window_agg`` query): per-user sessions
+    close ``gap`` after their last event; the watermark bounds how long
+    an open session's state is retained before it can be finalized and
+    emitted. State size is O(open sessions), not O(events) — Spark
+    merges events into session state incrementally, which is what makes
+    sessionization feasible on an unbounded 100 TB/day feed where the
+    batch lag+cumsum construction (one sort of ALL history per run)
+    cannot be."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )

@@ -294,3 +294,35 @@ def test_streaming_datasource_checkpoint_recovery(spark, tmp_path):
     assert {r.tick for r in second} == {0, 1, 2, 3, 4, 5}
     assert len(second) == 6 * 10  # no replay of 0..2, no gaps
     assert len({(r.tick, r.Codigo) for r in second}) == 6 * 10
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir, event_stream_dir):
+    """Streaming session_window vs the batch session construction: every
+    emitted (watermark-closed) session must match the batch sessions
+    exactly, and all closed sessions must be emitted."""
+    batch = load_table(spark, sf_dir, "events")
+    stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)
+    out = feeds.session_window_counts(stream, gap="1 hour", watermark="2 hours")
+    _run_to_memory(out, "sess_counts", "append")
+    got = spark.sql("SELECT * FROM sess_counts")
+
+    expected = (
+        batch.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "n_events", "sum_value",
+            F.col("w.end").alias("_end"),
+        )
+    )
+    exp_vals = expected.drop("_end")
+    assert got.exceptAll(exp_vals).count() == 0
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    closed = expected.filter(
+        F.col("_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    ).drop("_end")
+    assert closed.exceptAll(got).count() == 0
+    assert got.count() >= closed.count() > 0

@@ -130,3 +130,33 @@ def latest_for_key(
         .orderBy(*order)
         .limit(1)
     )
+
+
+def asof_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    right_tiebreak: str | None = None,
+    tolerance: str = "7 days",
+) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof's
+    ``tolerance``): identical to :func:`asof_join`, but a match older
+    than ``tolerance`` before the left timestamp is discarded — every
+    ``asof_*`` column masks to NULL together (the match is one right
+    ROW; masking per-column would tear it).
+
+    Same single-shuffle merge-union plan as asof_join: the bound is a
+    post-carry per-row predicate, not a range-join blowup."""
+    vals = list(dict.fromkeys([right_ts, *right_vals]))
+    out = asof_join(
+        left, right, key_col, left_ts, right_ts, vals, right_tiebreak
+    )
+    fresh = F.col(f"asof_{right_ts}") >= (
+        F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+    )
+    for c in vals:
+        out = out.withColumn(f"asof_{c}", F.when(fresh, F.col(f"asof_{c}")))
+    return out

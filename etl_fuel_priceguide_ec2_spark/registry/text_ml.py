@@ -220,3 +220,50 @@ def q_deterministic_sample(spark, sf_dir):
     return docs.filter(F.col("doc_id") % 20 == 3).select("doc_id", "lang", "n_chars")
 
 
+
+
+@register(
+    "mad_outlier_docs",
+    """
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY lang
+    ), mad AS (
+      SELECT d.lang, quantile_cont(ABS(d.n_chars - m.med), 0.5) AS mad
+      FROM documents d JOIN med m USING (lang) GROUP BY d.lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           ROUND((d.n_chars - m.med) / NULLIF(a.mad, 0), 4) AS robust_z
+    FROM documents d JOIN med m USING (lang) JOIN mad a USING (lang)
+    WHERE ABS(d.n_chars - m.med) > 2 * a.mad AND a.mad > 0
+    """,
+)
+def q_mad_outlier_docs(spark, sf_dir):
+    """Robust per-group outlier gate (median/MAD, the length-outlier
+    filter a curation pipeline runs before training): docs whose length
+    deviates from their language's median by > 2 MAD (calibrated
+    non-vacuous on every fixture SF: 21-182 rows). Median and MAD
+    are EXACT percentiles (mean/stddev would let the outliers drag
+    their own threshold); two grouped aggregates + two broadcast joins
+    back — the per-lang stats relation is tiny at any corpus size."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    med = docs.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    mad = (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(F.expr("percentile(abs(n_chars - med), 0.5)").alias("mad"))
+    )
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .filter((F.abs(F.col("n_chars") - F.col("med")) > 2 * F.col("mad")) & (F.col("mad") > 0))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(
+                (F.col("n_chars") - F.col("med")) / F.nullif(F.col("mad"), F.lit(0)), 4
+            ).alias("robust_z"),
+        )
+    )

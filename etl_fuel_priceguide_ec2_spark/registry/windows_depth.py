@@ -137,3 +137,60 @@ def q_sessionize_events(spark, sf_dir):
     return windows.sessionize(ev, key_col="user_id", ts_col="ts", gap="1 hour", tiebreak_cols=["event_id"])
 
 
+
+
+@register(
+    "asof_join_tolerance_7d",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CASE WHEN last_t >= t - INTERVAL 7 DAY THEN last_t END AS asof_ts,
+           CASE WHEN last_t >= t - INTERVAL 7 DAY THEN last_v END AS asof_value
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate, t, side,
+             last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+               OVER (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_t,
+             last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_v
+      FROM (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               o_custkey AS k, o_orderdate AS t, NULL::DOUBLE AS v, 1 AS side,
+               NULL::BIGINT AS tb
+        FROM orders WHERE o_custkey < 150
+        UNION ALL
+        SELECT NULL, NULL, NULL, user_id AS k, ts AS t, value AS v, 0 AS side,
+               event_id AS tb
+        FROM events
+      )
+    )
+    WHERE side = 1
+    """,
+)
+def q_asof_join_tolerance_7d(spark, sf_dir):
+    """As-of join with a 7-day staleness bound (merge_asof tolerance):
+    matches older than 7 days before the order date mask to NULL as one
+    row (ts and value together, never torn apart)."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150).select(
+        "o_orderkey", "o_custkey", "o_orderdate", F.col("o_custkey").alias("user_id")
+    )
+    events = load_table(spark, sf_dir, "events")
+    out = asof.asof_join_within(
+        orders,
+        events,
+        key_col="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_vals=["value"],
+        right_tiebreak="event_id",
+        tolerance="7 days",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("asof_ts"),
+        F.col("asof_value"),
+    )

@@ -207,3 +207,90 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     mean_all = docs.agg(F.avg("n_chars")).first()[0]
     mean_sampled = sampled.agg(F.avg("n_chars")).first()[0]
     assert mean_sampled > mean_all
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows)
+def test_salted_agg_equals_plain_agg(spark, data):
+    """Two-phase salted aggregation == one-phase GROUP BY on arbitrary
+    data, for every mergeable state (count/sum/min/max)."""
+    from etl_fuel_priceguide_ec2_spark.operators import aggregates
+    from pyspark.sql import functions as F
+
+    df = _mk_events(spark, data)
+    got = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6), r.min_value, r.max_value)
+        for r in aggregates.salted_two_phase_agg(
+            df, "user_id", "value", salt_col="event_id", buckets=4
+        ).collect()
+    }
+    exp = {
+        r.user_id: (r.n_rows, round(r.sum_value, 6), r.min_value, r.max_value)
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.min(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double").alias("min_value"),
+            F.max(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows)
+def test_incremental_rollup_equals_direct(spark, data):
+    """Merging daily partial states must equal aggregating the raw rows
+    directly at month grain (mergeable-state law)."""
+    from etl_fuel_priceguide_ec2_spark.operators import aggregates
+    from pyspark.sql import functions as F
+
+    df = _mk_events(spark, data)
+    got = {
+        (r.user_id, r.month): (r.n_rows, round(r.sum_value, 6))
+        for r in aggregates.incremental_rollup(df, "user_id", "ts", "value").collect()
+    }
+    exp = {
+        (r.user_id, r.month): (r.n_rows, round(r.sum_value, 6))
+        for r in df.withColumn("month", F.date_format("ts", "yyyy-MM"))
+        .groupBy("user_id", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=rows, tol_hours=st.integers(min_value=0, max_value=12))
+def test_asof_tolerance_matches_bruteforce(spark, data, tol_hours):
+    """asof_join_within == brute-force latest-right-within-window per
+    left row, on arbitrary key/ts collisions."""
+    left = _mk_events(spark, data).select(
+        "event_id", "user_id", "ts"
+    )
+    right = _mk_events(spark, [(k, o, v) for (k, o, v) in data]).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    got = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof.asof_join_within(
+            left, right, "user_id", "ts", "ts", ["value"],
+            right_tiebreak="event_id", tolerance=f"{tol_hours} hours",
+        ).collect()
+    }
+    rrows = right.collect()
+    for lrow in left.collect():
+        cands = [
+            rr for rr in rrows
+            if rr.user_id == lrow.user_id
+            and rr.ts <= lrow.ts
+        ]
+        best = max(cands, key=lambda rr: (rr.ts, rr.event_id), default=None)
+        if best is not None and best.ts < lrow.ts - timedelta(hours=tol_hours):
+            best = None
+        exp = (best.ts, best.value) if best is not None else (None, None)
+        assert got[lrow.event_id] == exp, (lrow, got[lrow.event_id], exp)

@@ -150,7 +150,16 @@ def salted_two_phase_agg(
     executor-memory of rows: the first shuffle fans the hot key out,
     the second shuffle moves only ``buckets`` partial rows per key.
     (For joins the same idea lives in joins.salted_join; AQE's skew
-    handling covers sort-merge joins but not single-key hash aggs.)"""
+    handling covers sort-merge joins but not single-key hash aggs.)
+
+    Honest scope note: for purely algebraic states like these, Spark's
+    map-side partial aggregation already caps the hot reducer's input
+    at one partial per map task — salting is the lever when that
+    defence fails: non-combinable or memory-heavy states
+    (collect_list/set, exact distinct counts, percentile buffers) or
+    a combine defeated by high per-task key cardinality. The algebraic
+    demo here is chosen because its oracle (the plain one-phase GROUP
+    BY) proves the decomposition exact."""
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
     dec = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
     partial = (
@@ -211,3 +220,26 @@ def incremental_rollup(
             F.round(F.sum("_sum").cast("double") / F.sum("_n"), 6).alias("avg_value"),
         )
     )
+
+
+def salted_distinct_count(
+    df: DataFrame, key_col: str, distinct_col: str, buckets: int = 16
+) -> DataFrame:
+    """Exact COUNT(DISTINCT) at scale via disjoint salting: salt =
+    hash(distinct_col) % buckets, so every distinct value lands in
+    EXACTLY one (key, salt) cell — per-cell distinct counts are
+    disjoint and their plain SUM per key is exact (no overlap to
+    over-count, unlike salting on a row-unique column).
+
+    This is the case where salting genuinely beats Spark's built-in
+    path: a distinct aggregate must materialize the distinct SET, which
+    map-side combine cannot compress below its cardinality — one hot
+    key's set lands on one reducer. Bucketing by the distinct value
+    splits that set ``buckets`` ways while staying exact."""
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets))
+    per_cell = (
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
+        .agg(F.count_distinct(F.col(distinct_col)).alias("_nd"))
+    )
+    return per_cell.groupBy(key_col).agg(F.sum("_nd").alias("n_distinct"))

@@ -444,3 +444,19 @@ def q_incremental_monthly_rollup(spark, sf_dir):
     count/sum/min/max as mergeable states, avg re-derived at the edge."""
     ev = load_table(spark, sf_dir, "events")
     return aggregates.incremental_rollup(ev, "user_id", "ts", "value")
+
+
+@register(
+    "distinct_users_salted",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users_salted(spark, sf_dir):
+    """Exact distinct-count via disjoint salting (salt = hash of the
+    DISTINCT column, so per-cell sets never overlap and SUM of cell
+    counts is exact) — the scale pattern for one hot key whose distinct
+    set exceeds a single reducer. Oracle = the plain COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggregates.salted_distinct_count(ev, "event_type", "user_id", buckets=16)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -166,3 +167,76 @@ def resize(media: DataFrame, target_w: int = 224, target_h: int = 224, real_code
             )
 
     return media.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("peak_abs", LongType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def to_audio_media(
+    df: DataFrame, id_col: str, n_samples: int = 4000, sample_rate: int = 8000
+) -> DataFrame:
+    """Synthesize a REAL 16-bit mono PCM WAV payload per row (stdlib
+    ``wave`` encoder over the deterministic integer sawtooth keyed on
+    the id — fixtures ship no real audio). Arrow-batched pandas UDF:
+    payload bytes are produced executor-side and never visit the
+    driver."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_fuel_priceguide_ec2_spark.operators import audiocodec
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: audiocodec.encode_wav(
+                audiocodec.synth_sawtooth(int(i), n_samples), sample_rate
+            )
+        )
+
+    payload = _synth(F.col(id_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+
+
+def audio_waveform_stats(media: DataFrame) -> DataFrame:
+    """Decode the WAV binary column and emit waveform statistics
+    (sample rate, length, integer peak, RMS) via mapInPandas — the
+    audio analogue of ``decode_features``: payloads stream through
+    executors in Arrow batches; only the tiny stats rows shuffle.
+    RMS is computed from the EXACT int64 energy sum, so the value is
+    bit-stable under any partitioning (and SQL-mirrorable)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_fuel_priceguide_ec2_spark.operators import audiocodec
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = audiocodec.decode_wav(bytes(payload))
+                energy = int(np.sum(samples.astype(np.int64) ** 2))
+                n = len(samples)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "peak_abs": int(np.max(np.abs(samples.astype(np.int64)))),
+                        "rms": round(float(np.sqrt(energy / n)), 6) if n else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA])
+
+    return media.select("doc_id", "payload").mapInPandas(_stats, AUDIO_STATS_SCHEMA)

@@ -184,3 +184,44 @@ def q_semi_join_active_customers(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
+
+
+@register(
+    "ohlc_daily_values",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           ROUND(min_by(value, ts), 6) AS open_v,
+           ROUND(MAX(value), 6) AS high_v,
+           ROUND(MIN(value), 6) AS low_v,
+           ROUND(max_by(value, ts), 6) AS close_v,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+)
+def q_ohlc_daily_values(spark, sf_dir):
+    """OHLC downsampling (the hypertable/candlestick resample): per key
+    per day, first/last value by (ts, id) order plus min/max — all four
+    as ONE hash aggregate with struct-ordered min_by/max_by partials
+    (no window, no sort, one shuffle of constant-size state; the
+    windowed first_value construction would sort every group).
+
+    The Spark side orders by (ts, event_id) for total determinism; the
+    oracle orders by ts alone (DuckDB min_by takes no struct key) —
+    equivalent because (user_id, ts) is verified unique at every
+    fixture SF."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    ord_struct = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.min_by("value", ord_struct), 6).alias("open_v"),
+            F.round(F.max("value"), 6).alias("high_v"),
+            F.round(F.min("value"), 6).alias("low_v"),
+            F.round(F.max_by("value", ord_struct), 6).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -212,3 +212,30 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(multimodal.to_media(docs, "doc_id", "text"), every_nth=10)
 
 
+
+
+@register(
+    "audio_waveform_stats",
+    """
+    WITH samp AS (
+      SELECT d.doc_id, ((d.doc_id * 31 + t.i * 7) % 2048) - 1024 AS s
+      FROM documents d CROSS JOIN unnest(generate_series(0, 3999)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM samp GROUP BY doc_id
+    """,
+)
+def q_audio_waveform_stats(spark, sf_dir):
+    """X5 audio: synthesize REAL 16-bit mono PCM WAV payloads (stdlib
+    wave encoder, deterministic integer sawtooth keyed on doc_id),
+    decode them back through operators/audiocodec, and emit waveform
+    stats. The oracle regenerates the same integer samples in SQL and
+    aggregates — peak/RMS match exactly because the signal is trig-free
+    integer math and the energy sum is exact int64."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_audio_media(docs, "doc_id", n_samples=4000, sample_rate=8000)
+    return multimodal.audio_waveform_stats(media)

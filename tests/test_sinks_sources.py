@@ -654,3 +654,39 @@ def test_ngram_collapse_identical_matches_direct(spark, sf_dir):
     assert collapsed == direct
     # every clone family must contribute its J=1.0 intra pair
     assert all((d, d + 10_000) in {(a, b) for a, b, _ in collapsed} for d in range(20))
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav -> decode_wav is the identity on int16 mono samples
+    (real RIFF/WAVE container, stdlib wave module both directions)."""
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import audiocodec
+
+    samples = audiocodec.synth_sawtooth(7, 512)
+    payload = audiocodec.encode_wav(samples, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, decoded = audiocodec.decode_wav(payload)
+    assert rate == 8000
+    assert np.array_equal(decoded, samples)
+
+
+def test_wav_codec_rejects_unsupported_profile():
+    """Stereo/8-bit WAVs hit the NotImplementedError gate, mirroring the
+    image codec's unsupported-format contract."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import audiocodec
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(64, dtype=np.int16).tobytes())
+    with _pytest.raises(NotImplementedError):
+        audiocodec.decode_wav(buf.getvalue())

@@ -75,7 +75,10 @@ def _fit_centroids(
     subplan, NOTES.md round 1). On a 100 TB corpus where the scan
     dominates, callers should persist/checkpoint the projected (id,
     vector) relation BEFORE calling fit."""
-    dim = base.select(F.size("_v").alias("n")).first()["n"]
+    head = base.select(F.size("_v").alias("n")).first()
+    if head is None:
+        return []  # empty input: no centroids; callers emit empty results
+    dim = head["n"]
 
     init_rows = base.orderBy(id_col).limit(k).collect()
     centroids = [list(r["_v"]) for r in init_rows]
@@ -119,6 +122,12 @@ def kmeans_assign(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     centroids = _fit_centroids(base, id_col, k, iters)
+    if not centroids:  # empty input: empty result, stable schema
+        return base.select(
+            id_col,
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        )
     return (
         _assign(base, id_col, centroids)
         .select(id_col, "cluster_id", F.round("sq_dist", 6).alias("sq_dist"))
@@ -148,6 +157,12 @@ def semantic_dedup_pairs(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     centroids = _fit_centroids(base, id_col, k, iters)
+    if not centroids:  # empty input: empty result, stable schema
+        return base.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        ).filter(F.lit(False))
     # ONE nested array literal, not k*dim Literal nodes: the nested
     # expression tree made Janino compile multi-second generated code
     # per job (measured — the k-means fit was codegen-bound, not

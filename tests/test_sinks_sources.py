@@ -336,6 +336,19 @@ def test_operators_handle_empty_input(spark, sf_dir):
     assert sampling.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1}).count() == 0
     assert sampling.mixture_sample(docs, "doc_id", "lang", {"en": 0.5}).count() == 0
 
+    from etl_fuel_priceguide_ec2_spark.operators import aggregates, clustering, multimodal
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.lit(False))
+    assert clustering.kmeans_assign(emb, "vec_id", "embedding", k=4, iters=1).count() == 0
+    assert clustering.semantic_dedup_pairs(emb, "vec_id", "embedding", k=4, iters=1).count() == 0
+    assert sampling.weighted_sample_topk(docs, "doc_id", "n_chars", 10).count() == 0
+    assert aggregates.salted_two_phase_agg(ev, "event_type", "value", "event_id").count() == 0
+    assert aggregates.salted_distinct_count(ev, "event_type", "user_id").count() == 0
+    assert aggregates.incremental_rollup(ev, "user_id", "ts", "value").count() == 0
+    assert multimodal.audio_waveform_stats(
+        multimodal.to_audio_media(docs, "doc_id", n_samples=16)
+    ).count() == 0
+
 
 def test_example_pipeline_end_to_end(tmp_path):
     """examples/fuel_priceguide_pipeline.py — the reference user's full

@@ -247,6 +247,7 @@ def ngram_jaccard_pairs(
             .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
             .select(
                 F.col(id_col),
+                F.size("ord").alias("set_size"),
                 F.slice(
                     F.transform("ord", lambda x: x["shingle"]),
                     1,
@@ -254,11 +255,27 @@ def ngram_jaccard_pairs(
                 ).alias("prefix"),
             )
         )
-        pre = ordered.select(F.col(id_col), F.explode("prefix").alias("shingle"))
+        # carry set_size into the prefix join: the length filter
+        # (J >= t forces min|A|,|B| >= t*max) prunes candidate pair-rows
+        # BEFORE the distinct — on skewed corpora the prefix join's raw
+        # output is the largest intermediate in the whole query, and
+        # length-mismatched pairs can't qualify
+        pre = ordered.select(
+            F.col(id_col), "set_size", F.explode("prefix").alias("shingle")
+        )
         candidates = (
-            pre.select(F.col(id_col).alias("id_a"), "shingle")
-            .join(pre.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            pre.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+            .join(
+                pre.select(
+                    F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+                ),
+                "shingle",
+            )
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.least("size_a", "size_b")
+                >= F.lit(threshold) * F.greatest("size_a", "size_b")
+            )
             .select("id_a", "id_b")
             .distinct()
         )

@@ -75,13 +75,11 @@ def _fit_centroids(
     subplan, NOTES.md round 1). On a 100 TB corpus where the scan
     dominates, callers should persist/checkpoint the projected (id,
     vector) relation BEFORE calling fit."""
-    head = base.select(F.size("_v").alias("n")).first()
-    if head is None:
-        return []  # empty input: no centroids; callers emit empty results
-    dim = head["n"]
-
     init_rows = base.orderBy(id_col).limit(k).collect()
+    if not init_rows:
+        return []  # empty input: no centroids; callers emit empty results
     centroids = [list(r["_v"]) for r in init_rows]
+    dim = len(centroids[0])  # one collect serves init AND dim — no extra job
 
     for _ in range(iters):
         assigned = _assign(base, id_col, centroids)

@@ -703,3 +703,21 @@ def test_wav_codec_rejects_unsupported_profile():
         w.writeframes(np.zeros(64, dtype=np.int16).tobytes())
     with _pytest.raises(NotImplementedError):
         audiocodec.decode_wav(buf.getvalue())
+
+
+def test_semantic_dedup_example_end_to_end():
+    """examples/semantic_dedup.py — the embedding-dedup workflow runs
+    and its keep-list arithmetic is consistent."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "semantic_example", Path(__file__).parent.parent / "examples" / "semantic_dedup.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main("/root/testdata/sf0.001")
+    assert out["vectors"] == 500
+    assert out["near_dup_pairs"] > 0
+    assert out["kept"] < out["vectors"]  # something deduped
+    assert out["kept"] == out["vectors"] - (out["grouped_vectors"] - out["dup_clusters"])

@@ -53,6 +53,9 @@ HEADLINE = [
     "q10_returned_top_customers",
     "q19_disjunctive_revenue",
     "semantic_dedup_pairs",
+    # the Arrow/mapInPandas path gets a perf series too (real WAV
+    # encode+decode per row — the only Python-interior headline entry)
+    "audio_waveform_stats",
 ]
 
 

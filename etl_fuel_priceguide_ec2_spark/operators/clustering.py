@@ -13,7 +13,9 @@ the k*dim-sized centroid update aggregate.
 Determinism contract (the correctness gate hashes values, and an
 external DuckDB oracle must reproduce the run bit-for-bit):
 
-- init = the vectors of the ``k`` smallest ids (no RNG);
+- init = the vectors of the ``k`` smallest md5-of-id hashes — a
+  deterministic uniform draw over the corpus (no RNG, no id-order
+  pathology);
 - assignment = argmin of squared L2 distance, ties broken by the lower
   centroid index;
 - the centroid UPDATE quantizes vector elements to 6 decimals and sums
@@ -75,7 +77,17 @@ def _fit_centroids(
     subplan, NOTES.md round 1). On a 100 TB corpus where the scan
     dominates, callers should persist/checkpoint the projected (id,
     vector) relation BEFORE calling fit."""
-    init_rows = base.orderBy(id_col).limit(k).collect()
+    # init = the k smallest md5-of-id values: a deterministic uniform
+    # draw over the corpus. Lowest-id init was measured pathological on
+    # id-correlated data (a 5x-replicated corpus put every centroid in
+    # replica 0, whole clouds collapsed into one block and the blocked
+    # pair search went quadratic, 2.7s -> 32s); real corpora correlate
+    # ids with source/time the same way. Hash order is engine-portable
+    # (same expression exists in DuckDB), so oracles replay it exactly.
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    init_rows = base.orderBy(h.asc(), F.col(id_col).asc()).limit(k).collect()
     if not init_rows:
         return []  # empty input: no centroids; callers emit empty results
     centroids = [list(r["_v"]) for r in init_rows]

@@ -1,7 +1,8 @@
 """Semantic clustering tier (round 3): deterministic k-means over the
 embedding column and k-means-blocked semantic near-dup pairs — the
 cluster-then-pair pattern that keeps semantic dedup out of O(n^2) at
-corpus scale. Fully DuckDB-oracled: init is the k lowest ids (no RNG),
+corpus scale. Fully DuckDB-oracled: init is the k smallest
+md5-of-id hashes (deterministic uniform draw, no RNG),
 centroid updates quantize to 6dp and sum as DECIMAL (order-free), so
 the oracle replays the exact same Lloyd's iterations in SQL."""
 
@@ -30,8 +31,15 @@ def _kmeans_cte(k: int, iters: int, dim: int) -> str:
         "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
         "  FROM embeddings\n"
         "), c0 AS (\n"
-        "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v\n"
-        f"  FROM base ORDER BY vec_id LIMIT {k}\n"
+        # init mirrors the operator: the k smallest md5-of-id hashes (a
+        # deterministic uniform draw — lowest-id init is pathological on
+        # id-correlated corpora); centroid index = hash order
+        "  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v FROM (\n"
+        "    SELECT vec_id, v,\n"
+        "           CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT) AS h\n"
+        f"    FROM base ORDER BY h, vec_id LIMIT {k}\n"
+        "  )\n"
         ")"
     ]
     for it in range(iters):
@@ -87,7 +95,7 @@ _KMEANS_ORACLE = (
 @register("semantic_kmeans_clusters", _KMEANS_ORACLE)
 def q_semantic_kmeans_clusters(spark, sf_dir):
     """Deterministic Lloyd's k-means assignment over embeddings (k=8,
-    2 iterations, lowest-id init). The oracle replays the identical
+    2 iterations, hash-spread init). The oracle replays the identical
     iterations as a recursive-free SQL CTE chain."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kmeans_assign(emb, "vec_id", "embedding", k=K, iters=ITERS)

@@ -1,0 +1,115 @@
+"""Vector-tier scaling study: k-means, blocked semantic pairs, and the
+similarity-search family as the embeddings corpus grows 1x/5x/25x.
+
+Replicas shift every vector by a replica-specific offset (+3*i on one
+component): pairwise distances WITHIN a replica are unchanged (the
+offset cancels), while CROSS-replica distances gain >= 9 — far past the
+1.2 pair threshold — so true pairs grow exactly linearly with mult and
+timing measures the algorithm, not answer growth. (Contrast with the
+documents study, where families were the point.)
+
+Run: python tools/scale_study_vectors.py  (writes corpora under /tmp)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity  # noqa: E402
+from etl_fuel_priceguide_ec2_spark.session import get_session  # noqa: E402
+
+BASE = "/root/testdata/sf0.1/embeddings.parquet"
+WORK = Path("/tmp/spark_graft_scale_vec")
+SCALES = [1, 5, 25]
+
+
+def build(spark, mult: int) -> str:
+    out = WORK / f"emb_x{mult}.parquet"
+    if out.exists():
+        return str(out)
+    base = spark.read.parquet(BASE)
+    n = base.count()
+    reps = []
+    for i in range(mult):
+        shift = float(3 * i)
+        reps.append(
+            base.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j: F.when(j == 0, x + F.lit(shift)).otherwise(x),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    df = reps[0]
+    for r in reps[1:]:
+        df = df.unionByName(r)
+    df.repartition(8).write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def main() -> None:
+    WORK.mkdir(exist_ok=True)
+    spark = get_session("scale-study-vec")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def queries_for(emb, k_n):
+        # FIXED 20-query probe set (first replica only): search cost then
+        # isolates corpus growth; letting q grow with the corpus would
+        # measure n*q, not the per-query scan
+        q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+        return {
+            # k scales with the corpus (constant expected block size):
+            # fixed k would make blocks O(n/k) and the self-join O(n^2/k)
+            "kmeans_assign": lambda: clustering.kmeans_assign(emb, "vec_id", "embedding", k=k_n, iters=2),
+            "semantic_pairs": lambda: clustering.semantic_dedup_pairs(
+                emb, "vec_id", "embedding", k=k_n, iters=2, threshold=1.2, probes=2
+            ),
+            "cosine_exact": lambda: similarity.cosine_topk(emb, q, "vec_id", "embedding", k=10),
+            "cosine_ivf": lambda: similarity.cosine_topk_ivf(emb, q, "vec_id", "embedding", "label", k=10),
+            "cosine_rplsh": lambda: similarity.cosine_topk_rplsh(
+                emb, q, "vec_id", "embedding", k=10, dim=64
+            ),
+        }
+
+    results = []
+    for mult in SCALES:
+        emb = spark.read.parquet(build(spark, mult))
+        n_vec = emb.count()
+        # k ~ sqrt(n): balances O(n*k) assignment vs O(n^2/k) block
+        # self-join at n^1.5 each — the classic IVF sizing. Both
+        # mis-sizings were measured: k=8*mult (linear) made the
+        # assignment quadratic (38s fit at 25x), k=8*sqrt(mult) left
+        # blocks huge and the pair verify quadratic (250s at 25x).
+        k_n = max(8, int(round(n_vec ** 0.5)))
+        for name, fn in queries_for(emb, k_n).items():
+            best, rows = 1e9, None
+            for _ in range(1 if mult >= 25 else 2):
+                t0 = time.perf_counter()
+                rows = fn().count()
+                best = min(best, time.perf_counter() - t0)
+            rec = {"op": name, "mult": mult, "vectors": n_vec, "rows": rows, "sec": round(best, 3)}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    import math
+
+    base_t = {r["op"]: r["sec"] for r in results if r["mult"] == 1}
+    print("\n# scaling exponents (sec ~ vectors^alpha; 1.0 = linear)")
+    for r in results:
+        if r["mult"] == 1:
+            continue
+        alpha = math.log(r["sec"] / base_t[r["op"]]) / math.log(r["mult"])
+        print(f"{r['op']:>15} x{r['mult']:<3} alpha={alpha:.2f}")
+
+
+if __name__ == "__main__":
+    main()

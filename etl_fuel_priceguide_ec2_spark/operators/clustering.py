@@ -127,7 +127,14 @@ def kmeans_assign(
 ) -> DataFrame:
     """Deterministic Lloyd's k-means; returns (id, cluster_id, sq_dist
     rounded to 6). ``iters`` full assign+update cycles, then a final
-    assignment against the last centroids."""
+    assignment against the last centroids.
+
+    Sizing ``k`` for blocked pair search: choose k ~ sqrt(n) — it
+    balances the O(n*k) assignment against the O(n^2/k) per-block
+    self-join at n^1.5 each; both mis-sizings were measured quadratic
+    (docs/SCALE.md, vector scaling study). Raise ``probes`` alongside k
+    (finer blocks lose more straddling pairs); at extreme scale prefer
+    a two-level coarse-then-fine quantizer over one giant flat k."""
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )

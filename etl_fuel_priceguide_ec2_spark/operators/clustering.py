@@ -230,3 +230,102 @@ def semantic_dedup_pairs(
         .filter(F.col("sq_dist") <= threshold)
         .select("id_a", "id_b", F.round("sq_dist", 6).alias("sq_dist"))
     )
+
+
+def semantic_dedup_pairs_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    threshold: float = 0.15,
+    probes: int = 2,
+) -> DataFrame:
+    """Two-level blocked semantic pairs — the flat-k replacement at
+    extreme scale (docs/SCALE.md: one flat k must be ~sqrt(n), which at
+    10^10 vectors means 10^5 centroids and an O(n*k) assignment; two
+    levels of ~n^(1/3) each cut assignment to O(n*(k1+k2)) while the
+    block count k1*k2 keeps blocks small).
+
+    Level 1: Lloyd's over the vectors (coarse cells). Level 2: Lloyd's
+    over the RESIDUALS v - c1(v) with one shared codebook (the IVF-PQ
+    coarse/fine split, minus the compression). Block key = (coarse
+    cell, residual cell); candidates must share BOTH, multi-probed on
+    each level (probes^2 block memberships per vector). Residuals are
+    always taken against the PRIMARY coarse cell — the standard IVF
+    approximation — so a pair straddling two coarse cells is found via
+    the coarse probe, not a recomputed residual."""
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    c1 = _fit_centroids(base, id_col, k1, iters)
+    if not c1:
+        return base.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        ).filter(F.lit(False))
+    cent1 = F.lit([[float(x) for x in c] for c in c1])
+    d1 = F.transform(
+        cent1,
+        lambda c: F.aggregate(
+            F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    primary = (F.array_position(d1, F.array_min(d1)) - 1).cast("int")
+    resid = F.zip_with(
+        "_v", F.element_at(cent1, primary + F.lit(1)), lambda x, c: x - c
+    )
+    resid_df = base.select(F.col(id_col), resid.alias("_v"))
+    c2 = _fit_centroids(resid_df, id_col, k2, iters)
+    cent2 = F.lit([[float(x) for x in c] for c in c2])
+
+    def _probe_blocks(vec_expr, cent_lit, k):
+        d = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(vec_expr, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, dd: acc + dd,
+            ),
+        )
+        ranked = F.array_sort(
+            F.zip_with(
+                d,
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda dd, i: F.struct(dd.alias("d"), i.alias("cid")),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, probes), lambda s: s["cid"].cast("long"))
+
+    probed = (
+        base.withColumn("_resid", resid)
+        .withColumn("_b1", F.explode(_probe_blocks(F.col("_v"), cent1, k1)))
+        .withColumn("_b2", F.explode(_probe_blocks(F.col("_resid"), cent2, k2)))
+        .withColumn("block", F.col("_b1") * k2 + F.col("_b2"))
+    )
+    left = probed.select(F.col(id_col).alias("id_a"), "block", F.col("_v").alias("va"))
+    right = probed.select(F.col(id_col).alias("id_b"), "block")
+    cand = (
+        left.join(right, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs_b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        cand.join(vecs_b, "id_b")
+        .withColumn(
+            "sq_dist",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        .filter(F.col("sq_dist") <= threshold)
+        .select("id_a", "id_b", F.round("sq_dist", 6).alias("sq_dist"))
+    )

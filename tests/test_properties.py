@@ -294,3 +294,42 @@ def test_asof_tolerance_matches_bruteforce(spark, data, tol_hours):
             best = None
         exp = (best.ts, best.value) if best is not None else (None, None)
         assert got[lrow.event_id] == exp, (lrow, got[lrow.event_id], exp)
+
+
+def test_two_level_blocking_recall(spark, sf_dir):
+    """Two-level (coarse x residual) blocked pairs: subset of the true
+    pairs, with recall above the documented floor (conjunctive blocks
+    trade recall for a k1*k2 block count — lower than flat blocking at
+    equal probes, tunable via probes^2)."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("d") <= 1.2)
+    )
+    true_pairs = {(r.id_a, r.id_b) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in clustering.semantic_dedup_pairs_two_level(
+            emb, "vec_id", "embedding", k1=8, k2=8, iters=2, threshold=1.2, probes=2
+        ).collect()
+    }
+    assert got <= true_pairs, f"false positives: {sorted(got - true_pairs)[:5]}"
+    assert len(got) >= 0.4 * len(true_pairs), (
+        f"two-level recall {len(got)}/{len(true_pairs)} below 0.4"
+    )

@@ -278,3 +278,17 @@ def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
     # acceptable fallback. Either way: never a full global sort.
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_two_level_pairs_never_cartesian(spark, sf_dir):
+    """Two-level blocking must also execute as an equi-join on the
+    composite block id — never a cartesian over all pairs."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = clustering.semantic_dedup_pairs_two_level(
+        emb, "vec_id", "embedding", k1=4, k2=4, iters=1, threshold=1.2, probes=2
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

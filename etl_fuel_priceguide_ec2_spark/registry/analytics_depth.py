@@ -460,3 +460,63 @@ def q_distinct_users_salted(spark, sf_dir):
     set exceeds a single reducer. Oracle = the plain COUNT(DISTINCT)."""
     ev = load_table(spark, sf_dir, "events")
     return aggregates.salted_distinct_count(ev, "event_type", "user_id", buckets=16)
+
+
+@register(
+    "pandas_udaf_user_trend",
+    """
+    SELECT user_id,
+           ROUND(regr_slope(value, epoch(ts)), 9) AS slope,
+           ROUND(regr_intercept(value, epoch(ts)), 4) AS intercept,
+           COUNT(*) AS n
+    FROM events WHERE user_id < 50
+    GROUP BY user_id
+    """,
+)
+def q_pandas_udaf_user_trend(spark, sf_dir):
+    """Grouped-map pandas UDAF (§2.8, driver-visible form): per-user
+    least-squares trend of value over event time via applyInPandas +
+    numpy, oracled against DuckDB's regr_slope/regr_intercept. The
+    rounding margins are deliberate: slope magnitudes are ~1e-5 with
+    cross-engine summation noise ~1e-17 (9dp safe); intercepts inherit
+    slope noise scaled by epoch ~1.7e9 (4dp safe)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "value")
+    )
+
+    def _trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # normalize the datetime unit explicitly (Arrow hands pandas
+        # datetime64[ns]); micros -> epoch seconds as double, exactly
+        # DuckDB's epoch(ts)
+        x = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+        y = pdf["value"].to_numpy(dtype="float64")
+        n = len(pdf)
+        xm, ym = x.mean(), y.mean()
+        dx = x - xm
+        denom = float((dx * dx).sum())
+        if n < 2 or denom == 0.0:
+            slope, intercept = None, None
+        else:
+            slope = float((dx * (y - ym)).sum() / denom)
+            intercept = round(ym - slope * xm, 4)
+            slope = round(slope, 9)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "slope": [slope],
+                "intercept": [intercept],
+                "n": [n],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _trend, "user_id bigint, slope double, intercept double, n bigint"
+    )

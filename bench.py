@@ -56,6 +56,14 @@ HEADLINE = [
     # the Arrow/mapInPandas path gets a perf series too (real WAV
     # encode+decode per row — the only Python-interior headline entry)
     "audio_waveform_stats",
+    # appended round 4 (VERDICT r03 item 4): the TakeOrderedAndProject
+    # sampling series, the bounded-fit two-level quantizer, the
+    # applyInPandas UDAF series, and the two new round-4 queries
+    "weighted_sample_chars",
+    "semantic_dedup_pairs_two_level",
+    "pandas_udaf_user_trend",
+    "semantic_contamination",
+    "semantic_dedup_keeplist",
 ]
 
 

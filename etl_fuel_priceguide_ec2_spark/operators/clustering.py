@@ -35,6 +35,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fit_sample(base: DataFrame, id_col: str, fit_fraction: float) -> DataFrame:
+    """Deterministic md5-hash sample of the corpus for codebook
+    training (same 60-bit-hash bucketing as operators/sampling.py, so
+    membership is partition-, order- and engine-independent and a SQL
+    oracle can replay the identical predicate). fit_fraction=1 is a
+    no-op; fractions are thresholded on 10_000 buckets."""
+    if not 0 < fit_fraction <= 1:
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
+    if fit_fraction == 1.0:
+        return base
+    ticks = fit_fraction * 10_000
+    if abs(ticks - round(ticks)) > 1e-9:
+        raise ValueError(f"fit_fraction {fit_fraction} is not a multiple of 1/10000")
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return base.filter((h % 10_000) < int(round(ticks)))
+
+
 def _assign(df: DataFrame, id_col: str, centroids: list[list[float]]) -> DataFrame:
     """Add ``cluster_id`` / ``sq_dist`` columns: nearest centroid by
     squared L2, computed as a JVM-side fold (zip_with + aggregate) per
@@ -113,8 +132,12 @@ def _fit_centroids(
         for r in upd:
             new_cent[r["cluster_id"]][r["pos"]] = r["m"]
         # empty clusters keep their previous centroid (mirrored by the
-        # oracle's LEFT JOIN + COALESCE)
-        centroids = [new_cent.get(i, centroids[i]) for i in range(k)]
+        # oracle's LEFT JOIN + COALESCE). range over the ACTUAL centroid
+        # count: with 0 < n_rows < k the init collect returns only n
+        # centroids, and indexing range(k) would raise (dict.get
+        # evaluates its default eagerly). Callers must likewise size
+        # downstream block math from len(result), not the k parameter.
+        centroids = [new_cent.get(i, centroids[i]) for i in range(len(centroids))]
     return centroids
 
 
@@ -180,6 +203,10 @@ def semantic_dedup_pairs(
             F.col(id_col).alias("id_b"),
             F.lit(None).cast("double").alias("sq_dist"),
         ).filter(F.lit(False))
+    # inputs smaller than k yield fewer centroids; all block math below
+    # must use the actual count or sequence/zip_with would null-pad and
+    # mint phantom block ids
+    k = len(centroids)
     # ONE nested array literal, not k*dim Literal nodes: the nested
     # expression tree made Janino compile multi-second generated code
     # per job (measured — the k-means fit was codegen-bound, not
@@ -232,6 +259,98 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.15,
+    probes: int = 2,
+) -> DataFrame:
+    """Embedding-space train-vs-eval contamination: find training rows
+    whose vectors are near an evaluation/benchmark vector — catches
+    PARAPHRASED benchmark leakage that n-gram-exact contamination
+    checks (textops.contamination_check) miss by construction.
+
+    Shape follows IVF search, sized for the asymmetry (train is the
+    100 TB side, eval is small): fit k-means on the EVAL side only, index
+    each eval vector under its PRIMARY cell, probe each train vector
+    under its ``probes`` nearest cells, and score only within shared
+    cells. The train side is scanned once, assigned with a broadcast
+    k x dim literal (JVM-side fold, no shuffle of vectors beyond the
+    cell-keyed candidate join), and never self-joined; the fit cost is
+    bounded by the eval set's size.
+
+    Returns (train_id, eval_id, sq_dist) for pairs at squared L2 <=
+    ``threshold``. Multi-probing the train side (not the index side)
+    keeps the index one-cell-per-eval-row while recovering straddling
+    pairs — the standard IVF recall lever."""
+    tbase = train.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    ebase = eval_df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    centroids = _fit_centroids(ebase, id_col, k, iters)
+    if not centroids:  # empty eval set: nothing can be contaminated
+        return tbase.select(
+            F.col("train_id"),
+            F.col("train_id").alias("eval_id"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        ).filter(F.lit(False))
+    k = len(centroids)  # eval sets smaller than k clamp the codebook
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+
+    def _dists(col):
+        return F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(col, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+
+    # eval index: PRIMARY cell only (ties to the lower centroid index)
+    ed = _dists(F.col("_v"))
+    eidx = ebase.select(
+        F.col(id_col).alias("eval_id"),
+        F.col("_v").alias("ev"),
+        (F.array_position(ed, F.array_min(ed)) - 1).cast("long").alias("cell"),
+    )
+    # train probe: the `probes` nearest cells
+    td = _dists(F.col("_v"))
+    ranked = F.array_sort(
+        F.zip_with(
+            td,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+        )
+    )
+    tprobe = tbase.withColumn(
+        "cell",
+        F.explode(
+            F.transform(F.slice(ranked, 1, probes), lambda s: s["cid"].cast("long"))
+        ),
+    )
+    return (
+        tprobe.join(F.broadcast(eidx), "cell")
+        .withColumn(
+            "sq_dist",
+            F.aggregate(
+                F.zip_with("_v", "ev", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        .filter(F.col("sq_dist") <= threshold)
+        .select("train_id", "eval_id", F.round("sq_dist", 6).alias("sq_dist"))
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+
+
 def semantic_dedup_pairs_two_level(
     df: DataFrame,
     id_col: str,
@@ -241,6 +360,7 @@ def semantic_dedup_pairs_two_level(
     iters: int = 2,
     threshold: float = 0.15,
     probes: int = 2,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """Two-level blocked semantic pairs — the flat-k replacement at
     extreme scale (docs/SCALE.md: one flat k must be ~sqrt(n), which at
@@ -255,17 +375,35 @@ def semantic_dedup_pairs_two_level(
     each level (probes^2 block memberships per vector). Residuals are
     always taken against the PRIMARY coarse cell — the standard IVF
     approximation — so a pair straddling two coarse cells is found via
-    the coarse probe, not a recomputed residual."""
+    the coarse probe, not a recomputed residual.
+
+    ``fit_fraction`` bounds the Lloyd's FIT input (VERDICT r03): both
+    codebooks train on a deterministic md5-hash sample of the corpus
+    (the standard IVF-PQ recipe — codebooks need a representative
+    sample, not the population), and only the single assignment pass
+    touches every row. At 100 TB this turns ~2*iters full-corpus scans
+    + driver actions into sample-sized ones; cap the sample near
+    c*k*dim rows (c ~ 100). The md5 predicate is engine-portable, so
+    oracles replay the identical sample. Rows-smaller-than-the-sample
+    edge: if the sample is empty while the corpus is not, the fit falls
+    back to the full corpus (oracles with fixed data never hit this)."""
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    c1 = _fit_centroids(base, id_col, k1, iters)
+    # tiny-input fallback: an empty SAMPLE must not turn a non-empty
+    # corpus into "no centroids" — refit on the full corpus (one cheap
+    # extra fit only on near-empty inputs; fixed-data oracles never
+    # sample to empty, so the oracle needs no branch)
+    c1 = _fit_centroids(
+        _fit_sample(base, id_col, fit_fraction), id_col, k1, iters
+    ) or _fit_centroids(base, id_col, k1, iters)
     if not c1:
         return base.select(
             F.col(id_col).alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.lit(None).cast("double").alias("sq_dist"),
         ).filter(F.lit(False))
+    k1 = len(c1)  # inputs smaller than k1 yield fewer centroids
     cent1 = F.lit([[float(x) for x in c] for c in c1])
     d1 = F.transform(
         cent1,
@@ -280,7 +418,10 @@ def semantic_dedup_pairs_two_level(
         "_v", F.element_at(cent1, primary + F.lit(1)), lambda x, c: x - c
     )
     resid_df = base.select(F.col(id_col), resid.alias("_v"))
-    c2 = _fit_centroids(resid_df, id_col, k2, iters)
+    c2 = _fit_centroids(
+        _fit_sample(resid_df, id_col, fit_fraction), id_col, k2, iters
+    ) or _fit_centroids(resid_df, id_col, k2, iters)
+    k2 = len(c2)  # same clamp on the residual codebook
     cent2 = F.lit([[float(x) for x in c] for c in c2])
 
     def _probe_blocks(vec_expr, cent_lit, k):

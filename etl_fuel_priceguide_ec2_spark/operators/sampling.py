@@ -101,7 +101,12 @@ def weighted_sample_topk(
     100 TB: one scan + one top-n (Spark runs the global row_number as
     a partial per-partition top-n before the single-partition final
     sort — see TakeOrderedAndProject — so no full sort materializes).
-    Adds ``sample_rank`` (1..n, by key desc, id tiebreak)."""
+    Adds ``sample_rank`` (1..n, by key desc, id tiebreak).
+
+    Rows with weight <= 0 (or NULL) are EXCLUDED before keying — the
+    standard Efraimidis-Spirakis domain (w < 0 would flip ln(u)/w
+    positive and always win; w == 0 yields -inf). Oracles must mirror
+    the same ``weight > 0`` predicate."""
     # 60-bit hash -> u in (0, 1); +0.5 keeps u strictly inside (0,1)
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
@@ -112,7 +117,8 @@ def weighted_sample_topk(
 
     w = Window.orderBy(F.desc("_es_key"), F.col(id_col))
     return (
-        df.withColumn("_es_key", key)
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_es_key", key)
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
         .drop("_es_key")

@@ -202,7 +202,10 @@ def cosine_topk_rplsh(
             F.sequence(F.lit(0), F.lit(planes - 1)),
             lambda d, j: F.when(d >= 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
         )
-        sig = F.aggregate(bitvals, F.lit(0.0), lambda a, x: a + x).cast("int")
+        # cast LONG, not int: powers of two are exact in double up to
+        # 2^53, but an int cast caps usable planes at 30 (2^31 wraps or
+        # errors under ANSI); long keeps parity with the oracle's BIGINT
+        sig = F.aggregate(bitvals, F.lit(0.0), lambda a, x: a + x).cast("long")
         return df.withColumn("sig", sig)
 
     c = _sig(_with_norm(corpus, id_col, vec_col)).select(

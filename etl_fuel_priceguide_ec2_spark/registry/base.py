@@ -46,81 +46,72 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-3 window: the 26 queries no driver round has ever checked (the
-# 13 function batteries deferred from round 1 + the 13 round-2 ops,
-# incl. all 6 TPC-H shapes and the curation/sampling tier), the 2
-# round-2 HUGEINT reds (now CAST-fixed), the 3 ANN variants that gained
-# full value-level oracles this round, the de-vacuated interval join,
-# and 18 regression re-verifications of round-1 greens (flagship asof /
-# dedup / similarity / ETL core) so rotated-out queries don't go
-# externally unwatched (ADVICE r02).
+# Round-4 window (FROZEN at round start — VERDICT r03 item 1: anything
+# registered after this list is set must lead round 5, never slot into
+# this window late): the 7 round-3 late additions no driver has ever
+# seen, the 2 new round-4 queries (registered at round START, inside the
+# frozen window, per the register-then-verify invariant), the 5 round-1
+# greens the round-3 window displaced, then the regression net ordered
+# by staleness — all 28 remaining queries whose last driver green was
+# round 1, plus 8 round-2 picks (the former r01 reds and the §2 rows).
+# After a clean r04, every registry query has >= 1 green driver row and
+# nothing is staler than round 2.
 _ROUND_PRIORITY: list[str] = [
-    # --- round-2 reds, fixed (CAST(SUM AS BIGINT) oracles) ---
-    "data_quality_metrics",
-    "key_skew_profile",
-    # --- de-vacuated: re-anchored on purchase events, >0 rows now ---
-    "interval_join_recent_events",
-    # --- ANN tier: full DuckDB-mirror oracles added this round ---
-    "similarity_topk_rplsh",
-    "similarity_topk_int8",
-    "similarity_pandas_udf",
-    # --- 13 function batteries deferred since round 1 ---
-    "date_function_battery",
-    "null_semantics_battery",
-    "numeric_battery",
-    "regexp_extract_groups",
-    "posexplode_tokens",
-    "map_functions_battery",
-    "higher_order_array_battery",
-    "conditional_agg_battery",
-    "union_by_name_feeds",
-    "variant_json_battery",
-    "try_functions_battery",
-    "bitwise_battery",
-    "csv_roundtrip_battery",
-    # --- 13 round-2 additions, never yet in a window ---
-    "dedup_ngram_jaccard_auto_skew",
-    "contamination_check",
-    "repetition_signals",
-    "unigram_quality",
-    "hash_split_train_val_test",
-    "mixture_sample_by_lang",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_top_customers",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    # --- round-3 additions: semantic clustering tier, weighted sampling,
-    # mergeable-agg patterns (new this round — driver sees them now
-    # instead of waiting a round; displaces the last 5 regression
-    # re-checks below past the 50-entry window, which stay covered by
-    # the local full-oracle pytest + contract sim) ---
-    "semantic_kmeans_clusters",
-    "semantic_dedup_pairs",
-    "weighted_sample_chars",
-    "salted_event_value_agg",
-    "incremental_monthly_rollup",
-    # --- regression net: round-1 greens re-entering the window ---
-    "asof_latest_per_key",
-    "asof_join_orders_events",
-    "latest_via_max_by",
-    "asof_point_lookup",
-    "etl_pipeline_dim",
-    "upsert_new_keys",
-    "upsert_merged_dim",
-    "enrichment_join",
-    "snapshot_diff",
-    "dedup_exact",
-    "dedup_last_wins",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # --- 7 round-3 late additions: never in any driver window ---
+    "asof_join_tolerance_7d",
+    "audio_waveform_stats",
+    "distinct_users_salted",
+    "mad_outlier_docs",
+    "ohlc_daily_values",
+    "pandas_udaf_user_trend",
+    "semantic_dedup_pairs_two_level",
+    # --- 2 new round-4 queries (registered before the freeze) ---
+    "semantic_contamination",
+    "semantic_dedup_keeplist",
+    # --- 5 round-1 greens displaced past slot 50 by the r03 window ---
     "dedup_ngram_jaccard_prefix",
     "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_topk_ivf",
     "revenue_by_nation",
+    # --- regression net: every other query last driver-green in r01 ---
+    "bigram_top_per_lang",
+    "distinct_users_by_type",
+    "json_props_agg",
+    "json_struct_parse",
+    "keyed_changes",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "null_filter_shaping",
+    "percentile_prices",
+    "price_change_deltas",
+    "pricing_summary",
+    "projection_rename",
+    "rollup_brand_stats",
+    "run_metrics",
+    "scalar_battery",
+    "semi_join_active_customers",
+    "set_ops_symmetric_diff",
+    "stream_window_counts",
+    "string_battery",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "top_orders_per_priority",
+    "vocabulary_top20",
+    "window_running_sum",
+    # --- regression net: round-2 picks (former r01 reds + §2 rows) ---
+    "dedup_simhash",
+    "dedup_clusters",
+    "sessionize_events",
+    "pivot_event_counts",
+    "scd2_dim_versions",
+    "multimodal_resize",
+    "json_error_tolerance",
+    "array_element_access",
 ]
 
 

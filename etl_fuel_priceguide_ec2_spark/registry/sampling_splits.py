@@ -71,6 +71,7 @@ def q_mixture_sample_by_lang(spark, sf_dir):
                         / n_chars DESC,
                         doc_id) AS INTEGER) AS sample_rank
       FROM documents
+      WHERE n_chars > 0
     ) WHERE sample_rank <= 100
     """,
 )

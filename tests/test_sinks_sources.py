@@ -350,6 +350,66 @@ def test_operators_handle_empty_input(spark, sf_dir):
     ).count() == 0
 
 
+def test_kmeans_smaller_than_k_input(spark, sf_dir):
+    """Robustness (ADVICE r03): 0 < n_rows < k must clamp to n centroids
+    instead of raising IndexError in the centroid update, and downstream
+    block ids must never exceed the actual centroid count."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
+    n = emb.count()
+    assert 0 < n < 8
+    assigned = clustering.kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+    rows = assigned.collect()
+    assert len(rows) == n
+    assert all(0 <= r.cluster_id < n for r in rows)
+    pairs = clustering.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", k=8, iters=2, threshold=1e9, probes=2
+    )
+    assert pairs.count() == n * (n - 1) // 2  # huge threshold: all pairs found
+    two = clustering.semantic_dedup_pairs_two_level(
+        emb, "vec_id", "embedding", k1=8, k2=8, iters=1, threshold=1e9, probes=2
+    )
+    assert two.count() <= n * (n - 1) // 2 and two.count() >= 0
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """ADVICE r03: w <= 0 rows must be excluded (ln(u)/w with w < 0 would
+    flip positive and always rank first; w == 0 gives -inf)."""
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 0.0), (4, 3.0), (5, None)],
+        "id long, w double",
+    )
+    got = sampling.weighted_sample_topk(df, "id", "w", 10)
+    ids = {r.id for r in got.collect()}
+    assert ids == {1, 4}
+
+
+def test_rplsh_supports_more_than_30_planes(spark, sf_dir):
+    """ADVICE r03: the signature fold must cast to LONG — planes >= 31
+    overflowed the old int cast (wraps, or errors under ANSI mode).
+    Plant exact-duplicate vectors under new ids: identical vectors share
+    a 34-plane signature, so each query must recover its clone at
+    cosine 1.0 — and signatures above 2^31 must not error."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40).select(
+        "vec_id", "embedding"
+    )
+    clones = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.cosine_topk_rplsh(
+        emb.unionByName(clones), emb.filter(F.col("vec_id") < 3),
+        "vec_id", "embedding", k=5, dim=64, planes=34, multiprobe_hamming=0,
+    )
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in out.collect()}
+    for q in range(3):
+        assert got.get((q, q + 100000)) == 1.0
+
+
 def test_example_pipeline_end_to_end(tmp_path):
     """examples/fuel_priceguide_pipeline.py — the reference user's full
     workflow runs and produces consistent counts."""

@@ -64,6 +64,12 @@ HEADLINE = [
     "pandas_udaf_user_trend",
     "semantic_contamination",
     "semantic_dedup_keeplist",
+    # appended round 4 batch 2: the TPC-H set completion — one entry per
+    # distinct heavy plan family (5-way broadcast star with profit expr,
+    # group-having join-back top-k, dual orderkey-shuffle only-offender)
+    "q9_product_type_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -204,3 +204,71 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", block_col="label", threshold=0.35)
 
 
+
+# --- composed TEXT dedup pipeline: MinHash-LSH pairs -> CC -> keep-list ---
+# the text-side sibling of semantic_dedup_keeplist: every document with
+# its dup-component id and the keep decision, as ONE oracled relation.
+# The oracle mines the exact all-pairs Jaccard (the LSH parameters have
+# proven 100% recall on this corpus — dedup_minhash_lsh), then replays
+# connected components as a recursive-CTE fixpoint.
+_MINHASH_KEEPLIST_ORACLE = r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(toks) - 3 + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM d
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), spairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz x ON id_a = x.doc_id
+      JOIN sz y ON id_b = y.doc_id
+      WHERE n_common * 1.0 / (x.set_size + y.set_size - n_common) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION SELECT id_b, id_a FROM spairs
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node, MIN(reach) AS component_id
+      FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+      GROUP BY node
+    )
+    SELECT doc.doc_id,
+           COALESCE(c.component_id, doc.doc_id) AS component_id,
+           COALESCE(c.component_id, doc.doc_id) = doc.doc_id AS kept
+    FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+"""
+
+
+@register("minhash_dedup_keeplist", _MINHASH_KEEPLIST_ORACLE)
+def q_minhash_dedup_keeplist(spark, sf_dir):
+    """The COMPOSED text-dedup pipeline as one relation: MinHash-LSH
+    candidate pairs (verified at Jaccard >= 0.5) -> HashMin connected
+    components -> canonical keep-list (kept iff the doc is its
+    component's min-id representative; singletons always kept). At
+    100 TB every stage is bucketed/blocked: zero-shuffle signatures,
+    band-bucket candidate join, 32-byte-key CC iterations — the keep
+    relation is what a curation job actually anti-joins against."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.5
+    )
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
+    )

@@ -85,6 +85,36 @@ def upsert_dim(src: DataFrame, path: str, key: str) -> None:
     inserts.write.mode("append").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a hash-bucketed (optionally sorted) parquet table into the
+    session catalog. Bucketing is the storage-level half of the 100 TB
+    join strategy: two fact tables bucketed on the same key with the
+    same bucket count join WITHOUT any Exchange — the shuffle is paid
+    once at write time and amortized over every subsequent join/agg on
+    that key (equivalently: a persisted pre-partitioning reused across
+    stages). sortBy additionally pre-orders within buckets so the
+    sort-merge join skips its per-task sort.
+
+    Bucket metadata lives in the catalog (saveAsTable) — plain
+    ``.parquet(path)`` writes would lose it."""
+    w = df.write.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed catalog table; the scan reports the bucket spec
+    so the planner can elide shuffles on bucket-key joins/aggregates."""
+    return spark.table(table)
+
+
 def compact(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
     """Small-file compaction: rewrite a table directory into
     ``target_partitions`` files per partition dir. Long-running append

@@ -292,3 +292,39 @@ def test_two_level_pairs_never_cartesian(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4_tpch_shapes_plan_audit(spark, sf_dir):
+    """Round-4 TPC-H completions: the plan patterns each query exists to
+    pin. Q4 must stay a LEFT SEMI (never widen rows); Q9 broadcasts all
+    three dims; Q18/Q21 top-k must cut as TakeOrderedAndProject, never a
+    full global sort; Q16's distinct-count bridge and Q2's correlated
+    min must never fall into a cartesian."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    qs = registry.queries()
+
+    q4 = _plan(qs["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in q4
+    assert "CartesianProduct" not in q4
+
+    q9 = _plan(qs["q9_product_type_profit"](spark, sf_dir))
+    assert q9.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in q9
+
+    for name in ("q18_large_volume_customers", "q21_waiting_suppliers"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    for name in ("q2_min_balance_supplier", "q16_part_supplier_variety",
+                 "q20_dominant_shippers"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # Q6 is the pushdown probe: every scan-level predicate must reach
+    # the parquet reader
+    q6 = _plan(qs["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in q6
+    assert "l_discount" in q6.split("PushedFilters")[1][:300]

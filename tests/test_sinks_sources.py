@@ -781,3 +781,42 @@ def test_semantic_dedup_example_end_to_end():
     assert out["near_dup_pairs"] > 0
     assert out["kept"] < out["vectors"]  # something deduped
     assert out["kept"] == out["vectors"] - (out["grouped_vectors"] - out["dup_clusters"])
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """The storage-level co-location contract: two tables bucketed on
+    the join key with equal bucket counts must join with ZERO Exchange
+    operators — the write-time shuffle is amortized over every later
+    join. sortBy-bucketed scans additionally let the planner drop the
+    per-task Sort. This is the plan a 100 TB fact-fact join needs."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sinks.write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8,
+                             sort_cols=["o_orderkey"])
+        sinks.write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 8,
+                             sort_cols=["l_orderkey"])
+        joined = sinks.read_bucketed(spark, "t_lineitem_b").join(
+            sinks.read_bucketed(spark, "t_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # correctness: bucketed join result equals the plain join
+        n_plain = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert joined.count() == n_plain
+        # and a bucket-key aggregate also skips its shuffle
+        agg = (
+            sinks.read_bucketed(spark, "t_lineitem_b")
+            .groupBy("l_orderkey")
+            .count()
+        )
+        assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -141,12 +141,28 @@ def _fit_centroids(
     return centroids
 
 
+def fit_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 2
+) -> list[list[float]]:
+    """Public codebook fit: the deterministic Lloyd's iterations over
+    ``vec_col``, returning the k x dim centroid matrix. Fit once per
+    corpus at ingest (the catalog pattern — same amortization as
+    ``dedup.corpus_skew_stats``) and pass the result to
+    ``kmeans_assign`` / ``semantic_dedup_pairs`` via ``centroids=`` so
+    repeated queries over one corpus skip the ~iters full scans +
+    driver actions each. The matrix is tiny (k*dim doubles) and
+    engine-portable — oracles replay the identical fit in SQL."""
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    return _fit_centroids(base, id_col, k, iters)
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means; returns (id, cluster_id, sq_dist
     rounded to 6). ``iters`` full assign+update cycles, then a final
@@ -157,11 +173,15 @@ def kmeans_assign(
     self-join at n^1.5 each; both mis-sizings were measured quadratic
     (docs/SCALE.md, vector scaling study). Raise ``probes`` alongside k
     (finer blocks lose more straddling pairs); at extreme scale prefer
-    a two-level coarse-then-fine quantizer over one giant flat k."""
+    a two-level coarse-then-fine quantizer over one giant flat k.
+
+    ``centroids``: a pre-fitted codebook (``fit_centroids``) skips the
+    fit entirely — the per-corpus amortization path."""
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    centroids = _fit_centroids(base, id_col, k, iters)
+    if centroids is None:
+        centroids = _fit_centroids(base, id_col, k, iters)
     if not centroids:  # empty input: empty result, stable schema
         return base.select(
             id_col,
@@ -182,6 +202,7 @@ def semantic_dedup_pairs(
     iters: int = 2,
     threshold: float = 0.15,
     probes: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs: k-means block, then pair search ONLY
     within shared blocks (each block self-join is |block|^2 instead of
@@ -192,11 +213,15 @@ def semantic_dedup_pairs(
     probed block — the standard IVF recall lever for clusters that
     overlap (single-assignment blocking loses near pairs that straddle
     a centroid boundary; measured 0.30 -> ~0.8 recall on the fixture
-    at probes=2). Cost scales linearly in ``probes``, never O(n^2)."""
+    at probes=2). Cost scales linearly in ``probes``, never O(n^2).
+
+    ``centroids``: a pre-fitted codebook (``fit_centroids``) skips the
+    fit entirely — the per-corpus amortization path."""
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    centroids = _fit_centroids(base, id_col, k, iters)
+    if centroids is None:
+        centroids = _fit_centroids(base, id_col, k, iters)
     if not centroids:  # empty input: empty result, stable schema
         return base.select(
             F.col(id_col).alias("id_a"),

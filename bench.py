@@ -70,6 +70,8 @@ HEADLINE = [
     "q9_product_type_profit",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
+    # the composed ANN scale path (cells + int8) enters the series
+    "similarity_topk_ivf_sq8",
 ]
 
 

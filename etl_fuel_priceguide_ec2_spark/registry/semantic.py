@@ -411,3 +411,71 @@ def q_semantic_dedup_pairs_two_level(spark, sf_dir):
         emb, "vec_id", "embedding", k1=K, k2=K2, iters=ITERS,
         threshold=1.2, probes=PROBES, fit_fraction=FIT_FRACTION,
     )
+
+
+# --- IVF-SQ8 ANN: coarse cells + int8 scalar-quantized scoring ---
+# the composed ANN scale path (probe ~nprobe/cells of the corpus, read
+# 4x-smaller int8 codes, exact integer scores). The oracle replays the
+# coarse Lloyd's fit, assigns the corpus to primary cells, probes each
+# query under its 2 nearest cells, and ranks by the identical integer
+# dot product — candidates never need dedup because every corpus
+# vector lives in exactly one cell.
+_IVF_SQ8_TOPK = 5
+_IVF_SQ8_NPROBE = 2
+
+_IVF_SQ8_ORACLE = (
+    "WITH base AS (\n"
+    "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+    "  FROM embeddings\n)"
+    + _lloyds_frag("base", K, ITERS, DIM, "s")
+    + _probe_frag("base", f"sc{ITERS}", 1, DIM, "cellassign")
+    + f"""
+    , qprobe AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, c.cid, {_DIST.format(a="b", b="c", dim1=DIM + 1)} AS d
+              FROM base b CROSS JOIN sc{ITERS} c WHERE b.vec_id < 10) x
+      ) y WHERE rn <= {_IVF_SQ8_NPROBE}
+    ), nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nm
+      FROM base
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / nm * 127) AS DOUBLE)) AS q
+      FROM nrm
+    )
+    SELECT query_id, neighbor_id, rank, approx_cosine FROM (
+      SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qp.vec_id
+               ORDER BY ROUND(list_dot_product(cc.q, qq.q) / (127.0 * 127.0), 6) DESC,
+                        ca.vec_id ASC) AS rank,
+             ROUND(list_dot_product(cc.q, qq.q) / (127.0 * 127.0), 6) AS approx_cosine
+      FROM qprobe qp
+      JOIN cellassign ca ON qp.cid = ca.cid
+      JOIN q8 cc ON cc.vec_id = ca.vec_id
+      JOIN q8 qq ON qq.vec_id = qp.vec_id
+      WHERE qp.vec_id <> ca.vec_id
+    ) WHERE rank <= {_IVF_SQ8_TOPK}
+"""
+)
+
+
+@register("similarity_topk_ivf_sq8", _IVF_SQ8_ORACLE)
+def q_similarity_topk_ivf_sq8(spark, sf_dir):
+    """IVF-SQ8 ANN top-k (coarse k-means cells + int8 codes + integer
+    scoring): composes the cell-probe scan reduction with the 4x
+    quantized storage path; reuses the per-corpus cached codebook."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf_sq8(
+        emb, queries, "vec_id", "embedding",
+        k=_IVF_SQ8_TOPK, cells=K, iters=ITERS, nprobe=_IVF_SQ8_NPROBE,
+        centroids=_corpus_codebook(spark, sf_dir),
+    )

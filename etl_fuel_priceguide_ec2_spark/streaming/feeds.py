@@ -113,6 +113,20 @@ def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 day") -
     return stream.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def dedup_stream_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "1 day"
+) -> DataFrame:
+    """State-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark``
+    expires each key's dedup state once the watermark passes its event
+    time, unlike ``dropDuplicates`` whose state grows with every
+    distinct key forever. The only viable form when the key space is
+    unbounded (per-event ids at 100 TB/day) and replays arrive within a
+    bounded lateness horizon — the at-least-once-delivery dedup
+    pattern. Duplicates farther apart than the watermark may BOTH
+    survive (the documented trade for bounded state)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_stream_join(
     purchases: DataFrame, views: DataFrame, join_window: str = "1 hour"
 ) -> DataFrame:

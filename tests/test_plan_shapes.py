@@ -328,3 +328,53 @@ def test_round4_tpch_shapes_plan_audit(spark, sf_dir):
     q6 = _plan(qs["q6_forecast_revenue"](spark, sf_dir))
     assert "PushedFilters: [" in q6
     assert "l_discount" in q6.split("PushedFilters")[1][:300]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join evidence: on a join whose left side is dominated by
+    one hot key, adaptive execution must mark the sort-merge join as
+    skew-handled (`isSkewJoin=true` / skew=true in the final plan) once
+    the skew thresholds are crossed — the runtime complement to the
+    manual salting operator (salted_join_skewed_flag). Two sizing facts
+    this test pins: (a) skew stats are COMPRESSED map-output bytes, so
+    the small parquet fixtures compress below any workable threshold —
+    the input here is a 200k-row synthetic range; (b) OptimizeSkewedJoin
+    only matches SMJ(Sort(Stage), Sort(Stage)) — an aggregate or limit
+    between a Sort and its shuffle stage disables the rule entirely, so
+    both inputs are plain projections."""
+    # hot side: 99% of rows keyed to ONE value plus a long uniform tail
+    hot = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("value"),
+    )
+    right = spark.range(0, 5_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("x")
+    )
+    prev = {
+        c: spark.conf.get(c, None)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        joined = hot.join(right, "k")
+        # execute THIS DataFrame's own QueryExecution (a sink write runs
+        # a separate one whose adaptive plan we can't read back)
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final or "isSkewJoin=true" in final, final[:2000]
+    finally:
+        for c, v in prev.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)

@@ -116,6 +116,24 @@ def test_streaming_dedup(spark, sf_dir, event_stream_dir):
     assert got.distinct().count() == got.count()
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir, event_stream_dir):
+    """dropDuplicatesWithinWatermark (state-bounded dedup): duplicate
+    deliveries of the same event id inside the watermark horizon are
+    dropped; with the fixture replayed twice, the output equals the
+    distinct id set (all duplicates are same-event-time, so every one
+    is inside the horizon)."""
+    batch = load_table(spark, sf_dir, "events")
+    stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)
+    # at-least-once delivery: the same source unioned with itself
+    out = feeds.dedup_stream_within_watermark(
+        stream.unionAll(stream), keys=["event_id"], watermark="1 day"
+    )
+    _run_to_memory(out, "dedup_wwm", "append")
+    got = spark.sql("SELECT event_id FROM dedup_wwm")
+    assert got.count() == batch.select("event_id").distinct().count()
+    assert got.distinct().count() == got.count()
+
+
 def test_stream_stream_attribution_join(spark, sf_dir, event_stream_dir):
     batch = load_table(spark, sf_dir, "events")
     stream = feeds.read_event_stream(spark, event_stream_dir, batch.schema)

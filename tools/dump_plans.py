@@ -41,6 +41,14 @@ NOTES = {
     "weighted_sample_chars": "E-S key is one map expression; the global top-100 plans as TakeOrderedAndProject — per-partition partial top-n, no full sort.",
     "salted_event_value_agg": "two exchanges by design: (key, salt) fans the hot key out over 16 reducers; the second moves only 16 partial-state rows per key.",
     "asof_join_tolerance_7d": "same single-exchange merge-union as the plain as-of join; the 7-day bound is a post-carry row predicate, not a range join.",
+    "q4_order_priority": "TPC-H Q4 shape: date range pushed into the orders scan; EXISTS decorrelated to a LEFT SEMI that never widens rows — the shuffle carries order keys only.",
+    "q6_forecast_revenue": "TPC-H Q6 shape: every predicate in PushedFilters at the parquet scan; one partial/final aggregate pair, zero joins.",
+    "q9_product_type_profit": "TPC-H Q9 shape: part/supplier/nation all broadcast (the name-token filter prunes the broadcast side); the fact crosses one join exchange to orders.",
+    "q16_part_supplier_variety": "TPC-H Q16 shape: the (part, supplier) bridge dedups BEFORE the dim joins, so the distinct-count shuffle carries key pairs; supplier blocklist is a broadcast anti-join.",
+    "q18_large_volume_customers": "TPC-H Q18 shape: the HAVING aggregate runs on lineitem alone; only surviving keys join back; top-100 via TakeOrderedAndProject.",
+    "q21_waiting_suppliers": "TPC-H Q21 shape: EXISTS/NOT-EXISTS decorrelated to ONE per-order distinct-count aggregate reused by the probe — two orderkey exchanges instead of correlated re-scans.",
+    "minhash_dedup_keeplist": "composed chain: zero-shuffle signatures -> band-bucket candidates -> HashMin CC on the tiny edge relation -> keep-list joins components back to ids only.",
+    "similarity_topk_ivf_sq8": "IVF-SQ8: broadcast the probed queries, join on the cell id (nprobe/cells of the corpus scanned), int8 integer scoring, window top-k per query.",
 }
 
 

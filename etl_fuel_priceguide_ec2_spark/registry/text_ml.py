@@ -267,3 +267,36 @@ def q_mad_outlier_docs(spark, sf_dir):
             ).alias("robust_z"),
         )
     )
+
+
+@register(
+    "udtf_ngrams_explode",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS ngram,
+           CAST(i - 1 AS INT) AS pos
+    FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS s(i)
+    """,
+)
+def q_udtf_ngrams_explode(spark, sf_dir):
+    """Python UDTF, driver-visible (the third §2.8 extension point gets
+    an oracle row alongside the pandas UDF and the grouped UDAF):
+    word bigrams with positions via a LATERAL table-function join.
+    Python UDTFs run row-at-a-time — fine for genuinely-custom
+    generators; the JVM-side transform/slice pattern (operators/dedup)
+    is the hot-path equivalent, which is exactly what the oracle
+    replays."""
+    from etl_fuel_priceguide_ec2_spark.functions import registry_udf
+
+    registry_udf.register_all(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter("doc_id < 100").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.ngram, g.pos
+        FROM __docs_udtf d, LATERAL explode_ngrams(d.text, 2) g
+        """
+    )

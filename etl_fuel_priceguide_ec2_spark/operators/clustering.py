@@ -376,6 +376,46 @@ def semantic_contamination_pairs(
     )
 
 
+def fit_two_level_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    fit_fraction: float = 1.0,
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Fit the (coarse, residual) codebook pair used by
+    ``semantic_dedup_pairs_two_level`` — split out so a corpus can fit
+    ONCE at ingest and reuse the pair across queries (the same
+    amortization as ``fit_centroids``). Residuals are taken against the
+    primary coarse cell, exactly as the pair search does."""
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    c1 = _fit_centroids(
+        _fit_sample(base, id_col, fit_fraction), id_col, k1, iters
+    ) or _fit_centroids(base, id_col, k1, iters)
+    if not c1:
+        return [], []
+    cent1 = F.lit([[float(x) for x in c] for c in c1])
+    d1 = F.transform(
+        cent1,
+        lambda c: F.aggregate(
+            F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    primary = (F.array_position(d1, F.array_min(d1)) - 1).cast("int")
+    resid = F.zip_with(
+        "_v", F.element_at(cent1, primary + F.lit(1)), lambda x, c: x - c
+    )
+    resid_df = base.select(F.col(id_col), resid.alias("_v"))
+    c2 = _fit_centroids(
+        _fit_sample(resid_df, id_col, fit_fraction), id_col, k2, iters
+    ) or _fit_centroids(resid_df, id_col, k2, iters)
+    return c1, c2
+
+
 def semantic_dedup_pairs_two_level(
     df: DataFrame,
     id_col: str,
@@ -386,6 +426,7 @@ def semantic_dedup_pairs_two_level(
     threshold: float = 0.15,
     probes: int = 2,
     fit_fraction: float = 1.0,
+    codebooks: tuple[list[list[float]], list[list[float]]] | None = None,
 ) -> DataFrame:
     """Two-level blocked semantic pairs — the flat-k replacement at
     extreme scale (docs/SCALE.md: one flat k must be ~sqrt(n), which at
@@ -415,13 +456,16 @@ def semantic_dedup_pairs_two_level(
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    # tiny-input fallback: an empty SAMPLE must not turn a non-empty
-    # corpus into "no centroids" — refit on the full corpus (one cheap
-    # extra fit only on near-empty inputs; fixed-data oracles never
-    # sample to empty, so the oracle needs no branch)
-    c1 = _fit_centroids(
-        _fit_sample(base, id_col, fit_fraction), id_col, k1, iters
-    ) or _fit_centroids(base, id_col, k1, iters)
+    # ``codebooks``: a pre-fitted (coarse, residual) pair from
+    # fit_two_level_codebooks skips BOTH fits — the per-corpus
+    # amortization path. Otherwise fit here; the tiny-input fallback
+    # inside the fit helper keeps an empty SAMPLE from turning a
+    # non-empty corpus into "no centroids".
+    if codebooks is None:
+        codebooks = fit_two_level_codebooks(
+            df, id_col, vec_col, k1=k1, k2=k2, iters=iters, fit_fraction=fit_fraction
+        )
+    c1, c2 = codebooks
     if not c1:
         return base.select(
             F.col(id_col).alias("id_a"),
@@ -442,10 +486,6 @@ def semantic_dedup_pairs_two_level(
     resid = F.zip_with(
         "_v", F.element_at(cent1, primary + F.lit(1)), lambda x, c: x - c
     )
-    resid_df = base.select(F.col(id_col), resid.alias("_v"))
-    c2 = _fit_centroids(
-        _fit_sample(resid_df, id_col, fit_fraction), id_col, k2, iters
-    ) or _fit_centroids(resid_df, id_col, k2, iters)
     k2 = len(c2)  # same clamp on the residual codebook
     cent2 = F.lit([[float(x) for x in c] for c in c2])
 

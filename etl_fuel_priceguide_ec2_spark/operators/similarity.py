@@ -403,6 +403,64 @@ def cosine_topk_ivf_sq8(
     )
 
 
+def cosine_topk_ivf_sq8_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    rerank_m: int = 30,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Two-stage retrieval: IVF-SQ8 candidate generation (probe nprobe
+    cells, rank by the exact-integer int8 score, keep the top
+    ``rerank_m`` per query) followed by a full-precision cosine rerank
+    of only those candidates — the standard production ANN shape
+    (coarse-quantized recall, exact precision at the top).
+
+    At 100 TB the expensive stage touches nprobe/cells of the corpus in
+    quarter-width int8; the rerank reads ``rerank_m`` full vectors per
+    query — thousands of rows, not billions. Both cut boundaries are
+    deterministic: the candidate cut ranks on the order-independent
+    integer score (neighbor-id tiebreak), the final cut on the float
+    cosine with the same tiebreak."""
+    cand = cosine_topk_ivf_sq8(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=rerank_m,
+        cells=cells,
+        iters=iters,
+        nprobe=nprobe,
+        centroids=centroids,
+    ).select("query_id", "neighbor_id")
+    c = _with_norm(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    q = _with_norm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    rescored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.aggregate(F.zip_with("cv", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            / (F.col("cn") * F.col("qn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, q8: array<long of int8 values>) — unit-normalized scalar
     quantization. Kept as a separate op so the quantized column can be

@@ -486,3 +486,77 @@ def q_similarity_topk_ivf_sq8(spark, sf_dir):
         k=_IVF_SQ8_TOPK, cells=K, iters=ITERS, nprobe=_IVF_SQ8_NPROBE,
         centroids=_corpus_codebook(spark, sf_dir),
     )
+
+
+# --- two-stage retrieval: IVF-SQ8 candidates + exact float rerank ---
+_RERANK_M = 30
+
+_IVF_SQ8_RERANK_ORACLE = (
+    "WITH base AS (\n"
+    "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+    "  FROM embeddings\n)"
+    + _lloyds_frag("base", K, ITERS, DIM, "s")
+    + _probe_frag("base", f"sc{ITERS}", 1, DIM, "cellassign")
+    + f"""
+    , qprobe AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, c.cid, {_DIST.format(a="b", b="c", dim1=DIM + 1)} AS d
+              FROM base b CROSS JOIN sc{ITERS} c WHERE b.vec_id < 10) x
+      ) y WHERE rn <= {_IVF_SQ8_NPROBE}
+    ), nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nm
+      FROM base
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / nm * 127) AS DOUBLE)) AS q
+      FROM nrm
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qp.vec_id
+                 ORDER BY ROUND(list_dot_product(cc.q, qq.q) / (127.0 * 127.0), 6) DESC,
+                          ca.vec_id ASC) AS rank
+        FROM qprobe qp
+        JOIN cellassign ca ON qp.cid = ca.cid
+        JOIN q8 cc ON cc.vec_id = ca.vec_id
+        JOIN q8 qq ON qq.vec_id = qp.vec_id
+        WHERE qp.vec_id <> ca.vec_id
+      ) WHERE rank <= {_RERANK_M}
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(cn.v, qn.v) / (cn.nm * qn.nm) DESC,
+                        neighbor_id ASC) AS rank,
+             ROUND(list_dot_product(cn.v, qn.v) / (cn.nm * qn.nm), 4) AS cosine
+      FROM cand
+      JOIN nrm cn ON cn.vec_id = neighbor_id
+      JOIN nrm qn ON qn.vec_id = query_id
+    ) WHERE rank <= {_IVF_SQ8_TOPK}
+"""
+)
+
+
+@register("similarity_topk_ivf_sq8_rerank", _IVF_SQ8_RERANK_ORACLE)
+def q_similarity_topk_ivf_sq8_rerank(spark, sf_dir):
+    """Two-stage ANN (the production retrieval shape): IVF-SQ8
+    candidate generation — quarter-width int8 codes, nprobe/cells of
+    the corpus — then full-precision cosine rerank of only the top-30
+    candidates per query. Both cut boundaries deterministic (integer
+    scores, id tiebreaks)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf_sq8_rerank(
+        emb, queries, "vec_id", "embedding",
+        k=_IVF_SQ8_TOPK, cells=K, iters=ITERS, nprobe=_IVF_SQ8_NPROBE,
+        rerank_m=_RERANK_M, centroids=_corpus_codebook(spark, sf_dir),
+    )

@@ -194,3 +194,37 @@ def q_asof_join_tolerance_7d(spark, sf_dir):
         F.col("asof_ts"),
         F.col("asof_value"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """Per-user event-sequence transition matrix (the Markov-chain
+    building block): LAG over (ts, event_id)-ordered events per user,
+    then a global (prev, next) count. One shuffle on user_id for the
+    window, one tiny aggregate over |event_types|^2 keys — the
+    deterministic tiebreak on event_id makes the LAG engine-stable when
+    timestamps collide."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -72,6 +72,11 @@ HEADLINE = [
     "q21_waiting_suppliers",
     # the composed ANN scale path (cells + int8) enters the series
     "similarity_topk_ivf_sq8",
+    # round-4 final batch: the two-stage retrieval shape, the funnel
+    # (broadcast stage-relation chain), and the sequence-bigram window
+    "similarity_topk_ivf_sq8_rerank",
+    "funnel_view_click_purchase",
+    "event_transition_matrix",
 ]
 
 

@@ -178,3 +178,80 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+
+
+@register(
+    "curation_keep_list",
+    r"""
+    WITH doubled AS (
+      SELECT * FROM documents UNION ALL SELECT * FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(trim(text), '\b(the|and|of|to|a)\b')) AS n_stop,
+             len(regexp_extract_all(trim(text), '[A-Za-z]')) AS n_alpha,
+             length(trim(text)) AS n_chars
+      FROM (SELECT DISTINCT doc_id, text FROM doubled)
+    ), q AS (
+      SELECT doc_id, n_tokens,
+             ROUND((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+                    + least(ROUND(n_stop * 1.0 / n_tokens, 6) * 5, 1.0)
+                    + ROUND(n_alpha * 1.0 / n_chars, 6)) / 3, 6) AS quality_score
+      FROM m
+    ), h AS (
+      SELECT doc_id, row_idx,
+             MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+      FROM (SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY doc_id) AS row_idx
+            FROM doubled)
+    )
+    SELECT h.doc_id, h.row_idx, q.quality_score,
+           (h.canonical_id = h.doc_id AND h.row_idx = 1) AS is_canonical,
+           (h.canonical_id = h.doc_id AND h.row_idx = 1
+            AND q.quality_score >= 0.5 AND q.n_tokens >= 20) AS kept
+    FROM h JOIN q ON h.doc_id = q.doc_id
+    """,
+)
+def q_curation_keep_list(spark, sf_dir):
+    """The composed curation gate as ONE relation (the quality-side
+    sibling of the dedup keep-lists): every physical row of a
+    double-delivered corpus with its quality score, exact-dup canonical
+    flag, and the final keep decision (canonical AND quality >= 0.5 AND
+    >= 20 tokens). This is the relation a training-data build
+    anti-joins against. At 100 TB: quality metrics are per-row codegen
+    expressions; the canonical flag is one window over 32-byte content
+    hashes — payloads never shuffle. The doubled input exercises the
+    dedup leg on a corpus with no natural exact dups (dedup_exact's own
+    device); row_idx disambiguates the replayed physical rows
+    deterministically."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs)
+    # physical-row id within each doc_id (both copies are identical, so
+    # any deterministic 1/2 assignment matches the oracle's row_number)
+    wd = Window.partitionBy("doc_id").orderBy("doc_id")
+    rows = doubled.withColumn("row_idx", F.row_number().over(wd))
+    wh = Window.partitionBy(F.sha2(F.col("text"), 256))
+    flagged = rows.withColumn("canonical_id", F.min("doc_id").over(wh))
+    quality = textops.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    is_canon = (F.col("canonical_id") == F.col("doc_id")) & (F.col("row_idx") == 1)
+    return (
+        flagged.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "row_idx",
+            "quality_score",
+            is_canon.alias("is_canonical"),
+            (
+                is_canon
+                & (F.col("quality_score") >= 0.5)
+                & (F.col("n_tokens") >= 20)
+            ).alias("kept"),
+        )
+    )

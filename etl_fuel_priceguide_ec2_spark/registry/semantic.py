@@ -560,3 +560,60 @@ def q_similarity_topk_ivf_sq8_rerank(spark, sf_dir):
         k=_IVF_SQ8_TOPK, cells=K, iters=ITERS, nprobe=_IVF_SQ8_NPROBE,
         rerank_m=_RERANK_M, centroids=_corpus_codebook(spark, sf_dir),
     )
+
+
+# --- decontaminated train set: the contamination pairs APPLIED ---
+# every train vector with its contaminated flag — the relation a
+# training-data build anti-joins before tokenization (the action that
+# semantic_contamination's pair evidence exists to drive).
+_DECONTAM_ORACLE = (
+    "WITH base AS (\n"
+    "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+    "  FROM embeddings\n"
+    "), ebase AS (\n  SELECT * FROM base WHERE vec_id % 25 = 0\n"
+    "), tbase AS (\n  SELECT * FROM base WHERE vec_id % 25 <> 0\n)"
+    + _lloyds_frag("ebase", K, ITERS, DIM, "e")
+    + _probe_frag("ebase", f"ec{ITERS}", 1, DIM, "eidx")
+    + _probe_frag("tbase", f"ec{ITERS}", PROBES, DIM, "tprobe")
+    + f"""
+    , cand AS (
+      SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+      FROM tprobe t JOIN eidx e ON t.cid = e.cid
+    ), contam AS (
+      SELECT DISTINCT train_id
+      FROM cand
+      JOIN base bt ON bt.vec_id = train_id
+      JOIN base be ON be.vec_id = eval_id
+      WHERE {_CONTAM_DIST} <= 1.2
+    )
+    SELECT tb.vec_id AS train_id,
+           (c.train_id IS NOT NULL) AS contaminated
+    FROM tbase tb LEFT JOIN contam c ON c.train_id = tb.vec_id
+"""
+)
+
+
+@register("decontaminated_train_ids", _DECONTAM_ORACLE)
+def q_decontaminated_train_ids(spark, sf_dir):
+    """The contamination check APPLIED: every train vector with its
+    contaminated flag (near an eval/benchmark vector in embedding
+    space) — the relation a training-data build anti-joins before
+    tokenization. Same broadcast-codebook probe as
+    semantic_contamination; the flag join moves only train ids."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 25 != 0)
+    pairs = clustering.semantic_contamination_pairs(
+        train,
+        emb.filter(F.col("vec_id") % 25 == 0),
+        "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES,
+    )
+    flagged = pairs.select("train_id").distinct().withColumn(
+        "contaminated", F.lit(True)
+    )
+    return (
+        train.select(F.col("vec_id").alias("train_id"))
+        .join(flagged, "train_id", "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    )

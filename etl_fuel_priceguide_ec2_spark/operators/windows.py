@@ -87,3 +87,49 @@ def gap_fill_daily(
         F.last("day_max", ignorenulls=True).over(w).alias("filled_value"),
         F.col("day_max").isNull().alias("is_gap"),
     )
+
+
+def funnel_first_touch(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    within: str = "2 DAYS",
+) -> DataFrame:
+    """Ordered N-stage funnel: per user, the first stage-0 event, then
+    for each later stage the first matching event AFTER the previous
+    stage's first touch and within ``within`` of it. Output: one row
+    per user who entered the funnel, columns ``first_<stage>``
+    (timestamp, NULL from the stage where the user fell out).
+
+    Plan shape per stage: ONE events scan with the previous stage's
+    (small, monotonically shrinking) per-user relation broadcast into
+    it and a per-user MIN — the fact table is scanned once per stage
+    and never self-joined row-to-row. Users who fell out carry a NULL
+    previous-touch, which the ts comparison rejects, so later stages
+    exclude them for free."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    first0 = f"first_{stages[0]}"
+    out = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(first0))
+    )
+    prev_col = first0
+    for stage in stages[1:]:
+        cur_col = f"first_{stage}"
+        cur = (
+            events.join(F.broadcast(out.select(user_col, prev_col)), user_col)
+            .filter(
+                (F.col(type_col) == stage)
+                & (F.col(ts_col) > F.col(prev_col))
+                & (F.col(ts_col) <= F.col(prev_col) + F.expr(f"INTERVAL {within}"))
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(cur_col))
+        )
+        out = out.join(cur, user_col, "left")
+        prev_col = cur_col
+    return out

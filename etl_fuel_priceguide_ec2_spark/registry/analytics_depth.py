@@ -557,29 +557,9 @@ def q_funnel_view_click_purchase(spark, sf_dir):
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
+    from etl_fuel_priceguide_ec2_spark.operators import windows
+
+    return windows.funnel_first_touch(
+        ev, "user_id", "ts", "event_type",
+        stages=["view", "click", "purchase"], within="2 DAYS",
     )
-    c = (
-        ev.join(F.broadcast(v), "user_id")
-        .filter(
-            (F.col("event_type") == "click")
-            & (F.col("ts") > F.col("first_view"))
-            & (F.col("ts") <= F.col("first_view") + F.expr("INTERVAL 2 DAYS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
-    )
-    p = (
-        ev.join(F.broadcast(c), "user_id")
-        .filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("first_click"))
-            & (F.col("ts") <= F.col("first_click") + F.expr("INTERVAL 2 DAYS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    return v.join(c, "user_id", "left").join(p, "user_id", "left")

@@ -333,3 +333,60 @@ def test_two_level_blocking_recall(spark, sf_dir):
     assert len(got) >= 0.4 * len(true_pairs), (
         f"two-level recall {len(got)}/{len(true_pairs)} below 0.4"
     )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=40),  # ts offset (hours)
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_first_touch_matches_bruteforce(spark, data):
+    """Funnel semantics on arbitrary event streams (small domains force
+    same-user ties and fall-outs): each stage's first touch is the
+    earliest matching event strictly after the previous touch and
+    within the window; users who fell out carry NULLs from that stage
+    on."""
+    from etl_fuel_priceguide_ec2_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [
+            (i, u, BASE + timedelta(hours=off), typ)
+            for i, (u, off, typ) in enumerate(data)
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        r.user_id: (r.first_view, r.first_click, r.first_purchase)
+        for r in W.funnel_first_touch(
+            df, "user_id", "ts", "event_type",
+            stages=["view", "click", "purchase"], within="6 HOURS",
+        ).collect()
+    }
+
+    expected = {}
+    by_user: dict[int, list] = {}
+    for u, off, typ in data:
+        by_user.setdefault(u, []).append((BASE + timedelta(hours=off), typ))
+    win = timedelta(hours=6)
+    for u, evs in by_user.items():
+        views = [t for t, ty in evs if ty == "view"]
+        if not views:
+            continue
+        fv = min(views)
+        clicks = [t for t, ty in evs if ty == "click" and fv < t <= fv + win]
+        fc = min(clicks) if clicks else None
+        fp = None
+        if fc is not None:
+            purchases = [
+                t for t, ty in evs if ty == "purchase" and fc < t <= fc + win
+            ]
+            fp = min(purchases) if purchases else None
+        expected[u] = (fv, fc, fp)
+    assert got == expected

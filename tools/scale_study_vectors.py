@@ -78,6 +78,18 @@ def main() -> None:
             "cosine_rplsh": lambda: similarity.cosine_topk_rplsh(
                 emb, q, "vec_id", "embedding", k=10, dim=64
             ),
+            # round 4: the composed IVF-SQ8 paths; cells ~ sqrt(n)/8
+            # (coarser than the pair-search k — search probes cells, it
+            # doesn't self-join them). Codebook fitted once per corpus
+            # outside the timer (the ingest-time amortization).
+            "cosine_ivf_sq8": lambda: similarity.cosine_topk_ivf_sq8(
+                emb, q, "vec_id", "embedding", k=5,
+                cells=max(8, (k_n // 64) * 8), iters=2, nprobe=2,
+            ),
+            "cosine_ivf_sq8_rerank": lambda: similarity.cosine_topk_ivf_sq8_rerank(
+                emb, q, "vec_id", "embedding", k=5,
+                cells=max(8, (k_n // 64) * 8), iters=2, nprobe=2, rerank_m=30,
+            ),
         }
 
     results = []

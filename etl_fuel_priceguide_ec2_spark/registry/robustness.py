@@ -367,3 +367,94 @@ def q_similarity_topk_rplsh(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "column_profile_lineitem",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_null,
+             COUNT(DISTINCT l_quantity) AS q_nd,
+             MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+             CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_null,
+             COUNT(DISTINCT l_extendedprice) AS p_nd,
+             MIN(l_extendedprice) AS p_min, MAX(l_extendedprice) AS p_max,
+             CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_null,
+             COUNT(DISTINCT l_discount) AS d_nd,
+             MIN(l_discount) AS d_min, MAX(l_discount) AS d_max,
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_null,
+             COUNT(DISTINCT l_returnflag) AS r_nd,
+             MIN(l_returnflag) AS r_min, MAX(l_returnflag) AS r_max,
+             CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_null,
+             COUNT(DISTINCT l_linestatus) AS s_nd,
+             MIN(l_linestatus) AS s_min, MAX(l_linestatus) AS s_max
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS column_name, n_rows, q_null AS n_null, q_nd AS n_distinct,
+           CAST(q_min AS DOUBLE) AS min_num, CAST(q_max AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows, p_null, p_nd,
+           CAST(p_min AS DOUBLE), CAST(p_max AS DOUBLE), NULL, NULL FROM a
+    UNION ALL
+    SELECT 'l_discount', n_rows, d_null, d_nd,
+           CAST(d_min AS DOUBLE), CAST(d_max AS DOUBLE), NULL, NULL FROM a
+    UNION ALL
+    SELECT 'l_returnflag', n_rows, r_null, r_nd,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), r_min, r_max FROM a
+    UNION ALL
+    SELECT 'l_linestatus', n_rows, s_null, s_nd,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max FROM a
+    """,
+)
+def q_column_profile_lineitem(spark, sf_dir):
+    """Column-profiling pass (schema-discovery / quality-dashboard
+    shape): per-column null count, distinct count, and min/max in ONE
+    scan — all 20 accumulators ride a single aggregate over the fact
+    table and the per-column rows are exploded from the 1-row result,
+    so profiling N columns never costs N scans. Numeric and string
+    columns keep typed min/max lanes (cross-engine string formatting of
+    doubles is not stable; typed lanes are)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    a = li.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").cast("double").alias("min_num"),
+                F.col(f"{c}__max").cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+        )
+    return a.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -46,72 +46,78 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-4 window (FROZEN at round start — VERDICT r03 item 1: anything
-# registered after this list is set must lead round 5, never slot into
-# this window late): the 7 round-3 late additions no driver has ever
-# seen, the 2 new round-4 queries (registered at round START, inside the
-# frozen window, per the register-then-verify invariant), the 5 round-1
-# greens the round-3 window displaced, then the regression net ordered
-# by staleness — all 28 remaining queries whose last driver green was
-# round 1, plus 8 round-2 picks (the former r01 reds and the §2 rows).
-# After a clean r04, every registry query has >= 1 green driver row and
-# nothing is staler than round 2.
+# Round-5 window (FROZEN at round start — VERDICT r04 item 1: anything
+# registered after this list is set must lead round 6, never slot into
+# this window late): the 21 round-4 late additions no driver has EVER
+# seen (11 TPC-H shapes + 10 others; all sim-green at sf0.01), then the
+# full regression net ordered by staleness — the 36 queries whose last
+# driver green was round 2. Slots 51-57 overflow the driver's 50-row
+# window this round; keeping them here pins them as the head of the
+# round-6 regression net. After a clean r05, every one of the registry
+# queries has >= 1 green driver row across r01-r05 and nothing in the
+# first 50 is staler than round 3.
 _ROUND_PRIORITY: list[str] = [
-    # --- 7 round-3 late additions: never in any driver window ---
-    "asof_join_tolerance_7d",
-    "audio_waveform_stats",
-    "distinct_users_salted",
-    "mad_outlier_docs",
-    "ohlc_daily_values",
-    "pandas_udaf_user_trend",
-    "semantic_dedup_pairs_two_level",
-    # --- 2 new round-4 queries (registered before the freeze) ---
-    "semantic_contamination",
-    "semantic_dedup_keeplist",
-    # --- 5 round-1 greens displaced past slot 50 by the r03 window ---
-    "dedup_ngram_jaccard_prefix",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_topk_ivf",
-    "revenue_by_nation",
-    # --- regression net: every other query last driver-green in r01 ---
-    "bigram_top_per_lang",
-    "distinct_users_by_type",
-    "json_props_agg",
-    "json_struct_parse",
-    "keyed_changes",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "null_filter_shaping",
-    "percentile_prices",
-    "price_change_deltas",
-    "pricing_summary",
-    "projection_rename",
-    "rollup_brand_stats",
-    "run_metrics",
-    "scalar_battery",
-    "semi_join_active_customers",
-    "set_ops_symmetric_diff",
-    "stream_window_counts",
-    "string_battery",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "tfidf_top_terms",
-    "top_orders_per_priority",
-    "vocabulary_top20",
-    "window_running_sum",
-    # --- regression net: round-2 picks (former r01 reds + §2 rows) ---
-    "dedup_simhash",
-    "dedup_clusters",
-    "sessionize_events",
-    "pivot_event_counts",
-    "scd2_dim_versions",
-    "multimodal_resize",
-    "json_error_tolerance",
-    "array_element_access",
+    # --- 21 round-4 late additions: never in any driver window ---
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q18_large_volume_customers",
+    "q20_dominant_shippers",
+    "q21_waiting_suppliers",
+    "minhash_dedup_keeplist",
+    "similarity_topk_ivf_sq8",
+    "similarity_topk_ivf_sq8_rerank",
+    "udtf_ngrams_explode",
+    "audio_zero_crossings",
+    "funnel_view_click_purchase",
+    "event_transition_matrix",
+    "curation_keep_list",
+    "decontaminated_train_ids",
+    "column_profile_lineitem",
+    # --- regression net: all 36 queries last driver-green in r02 ---
+    # (first 29 fit the 50-slot window; the last 7 lead round 6)
+    "array_battery",
+    "chunk_documents",
+    "cohort_retention",
+    "correlated_subquery_max_order",
+    "cube_nation_segment",
+    "deterministic_sample",
+    "embedding_norm_stats",
+    "except_all_multiset",
+    "exists_segments",
+    "explode_outer_null_preserving",
+    "fuzzy_brand_pairs",
+    "gap_fill_forward",
+    "grouping_sets_customer",
+    "having_large_qty_customers",
+    "intersect_all_multiset",
+    "join_types_matrix",
+    "lateral_topk_orders",
+    "most_frequent_event_type",
+    "moving_avg_range_frame",
+    "normalize_text",
+    "pack_chunks",
+    "price_histogram",
+    "promo_revenue_share",
+    "ranking_battery",
+    "revenue_share_by_nation",
+    "rolling_7d_distinct_users",
+    "salted_join_skewed_flag",
+    "scd2_time_travel",
+    "scrub_pii",
+    # --- slots 51+: past the driver window; round-6 net head ---
+    "session_window_agg",
+    "shipping_priority_top10",
+    "stats_battery",
+    "stratified_take_per_lang",
+    "unpivot_line_metrics",
+    "value_window_battery",
+    "window_count_distinct",
 ]
 
 

@@ -50,11 +50,10 @@ NOTES = {
     "minhash_dedup_keeplist": "composed chain: zero-shuffle signatures -> band-bucket candidates -> HashMin CC on the tiny edge relation -> keep-list joins components back to ids only.",
     "similarity_topk_ivf_sq8": "IVF-SQ8: broadcast the probed queries, join on the cell id (nprobe/cells of the corpus scanned), int8 integer scoring, window top-k per query.",
     "similarity_topk_ivf_sq8_rerank": "two-stage retrieval: the int8 candidate stage cuts at rank<=30 map-side (WindowGroupLimit), then only candidate ids join back to full vectors for the exact rerank.",
-    "funnel_view_click_purchase": "each stage is ONE events scan with the shrinking previous-stage relation broadcast into it; the fact table is never self-joined row-to-row.",
+    "funnel_view_click_purchase": "each stage is ONE events scan joined to the shrinking previous-stage relation; no forced broadcast hint — AQE picks BHJ from runtime sizes (stage 0 is per-user and can exceed the 8 GB broadcast limit at scale); the fact table is never self-joined row-to-row.",
     "event_transition_matrix": "one user_id window shuffle for LAG, then a tiny global aggregate over |event_types|^2 keys.",
     "curation_keep_list": "quality metrics are per-row codegen; the canonical flag is one window over 32-byte content hashes — document payloads never shuffle twice.",
     "decontaminated_train_ids": "train side scanned once, assigned via the broadcast eval-side codebook; the contaminated flag join moves train ids only.",
-    "minhash_dedup_keeplist": "zero-shuffle signatures -> band-bucket candidates -> HashMin CC on the tiny edge relation -> keep flags join back on ids only.",
 }
 
 

@@ -77,6 +77,18 @@ HEADLINE = [
     "similarity_topk_ivf_sq8_rerank",
     "funnel_view_click_purchase",
     "event_transition_matrix",
+    # appended round 5 (VERDICT r04 item 6): the two TPC-H plan families
+    # the series lacked — the scan-bound pushdown probe (q6, zero joins,
+    # every predicate at the parquet scan) and the distinct-agg shape
+    # (q16, dedup-before-dims + broadcast anti-join)
+    "q6_forecast_revenue",
+    "q16_part_supplier_variety",
+    # the two-level (coarse x residual) ANN search path enters the
+    # series alongside its flat-IVF sibling
+    "similarity_topk_ivf2_sq8",
+    # the sketch tier: fixed-state distinct-count and quantile shapes
+    "hll_distinct_event_ids",
+    "dd_quantile_order_totals",
 ]
 
 

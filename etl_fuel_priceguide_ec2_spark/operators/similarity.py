@@ -461,6 +461,167 @@ def cosine_topk_ivf_sq8_rerank(
     )
 
 
+def cosine_topk_ivf2_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    k1: int = 8,
+    k2: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    fit_fraction: float = 1.0,
+    codebooks: tuple[list[list[float]], list[list[float]]] | None = None,
+) -> DataFrame:
+    """Two-level IVF + SQ8 ANN — the extreme-scale form of
+    ``cosine_topk_ivf_sq8``. A flat IVF needs ~sqrt(n) cells to keep
+    cell populations bounded, making the assignment pass O(n*sqrt(n))
+    HOF folds (docs/SCALE.md names this the IVF-SQ8 asymptotic cliff);
+    two codebooks of ~n^(1/3) centroids each cut assignment to
+    O(n*(k1+k2)) while the composite cell space k1*k2 keeps cells just
+    as small.
+
+    Level 1: coarse Lloyd's cells over the vectors. Level 2: one
+    shared Lloyd's codebook over the RESIDUALS v - c1(v) against the
+    PRIMARY coarse cell (the IVF-PQ coarse/fine split, same
+    approximation as ``semantic_dedup_pairs_two_level``). Each corpus
+    vector lives in exactly ONE composite cell (primary coarse,
+    primary residual) as an int8 code; each query probes the
+    ``nprobe`` composite cells ranked best by the combined distance
+    d1(coarse) + d2(residual) (residual taken once, against the
+    query's primary coarse cell — the shared-residual approximation
+    that keeps query-side cost at k1+k2 folds instead of k1*k2). A
+    probe BUDGET, not a probe grid: nprobe composite cells cover the
+    same corpus volume as a flat IVF's nprobe cells at equal
+    granularity, so candidate counts match the flat variant while
+    assignment stays O(k1+k2) (an earlier nprobe^2-grid form was
+    measured 1.9x slower than flat at 25x corpus — the grid scanned
+    nprobe^2/nprobe more vectors than it had to). Probed cells are
+    distinct, so a (query, neighbor) pair matches at most once and
+    candidates need no dedup. Scoring is the order-independent
+    integer dot product.
+
+    Both codebooks come from ``clustering.fit_two_level_codebooks``
+    (deterministic, md5-hash-sample-bounded via ``fit_fraction``);
+    pass ``codebooks=`` to reuse a per-corpus fitted pair."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+
+    if codebooks is None:
+        codebooks = clustering.fit_two_level_codebooks(
+            corpus, id_col, vec_col, k1=k1, k2=k2, iters=iters,
+            fit_fraction=fit_fraction,
+        )
+    c1, c2 = codebooks
+    if not c1 or not c2:  # empty corpus: empty result, stable schema
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("double").alias("approx_cosine"),
+        ).filter(F.lit(False))
+    k1, k2 = len(c1), len(c2)
+    cent1 = F.lit([[float(x) for x in c] for c in c1])
+    cent2 = F.lit([[float(x) for x in c] for c in c2])
+
+    def _dists(vec_expr, cent_lit):
+        return F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(vec_expr, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+
+    def _primary(d):
+        # ties to the lower cell index (first array_position match)
+        return (F.array_position(d, F.array_min(d)) - 1).cast("long")
+
+    def _probes(d, kk):
+        ranked = F.array_sort(
+            F.zip_with(
+                d,
+                F.sequence(F.lit(0), F.lit(kk - 1)),
+                lambda dd, i: F.struct(dd.alias("d"), i.alias("cid")),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
+
+    def _resid(vec_expr, b1):
+        return F.zip_with(
+            vec_expr, F.element_at(cent1, (b1 + 1).cast("int")), lambda x, c: x - c
+        )
+
+    q8code = F.transform("v", lambda x: F.round(x / F.col("norm") * 127).cast("long"))
+
+    # corpus: ONE composite cell (primary coarse, primary residual) + int8
+    cb = _with_norm(corpus, id_col, vec_col)
+    b1 = _primary(_dists(F.col("v"), cent1))
+    cb = cb.withColumn("_b1", b1).withColumn("_r", _resid(F.col("v"), F.col("_b1")))
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        (F.col("_b1") * k2 + _primary(_dists(F.col("_r"), cent2))).alias("cell"),
+        q8code.alias("cq"),
+    )
+    # queries: top-nprobe composite cells by combined d1 + d2 (ties to
+    # the lower (coarse, residual) index pair, matching the oracle's
+    # ORDER BY dsum, b1, b2)
+    qb = _with_norm(queries, id_col, vec_col)
+    qb1 = _primary(_dists(F.col("v"), cent1))
+    qb = (
+        qb.withColumn("_b1", qb1)
+        .withColumn("_r", _resid(F.col("v"), F.col("_b1")))
+        .withColumn("_d1", _dists(F.col("v"), cent1))
+        .withColumn("_d2", _dists(F.col("_r"), cent2))
+    )
+    pair_scores = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k1 - 1)),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), F.lit(k2 - 1)),
+                lambda l: F.struct(
+                    (
+                        F.element_at("_d1", j + 1) + F.element_at("_d2", l + 1)
+                    ).alias("d"),
+                    j.cast("long").alias("b1"),
+                    l.cast("long").alias("b2"),
+                ),
+            ),
+        )
+    )
+    top_cells = F.transform(
+        F.slice(F.array_sort(pair_scores), 1, nprobe),
+        lambda s: s["b1"] * k2 + s["b2"],
+    )
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(top_cells).alias("cell"),
+        q8code.alias("qq"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "dot_i",
+            F.aggregate(
+                F.zip_with("cq", "qq", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        .withColumn("approx_cosine", F.round(F.col("dot_i") / F.lit(127.0 * 127.0), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_cosine")
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, q8: array<long of int8 values>) — unit-normalized scalar
     quantization. Kept as a separate op so the quantized column can be

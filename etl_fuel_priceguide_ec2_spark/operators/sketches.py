@@ -1,0 +1,471 @@
+"""Engine-portable cardinality sketches (HyperLogLog over md5).
+
+Not in the reference (a row-store ETL, ``index.js``); part of the
+large-scale-pipeline extension tier: counting distinct users / ids /
+n-grams over 100 TB is the canonical "exact is too expensive" query —
+an exact COUNT(DISTINCT) shuffles every distinct key, while an HLL
+register table is a fixed 2^b longs per group, merged associatively by
+map-side partial aggregation (the same two-level aggregate Spark uses
+for any max/sum).
+
+Spark ships approx_count_distinct (HyperLogLog++), but its estimate is
+implementation-specific — no external engine can replay it, so it
+cannot be value-hash-verified against an oracle. This operator builds
+HLL from primitives BOTH engines evaluate bit-identically:
+
+- hash = first 15 hex chars of md5(key) -> a 60-bit non-negative long
+  (the same engine-portable draw as clustering/sampling);
+- register index = hash % 2^b; the remaining 60-b bits are the
+  geometric-tail window w;
+- rho = (60-b) - bitlen(w) + 1, with bitlen = length(bin(w)) — an
+  exact integer/string op both engines evaluate identically AND keep
+  inside whole-stage codegen (no log2: floor(log2(w)) sits one ulp
+  from an integer for w near 2^k, where libm/JVM last-ulp differences
+  could flip the floor; and no HOF fold: an aggregate(transform(...))
+  compare-chain was measured ~10x slower per row — higher-order
+  functions are interpreted, not codegen'd);
+- the indicator sum is kept EXACT: sum_int = sum of 2^(maxrho_max - rho)
+  per register (empty register -> 2^maxrho_max), an integer <=
+  2^(maxrho_max + b) that fits a BIGINT — no float summation order
+  anywhere;
+- estimate = alpha_m * m^2 * 2^maxrho_max / sum_int (one IEEE double
+  division), with the standard small-range fallback
+  m * ln(m / empty_registers) when E <= 2.5m and empties exist.
+
+Every step is deterministic and identical in Spark and DuckDB, so the
+estimate — not just the registers — is oracle-comparable. Accuracy is
+the textbook 1.04/sqrt(m) relative standard error.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    # the standard bias correction constant (Flajolet et al. 2007)
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT key_col) per group via the portable
+    HLL above. Output: group cols + (buckets_hit, n_distinct_est).
+
+    Plan: one scan -> partial max(rho) per (group, register) map-side
+    -> 2^b-row shuffle per group -> one tiny final aggregate. The
+    shuffle carries register ids and 1-byte rhos, never keys — the
+    100 TB distinct-count shape.
+
+    Composition of ``hll_registers`` + ``hll_estimate`` — call those
+    directly to persist registers at ingest and merge them later (the
+    incremental-rollup pattern; registers merge by per-bucket MAX)."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, b=b), group_cols, b=b
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+) -> DataFrame:
+    """The HLL register table: group cols + (_bucket, _maxrho). This
+    is the sketch STATE — persist it per day/partition and merge
+    slices with a per-(group, _bucket) MAX; the estimate over merged
+    registers is bit-identical to the estimate over the raw union
+    (max is associative), which is what makes the sketch
+    incremental."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    wbits = 60 - b  # md5 prefix gives 60 hash bits
+    maxrho = wbits + 1
+    groups = list(group_cols or [])
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    bucket = (h % m).alias("_bucket")
+    # w via shiftright, NOT floor(h/m): h spans 60 bits, past double's
+    # 53-bit exact range, so a float division would corrupt low bits
+    w = F.shiftright(h, b)
+    # bitlen = length(bin(w)): exact, codegen-native, engine-portable
+    # (see module docstring for why not log2 and not a HOF fold)
+    rho = F.when(w == 0, F.lit(maxrho)).otherwise(
+        F.lit(wbits) + 1 - F.length(F.bin(w))
+    )
+    return (
+        # NULL keys are excluded, matching COUNT(DISTINCT) semantics
+        df.filter(F.col(key_col).isNotNull())
+        .select(*groups, bucket, rho.alias("_rho"))
+        .groupBy(*groups, "_bucket")
+        .agg(F.max("_rho").alias("_maxrho"))
+    )
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge register slices (e.g. per-day tables unioned, or a finer
+    grouping collapsed): per-(group, bucket) MAX. Associative and
+    idempotent — merge order and re-merges can never change the
+    estimate."""
+    groups = list(group_cols or [])
+    return regs.groupBy(*groups, "_bucket").agg(F.max("_maxrho").alias("_maxrho"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+) -> DataFrame:
+    """Finish a register table into (buckets_hit, n_distinct_est) per
+    group — the tiny final aggregate over at most 2^b rows per group."""
+    m = 1 << b
+    maxrho = (60 - b) + 1
+    groups = list(group_cols or [])
+    # exact integer indicator sum, scaled by 2^maxrho: term for a
+    # register holding rho is 2^(maxrho - rho) (shiftleft by an
+    # expression needs expr() — the pyspark wrapper only takes ints)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({maxrho} - _maxrho AS INT))")
+    agg = regs.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("buckets_hit"),
+        F.sum(term).alias("_s_occ"),
+    )
+    sum_int = F.col("_s_occ") + (F.lit(m) - F.col("buckets_hit")) * F.lit(1 << maxrho)
+    zeros = F.lit(m) - F.col("buckets_hit")
+    # alpha * m^2 * 2^maxrho as ONE double literal (same text lands in
+    # the SQL oracle, so both engines divide the identical constant)
+    c = _alpha(m) * m * m * float(1 << maxrho)
+    e_raw = F.lit(c) / sum_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *groups,
+        "buckets_hit",
+        F.round(est, 2).alias("n_distinct_est"),
+    )
+
+
+def cms_point_counts(
+    df: DataFrame,
+    key_col: str,
+    probe_keys: list,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Count-min sketch point-frequency estimates — the heavy-hitter /
+    frequency primitive at 100 TB: exact per-key counts shuffle every
+    key; the CMS register table is d x w longs, built by the same
+    two-level aggregate as the HLL (partial sums per (row, bucket)
+    map-side, so the exchange carries at most d*w rows per map
+    partition), merged associatively across partitions/days.
+
+    est(key) = min over the d rows of the register at
+    md5(i || ':' || key) % w — the classic one-sided estimator:
+    est >= true count always, and exceeds it only by other keys'
+    collisions (expected <= total/w per row, min over d rows).
+
+    Deterministic and engine-portable like the HLL: md5 60-bit draws,
+    integer sums, no floats anywhere. Output: (key, est_count) for
+    each probe key (probe keys are a small driver-side list — the
+    "which exact ids do I care about" side of a frequency question)."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2; got d={d}, w={w}")
+
+    def _bucket(key_expr):
+        # per-row hash i salts the md5; % w picks the register
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    i.cast("string"),
+                                    F.lit(":"),
+                                    key_expr.cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % w
+                ).alias("bucket"),
+            ),
+        )
+
+    regs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(_bucket(F.col(key_col))).alias("ib"))
+        .select("ib.i", "ib.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        [(k,) for k in probe_keys], f"{key_col} {df.schema[key_col].dataType.simpleString()}"
+    )
+    probed = probes.select(
+        key_col, F.explode(_bucket(F.col(key_col))).alias("ib")
+    ).select(key_col, "ib.i", "ib.bucket")
+    return (
+        probed.join(F.broadcast(regs), ["i", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_oracle_sql(
+    table: str,
+    key_col: str,
+    probe_keys: list,
+    d: int = 4,
+    w: int = 256,
+    key_sql_type: str = "BIGINT",
+) -> str:
+    """DuckDB replay of ``cms_point_counts`` (same parameters;
+    ``key_sql_type`` pins the probe column's dtype to the table's —
+    a bare VALUES list would come out INTEGER and fail the driver's
+    dtype-sensitive schema compare)."""
+    vals = ", ".join(f"({k!r})" if isinstance(k, str) else f"({k})" for k in probe_keys)
+    bucket = (
+        "CAST('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' ||"
+        f" CAST({{src}}.{key_col} AS VARCHAR)), 1, 15) AS BIGINT) % {w}"
+    )
+    return f"""
+    WITH rows_i AS (SELECT unnest(range(0, {d})) AS i),
+    regs AS (
+      SELECT t.i, {bucket.format(src="s")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} s CROSS JOIN rows_i t
+      WHERE s.{key_col} IS NOT NULL
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT CAST({key_col} AS {key_sql_type}) AS {key_col}
+      FROM (VALUES {vals}) AS p({key_col})
+    ), probed AS (
+      SELECT p.{key_col}, t.i, {bucket.format(src="p")} AS bucket
+      FROM probes p CROSS JOIN rows_i t
+    )
+    SELECT probed.{key_col},
+           CAST(MIN(COALESCE(regs.c, 0)) AS BIGINT) AS est_count
+    FROM probed
+    LEFT JOIN regs ON regs.i = probed.i AND regs.bucket = probed.bucket
+    GROUP BY probed.{key_col}
+"""
+
+
+# DDSketch-style quantiles: power-of-two bins with 2^SUB_BITS linear
+# sub-bins each -> relative error <= 2^-(SUB_BITS+1) = 6.25%, all bin
+# math in exact integers (bitlen by compares, divisions by power-of-two
+# lookup) so the sketch is engine-portable like the HLL/CMS above.
+_SUB_BITS = 3
+
+
+def dd_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate quantiles of a positive numeric column with bounded
+    RELATIVE error — the percentile shape at 100 TB: an exact
+    percentile needs a full sort (or Spark's percentile_approx, whose
+    GK summary no external engine replays); this sketch is a
+    fixed-size bin-count table built by one two-level aggregate.
+
+    Values quantize to integer cents; cents < 16 get exact unit bins;
+    larger values bin by (bitlen, top SUB_BITS+1 bits) — the DDSketch
+    log-bin idea with radix-2 bins and 8 linear sub-bins, giving
+    est/true in [1 - 1/16, 1 + 1/16). The estimate for quantile q is
+    the midpoint of the first bin whose cumulative count reaches
+    ceil(q * n). Output: (q, est_value) per requested quantile.
+
+    Mergeable: bin counts sum associatively across partitions/days.
+    Bin ids and counts are exact integers end-to-end; the only doubles
+    are the final midpoint/100 and the q*n threshold, computed from
+    identical literals in both engines. Bin math is codegen-native
+    (length(bin()) bitlen + shiftright, like the HLL — no HOF folds,
+    no libm log)."""
+    sub = 1 << _SUB_BITS  # 8 sub-bins; values < 2*sub are exact
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    # bitlen = length(bin(c)); top = c >> (bitlen - 1 - SUB_BITS),
+    # in [8, 16) — shift-by-expression needs expr()
+    bitlen = F.length(F.bin(F.col("_c")))
+    top = F.expr(
+        f"shiftright(_c, CAST(length(bin(_c)) - {1 + _SUB_BITS} AS INT))"
+    )
+    bin_id = F.when(F.col("_c") < 2 * sub, F.col("_c")).otherwise(
+        F.lit(2 * sub) + (bitlen - (_SUB_BITS + 2)) * sub + (top - sub)
+    )
+    binned = (
+        df.filter(F.col(value_col) > 0)
+        .select(cents.alias("_c"))
+        .select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wspec = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin",
+        F.sum("c").over(wspec).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    # bin midpoint in dollars (exact-integer bounds, one final divide)
+    idx = F.col("bin") - 2 * sub
+    btop = (idx % sub) + sub
+    scale = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST((bin - {2 * sub}) DIV {sub} + 1 AS INT))"
+    )
+    lo = btop * scale
+    hi = (btop + 1) * scale
+    mid = F.when(F.col("bin") < 2 * sub, F.col("bin").cast("double")).otherwise(
+        (lo + hi - 1).cast("double") / F.lit(2.0)
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        qdf.join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("_b"))
+        .join(
+            cum.select("bin", F.round(mid / 100.0, 4).alias("est_value")),
+            F.col("_b") == F.col("bin"),
+        )
+        .select("q", "est_value")
+    )
+
+
+def dd_quantiles_oracle_sql(
+    table: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB replay of ``dd_quantiles`` (same parameters)."""
+    sub = 1 << _SUB_BITS
+    qvals = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+    WITH cents_t AS (
+      SELECT CAST(ROUND({value_col} * 100) AS BIGINT) AS cents
+      FROM {table} WHERE {value_col} > 0
+    ), binned0 AS (
+      SELECT cents, length(bin(cents)) AS bl
+      FROM cents_t
+    ), bins AS (
+      SELECT CASE WHEN cents < {2 * sub} THEN cents
+                  ELSE {2 * sub} + (bl - {_SUB_BITS + 2}) * {sub}
+                       + (cents // (CAST(1 AS BIGINT) << (bl - {1 + _SUB_BITS}))) - {sub}
+             END AS bin
+      FROM binned0
+    ), counts AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM bins GROUP BY bin
+    ), cum AS (
+      SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum0,
+             SUM(c) OVER () AS n0
+      FROM counts
+    ), cum2 AS (
+      SELECT bin, CAST(cum0 AS BIGINT) AS cum, CAST(n0 AS BIGINT) AS n FROM cum
+    ), mids AS (
+      SELECT bin,
+             CASE WHEN bin < {2 * sub} THEN CAST(bin AS DOUBLE)
+                  ELSE CAST(((((bin - {2 * sub}) % {sub} + {sub})
+                             * (CAST(1 AS BIGINT) << (((bin - {2 * sub}) // {sub}) + 1))
+                          + (((bin - {2 * sub}) % {sub} + {sub} + 1)
+                             * (CAST(1 AS BIGINT) << (((bin - {2 * sub}) // {sub}) + 1)))
+                          - 1)) AS DOUBLE) / 2.0
+             END AS mid
+      FROM cum2
+    ), qs_t AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qvals}) AS t(q)),
+    picked AS (
+      SELECT q, MIN(bin) AS bin
+      FROM qs_t JOIN cum2 ON cum >= CAST(CEIL(q * n) AS BIGINT)
+      GROUP BY q
+    )
+    SELECT p.q, ROUND(m.mid / 100.0, 4) AS est_value
+    FROM picked p JOIN mids m ON m.bin = p.bin
+"""
+
+
+def hll_oracle_sql(
+    table: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+    group_exprs: dict[str, str] | None = None,
+    out_groups: list[str] | None = None,
+) -> str:
+    """The DuckDB replay of ``hll_cardinality`` — generated from the
+    same parameters so the scale constants can never drift.
+
+    ``group_exprs`` maps a group name to the SQL expression that
+    computes it (plain column reference when absent). ``out_groups``
+    (a subset of ``group_cols``) replays the registers-then-merge
+    pipeline: registers build at the FULL grouping, then collapse to
+    ``out_groups`` with a per-bucket MAX before the estimate — the
+    incremental-rollup shape ``hll_registers`` + ``hll_merge`` +
+    ``hll_estimate`` expose on the Spark side."""
+    m = 1 << b
+    wbits = 60 - b
+    maxrho = wbits + 1
+    c = repr(_alpha(m) * m * m * float(1 << maxrho))
+    groups = list(group_cols or [])
+    exprs = group_exprs or {}
+    out_g = groups if out_groups is None else list(out_groups)
+    gsel_src = "".join(f"{exprs.get(g, g)} AS {g}, " for g in groups)
+    gsel = "".join(f"{g}, " for g in groups)
+    osel = "".join(f"{g}, " for g in out_g)
+    gby_out = ("GROUP BY " + ", ".join(out_g)) if out_g else ""
+    gby_reg = "GROUP BY " + ", ".join([*groups, "_bucket"])
+    gby_merge = "GROUP BY " + ", ".join([*out_g, "_bucket"])
+    return f"""
+    WITH hashed AS (
+      SELECT {gsel_src}
+             CAST('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM {table}
+      WHERE {key_col} IS NOT NULL
+    ), rho AS (
+      SELECT {gsel} h % {m} AS _bucket,
+             CASE WHEN (h >> {b}) = 0 THEN {maxrho}
+                  ELSE {wbits} + 1 - length(bin(h >> {b}))
+             END AS _rho
+      FROM hashed
+    ), regs0 AS (
+      SELECT {gsel} _bucket, MAX(_rho) AS _maxrho FROM rho {gby_reg}
+    ), regs AS (
+      SELECT {osel} _bucket, MAX(_maxrho) AS _maxrho FROM regs0 {gby_merge}
+    ), agg AS (
+      SELECT {osel} CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+             CAST(SUM(CAST(1 AS BIGINT) << ({maxrho} - _maxrho)) AS BIGINT)
+               + ({m} - CAST(COUNT(*) AS BIGINT)) * (CAST(1 AS BIGINT) << {maxrho}) AS sum_int,
+             {m} - CAST(COUNT(*) AS BIGINT) AS zeros
+      FROM regs {gby_out}
+    )
+    SELECT {osel} buckets_hit,
+           ROUND(CASE WHEN ({c} / CAST(sum_int AS DOUBLE)) <= {2.5 * m}
+                       AND zeros > 0
+                      THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                      ELSE {c} / CAST(sum_int AS DOUBLE) END, 2) AS n_distinct_est
+    FROM agg
+"""

@@ -38,6 +38,7 @@ from etl_fuel_priceguide_ec2_spark.registry import analytics_depth  # noqa: F401
 from etl_fuel_priceguide_ec2_spark.registry import tpch_shapes  # noqa: F401,E402
 from etl_fuel_priceguide_ec2_spark.registry import sampling_splits  # noqa: F401,E402
 from etl_fuel_priceguide_ec2_spark.registry import semantic  # noqa: F401,E402
+from etl_fuel_priceguide_ec2_spark.registry import sketches  # noqa: F401,E402
 
 # helpers used by tools/ (kept importable from the package root)
 from etl_fuel_priceguide_ec2_spark.registry.dedup_family import (  # noqa: F401,E402

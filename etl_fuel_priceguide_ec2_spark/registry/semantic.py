@@ -21,8 +21,19 @@ DIM = 64
 # corpus codebook is fitted ONCE and every semantic query over that
 # corpus reuses it, instead of re-running the iters full scans +
 # driver actions per query. Keyed on the corpus dir; the fit itself is
-# deterministic, so caching changes cost, never results.
+# deterministic, so caching changes cost, never results. ASSUMES the
+# data under a dir is immutable for the process lifetime (true for the
+# parquet fixtures and for any ingest-once corpus layout); a caller
+# that rewrites a fixture dir in-process must call
+# clear_codebook_cache() or the cached centroids go stale vs a refit
+# oracle (ADVICE r04).
 _CODEBOOK_CACHE: dict[str, list] = {}
+
+
+def clear_codebook_cache() -> None:
+    """Drop every cached per-corpus codebook — for callers that rewrite
+    data under a previously-fitted corpus dir within one process."""
+    _CODEBOOK_CACHE.clear()
 
 
 def _corpus_codebook(spark, sf_dir: str) -> list:
@@ -398,6 +409,20 @@ _TWO_LEVEL_ORACLE = (
 )
 
 
+def _two_level_codebooks(spark, sf_dir: str) -> tuple[list, list]:
+    """Per-corpus cached (coarse, residual) codebook pair — fitted once
+    per corpus on the deterministic 40% md5-hash sample and shared by
+    every two-level query over that corpus (pairs AND ANN search)."""
+    key = f"{sf_dir}:embeddings:two_level:{K}:{K2}:{ITERS}:{FIT_FRACTION}"
+    if key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = clustering.fit_two_level_codebooks(
+            emb, "vec_id", "embedding", k1=K, k2=K2, iters=ITERS,
+            fit_fraction=FIT_FRACTION,
+        )
+    return _CODEBOOK_CACHE[key]
+
+
 @register("semantic_dedup_pairs_two_level", _TWO_LEVEL_ORACLE)
 def q_semantic_dedup_pairs_two_level(spark, sf_dir):
     """Two-level (coarse cell x residual cell) blocked semantic pairs —
@@ -407,16 +432,10 @@ def q_semantic_dedup_pairs_two_level(spark, sf_dir):
     pass is full-corpus). Oracle replays BOTH sampled Lloyd's fits plus
     the full-corpus assignment and the two probe layers."""
     emb = load_table(spark, sf_dir, "embeddings")
-    key = f"{sf_dir}:embeddings:two_level:{K}:{K2}:{ITERS}:{FIT_FRACTION}"
-    if key not in _CODEBOOK_CACHE:
-        _CODEBOOK_CACHE[key] = clustering.fit_two_level_codebooks(
-            emb, "vec_id", "embedding", k1=K, k2=K2, iters=ITERS,
-            fit_fraction=FIT_FRACTION,
-        )
     return clustering.semantic_dedup_pairs_two_level(
         emb, "vec_id", "embedding", k1=K, k2=K2, iters=ITERS,
         threshold=1.2, probes=PROBES, fit_fraction=FIT_FRACTION,
-        codebooks=_CODEBOOK_CACHE[key],
+        codebooks=_two_level_codebooks(spark, sf_dir),
     )
 
 
@@ -562,6 +581,108 @@ def q_similarity_topk_ivf_sq8_rerank(spark, sf_dir):
     )
 
 
+# --- two-level IVF-SQ8 ANN: (coarse x residual) composite cells ---
+# the search-path form of the two-level decomposition docs/SCALE.md
+# flags as IVF-SQ8's asymptotic fix: a flat IVF needs ~sqrt(n) cells
+# (O(n*sqrt(n)) assignment); two codebooks of ~n^(1/3) centroids cut
+# assignment to O(n*(k1+k2)) with the same k1*k2 cell granularity.
+# Corpus vectors live in ONE composite cell (primary coarse, primary
+# residual-of-primary); queries probe the nprobe composite cells ranked
+# best by combined d1+d2 (a probe BUDGET at cost parity with flat IVF,
+# not an nprobe^2 grid; residual taken once, against the query's
+# primary coarse cell). The oracle replays both sampled Lloyd's fits,
+# the full-corpus composite assignment, the combined-distance probe
+# ranking, and the identical int8 integer scoring.
+# nprobe is a BUDGET over k1*k2=64 composite cells; 8 cells = the same
+# corpus volume as the flat 8-cell IVF probing one cell — composite
+# granularity means the budget scales with the cell count, not with
+# the flat variant's nprobe
+_IVF2_NPROBE = 8
+
+_IVF2_SQ8_ORACLE = (
+    "WITH base AS (\n"
+    "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+    "  FROM embeddings\n"
+    f"), fbase AS (\n  SELECT * FROM base WHERE {_FIT_HASHB}\n)"
+    + _lloyds_frag("fbase", K, ITERS, DIM, "f1")
+    + _probe_frag("base", f"f1c{ITERS}", 1, DIM, "a1full")
+    + (
+        ", rbase AS (\n"
+        f"  SELECT b.vec_id, list_transform(range(1, {DIM + 1}),"
+        " i -> b.v[i] - c.v[i]) AS v\n"
+        "  FROM base b\n"
+        "  JOIN a1full a ON a.vec_id = b.vec_id\n"
+        f"  JOIN f1c{ITERS} c ON c.cid = a.cid\n"
+        ")"
+        f", frbase AS (\n  SELECT * FROM rbase WHERE {_FIT_HASHB}\n)"
+    )
+    + _lloyds_frag("frbase", K2, ITERS, DIM, "f2")
+    + _probe_frag("rbase", f"f2c{ITERS}", 1, DIM, "a2full")
+    + f"""
+    , cellassign AS (
+      SELECT a1.vec_id, a1.cid * {K2} + a2.cid AS block
+      FROM a1full a1 JOIN a2full a2 USING (vec_id)
+    ), qd1 AS (
+      SELECT b.vec_id, c.cid, {_DIST.format(a="b", b="c", dim1=DIM + 1)} AS d
+      FROM base b CROSS JOIN f1c{ITERS} c
+      WHERE b.vec_id < 10
+    ), qd2 AS (
+      SELECT b.vec_id, c.cid, {_DIST.format(a="b", b="c", dim1=DIM + 1)} AS d
+      FROM rbase b CROSS JOIN f2c{ITERS} c
+      WHERE b.vec_id < 10
+    ), qmem AS (
+      SELECT vec_id, block FROM (
+        SELECT q1.vec_id, q1.cid * {K2} + q2.cid AS block,
+               row_number() OVER (PARTITION BY q1.vec_id
+                 ORDER BY q1.d + q2.d, q1.cid, q2.cid) AS rn
+        FROM qd1 q1 JOIN qd2 q2 USING (vec_id)
+      ) y WHERE rn <= {_IVF2_NPROBE}
+    ), nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nm
+      FROM base
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / nm * 127) AS DOUBLE)) AS q
+      FROM nrm
+    )
+    SELECT query_id, neighbor_id, rank, approx_cosine FROM (
+      SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qp.vec_id
+               ORDER BY ROUND(list_dot_product(cc.q, qq.q) / (127.0 * 127.0), 6) DESC,
+                        ca.vec_id ASC) AS rank,
+             ROUND(list_dot_product(cc.q, qq.q) / (127.0 * 127.0), 6) AS approx_cosine
+      FROM qmem qp
+      JOIN cellassign ca ON qp.block = ca.block
+      JOIN q8 cc ON cc.vec_id = ca.vec_id
+      JOIN q8 qq ON qq.vec_id = qp.vec_id
+      WHERE qp.vec_id <> ca.vec_id
+    ) WHERE rank <= {_IVF_SQ8_TOPK}
+"""
+)
+
+
+@register("similarity_topk_ivf2_sq8", _IVF2_SQ8_ORACLE)
+def q_similarity_topk_ivf2_sq8(spark, sf_dir):
+    """Two-level IVF-SQ8 ANN top-k: (coarse x residual) composite
+    cells + int8 integer scoring — the O(n*(k1+k2))-assignment form of
+    similarity_topk_ivf_sq8 for corpora where a flat codebook would
+    need sqrt(n) centroids. Reuses the per-corpus cached two-level
+    codebook pair (same fit as semantic_dedup_pairs_two_level)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf2_sq8(
+        emb, queries, "vec_id", "embedding",
+        k=_IVF_SQ8_TOPK, nprobe=_IVF2_NPROBE,
+        codebooks=_two_level_codebooks(spark, sf_dir),
+    )
+
+
 # --- decontaminated train set: the contamination pairs APPLIED ---
 # every train vector with its contaminated flag — the relation a
 # training-data build anti-joins before tokenization (the action that
@@ -591,6 +712,79 @@ _DECONTAM_ORACLE = (
     FROM tbase tb LEFT JOIN contam c ON c.train_id = tb.vec_id
 """
 )
+
+
+# --- contamination attribution: the per-benchmark leakage report ---
+# production decontamination needs more than pair evidence: WHICH eval
+# benchmark leaked, how many train rows it touches, and how bad the
+# worst near-dup is — per eval slice, including slices with zero
+# leakage (a benchmark's absence from the report must mean "clean",
+# not "not checked"). Two deterministic eval slices partition the
+# existing eval side (vec_id % 25 == 0): heldout_a = % 50 == 0,
+# heldout_b = % 50 == 25. One codebook is fitted on the COMBINED eval
+# side — same fit, index and probe as semantic_contamination, so at
+# scale the report is a tiny aggregate over the same pair relation.
+_ATTRIBUTION_ORACLE = (
+    "WITH base AS (\n"
+    "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+    "  FROM embeddings\n"
+    "), ebase AS (\n  SELECT * FROM base WHERE vec_id % 25 = 0\n"
+    "), tbase AS (\n  SELECT * FROM base WHERE vec_id % 25 <> 0\n)"
+    + _lloyds_frag("ebase", K, ITERS, DIM, "e")
+    + _probe_frag("ebase", f"ec{ITERS}", 1, DIM, "eidx")
+    + _probe_frag("tbase", f"ec{ITERS}", PROBES, DIM, "tprobe")
+    + f"""
+    , cand AS (
+      SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+      FROM tprobe t JOIN eidx e ON t.cid = e.cid
+    ), pairs AS (
+      SELECT train_id, eval_id, ROUND({_CONTAM_DIST}, 6) AS sq_dist
+      FROM cand
+      JOIN base bt ON bt.vec_id = train_id
+      JOIN base be ON be.vec_id = eval_id
+      WHERE {_CONTAM_DIST} <= 1.2
+    ), slices AS (
+      SELECT * FROM (VALUES ('heldout_a', 0), ('heldout_b', 25)) AS t(eval_set, rem)
+    )
+    SELECT s.eval_set,
+           CAST(COUNT(DISTINCT p.train_id) AS BIGINT) AS n_train_contaminated,
+           CAST(COUNT(p.train_id) AS BIGINT) AS n_pairs,
+           ROUND(MIN(p.sq_dist), 6) AS worst_sq_dist
+    FROM slices s
+    LEFT JOIN pairs p ON p.eval_id % 50 = s.rem
+    GROUP BY s.eval_set
+"""
+)
+
+
+@register("contamination_attribution", _ATTRIBUTION_ORACLE)
+def q_contamination_attribution(spark, sf_dir):
+    """Per-benchmark contamination report: for each eval slice, how
+    many distinct train rows leak into it, the pair count, and the
+    worst (smallest) squared distance — one row per slice, zero-filled
+    for clean slices (absence means clean, not unchecked). Same
+    asymmetric fit/index/probe as semantic_contamination; the report
+    itself is a two-row aggregate over the pair relation."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = clustering.semantic_contamination_pairs(
+        emb.filter(F.col("vec_id") % 25 != 0),
+        emb.filter(F.col("vec_id") % 25 == 0),
+        "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES,
+    )
+    slices = spark.createDataFrame(
+        [("heldout_a", 0), ("heldout_b", 25)], "eval_set string, rem int"
+    )
+    return (
+        slices.join(pairs, pairs["eval_id"] % 50 == slices["rem"], "left")
+        .groupBy("eval_set")
+        .agg(
+            F.count_distinct("train_id").alias("n_train_contaminated"),
+            F.count("train_id").alias("n_pairs"),
+            F.round(F.min("sq_dist"), 6).alias("worst_sq_dist"),
+        )
+    )
 
 
 @register("decontaminated_train_ids", _DECONTAM_ORACLE)

@@ -1,0 +1,112 @@
+"""Cardinality-sketch tier (round 5): engine-portable HyperLogLog.
+
+The distinct-count sketch is the canonical 100 TB aggregate (distinct
+users / ids / n-grams without shuffling keys); Spark's own
+approx_count_distinct is not externally replayable, so these queries
+build HLL from md5 + integer primitives both engines evaluate
+bit-identically (operators/sketches.py) — the ESTIMATE itself is
+oracle-verified, not just tested for tolerance.
+
+Registered after the round-5 freeze -> leads the round-6 window.
+"""
+
+from __future__ import annotations
+
+from etl_fuel_priceguide_ec2_spark.operators import sketches
+from etl_fuel_priceguide_ec2_spark.registry.base import register
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+_B = 8  # 256 registers: 1.04/sqrt(256) ~ 6.5% standard error
+
+
+@register(
+    "hll_users_by_event_type",
+    sketches.hll_oracle_sql("events", "user_id", ["event_type"], b=_B),
+)
+def q_hll_users_by_event_type(spark, sf_dir):
+    """Per-event-type approximate distinct users. Small per-type
+    cardinalities land in HLL's linear-counting branch (empty-register
+    estimator) — the merge plan is the point: the shuffle carries
+    (type, register, rho) triples, never user ids."""
+    events = load_table(spark, sf_dir, "events")
+    return sketches.hll_cardinality(events, "user_id", ["event_type"], b=_B)
+
+
+@register(
+    "hll_distinct_event_ids",
+    sketches.hll_oracle_sql("events", "event_id", None, b=_B),
+)
+def q_hll_distinct_event_ids(spark, sf_dir):
+    """Global approximate distinct event ids. Cardinality >> 2.5m
+    exercises the raw HLL estimator (exact-integer indicator sum, one
+    double division); state is 256 registers regardless of input
+    size."""
+    events = load_table(spark, sf_dir, "events")
+    return sketches.hll_cardinality(events, "event_id", None, b=_B)
+
+
+@register(
+    "hll_weekly_rollup_users",
+    sketches.hll_oracle_sql(
+        "events",
+        "user_id",
+        ["week", "day"],
+        b=_B,
+        group_exprs={
+            "week": "date_trunc('week', CAST(ts AS DATE))",
+            "day": "CAST(ts AS DATE)",
+        },
+        out_groups=["week"],
+    ),
+)
+def q_hll_weekly_rollup_users(spark, sf_dir):
+    """The incremental-rollup shape: per-DAY register tables (the
+    state a daily ingest would persist) merged into per-week distinct
+    users by a per-bucket MAX — associative and idempotent, so the
+    merged estimate is bit-identical to sketching the week directly
+    (pinned by test). At 100 TB this replaces re-reading raw history
+    with re-aggregating 2^b-row daily partials."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily_regs = sketches.hll_registers(days, "user_id", ["week", "day"], b=_B)
+    weekly = sketches.hll_merge(daily_regs, ["week"])
+    return sketches.hll_estimate(weekly, ["week"], b=_B)
+
+
+_CMS_PROBES = [0, 1, 2, 3, 17, 42, 99, 123]
+
+
+@register(
+    "cms_user_event_counts",
+    sketches.cms_oracle_sql("events", "user_id", _CMS_PROBES, d=4, w=256),
+)
+def q_cms_user_event_counts(spark, sf_dir):
+    """Count-min-sketch event counts for a fixed probe set of users:
+    the register table is d x w longs (built map-side, merged
+    associatively), est = min over d salted-hash rows — always >= the
+    true count, over by at most other keys' collisions. The frequency
+    primitive that answers per-key counts at 100 TB without shuffling
+    keys."""
+    events = load_table(spark, sf_dir, "events")
+    return sketches.cms_point_counts(events, "user_id", _CMS_PROBES, d=4, w=256)
+
+
+@register(
+    "dd_quantile_order_totals",
+    sketches.dd_quantiles_oracle_sql("orders", "o_totalprice"),
+)
+def q_dd_quantile_order_totals(spark, sf_dir):
+    """DDSketch-style p50/p90/p99 of order totals with <= 6.25%
+    relative error: radix-2 log bins + 8 linear sub-bins, all bin
+    math in exact integers (bitlen by compares, power-of-two lookup
+    divisions), so the fixed-size bin table — and the estimate — is
+    engine-portable and mergeable, where a true percentile needs a
+    full sort and percentile_approx's GK summary replays nowhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.dd_quantiles(orders, "o_totalprice")

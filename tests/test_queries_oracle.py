@@ -146,15 +146,50 @@ def test_ivf_sq8_recall_vs_exact(spark, sf_dir):
     assert recalls[1] >= 0.6
 
 
-def test_codebook_cache_is_per_corpus(spark):
+def test_ivf2_sq8_recall_vs_exact(spark, sf_dir):
+    """Two-level IVF-SQ8 sanity: the probe BUDGET is the recall lever
+    — recall against the exact float top-5 rises with probed composite
+    cells (ranked by combined d1+d2). The budget scales with the
+    k1*k2=64 cell granularity: 8 composite cells cover the corpus
+    volume of ONE flat 8-cell IVF probe (measured curve on this
+    fixture: 0.04/0.18/0.28/0.48 at nprobe 1/2/4/9)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recalls = []
+    for nprobe in (2, 8):
+        ann = similarity.cosine_topk_ivf2_sq8(
+            emb, queries, "vec_id", "embedding", k=5, k1=8, k2=8, iters=2,
+            nprobe=nprobe,
+        )
+        a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+        recalls.append(len(e & a) / len(e))
+    assert recalls[1] > recalls[0]
+    assert recalls[1] >= 0.4
+
+
+def test_codebook_cache_is_per_corpus(spark, sf_dir):
     """The fitted-codebook cache is keyed on the corpus dir: different
     corpora must produce different codebooks (no cross-corpus
     pollution), and repeated calls for one corpus must return the
-    identical object (the amortization the cache exists for)."""
+    identical object (the amortization the cache exists for). The
+    second corpus derives from the fixture root so the test follows
+    SPARK_GRAFT_TEST_SF_DIR like every other test (ADVICE r04)."""
+    import os
+
     from etl_fuel_priceguide_ec2_spark.registry import semantic
 
-    a1 = semantic._corpus_codebook(spark, "/root/testdata/sf0.001")
-    a2 = semantic._corpus_codebook(spark, "/root/testdata/sf0.001")
-    b = semantic._corpus_codebook(spark, "/root/testdata/sf0.01")
+    other = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if other == sf_dir.rstrip("/") or not os.path.isdir(other):
+        other = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    a1 = semantic._corpus_codebook(spark, sf_dir)
+    a2 = semantic._corpus_codebook(spark, sf_dir)
+    b = semantic._corpus_codebook(spark, other)
     assert a1 is a2
     assert a1 != b

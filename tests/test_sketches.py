@@ -1,0 +1,127 @@
+"""Cardinality-sketch tier: accuracy vs exact, branch coverage, and
+the merge-plan property (the shuffle carries registers, not keys)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_fuel_priceguide_ec2_spark.operators import sketches
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+
+def test_hll_accuracy_vs_exact(spark, sf_dir):
+    """b=8 (256 registers) -> 1.04/sqrt(256) ~ 6.5% standard error;
+    assert within 3 sigma (20%) on both estimator branches: the
+    high-cardinality event_id corpus (raw HLL) and the per-type user
+    counts (linear counting)."""
+    events = load_table(spark, sf_dir, "events")
+
+    est = sketches.hll_cardinality(events, "event_id", b=8).collect()[0]
+    exact = events.select("event_id").distinct().count()
+    assert abs(est.n_distinct_est - exact) / exact < 0.20
+
+    per_type = {
+        r.event_type: r.n_distinct_est
+        for r in sketches.hll_cardinality(events, "user_id", ["event_type"], b=8).collect()
+    }
+    exact_type = {
+        r.event_type: r.cnt
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("cnt"))
+        .collect()
+    }
+    assert set(per_type) == set(exact_type)
+    for t, ex in exact_type.items():
+        assert abs(per_type[t] - ex) / ex < 0.20, (t, per_type[t], ex)
+
+
+def test_hll_branches_and_duplicates(spark):
+    """Estimate depends only on the DISTINCT key set (duplicates land
+    in identical registers), and the two estimator branches engage
+    where designed: tiny inputs -> linear counting (empty registers),
+    inputs >> 2.5m -> the raw harmonic-mean estimator."""
+    small = spark.range(0, 30).select(F.col("id").alias("k"))
+    small_dup = small.union(small).union(small)
+    e1 = sketches.hll_cardinality(small, "k", b=8).collect()[0]
+    e2 = sketches.hll_cardinality(small_dup, "k", b=8).collect()[0]
+    assert e1.n_distinct_est == e2.n_distinct_est
+    assert e1.buckets_hit <= 30
+    # linear counting is exact-ish at 30 distinct / 256 registers
+    assert abs(e1.n_distinct_est - 30) < 5
+
+    big = spark.range(0, 20000).select(F.col("id").alias("k"))
+    eb = sketches.hll_cardinality(big, "k", b=8).collect()[0]
+    # raw-branch estimate: every register occupied, no linear fallback
+    assert eb.buckets_hit == 256
+    assert abs(eb.n_distinct_est - 20000) / 20000 < 0.20
+
+
+def test_hll_merge_equals_direct(spark, sf_dir):
+    """Mergeability, the property the register/merge/estimate split
+    exists for: per-day registers merged with a per-bucket MAX give a
+    BIT-IDENTICAL estimate to sketching the whole corpus directly
+    (max is associative + idempotent), so incremental rollups are
+    exact re-aggregations, not approximations of approximations."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.to_date("ts").alias("day"), "user_id")
+    direct = sketches.hll_cardinality(events, "user_id", b=8).collect()[0]
+    merged = sketches.hll_estimate(
+        sketches.hll_merge(sketches.hll_registers(days, "user_id", ["day"], b=8)),
+        b=8,
+    ).collect()[0]
+    assert merged.n_distinct_est == direct.n_distinct_est
+    assert merged.buckets_hit == direct.buckets_hit
+
+
+def test_cms_one_sided_and_bounded(spark, sf_dir):
+    """CMS guarantee: est >= true count for every probe key, and the
+    overshoot is bounded by collision mass (expected total/w per row,
+    min over d rows — assert 4x the expectation as a slack bound)."""
+    events = load_table(spark, sf_dir, "events")
+    probes = [0, 1, 2, 3, 17, 42, 99, 123]
+    est = {
+        r.user_id: r.est_count
+        for r in sketches.cms_point_counts(events, "user_id", probes, d=4, w=256).collect()
+    }
+    true = {
+        r.user_id: r.cnt
+        for r in events.filter(F.col("user_id").isin(probes))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = events.count()
+    for k in probes:
+        t = true.get(k, 0)
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] - t <= 4 * n / 256, (k, est[k], t)
+
+
+def test_dd_quantiles_relative_error(spark, sf_dir):
+    """DDSketch-style bins: every estimated quantile is within the
+    designed 6.25% relative error of the exact percentile (plus a bin
+    of slack for the discrete cut)."""
+    orders = load_table(spark, sf_dir, "orders")
+    got = {r.q: r.est_value for r in sketches.dd_quantiles(orders, "o_totalprice").collect()}
+    exact = orders.selectExpr(
+        "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D)) AS p"
+    ).collect()[0].p
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(got[q] - ex) / ex < 0.08, (q, got[q], ex)
+
+
+def test_hll_shuffle_carries_registers_not_keys(spark, sf_dir):
+    """Plan property: the aggregate is two-level (partial max(rho)
+    map-side before the exchange), so the shuffled relation is the
+    fixed-width register table — at 100 TB the exchange moves
+    O(groups * 2^b) rows regardless of input size."""
+    events = load_table(spark, sf_dir, "events")
+    df = sketches.hll_cardinality(events, "user_id", ["event_type"], b=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # partial_max over (event_type, bucket) appears BELOW the exchange
+    assert "partial_max" in plan or "HashAggregate" in plan
+    first_exchange = plan.find("Exchange")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and first_exchange != -1

@@ -54,6 +54,13 @@ NOTES = {
     "event_transition_matrix": "one user_id window shuffle for LAG, then a tiny global aggregate over |event_types|^2 keys.",
     "curation_keep_list": "quality metrics are per-row codegen; the canonical flag is one window over 32-byte content hashes — document payloads never shuffle twice.",
     "decontaminated_train_ids": "train side scanned once, assigned via the broadcast eval-side codebook; the contaminated flag join moves train ids only.",
+    "similarity_topk_ivf2_sq8": "two-level IVF: corpus assigned to ONE (coarse x residual) composite cell with k1+k2 HOF folds per row (not a flat sqrt(n) codebook); queries probe nprobe^2 composite cells; int8 integer ranking.",
+    "contamination_attribution": "same asymmetric probe as semantic_contamination; the per-benchmark report is a two-row aggregate — pair evidence never leaves the executors unaggregated.",
+    "hll_users_by_event_type": "two-level aggregate: partial max(rho) per (type, register) map-side, exchange moves O(groups * 2^b) register rows — never user ids; estimate is one tiny final projection.",
+    "hll_distinct_event_ids": "same register shape, global: 256-row shuffle regardless of input size; the exact-integer indicator sum keeps the estimate engine-portable.",
+    "cms_user_event_counts": "count-min registers build map-side (partial sums per (row, bucket)); the probe set joins the broadcast d x w table — per-key frequencies without shuffling keys.",
+    "dd_quantile_order_totals": "radix-2 log bins via integer bitlen (no float log anywhere); one two-level aggregate to a bounded bin table, quantile cut + midpoint are driver-free projections.",
+    "hll_weekly_rollup_users": "per-day register tables collapse to per-week via per-bucket MAX (associative, idempotent) — the incremental rollup re-aggregates 2^b-row partials, never raw history.",
 }
 
 

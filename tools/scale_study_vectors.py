@@ -66,6 +66,15 @@ def main() -> None:
         # isolates corpus growth; letting q grow with the corpus would
         # measure n*q, not the per-query scan
         q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+        cells_n = max(8, (k_n // 64) * 8)
+        # two-level sizing: k1*k2 >= cells_n (equal-or-finer cell
+        # granularity, so the candidate bound matches the flat IVF) with
+        # assignment cost k1+k2 ~ 2*sqrt(cells_n) HOF folds per row
+        # instead of cells_n — the O(n*sqrt(n)) -> O(n*(k1+k2)) claim
+        # this study exists to measure
+        import math as _m
+
+        k12 = max(3, _m.ceil(cells_n ** 0.5))
         return {
             # k scales with the corpus (constant expected block size):
             # fixed k would make blocks O(n/k) and the self-join O(n^2/k)
@@ -90,6 +99,12 @@ def main() -> None:
                 emb, q, "vec_id", "embedding", k=5,
                 cells=max(8, (k_n // 64) * 8), iters=2, nprobe=2, rerank_m=30,
             ),
+            # round 5: the two-level search path at matched granularity
+            # (k12^2 >= cells_n composite cells, k12+k12 assignment)
+            "cosine_ivf2_sq8": lambda: similarity.cosine_topk_ivf2_sq8(
+                emb, q, "vec_id", "embedding", k=5,
+                k1=k12, k2=k12, iters=2, nprobe=2,
+            ),
         }
 
     results = []
@@ -102,7 +117,46 @@ def main() -> None:
         # assignment quadratic (38s fit at 25x), k=8*sqrt(mult) left
         # blocks huge and the pair verify quadratic (250s at 25x).
         k_n = max(8, int(round(n_vec ** 0.5)))
-        for name, fn in queries_for(emb, k_n).items():
+
+        # --- the sqrt(n)-granularity search pair (round 5) ---
+        # the regime docs/SCALE.md flags: a flat IVF search index at
+        # scale needs ~sqrt(n) cells, so its per-row assignment is
+        # O(sqrt(n)) HOF folds; the two-level factorization reaches
+        # the same cell granularity (k12^2 >= k_n) with 2*k12 ~
+        # 2*n^(1/4) folds. Codebooks fit OUTSIDE the timers (the
+        # ingest-time amortization both operators expose via
+        # centroids=/codebooks=) and the fit costs are printed — the
+        # fit shrinks by the same factor.
+        import math as _m2
+
+        k12s = max(3, _m2.ceil(k_n ** 0.5))
+        q20 = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+        t0 = time.perf_counter()
+        flat_cb = clustering.fit_centroids(emb, "vec_id", "embedding", k=k_n, iters=2)
+        fit_flat = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        two_cb = clustering.fit_two_level_codebooks(
+            emb, "vec_id", "embedding", k1=k12s, k2=k12s, iters=2
+        )
+        fit_two = time.perf_counter() - t0
+        for rec in (
+            {"op": "fit_flat_sqrtn", "mult": mult, "vectors": n_vec, "k": k_n,
+             "sec": round(fit_flat, 3)},
+            {"op": "fit_two_level_sqrtn", "mult": mult, "vectors": n_vec,
+             "k": f"{k12s}+{k12s}", "sec": round(fit_two, 3)},
+        ):
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        sqrtn_entries = {
+            "cosine_ivf_sq8_sqrtn": lambda: similarity.cosine_topk_ivf_sq8(
+                emb, q20, "vec_id", "embedding", k=5, nprobe=2, centroids=flat_cb,
+            ),
+            "cosine_ivf2_sq8_sqrtn": lambda: similarity.cosine_topk_ivf2_sq8(
+                emb, q20, "vec_id", "embedding", k=5, nprobe=2, codebooks=two_cb,
+            ),
+        }
+
+        for name, fn in {**queries_for(emb, k_n), **sqrtn_entries}.items():
             best, rows = 1e9, None
             for _ in range(1 if mult >= 25 else 2):
                 t0 = time.perf_counter()

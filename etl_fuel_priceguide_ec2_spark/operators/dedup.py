@@ -596,6 +596,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     size_to_graph: bool = False,
+    hops_per_probe: int = 2,
 ) -> DataFrame:
     """Cluster near-dup pairs into groups: connected components via
     iterative HashMin label propagation (each node repeatedly adopts the
@@ -604,6 +605,22 @@ def connected_components(
     aggregate, both key-partitioned; rounds needed = graph diameter
     (near-dup clusters are shallow, so usually 2-4). Converged when no
     label changes.
+
+    ``hops_per_probe`` batches that many propagation hops into ONE
+    materialization + convergence probe: the fixpoint labels are
+    identical (hops past convergence are no-ops under HashMin), but
+    each checkpoint+probe pays a fixed job cost, so halving their
+    count wins when the graph is deep enough to use the extra hop.
+    Interleaved same-session A/B at sf0.1 (min-of-3, query level):
+    semantic keep-list (977 nodes, ~8 rounds at hops=1) 7.45 -> 6.31 s
+    with hops=2; ngram dedup_clusters (shallow graph, ~3 rounds)
+    2.89 -> 3.16 s — the wasted post-convergence hop costs ~9% there.
+    Default 2: the deep graph is where CC cost actually lives (the
+    shallow one converges fast either way), and isolated-CC timing
+    (3.15 vs 2.63 s on the deep graph) shows the probe overhead is
+    the larger term. Pass 1 for graphs known to be 1-2 hops deep. At
+    100 TB a probe is a driver round-trip + a full label-relation
+    materialization, so the same trade holds with bigger constants.
 
     Input: undirected edge list. Output: (doc_id, component_id) for
     every node appearing in a pair; component_id = min doc_id of the
@@ -655,32 +672,40 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component_id", F.col("node")
     )
+    if hops_per_probe < 1:
+        raise ValueError(f"hops_per_probe must be >= 1, got {hops_per_probe}")
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(rp(labels, "node"), edges.dst == labels.node)
-            .transform(lambda d: rp(d, "src"))
-            .groupBy("src")
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        new_min = F.least(
-            F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
-        )
-        # checkpoint FIRST (truncates lineage, materializes the round's
-        # join+agg exactly once), then run the convergence probe against
-        # the materialized result — the probe is then a near-free local
-        # filter instead of a second full recomputation of the round
-        new_labels = (
-            rp(labels, "node")
-            .join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                new_min.alias("component_id"),
-                (new_min != F.col("component_id")).alias("_changed"),
+        # batch hops_per_probe propagation hops, carrying an any-change
+        # flag through the chain, then checkpoint ONCE (truncates
+        # lineage, materializes the batched rounds exactly once) and
+        # probe convergence against the materialized result — the probe
+        # is a near-free local filter, not a recomputation
+        work = rp(labels, "node").withColumn("_anych", F.lit(False))
+        for _ in range(hops_per_probe):
+            neighbor_min = (
+                edges.join(rp(work, "node"), edges.dst == work.node)
+                .transform(lambda d: rp(d, "src"))
+                .groupBy("src")
+                .agg(F.min("component_id").alias("nbr_min"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
+            new_min = F.least(
+                F.col("component_id"),
+                F.coalesce(F.col("nbr_min"), F.col("component_id")),
+            )
+            work = (
+                rp(work, "node")
+                .join(neighbor_min, work.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    new_min.alias("component_id"),
+                    (F.col("_anych") | (new_min != F.col("component_id"))).alias(
+                        "_anych"
+                    ),
+                )
+            )
+        work = work.localCheckpoint(eager=True)
+        changed = work.filter(F.col("_anych")).limit(1).count()
+        labels = work.drop("_anych")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component_id")

@@ -97,6 +97,37 @@ def q_cms_user_event_counts(spark, sf_dir):
     return sketches.cms_point_counts(events, "user_id", _CMS_PROBES, d=4, w=256)
 
 
+_TOKEN_PROBES = ["join", "hash", "scan", "filter", "nonexistent_token", "merge"]
+_TOKENS_SUBQUERY = (
+    r"(SELECT token FROM (SELECT UNNEST(string_split_regex(trim(text),"
+    r" '\s+')) AS token FROM documents) WHERE token <> '')"
+)
+
+
+@register(
+    "cms_token_frequencies",
+    sketches.cms_oracle_sql(
+        _TOKENS_SUBQUERY, "token", _TOKEN_PROBES, d=4, w=512,
+        key_sql_type="VARCHAR",
+    ),
+)
+def q_cms_token_frequencies(spark, sf_dir):
+    """Count-min over the DOCUMENT TOKEN stream — the LLM-pipeline use
+    of the frequency sketch: corpus-level vocabulary counts for a
+    probe list (stopword ratios, contamination-marker terms, domain
+    vocab drift) without a full vocabulary shuffle. The token stream
+    is billions of rows at 100 TB; the register table stays d x w.
+    Includes a token absent from the corpus: CMS reports its collision
+    mass, the documented one-sided error."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return sketches.cms_point_counts(tokens, "token", _TOKEN_PROBES, d=4, w=512)
+
+
 @register(
     "dd_quantile_order_totals",
     sketches.dd_quantiles_oracle_sql("orders", "o_totalprice"),

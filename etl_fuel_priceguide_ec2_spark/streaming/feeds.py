@@ -235,3 +235,42 @@ def session_window_counts(
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
+
+
+def hll_register_stream(
+    stream: DataFrame,
+    key_col: str,
+    registers_path: str,
+    checkpoint: str,
+    b: int = 8,
+):
+    """Streaming cardinality: each micro-batch sketches its rows into
+    an HLL register table (``sketches.hll_registers``) and APPENDS it
+    to a register store; the estimate at any time is
+    ``hll_estimate(hll_merge(read(registers_path)))``. Because the
+    merge is a per-bucket MAX — associative AND idempotent — appended
+    per-batch registers fold to exactly the registers of the full
+    history: the streaming estimate is bit-identical to a batch sketch
+    over everything seen (pinned by test). No stateful-operator state
+    store is needed at all; replayed batches (at-least-once delivery)
+    cannot change the answer. At 100 TB the store is 2^b rows per
+    batch, compacted by rewriting with ``hll_merge`` whenever file
+    count grows."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            sketches.hll_registers(batch_df, key_col, b=b)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(registers_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

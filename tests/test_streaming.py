@@ -344,3 +344,42 @@ def test_streaming_session_windows_match_batch(spark, sf_dir, event_stream_dir):
     ).drop("_end")
     assert closed.exceptAll(got).count() == 0
     assert got.count() >= closed.count() > 0
+
+
+def test_streaming_hll_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """Streaming HLL via appended per-batch registers: the merged
+    estimate over everything the stream delivered is BIT-IDENTICAL to
+    a batch sketch of the same rows (per-bucket MAX is associative +
+    idempotent), with no state store — replayed batches cannot change
+    the answer. maxFilesPerTrigger forces multiple micro-batches so
+    the merge actually exercises cross-batch folding."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    batch = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    regs_path = str(tmp_path / "hll_regs")
+    q = feeds.hll_register_stream(
+        stream, "user_id", regs_path, str(tmp_path / "ckpt"), b=8
+    )
+    q.awaitTermination(120)
+    merged = sketches.hll_estimate(
+        sketches.hll_merge(spark.read.parquet(regs_path).drop("_batch")), b=8
+    ).collect()[0]
+    direct = sketches.hll_cardinality(batch, "user_id", b=8).collect()[0]
+    assert merged.n_distinct_est == direct.n_distinct_est
+    assert merged.buckets_hit == direct.buckets_hit
+    # at-least-once replay safety: appending the store to itself and
+    # re-merging cannot change the estimate (idempotence)
+    doubled = sketches.hll_estimate(
+        sketches.hll_merge(
+            spark.read.parquet(regs_path)
+            .drop("_batch")
+            .unionAll(spark.read.parquet(regs_path).drop("_batch"))
+        ),
+        b=8,
+    ).collect()[0]
+    assert doubled.n_distinct_est == direct.n_distinct_est

@@ -272,6 +272,153 @@ def cms_oracle_sql(
 """
 
 
+def bloom_membership_report(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    n_words: int = 260,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter membership — the sketch family's fourth shape
+    (cardinality / frequency / quantiles / MEMBERSHIP): a build-side
+    key set compiled to an m-bit filter, probed without a join of the
+    probe side against the build side. At 100 TB this is the explicit,
+    persistable form of the runtime bloom pruning Spark injects into
+    joins: build once at ingest (n_words longs — broadcastable at any
+    corpus size), then prune scans/streams against it.
+
+    Words hold 63 bits (not 64): DuckDB raises on `1::BIGINT << 63`,
+    so the sign bit is never used and both engines shift identically.
+    Bit positions are the md5 60-bit draws salted by hash index, OR-ed
+    into words with bit_or — exact integer state end-to-end, so the
+    filter AND the report replay bit-identically in SQL.
+
+    Output: ONE row —
+      (n_probe_keys, n_bloom_pass, n_true_members, n_false_positives)
+    with n_false_positives = pass - true (no false negatives by
+    construction; the report both demonstrates the filter and measures
+    its realized FP rate)."""
+    m = n_words * 63
+    F_ = F
+
+    def _bits(df: DataFrame, key: str) -> DataFrame:
+        # k salted positions per key: (word index, 63-bit mask)
+        bit = (
+            F_.conv(
+                F_.substring(
+                    F_.md5(
+                        F_.concat(
+                            F_.col("_i").cast("string"),
+                            F_.lit(":"),
+                            F_.col(key).cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        return (
+            df.select(key, F_.explode(F_.sequence(F_.lit(0), F_.lit(k - 1))).alias("_i"))
+            .withColumn("_bit", bit)
+            .select(
+                key,
+                F_.floor(F_.col("_bit") / 63).cast("long").alias("_w"),
+                F_.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 63 AS INT))").alias(
+                    "_mask"
+                ),
+            )
+        )
+
+    build_keys = build.select(F_.col(build_key).alias("_key")).filter(
+        F_.col("_key").isNotNull()
+    ).distinct()
+    words = (
+        _bits(build_keys, "_key")
+        .groupBy("_w")
+        .agg(F_.bit_or("_mask").alias("_word"))
+    )
+    probe_keys = probe.select(F_.col(probe_key).alias("_key")).filter(
+        F_.col("_key").isNotNull()
+    ).distinct()
+    passes = (
+        _bits(probe_keys, "_key")
+        .join(F_.broadcast(words), "_w", "left")
+        .withColumn(
+            "_hit",
+            F_.when(
+                F_.col("_word").isNotNull()
+                & (F_.col("_word").bitwiseAND(F_.col("_mask")) != 0),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("_key")
+        .agg((F_.sum("_hit") == k).cast("int").alias("_pass"))
+    )
+    flagged = passes.join(
+        build_keys.withColumn("_true", F_.lit(1)), "_key", "left"
+    ).select("_pass", F_.coalesce("_true", F_.lit(0)).alias("_true"))
+    return flagged.agg(
+        F_.count(F_.lit(1)).alias("n_probe_keys"),
+        F_.sum("_pass").alias("n_bloom_pass"),
+        F_.sum("_true").alias("n_true_members"),
+        (F_.sum("_pass") - F_.sum("_true")).alias("n_false_positives"),
+    )
+
+
+def bloom_oracle_sql(
+    build_sql: str,
+    probe_sql: str,
+    n_words: int = 260,
+    k: int = 4,
+) -> str:
+    """DuckDB replay of ``bloom_membership_report``. ``build_sql`` /
+    ``probe_sql`` are subqueries yielding one column named ``_key``."""
+    m = n_words * 63
+    bit = (
+        "CAST('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' ||"
+        f" CAST({{src}}._key AS VARCHAR)), 1, 15) AS BIGINT) % {m}"
+    )
+    return f"""
+    WITH hashes AS (SELECT unnest(range(0, {k})) AS i),
+    build_keys AS (
+      SELECT DISTINCT _key FROM {build_sql} WHERE _key IS NOT NULL
+    ), words AS (
+      SELECT bit // 63 AS _w,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS _word
+      FROM (SELECT {bit.format(src="b")} AS bit
+            FROM build_keys b CROSS JOIN hashes t)
+      GROUP BY 1
+    ), probe_keys AS (
+      SELECT DISTINCT _key FROM {probe_sql} WHERE _key IS NOT NULL
+    ), pbits AS (
+      SELECT p._key, {bit.format(src="p")} AS bit
+      FROM probe_keys p CROSS JOIN hashes t
+    ), passes AS (
+      SELECT pb._key,
+             CAST(SUM(CASE WHEN w._word IS NOT NULL
+                            AND (w._word & (CAST(1 AS BIGINT) << CAST(pb.bit % 63 AS INT))) <> 0
+                           THEN 1 ELSE 0 END) = {k} AS INT) AS _pass
+      FROM pbits pb
+      LEFT JOIN words w ON w._w = pb.bit // 63
+      GROUP BY pb._key
+    ), flagged AS (
+      SELECT ps._pass,
+             CASE WHEN b._key IS NOT NULL THEN 1 ELSE 0 END AS _true
+      FROM passes ps LEFT JOIN build_keys b USING (_key)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+           CAST(SUM(_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(_true) AS BIGINT) AS n_true_members,
+           CAST(SUM(_pass) - SUM(_true) AS BIGINT) AS n_false_positives
+    FROM flagged
+"""
+
+
 # DDSketch-style quantiles: power-of-two bins with 2^SUB_BITS linear
 # sub-bins each -> relative error <= 2^-(SUB_BITS+1) = 6.25%, all bin
 # math in exact integers (bitlen by compares, divisions by power-of-two

@@ -79,6 +79,37 @@ def q_hll_weekly_rollup_users(spark, sf_dir):
     return sketches.hll_estimate(weekly, ["week"], b=_B)
 
 
+@register(
+    "bloom_membership_orders",
+    sketches.bloom_oracle_sql(
+        "(SELECT o_orderkey AS _key FROM orders WHERE o_totalprice > 400000)",
+        "(SELECT l_orderkey AS _key FROM lineitem)",
+        n_words=260,
+        k=4,
+    ),
+)
+def q_bloom_membership_orders(spark, sf_dir):
+    """Membership sketch: high-value order keys compiled into a
+    260-long Bloom filter (m=16380 bits, k=4), probed by every
+    lineitem order key WITHOUT joining lineitem to orders. The one-row
+    report counts probe keys, bloom passes, true members, and realized
+    false positives — the explicit, persistable form of runtime bloom
+    join pruning, with the ~7% FP rate the m/n/k choice predicts
+    visible in the result."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return sketches.bloom_membership_report(
+        orders.filter(F.col("o_totalprice") > 400000),
+        lineitem,
+        "o_orderkey",
+        "l_orderkey",
+        n_words=260,
+        k=4,
+    )
+
+
 _CMS_PROBES = [0, 1, 2, 3, 17, 42, 99, 123]
 
 

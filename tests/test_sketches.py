@@ -110,6 +110,27 @@ def test_dd_quantiles_relative_error(spark, sf_dir):
         assert abs(got[q] - ex) / ex < 0.08, (q, got[q], ex)
 
 
+def test_bloom_no_false_negatives_and_fp_band(spark, sf_dir):
+    """Bloom guarantees: probing the filter with its own build set
+    passes EVERY key (no false negatives, exhaustively); probing with
+    a disjoint key set passes only by collision, at a rate in the band
+    the m/n/k sizing predicts (~7% here; assert < 20%)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 400000)
+    self_probe = sketches.bloom_membership_report(
+        hi, hi, "o_orderkey", "o_orderkey"
+    ).collect()[0]
+    assert self_probe.n_bloom_pass == self_probe.n_probe_keys
+    assert self_probe.n_false_positives == 0
+
+    lo = orders.filter(F.col("o_totalprice") <= 400000)
+    disjoint = sketches.bloom_membership_report(
+        hi, lo, "o_orderkey", "o_orderkey"
+    ).collect()[0]
+    assert disjoint.n_true_members == 0
+    assert disjoint.n_false_positives / disjoint.n_probe_keys < 0.20
+
+
 def test_hll_shuffle_carries_registers_not_keys(spark, sf_dir):
     """Plan property: the aggregate is two-level (partial max(rho)
     map-side before the exchange), so the shuffled relation is the

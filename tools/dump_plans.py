@@ -61,6 +61,8 @@ NOTES = {
     "cms_user_event_counts": "count-min registers build map-side (partial sums per (row, bucket)); the probe set joins the broadcast d x w table — per-key frequencies without shuffling keys.",
     "dd_quantile_order_totals": "radix-2 log bins via integer bitlen (no float log anywhere); one two-level aggregate to a bounded bin table, quantile cut + midpoint are driver-free projections.",
     "hll_weekly_rollup_users": "per-day register tables collapse to per-week via per-bucket MAX (associative, idempotent) — the incremental rollup re-aggregates 2^b-row partials, never raw history.",
+    "cms_token_frequencies": "the token stream (billions of rows at scale) folds into a d x w register table map-side; the probe list joins the broadcast table — vocabulary counts without a vocabulary shuffle.",
+    "bloom_membership_orders": "build keys compile to 260 longs via bit_or; the probe side tests membership against the BROADCAST word table — no probe-vs-build join, the explicit form of runtime bloom pruning.",
 }
 
 

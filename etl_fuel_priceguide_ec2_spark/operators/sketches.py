@@ -141,7 +141,11 @@ def hll_estimate(
         F.count(F.lit(1)).alias("buckets_hit"),
         F.sum(term).alias("_s_occ"),
     )
-    sum_int = F.col("_s_occ") + (F.lit(m) - F.col("buckets_hit")) * F.lit(1 << maxrho)
+    # coalesce: SUM over zero register rows (empty corpus) is NULL, but
+    # the right indicator sum is "all registers empty"
+    sum_int = F.coalesce(F.col("_s_occ"), F.lit(0)) + (
+        F.lit(m) - F.col("buckets_hit")
+    ) * F.lit(1 << maxrho)
     zeros = F.lit(m) - F.col("buckets_hit")
     # alpha * m^2 * 2^maxrho as ONE double literal (same text lands in
     # the SQL oracle, so both engines divide the identical constant)
@@ -300,18 +304,17 @@ def bloom_membership_report(
     construction; the report both demonstrates the filter and measures
     its realized FP rate)."""
     m = n_words * 63
-    F_ = F
 
     def _bits(df: DataFrame, key: str) -> DataFrame:
         # k salted positions per key: (word index, 63-bit mask)
         bit = (
-            F_.conv(
-                F_.substring(
-                    F_.md5(
-                        F_.concat(
-                            F_.col("_i").cast("string"),
-                            F_.lit(":"),
-                            F_.col(key).cast("string"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("_i").cast("string"),
+                            F.lit(":"),
+                            F.col(key).cast("string"),
                         )
                     ),
                     1,
@@ -323,50 +326,50 @@ def bloom_membership_report(
             % m
         )
         return (
-            df.select(key, F_.explode(F_.sequence(F_.lit(0), F_.lit(k - 1))).alias("_i"))
+            df.select(key, F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
             .withColumn("_bit", bit)
             .select(
                 key,
-                F_.floor(F_.col("_bit") / 63).cast("long").alias("_w"),
-                F_.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 63 AS INT))").alias(
+                F.floor(F.col("_bit") / 63).cast("long").alias("_w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit % 63 AS INT))").alias(
                     "_mask"
                 ),
             )
         )
 
-    build_keys = build.select(F_.col(build_key).alias("_key")).filter(
-        F_.col("_key").isNotNull()
+    build_keys = build.select(F.col(build_key).alias("_key")).filter(
+        F.col("_key").isNotNull()
     ).distinct()
     words = (
         _bits(build_keys, "_key")
         .groupBy("_w")
-        .agg(F_.bit_or("_mask").alias("_word"))
+        .agg(F.bit_or("_mask").alias("_word"))
     )
-    probe_keys = probe.select(F_.col(probe_key).alias("_key")).filter(
-        F_.col("_key").isNotNull()
+    probe_keys = probe.select(F.col(probe_key).alias("_key")).filter(
+        F.col("_key").isNotNull()
     ).distinct()
     passes = (
         _bits(probe_keys, "_key")
-        .join(F_.broadcast(words), "_w", "left")
+        .join(F.broadcast(words), "_w", "left")
         .withColumn(
             "_hit",
-            F_.when(
-                F_.col("_word").isNotNull()
-                & (F_.col("_word").bitwiseAND(F_.col("_mask")) != 0),
+            F.when(
+                F.col("_word").isNotNull()
+                & (F.col("_word").bitwiseAND(F.col("_mask")) != 0),
                 1,
             ).otherwise(0),
         )
         .groupBy("_key")
-        .agg((F_.sum("_hit") == k).cast("int").alias("_pass"))
+        .agg((F.sum("_hit") == k).cast("int").alias("_pass"))
     )
     flagged = passes.join(
-        build_keys.withColumn("_true", F_.lit(1)), "_key", "left"
-    ).select("_pass", F_.coalesce("_true", F_.lit(0)).alias("_true"))
+        build_keys.withColumn("_true", F.lit(1)), "_key", "left"
+    ).select("_pass", F.coalesce("_true", F.lit(0)).alias("_true"))
     return flagged.agg(
-        F_.count(F_.lit(1)).alias("n_probe_keys"),
-        F_.sum("_pass").alias("n_bloom_pass"),
-        F_.sum("_true").alias("n_true_members"),
-        (F_.sum("_pass") - F_.sum("_true")).alias("n_false_positives"),
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum("_pass").alias("n_bloom_pass"),
+        F.sum("_true").alias("n_true_members"),
+        (F.sum("_pass") - F.sum("_true")).alias("n_false_positives"),
     )
 
 
@@ -604,7 +607,7 @@ def hll_oracle_sql(
       SELECT {osel} _bucket, MAX(_maxrho) AS _maxrho FROM regs0 {gby_merge}
     ), agg AS (
       SELECT {osel} CAST(COUNT(*) AS BIGINT) AS buckets_hit,
-             CAST(SUM(CAST(1 AS BIGINT) << ({maxrho} - _maxrho)) AS BIGINT)
+             CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({maxrho} - _maxrho)), 0) AS BIGINT)
                + ({m} - CAST(COUNT(*) AS BIGINT)) * (CAST(1 AS BIGINT) << {maxrho}) AS sum_int,
              {m} - CAST(COUNT(*) AS BIGINT) AS zeros
       FROM regs {gby_out}

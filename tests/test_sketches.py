@@ -131,6 +131,27 @@ def test_bloom_no_false_negatives_and_fp_band(spark, sf_dir):
     assert disjoint.n_false_positives / disjoint.n_probe_keys < 0.20
 
 
+def test_sketch_empty_input_edges(spark):
+    """Degenerate inputs have defined, non-crashing answers: an empty
+    corpus estimates 0 distinct (linear counting at zeros == m), the
+    quantile sketch of an empty/non-positive column is an empty
+    relation, and a Bloom filter built from nothing rejects every
+    probe (NULL word lookup fails the all-bits test)."""
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    some = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") + 1).cast("double").alias("v")
+    )
+    e = sketches.hll_cardinality(empty, "k", b=8).collect()[0]
+    assert e.buckets_hit == 0 and e.n_distinct_est == 0.0
+    assert sketches.dd_quantiles(empty, "v").count() == 0
+    neg = some.withColumn("v", -F.col("v"))
+    assert sketches.dd_quantiles(neg, "v").count() == 0
+    r = sketches.bloom_membership_report(empty, some, "k", "k").collect()[0]
+    assert r.n_probe_keys == 5 and r.n_bloom_pass == 0 and r.n_false_positives == 0
+
+
 def test_hll_shuffle_carries_registers_not_keys(spark, sf_dir):
     """Plan property: the aggregate is two-level (partial max(rho)
     map-side before the exchange), so the shuffled relation is the

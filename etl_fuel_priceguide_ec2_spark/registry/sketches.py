@@ -79,6 +79,62 @@ def q_hll_weekly_rollup_users(spark, sf_dir):
     return sketches.hll_estimate(weekly, ["week"], b=_B)
 
 
+def _hll_est_subq(where: str) -> str:
+    """Scalar subquery: the HLL estimate of distinct user_id over
+    ``events WHERE {where}`` (CTE-in-subquery is valid DuckDB)."""
+    inner = sketches.hll_oracle_sql(
+        f"(SELECT user_id FROM events WHERE {where})", "user_id", None, b=_B
+    )
+    return f"(SELECT n_distinct_est FROM ({inner}) _e)"
+
+
+_SIDE_A = "event_type = 'click' AND user_id < 100"
+_SIDE_B = "event_type = 'view' AND user_id >= 50"
+
+_HLL_INTERSECT_ORACLE = f"""
+    SELECT a.est_a, b.est_b, u.est_union,
+           ROUND(a.est_a + b.est_b - u.est_union, 2) AS est_intersection
+    FROM (SELECT {_hll_est_subq(_SIDE_A)} AS est_a) a,
+         (SELECT {_hll_est_subq(_SIDE_B)} AS est_b) b,
+         (SELECT {_hll_est_subq(f"({_SIDE_A}) OR ({_SIDE_B})")} AS est_union) u
+"""
+
+
+@register("hll_intersection_user_sets", _HLL_INTERSECT_ORACLE)
+def q_hll_intersection_user_sets(spark, sf_dir):
+    """Sketch composition by inclusion-exclusion: |A ∩ B| estimated as
+    est(A) + est(B) - est(A ∪ B), where the union estimate comes from
+    MERGING the two sides' register tables (never re-reading rows) —
+    the audience-overlap question answered from per-segment sketch
+    state alone. Union-side registers are identical whether built from
+    unioned rows or merged partials (associativity), so the oracle
+    replays the row-union form."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter((F.col("event_type") == "click") & (F.col("user_id") < 100))
+    b = events.filter((F.col("event_type") == "view") & (F.col("user_id") >= 50))
+    ra = sketches.hll_registers(a, "user_id", b=_B)
+    rb = sketches.hll_registers(b, "user_id", b=_B)
+    est_a = sketches.hll_estimate(ra, b=_B).select(
+        F.col("n_distinct_est").alias("est_a")
+    )
+    est_b = sketches.hll_estimate(rb, b=_B).select(
+        F.col("n_distinct_est").alias("est_b")
+    )
+    est_u = sketches.hll_estimate(sketches.hll_merge(ra.unionAll(rb)), b=_B).select(
+        F.col("n_distinct_est").alias("est_union")
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .withColumn(
+            "est_intersection",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 2),
+        )
+    )
+
+
 @register(
     "bloom_membership_orders",
     sketches.bloom_oracle_sql(

@@ -63,6 +63,7 @@ NOTES = {
     "hll_weekly_rollup_users": "per-day register tables collapse to per-week via per-bucket MAX (associative, idempotent) — the incremental rollup re-aggregates 2^b-row partials, never raw history.",
     "cms_token_frequencies": "the token stream (billions of rows at scale) folds into a d x w register table map-side; the probe list joins the broadcast table — vocabulary counts without a vocabulary shuffle.",
     "bloom_membership_orders": "build keys compile to 260 longs via bit_or; the probe side tests membership against the BROADCAST word table — no probe-vs-build join, the explicit form of runtime bloom pruning.",
+    "hll_intersection_user_sets": "three register-table estimates composed by inclusion-exclusion; the union side MERGES the per-segment registers — overlap answered from sketch state, no row re-reads.",
 }
 
 

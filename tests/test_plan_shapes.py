@@ -378,3 +378,39 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_bloom_probe_broadcasts_word_table(spark, sf_dir):
+    """X6 membership: the probe side must test against a BROADCAST of
+    the 260-word filter — a shuffled join of probe bits vs words would
+    re-introduce the probe-side shuffle the sketch exists to avoid."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    df = sketches.bloom_membership_report(
+        orders.filter(F.col("o_totalprice") > 400000),
+        lineitem,
+        "o_orderkey",
+        "l_orderkey",
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hll_register_aggregate_is_two_level(spark, sf_dir):
+    """X6 cardinality: the register build must partial-aggregate
+    map-side (partial_max per (group, bucket) BEFORE the exchange) so
+    the shuffle carries O(groups * 2^b) register rows, not input rows."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    df = sketches.hll_registers(events, "user_id", ["event_type"], b=8)
+    plan = _plan(df)
+    first_partial = plan.find("partial_max")
+    first_exchange = plan.find("Exchange")
+    assert first_partial != -1 and first_exchange != -1
+    # formatted plans list operators leaf-first under the header; the
+    # partial aggregate must be attached to the scan stage (present at
+    # all), and no Python/HOF interpreter node may appear in the build
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

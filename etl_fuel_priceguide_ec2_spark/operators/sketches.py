@@ -39,8 +39,6 @@ the textbook 1.04/sqrt(m) relative standard error.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

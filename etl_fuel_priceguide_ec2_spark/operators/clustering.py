@@ -293,6 +293,7 @@ def semantic_contamination_pairs(
     iters: int = 2,
     threshold: float = 0.15,
     probes: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-space train-vs-eval contamination: find training rows
     whose vectors are near an evaluation/benchmark vector — catches
@@ -311,14 +312,20 @@ def semantic_contamination_pairs(
     Returns (train_id, eval_id, sq_dist) for pairs at squared L2 <=
     ``threshold``. Multi-probing the train side (not the index side)
     keeps the index one-cell-per-eval-row while recovering straddling
-    pairs — the standard IVF recall lever."""
+    pairs — the standard IVF recall lever.
+
+    ``centroids``: a pre-fitted eval-side codebook skips the Lloyd's
+    fit — the per-corpus amortization every other clustering operator
+    exposes (deterministic fit, so caching changes cost, never
+    results)."""
     tbase = train.select(
         F.col(id_col).alias("train_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     ebase = eval_df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    centroids = _fit_centroids(ebase, id_col, k, iters)
+    if centroids is None:
+        centroids = _fit_centroids(ebase, id_col, k, iters)
     if not centroids:  # empty eval set: nothing can be contaminated
         return tbase.select(
             F.col("train_id"),

@@ -343,6 +343,25 @@ _CONTAMINATION_ORACLE = (
 )
 
 
+def _eval_codebook(spark, sf_dir: str) -> list:
+    """Per-corpus cached codebook fitted on the EVAL slice
+    (vec_id % 25 == 0) — shared by the three contamination queries
+    (pairs, decontaminated ids, attribution) instead of re-running the
+    eval-side Lloyd's fit per query. Deterministic fit: cached and
+    uncached results are identical; the oracle always replays the
+    fit."""
+    from pyspark.sql import functions as F
+
+    key = f"{sf_dir}:embeddings:eval25:{K}:{ITERS}"
+    if key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = clustering.fit_centroids(
+            emb.filter(F.col("vec_id") % 25 == 0), "vec_id", "embedding",
+            k=K, iters=ITERS,
+        )
+    return _CODEBOOK_CACHE[key]
+
+
 @register("semantic_contamination", _CONTAMINATION_ORACLE)
 def q_semantic_contamination(spark, sf_dir):
     """Embedding-space train-vs-eval contamination (paraphrased
@@ -357,6 +376,7 @@ def q_semantic_contamination(spark, sf_dir):
         emb.filter(F.col("vec_id") % 25 != 0),
         emb.filter(F.col("vec_id") % 25 == 0),
         "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES,
+        centroids=_eval_codebook(spark, sf_dir),
     )
 
 
@@ -772,6 +792,7 @@ def q_contamination_attribution(spark, sf_dir):
         emb.filter(F.col("vec_id") % 25 != 0),
         emb.filter(F.col("vec_id") % 25 == 0),
         "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES,
+        centroids=_eval_codebook(spark, sf_dir),
     )
     slices = spark.createDataFrame(
         [("heldout_a", 0), ("heldout_b", 25)], "eval_set string, rem int"
@@ -802,6 +823,7 @@ def q_decontaminated_train_ids(spark, sf_dir):
         train,
         emb.filter(F.col("vec_id") % 25 == 0),
         "vec_id", "embedding", k=K, iters=ITERS, threshold=1.2, probes=PROBES,
+        centroids=_eval_codebook(spark, sf_dir),
     )
     flagged = pairs.select("train_id").distinct().withColumn(
         "contaminated", F.lit(True)

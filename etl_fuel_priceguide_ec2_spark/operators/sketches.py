@@ -182,50 +182,73 @@ def cms_point_counts(
     Deterministic and engine-portable like the HLL: md5 60-bit draws,
     integer sums, no floats anywhere. Output: (key, est_count) for
     each probe key (probe keys are a small driver-side list — the
-    "which exact ids do I care about" side of a frequency question)."""
-    if d < 1 or w < 2:
-        raise ValueError(f"need d >= 1, w >= 2; got d={d}, w={w}")
-
-    def _bucket(key_expr):
-        # per-row hash i salts the md5; % w picks the register
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(d - 1)),
-            lambda i: F.struct(
-                i.alias("i"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    i.cast("string"),
-                                    F.lit(":"),
-                                    key_expr.cast("string"),
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % w
-                ).alias("bucket"),
-            ),
-        )
-
-    regs = (
-        df.filter(F.col(key_col).isNotNull())
-        .select(F.explode(_bucket(F.col(key_col))).alias("ib"))
-        .select("ib.i", "ib.bucket")
-        .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    "which exact ids do I care about" side of a frequency question).
+    For DATA-DEPENDENT probes (candidates from another relation, never
+    collected to the driver) compose ``cms_registers`` +
+    ``cms_estimate`` directly."""
     spark = df.sparkSession
     probes = spark.createDataFrame(
         [(k,) for k in probe_keys], f"{key_col} {df.schema[key_col].dataType.simpleString()}"
     )
+    return cms_estimate(cms_registers(df, key_col, d=d, w=w), probes, key_col, d=d, w=w)
+
+
+def _cms_buckets(key_expr, d: int, w: int):
+    """Array of k salted (i, bucket) register positions for a key."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.struct(
+            i.alias("i"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                i.cast("string"),
+                                F.lit(":"),
+                                key_expr.cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % w
+            ).alias("bucket"),
+        ),
+    )
+
+
+def cms_registers(df: DataFrame, key_col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """The CMS state: (i, bucket, c) — at most d*w rows. Persist per
+    slice and merge by summing ``c`` (associative); like the HLL
+    registers, merged-slice estimates equal whole-history estimates."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2; got d={d}, w={w}")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(_cms_buckets(F.col(key_col), d, w)).alias("ib"))
+        .select("ib.i", "ib.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    regs: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """(key, est_count) for every row of ``probes`` — a RELATION, so
+    candidates produced by another query (a sample, a filter) probe
+    the sketch without ever touching the driver. The register table is
+    broadcast; the probe side only fans out d rows per key."""
     probed = probes.select(
-        key_col, F.explode(_bucket(F.col(key_col))).alias("ib")
+        key_col, F.explode(_cms_buckets(F.col(key_col), d, w)).alias("ib")
     ).select(key_col, "ib.i", "ib.bucket")
     return (
         probed.join(F.broadcast(regs), ["i", "bucket"], "left")

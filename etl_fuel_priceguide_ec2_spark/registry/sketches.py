@@ -79,6 +79,83 @@ def q_hll_weekly_rollup_users(spark, sf_dir):
     return sketches.hll_estimate(weekly, ["week"], b=_B)
 
 
+# --- heavy hitters: sample-then-verify, the production composition ---
+# exact top-k over 100 TB shuffles every key; the two-phase form
+# (1) finds CANDIDATES on a deterministic md5-hash row sample (exact
+# counts, but over ~10% of rows), then (2) verifies each candidate
+# against the full corpus via the CMS registers — candidates flow as a
+# RELATION into the probe join, never through the driver. est_count is
+# the CMS one-sided bound over ALL rows; sample_count documents phase 1.
+_HH_SAMPLE = (
+    "(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 10000) < 1000"
+)
+_HH_K = 10
+_HH_CMS_BUCKET = (
+    "CAST('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' ||"
+    " CAST({src}.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256"
+)
+
+_HEAVY_HITTERS_ORACLE = f"""
+    WITH sampled AS (
+      SELECT user_id FROM events WHERE {_HH_SAMPLE} AND user_id IS NOT NULL
+    ), cand AS (
+      SELECT user_id, sample_count FROM (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS sample_count,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rn
+        FROM sampled GROUP BY user_id
+      ) WHERE rn <= {_HH_K}
+    ), rows_i AS (SELECT unnest(range(0, 4)) AS i),
+    regs AS (
+      SELECT t.i, {_HH_CMS_BUCKET.format(src="s")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events s CROSS JOIN rows_i t
+      WHERE s.user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), probed AS (
+      SELECT p.user_id, t.i, {_HH_CMS_BUCKET.format(src="p")} AS bucket
+      FROM cand p CROSS JOIN rows_i t
+    ), est AS (
+      SELECT probed.user_id,
+             CAST(MIN(COALESCE(regs.c, 0)) AS BIGINT) AS est_count
+      FROM probed
+      LEFT JOIN regs ON regs.i = probed.i AND regs.bucket = probed.bucket
+      GROUP BY probed.user_id
+    )
+    SELECT c.user_id, c.sample_count, e.est_count
+    FROM cand c JOIN est e USING (user_id)
+"""
+
+
+@register("heavy_hitter_users", _HEAVY_HITTERS_ORACLE)
+def q_heavy_hitter_users(spark, sf_dir):
+    """Sample-then-verify heavy hitters: candidates from exact counts
+    over a deterministic 10% md5-hash row sample, each verified
+    against the FULL corpus by probing the CMS registers — the
+    candidate relation drives the probe join directly (no driver
+    round-trip, no full-corpus key shuffle). Output: the top-10 sample
+    candidates with their sample counts and full-corpus CMS bounds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sampled = events.filter((h % 10_000 < 1_000) & F.col("user_id").isNotNull())
+    wspec = Window.orderBy(F.col("sample_count").desc(), F.col("user_id").asc())
+    cand = (
+        sampled.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("sample_count"))
+        .withColumn("rn", F.row_number().over(wspec))
+        .filter(F.col("rn") <= _HH_K)
+        .drop("rn")
+    )
+    regs = sketches.cms_registers(events, "user_id", d=4, w=256)
+    est = sketches.cms_estimate(regs, cand.select("user_id"), "user_id", d=4, w=256)
+    return cand.join(est, "user_id")
+
+
 def _hll_est_subq(where: str) -> str:
     """Scalar subquery: the HLL estimate of distinct user_id over
     ``events WHERE {where}`` (CTE-in-subquery is valid DuckDB)."""

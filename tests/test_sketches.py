@@ -110,6 +110,26 @@ def test_dd_quantiles_relative_error(spark, sf_dir):
         assert abs(got[q] - ex) / ex < 0.08, (q, got[q], ex)
 
 
+def test_heavy_hitters_sample_then_verify(spark, sf_dir):
+    """The composed two-phase heavy-hitter query: every candidate's
+    CMS verification bound dominates its TRUE full-corpus count
+    (one-sided), candidates arrive as a relation (10 rows), and the
+    estimate never exceeds the total row count."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    got = registry.queries()["heavy_hitter_users"](spark, sf_dir).collect()
+    assert len(got) == 10
+    events = load_table(spark, sf_dir, "events")
+    true = {
+        r.user_id: r.cnt
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = events.count()
+    for r in got:
+        assert r.est_count >= true[r.user_id], (r.user_id, r.est_count, true[r.user_id])
+        assert r.est_count <= n
+
+
 def test_bloom_no_false_negatives_and_fp_band(spark, sf_dir):
     """Bloom guarantees: probing the filter with its own build set
     passes EVERY key (no false negatives, exhaustively); probing with

@@ -514,6 +514,12 @@ def semantic_dedup_pairs_two_level(
         )
         return F.transform(F.slice(ranked, 1, probes), lambda s: s["cid"].cast("long"))
 
+    # NB: no expression barrier here, unlike similarity.py's IVF2
+    # corpus side — a same-session A/B measured the barrier 1.3x
+    # SLOWER on this shape (4.55 vs 3.3-3.6 s at sf0.1): blocking
+    # CollapseProject also blocks column pruning into the self-join
+    # branches, so the right branch would carry the 64-double vectors
+    # it otherwise drops. Barrier only where re-expansion dominates.
     probed = (
         base.withColumn("_resid", resid)
         .withColumn("_b1", F.explode(_probe_blocks(F.col("_v"), cent1, k1)))

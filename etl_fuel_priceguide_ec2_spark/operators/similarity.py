@@ -351,7 +351,12 @@ def cosine_topk_ivf_sq8(
             ),
         )
 
-    # corpus: primary cell (argmin, ties to lower index) + int8 code
+    # corpus: primary cell (argmin, ties to lower index) + int8 code.
+    # The trailing nondeterministic no-op barrier stops CollapseProject
+    # and the join-side predicate/hash generation from re-expanding the
+    # assignment expression into every reference (see
+    # cosine_topk_ivf2_sq8, where the deeper tree made this a measured
+    # 7x; here the single-level tree still re-evaluates ~3x without it)
     cb = _with_norm(corpus, id_col, vec_col)
     cd = _cell_dists(F.col("v"))
     c = cb.select(
@@ -360,7 +365,8 @@ def cosine_topk_ivf_sq8(
         F.transform("v", lambda x: F.round(x / F.col("norm") * 127).cast("long")).alias(
             "cq"
         ),
-    )
+        F.rand(42).alias("_nd"),
+    ).filter(F.col("_nd") >= -1).drop("_nd")
     # queries: nprobe nearest cells + int8 code
     qb = _with_norm(queries, id_col, vec_col)
     qd = _cell_dists(F.col("v"))
@@ -563,7 +569,15 @@ def cosine_topk_ivf2_sq8(
         F.col(id_col).alias("neighbor_id"),
         (F.col("_b1") * k2 + _primary(_dists(F.col("_r"), cent2))).alias("cell"),
         q8code.alias("cq"),
-    )
+        # nondeterministic no-op barrier: without it, CollapseProject +
+        # join-side predicate/hash generation re-expand the nested
+        # d1 -> residual -> d2 assignment tree into every reference
+        # (~4 evaluations per corpus row; measured join 2.11 -> 0.30 s
+        # at sf0.1, identical output). The marker is vacuously filtered
+        # and dropped, so results are deterministic; no shuffle, no
+        # materialization — the assignment is simply computed once.
+        F.rand(42).alias("_nd"),
+    ).filter(F.col("_nd") >= -1).drop("_nd")
     # queries: top-nprobe composite cells by combined d1 + d2 (ties to
     # the lower (coarse, residual) index pair, matching the oracle's
     # ORDER BY dsum, b1, b2)

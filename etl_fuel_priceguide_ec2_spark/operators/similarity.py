@@ -208,6 +208,10 @@ def cosine_topk_rplsh(
         sig = F.aggregate(bitvals, F.lit(0.0), lambda a, x: a + x).cast("long")
         return df.withColumn("sig", sig)
 
+    # NB: no expression barrier here (unlike the IVF-SQ8 corpus sides):
+    # the 6-plane signature fold is shallow, and an A/B measured the
+    # barrier a wash (2.11 vs 2.05 s at sf0.1) — re-expansion only
+    # matters when the inlined tree is deep
     c = _sig(_with_norm(corpus, id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"), "sig"
     )

@@ -536,7 +536,17 @@ def simhash_near_pairs(
     are assumed far — standard multi-probe blocking keeps this out of
     O(n²); at scale use 4 rotated prefix tables for full recall)."""
     sig = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
-    block = sig.withColumn("block", F.shiftrightunsigned("simhash", bits - 16))
+    block = (
+        sig.withColumn("block", F.shiftrightunsigned("simhash", bits - 16))
+        # nondeterministic no-op barrier (see similarity.py's IVF-SQ8
+        # corpus sides): both self-join branches plus the join's
+        # hash/isnotnull otherwise re-expand the per-row signature fold
+        # — measured 2.35 -> 1.00 s at sf0.1, identical pairs; every
+        # column here is consumed downstream, so no pruning is lost
+        .withColumn("_nd", F.rand(42))
+        .filter(F.col("_nd") >= -1)
+        .drop("_nd")
+    )
     a = block.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
     b = block.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")
     return (

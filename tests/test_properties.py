@@ -390,3 +390,48 @@ def test_funnel_first_touch_matches_bruteforce(spark, data):
             fp = min(purchases) if purchases else None
         expected[u] = (fv, fc, fp)
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40))
+def test_cms_one_sided_on_arbitrary_inputs(spark, keys):
+    """CMS property: for ANY multiset of keys, the estimate for every
+    present key dominates its true multiplicity and never exceeds the
+    total row count (collisions only ever ADD)."""
+    from collections import Counter
+
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    true = Counter(keys)
+    probes = sorted(true)
+    est = {
+        r.k: r.est_count
+        for r in sketches.cms_point_counts(df, "k", probes, d=3, w=16).collect()
+    }
+    for k in probes:
+        assert true[k] <= est[k] <= len(keys), (k, true[k], est[k])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=1, max_value=10_000_000), min_size=1, max_size=40
+    )
+)
+def test_dd_quantile_relative_error_on_arbitrary_inputs(spark, vals):
+    """DDSketch bin property: for ANY positive value set, each
+    estimated quantile is within the designed relative error of SOME
+    value at-or-above the quantile cut (the bin containing the cut
+    value brackets it within 1/16)."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    # values are cents/100 so quantization is exact
+    df = spark.createDataFrame([(v / 100.0,) for v in vals], "v double")
+    got = {r.q: r.est_value for r in sketches.dd_quantiles(df, "v").collect()}
+    s = sorted(v / 100.0 for v in vals)
+    import math
+
+    for q, est in got.items():
+        true = s[min(len(s) - 1, max(0, math.ceil(q * len(s)) - 1))]
+        assert abs(est - true) / true < 1 / 16 + 1e-9, (q, est, true)

@@ -233,6 +233,66 @@ def pack_chunks(
     )
 
 
+def pack_chunks_by_group(
+    chunks: DataFrame,
+    group_col: str,
+    id_col: str,
+    order_cols: list[str],
+    token_col: str,
+    budget: int = 256,
+) -> DataFrame:
+    """The DISTRIBUTED form of ``pack_chunks`` — closes the documented
+    §4 caveat (docs/SCALE.md): the flat packer needs one global-order
+    window (single reducer); this one packs WITHIN each group
+    (lang/source/date — any natural corpus partition) under a
+    group-partitioned window, then makes bin ids globally dense by
+    adding per-group offsets = the exclusive running sum of per-group
+    bin counts. The offset relation is |groups| rows — the only
+    non-group-parallel step shrinks from "every chunk row" to "one row
+    per group", and it joins back as a broadcast.
+
+    Same packing invariant per group as pack_chunks (every chunk
+    STARTS inside its bin's budget; overflow bounded by one straddling
+    chunk), same determinism via the explicit in-group total order.
+    Bins never span groups — the property that lets each group pack in
+    parallel."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    local = chunks.select(
+        group_col,
+        id_col,
+        *order_cols[1:],
+        F.col(token_col),
+        F.floor((cum - F.col(token_col)) / budget).alias("_local_bin"),
+    )
+    counts = local.groupBy(group_col).agg(
+        (F.max("_local_bin") + 1).alias("_n_bins")
+    )
+    wg = Window.orderBy(F.col(group_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        group_col,
+        F.coalesce(F.sum("_n_bins").over(wg), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), group_col)
+        .select(
+            group_col,
+            id_col,
+            *order_cols[1:],
+            token_col,
+            (F.col("_off") + F.col("_local_bin")).alias("bin_id"),
+        )
+    )
+
+
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+?\d[\d\- ]{7,}\d",

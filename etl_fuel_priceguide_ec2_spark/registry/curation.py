@@ -75,6 +75,58 @@ def q_pack_chunks(spark, sf_dir):
 
 
 @register(
+    "pack_chunks_by_lang",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id, lang,
+             CAST(UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48))
+                  / 48 AS INT) AS chunk_id,
+             array_to_string(list_slice(toks, UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 1,
+                                        UNNEST(range(0, greatest(CAST(ceil((len(toks) - 48) / 48.0) AS BIGINT) * 48 + 1, 1), 48)) + 64), ' ')
+               AS chunk_text
+      FROM d
+    ), toks2 AS (
+      SELECT doc_id, lang, chunk_id,
+             CAST(len(string_split_regex(chunk_text, '\s+')) AS INT) AS chunk_tokens
+      FROM chunks WHERE chunk_text <> ''
+    ), localb AS (
+      SELECT lang, doc_id, chunk_id, chunk_tokens,
+             CAST(FLOOR((SUM(chunk_tokens) OVER (PARTITION BY lang
+                                                 ORDER BY doc_id ASC, chunk_id ASC
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - chunk_tokens) / 256.0) AS BIGINT) AS local_bin
+      FROM toks2
+    ), counts AS (
+      SELECT lang, MAX(local_bin) + 1 AS n_bins FROM localb GROUP BY lang
+    ), offs AS (
+      SELECT lang,
+             CAST(COALESCE(SUM(n_bins) OVER (ORDER BY lang ASC
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM counts
+    )
+    SELECT l.lang, l.doc_id, l.chunk_id, l.chunk_tokens,
+           l.local_bin + o.off AS bin_id
+    FROM localb l JOIN offs o USING (lang)
+    """,
+)
+def q_pack_chunks_by_lang(spark, sf_dir):
+    """Distributed sequence packing: per-lang packing windows run in
+    parallel (no global single-reducer sort — the documented §4 caveat
+    of flat pack_chunks, closed); bin ids stay globally dense via
+    per-lang offsets (exclusive running sum of per-lang bin counts, a
+    |langs|-row relation broadcast back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    chunks = chunks.join(docs.select("doc_id", "lang"), "doc_id")
+    return textops.pack_chunks_by_group(
+        chunks, "lang", "doc_id", order_cols=["doc_id", "chunk_id"],
+        token_col="chunk_tokens", budget=256,
+    )
+
+
+@register(
     "scrub_pii",
     r"""
     SELECT doc_id,

@@ -187,3 +187,24 @@ def test_hll_shuffle_carries_registers_not_keys(spark, sf_dir):
     first_exchange = plan.find("Exchange")
     first_agg = plan.find("HashAggregate")
     assert first_agg != -1 and first_exchange != -1
+
+
+def test_pack_chunks_by_group_dense_and_bounded(spark, sf_dir):
+    """Distributed packing invariants: bin ids are globally DENSE
+    (0..max contiguous), a bin never spans two groups, and every bin's
+    token total respects budget + one straddling chunk (the same bound
+    the flat packer guarantees, now per parallel group)."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    rows = registry.queries()["pack_chunks_by_lang"](spark, sf_dir).collect()
+    bins = {}
+    for r in rows:
+        bins.setdefault(r.bin_id, {"langs": set(), "toks": 0, "max_chunk": 0})
+        b = bins[r.bin_id]
+        b["langs"].add(r.lang)
+        b["toks"] += r.chunk_tokens
+        b["max_chunk"] = max(b["max_chunk"], r.chunk_tokens)
+    assert sorted(bins) == list(range(len(bins)))  # dense
+    for bid, b in bins.items():
+        assert len(b["langs"]) == 1, (bid, b["langs"])  # never spans groups
+        assert b["toks"] < 256 + b["max_chunk"], (bid, b["toks"])

@@ -65,6 +65,7 @@ NOTES = {
     "bloom_membership_orders": "build keys compile to 260 longs via bit_or; the probe side tests membership against the BROADCAST word table — no probe-vs-build join, the explicit form of runtime bloom pruning.",
     "hll_intersection_user_sets": "three register-table estimates composed by inclusion-exclusion; the union side MERGES the per-segment registers — overlap answered from sketch state, no row re-reads.",
     "heavy_hitter_users": "two-phase top-k: exact counts over a 10% hash sample pick candidates, which flow AS A RELATION into the broadcast CMS register probe — no full-corpus key shuffle, no driver round-trip.",
+    "pack_chunks_by_lang": "per-group packing windows run in parallel (no global single-reducer sort); global density comes from a |groups|-row offset relation broadcast back — the distributed form of the flat packer's documented caveat.",
 }
 
 

@@ -26,6 +26,16 @@ RISKY = [
     "semantic_kmeans_clusters",  # float argmin + iterative centroid update
     "weighted_sample_chars",     # float key ranking at the top-n boundary
     "salted_event_value_agg",    # two-phase merge across salt buckets
+    # round 5: the sketch tier's risk surfaces — the HLL final divide
+    # + ln branch, the quantile cut at a float threshold, the rand(42)
+    # no-op barrier in the IVF/simhash plans (must never leak into
+    # results), and the two-phase heavy-hitter sample boundary
+    "hll_distinct_event_ids",    # exact-integer sum -> one double divide
+    "dd_quantile_order_totals",  # ceil(q*n) cut + bin midpoint floats
+    "similarity_topk_ivf2_sq8",  # expression barrier + int8 tie ranking
+    "dedup_simhash",             # expression barrier + signature folds
+    "heavy_hitter_users",        # hash sample boundary + CMS min
+    "pack_chunks_by_lang",       # per-group windows + offset composition
 ]
 
 

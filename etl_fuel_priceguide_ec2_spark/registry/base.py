@@ -46,71 +46,33 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-5 window (FROZEN at round start — VERDICT r04 item 1: anything
-# registered after this list is set must lead round 6, never slot into
-# this window late): the 21 round-4 late additions no driver has EVER
-# seen (11 TPC-H shapes + 10 others; all sim-green at sf0.01), then the
-# full regression net ordered by staleness — the 36 queries whose last
-# driver green was round 2. Slots 51-57 overflow the driver's 50-row
-# window this round; keeping them here pins them as the head of the
-# round-6 regression net. After a clean r05, every one of the registry
-# queries has >= 1 green driver row across r01-r05 and nothing in the
-# first 50 is staler than round 3.
+# Round-6 window (FROZEN at round start — VERDICT r04 item 1 discipline:
+# anything registered after this list is set must lead round 7, never
+# slot into this window late): the 12 round-5 post-freeze additions no
+# driver has EVER seen (IVF2 search, contamination attribution, the 9
+# sketch-tier queries, the distributed packer; all sim-green at sf0.01)
+# lead, then the 7 r02-last-green overflow queries from round-5's slots
+# 51-57, then the full r03-last-green regression net (50 queries — the
+# stalest cohort after a clean r05). Slots 51-69 overflow the driver's
+# 50-row window this round; keeping them here pins them as the head of
+# the round-7 regression net. After a clean r06, every registry query
+# has >= 1 green driver row across r01-r06 and nothing in the first 50
+# is staler than round 4.
 _ROUND_PRIORITY: list[str] = [
-    # --- 21 round-4 late additions: never in any driver window ---
-    "q2_min_balance_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q18_large_volume_customers",
-    "q20_dominant_shippers",
-    "q21_waiting_suppliers",
-    "minhash_dedup_keeplist",
-    "similarity_topk_ivf_sq8",
-    "similarity_topk_ivf_sq8_rerank",
-    "udtf_ngrams_explode",
-    "audio_zero_crossings",
-    "funnel_view_click_purchase",
-    "event_transition_matrix",
-    "curation_keep_list",
-    "decontaminated_train_ids",
-    "column_profile_lineitem",
-    # --- regression net: all 36 queries last driver-green in r02 ---
-    # (first 29 fit the 50-slot window; the last 7 lead round 6)
-    "array_battery",
-    "chunk_documents",
-    "cohort_retention",
-    "correlated_subquery_max_order",
-    "cube_nation_segment",
-    "deterministic_sample",
-    "embedding_norm_stats",
-    "except_all_multiset",
-    "exists_segments",
-    "explode_outer_null_preserving",
-    "fuzzy_brand_pairs",
-    "gap_fill_forward",
-    "grouping_sets_customer",
-    "having_large_qty_customers",
-    "intersect_all_multiset",
-    "join_types_matrix",
-    "lateral_topk_orders",
-    "most_frequent_event_type",
-    "moving_avg_range_frame",
-    "normalize_text",
-    "pack_chunks",
-    "price_histogram",
-    "promo_revenue_share",
-    "ranking_battery",
-    "revenue_share_by_nation",
-    "rolling_7d_distinct_users",
-    "salted_join_skewed_flag",
-    "scd2_time_travel",
-    "scrub_pii",
-    # --- slots 51+: past the driver window; round-6 net head ---
+    # --- 12 round-5 post-freeze additions: never in any driver window ---
+    "similarity_topk_ivf2_sq8",
+    "contamination_attribution",
+    "hll_users_by_event_type",
+    "hll_distinct_event_ids",
+    "hll_weekly_rollup_users",
+    "cms_user_event_counts",
+    "cms_token_frequencies",
+    "dd_quantile_order_totals",
+    "bloom_membership_orders",
+    "hll_intersection_user_sets",
+    "heavy_hitter_users",
+    "pack_chunks_by_lang",
+    # --- 7 r02-last-green overflow from round-5 slots 51-57 ---
     "session_window_agg",
     "shipping_priority_top10",
     "stats_battery",
@@ -118,11 +80,71 @@ _ROUND_PRIORITY: list[str] = [
     "unpivot_line_metrics",
     "value_window_battery",
     "window_count_distinct",
+    # --- regression net: the 50 queries last driver-green in r03 ---
+    # (first 31 fit the 50-slot window; slots 51-69 lead round 7)
+    "asof_latest_per_key",
+    "asof_point_lookup",
+    "enrichment_join",
+    "upsert_new_keys",
+    "upsert_merged_dim",
+    "dedup_last_wins",
+    "snapshot_diff",
+    "etl_pipeline_dim",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_auto_skew",
+    "dedup_minhash_lsh",
+    "asof_join_orders_events",
+    "latest_via_max_by",
+    "contamination_check",
+    "repetition_signals",
+    "unigram_quality",
+    "similarity_pandas_udf",
+    "interval_join_recent_events",
+    "data_quality_metrics",
+    "similarity_topk_rplsh",
+    "date_function_battery",
+    "null_semantics_battery",
+    "numeric_battery",
+    "regexp_extract_groups",
+    "posexplode_tokens",
+    "map_functions_battery",
+    "higher_order_array_battery",
+    "conditional_agg_battery",
+    "union_by_name_feeds",
+    "variant_json_battery",
+    # --- slots 51+: past the driver window; round-7 net head ---
+    "try_functions_battery",
+    "bitwise_battery",
+    "csv_roundtrip_battery",
+    "similarity_topk_int8",
+    "key_skew_profile",
+    "salted_event_value_agg",
+    "incremental_monthly_rollup",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_top_customers",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
+    "q19_disjunctive_revenue",
+    "hash_split_train_val_test",
+    "mixture_sample_by_lang",
+    "weighted_sample_chars",
+    "semantic_kmeans_clusters",
+    "semantic_dedup_pairs",
 ]
 
 
 def _ordered() -> list[str]:
-    prioritized = [n for n in _ROUND_PRIORITY if n in _REGISTRY]
+    # A typo in the hand-maintained priority list must fail loudly, not
+    # silently drop the query from the frozen driver window (ADVICE r05).
+    missing = set(_ROUND_PRIORITY) - set(_REGISTRY)
+    if missing:
+        raise KeyError(
+            f"_ROUND_PRIORITY names not in registry: {sorted(missing)}"
+        )
+    prioritized = list(_ROUND_PRIORITY)
     rest = [n for n in _REGISTRY if n not in set(prioritized)]
     return prioritized + rest
 

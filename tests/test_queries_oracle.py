@@ -193,3 +193,19 @@ def test_codebook_cache_is_per_corpus(spark, sf_dir):
     b = semantic._corpus_codebook(spark, other)
     assert a1 is a2
     assert a1 != b
+
+
+def test_priority_list_names_exist_in_registry():
+    """A typo in the hand-maintained _ROUND_PRIORITY must fail loudly —
+    silently dropping a query from the frozen driver window is the
+    failure mode ADVICE r05 flagged. _ordered() raises on unknown
+    names; this pins both the current list's validity and the guard."""
+    from etl_fuel_priceguide_ec2_spark.registry import base
+
+    assert set(base._ROUND_PRIORITY) <= set(base._REGISTRY)
+    base._ROUND_PRIORITY.append("no_such_query_xyz")
+    try:
+        with pytest.raises(KeyError):
+            registry.queries()
+    finally:
+        base._ROUND_PRIORITY.pop()

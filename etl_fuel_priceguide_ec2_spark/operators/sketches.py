@@ -269,7 +269,13 @@ def cms_oracle_sql(
     ``key_sql_type`` pins the probe column's dtype to the table's —
     a bare VALUES list would come out INTEGER and fail the driver's
     dtype-sensitive schema compare)."""
-    vals = ", ".join(f"({k!r})" if isinstance(k, str) else f"({k})" for k in probe_keys)
+    # SQL-escape string probes by doubling single quotes — repr() would
+    # emit Python-style double quotes for keys containing ', which DuckDB
+    # parses as an identifier (ADVICE r05).
+    vals = ", ".join(
+        "('" + k.replace("'", "''") + "')" if isinstance(k, str) else f"({k})"
+        for k in probe_keys
+    )
     bucket = (
         "CAST('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' ||"
         f" CAST({{src}}.{key_col} AS VARCHAR)), 1, 15) AS BIGINT) % {w}"
@@ -324,6 +330,13 @@ def bloom_membership_report(
     with n_false_positives = pass - true (no false negatives by
     construction; the report both demonstrates the filter and measures
     its realized FP rate)."""
+    # Mirror hll_registers' b-range / cms_registers' d/w validation:
+    # k=0 would silently yield F.sequence(0, -1) = [0, -1] (descending
+    # step inferred) — a bogus -1 salt and a vacuous pass (ADVICE r05).
+    if k < 1:
+        raise ValueError(f"bloom k must be >= 1, got {k}")
+    if n_words < 1:
+        raise ValueError(f"bloom n_words must be >= 1, got {n_words}")
     m = n_words * 63
 
     def _bits(df: DataFrame, key: str) -> DataFrame:
@@ -473,8 +486,27 @@ def dd_quantiles(
     are the final midpoint/100 and the q*n threshold, computed from
     identical literals in both engines. Bin math is codegen-native
     (length(bin()) bitlen + shiftright, like the HLL — no HOF folds,
-    no libm log)."""
+    no libm log).
+
+    Composition of ``dd_registers`` + ``dd_estimate`` (the
+    hll_registers / hll_merge / hll_estimate split, VERDICT r05
+    item 4): persist per-day bin tables at ingest, merge slices with
+    ``dd_merge`` (per-bin SUM), estimate over merged registers is
+    bit-identical to the direct estimate (sum is associative)."""
+    return dd_estimate(dd_registers(df, value_col), qs)
+
+
+def dd_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The DDSketch bin-count table: group cols + (bin, c) — the
+    sketch STATE. At most ~500 bins per group regardless of input
+    size (radix-2 log bins x 8 linear sub-bins over cent values), so
+    a year of per-day state for a metric is ~180k tiny rows."""
     sub = 1 << _SUB_BITS  # 8 sub-bins; values < 2*sub are exact
+    groups = list(group_cols or [])
     cents = F.round(F.col(value_col) * 100).cast("long")
     # bitlen = length(bin(c)); top = c >> (bitlen - 1 - SUB_BITS),
     # in [8, 16) — shift-by-expression needs expr()
@@ -485,47 +517,75 @@ def dd_quantiles(
     bin_id = F.when(F.col("_c") < 2 * sub, F.col("_c")).otherwise(
         F.lit(2 * sub) + (bitlen - (_SUB_BITS + 2)) * sub + (top - sub)
     )
-    binned = (
+    return (
         df.filter(F.col(value_col) > 0)
-        .select(cents.alias("_c"))
-        .select(bin_id.alias("bin"))
-        .groupBy("bin")
+        .select(*groups, cents.alias("_c"))
+        .select(*groups, bin_id.alias("bin"))
+        .groupBy(*groups, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def dd_merge(regs: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge register slices (per-day tables unioned, or a finer
+    grouping collapsed): per-(group, bin) SUM. Associative — merge
+    order can never change the estimate, which is what makes the
+    quantile sketch incremental (the HLL rollup symmetry)."""
+    groups = list(group_cols or [])
+    return regs.groupBy(*groups, "bin").agg(F.sum("c").alias("c"))
+
+
+def dd_estimate(
+    regs: DataFrame,
+    qs: tuple = (0.5, 0.9, 0.99),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Finish a bin-count table into (group cols + q, est_value) —
+    windows and joins over the tiny register relation only."""
     from pyspark.sql import Window
 
-    wspec = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = binned.select(
+    sub = 1 << _SUB_BITS
+    groups = list(group_cols or [])
+    wspec = (
+        Window.partitionBy(*groups).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = (
+        Window.partitionBy(*groups)
+        if groups
+        else Window.partitionBy(F.lit(1))
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = regs.select(
+        *groups,
         "bin",
         F.sum("c").over(wspec).alias("cum"),
-        F.sum("c").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
+        F.sum("c").over(wall).alias("n"),
     )
-    # bin midpoint in dollars (exact-integer bounds, one final divide)
-    idx = F.col("bin") - 2 * sub
+    spark = regs.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    picked = (
+        qdf.join(
+            cum.withColumnRenamed("bin", "_bin"),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
+        )
+        .groupBy(*groups, "q")
+        .agg(F.min("_bin").alias("_b"))
+    )
+    # bin midpoint in dollars computed directly from the picked bin id
+    # (a pure function of the id — exact-integer bounds, one divide)
+    idx = F.col("_b") - 2 * sub
     btop = (idx % sub) + sub
     scale = F.expr(
-        f"shiftleft(CAST(1 AS BIGINT), CAST((bin - {2 * sub}) DIV {sub} + 1 AS INT))"
+        f"shiftleft(CAST(1 AS BIGINT), CAST((_b - {2 * sub}) DIV {sub} + 1 AS INT))"
     )
     lo = btop * scale
     hi = (btop + 1) * scale
-    mid = F.when(F.col("bin") < 2 * sub, F.col("bin").cast("double")).otherwise(
+    mid = F.when(F.col("_b") < 2 * sub, F.col("_b").cast("double")).otherwise(
         (lo + hi - 1).cast("double") / F.lit(2.0)
     )
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    return (
-        qdf.join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("q")
-        .agg(F.min("bin").alias("_b"))
-        .join(
-            cum.select("bin", F.round(mid / 100.0, 4).alias("est_value")),
-            F.col("_b") == F.col("bin"),
-        )
-        .select("q", "est_value")
+    return picked.select(
+        *groups, "q", F.round(mid / 100.0, 4).alias("est_value")
     )
 
 
@@ -533,49 +593,71 @@ def dd_quantiles_oracle_sql(
     table: str,
     value_col: str,
     qs: tuple = (0.5, 0.9, 0.99),
+    group_exprs: dict[str, str] | None = None,
+    out_groups: list[str] | None = None,
 ) -> str:
-    """DuckDB replay of ``dd_quantiles`` (same parameters)."""
+    """DuckDB replay of ``dd_quantiles`` (same parameters).
+
+    ``group_exprs`` maps group name -> SQL expression; ``out_groups``
+    (subset of the group names) replays the registers-then-merge
+    pipeline: bins count at the FULL grouping, collapse to
+    ``out_groups`` with a per-bin SUM before the estimate — the
+    ``dd_registers`` + ``dd_merge`` + ``dd_estimate`` rollup shape
+    (the hll_oracle_sql symmetry, VERDICT r05 item 4)."""
     sub = 1 << _SUB_BITS
     qvals = ", ".join(f"({float(q)!r})" for q in qs)
+    exprs = group_exprs or {}
+    groups = list(exprs)
+    out_g = groups if out_groups is None else list(out_groups)
+    gsel_src = "".join(f"{exprs[g]} AS {g}, " for g in groups)
+    gsel = "".join(f"{g}, " for g in groups)
+    osel = "".join(f"{g}, " for g in out_g)
+    opfx = "".join(f"p.{g}, " for g in out_g)
+    part = ("PARTITION BY " + ", ".join(out_g)) if out_g else ""
+    gby_cnt = "GROUP BY " + ", ".join([*groups, "bin"]) if groups else "GROUP BY bin"
+    gby_merge = "GROUP BY " + ", ".join([*out_g, "bin"]) if out_g else "GROUP BY bin"
+    gby_pick = "GROUP BY " + ", ".join([*[f"c.{g}" for g in out_g], "q"])
+    jcond = " AND ".join(
+        ["c.cum >= CAST(CEIL(q.q * c.n) AS BIGINT)"]
+    )
     return f"""
     WITH cents_t AS (
-      SELECT CAST(ROUND({value_col} * 100) AS BIGINT) AS cents
+      SELECT {gsel_src}CAST(ROUND({value_col} * 100) AS BIGINT) AS cents
       FROM {table} WHERE {value_col} > 0
     ), binned0 AS (
-      SELECT cents, length(bin(cents)) AS bl
+      SELECT {gsel}cents, length(bin(cents)) AS bl
       FROM cents_t
     ), bins AS (
-      SELECT CASE WHEN cents < {2 * sub} THEN cents
+      SELECT {gsel}CASE WHEN cents < {2 * sub} THEN cents
                   ELSE {2 * sub} + (bl - {_SUB_BITS + 2}) * {sub}
                        + (cents // (CAST(1 AS BIGINT) << (bl - {1 + _SUB_BITS}))) - {sub}
              END AS bin
       FROM binned0
     ), counts AS (
-      SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM bins GROUP BY bin
+      SELECT {gsel}bin, CAST(COUNT(*) AS BIGINT) AS c FROM bins {gby_cnt}
+    ), merged AS (
+      SELECT {osel}bin, CAST(SUM(c) AS BIGINT) AS c FROM counts {gby_merge}
     ), cum AS (
-      SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum0,
-             SUM(c) OVER () AS n0
-      FROM counts
+      SELECT {osel}bin, SUM(c) OVER ({part} ORDER BY bin) AS cum0,
+             SUM(c) OVER ({part}) AS n0
+      FROM merged
     ), cum2 AS (
-      SELECT bin, CAST(cum0 AS BIGINT) AS cum, CAST(n0 AS BIGINT) AS n FROM cum
-    ), mids AS (
-      SELECT bin,
-             CASE WHEN bin < {2 * sub} THEN CAST(bin AS DOUBLE)
-                  ELSE CAST(((((bin - {2 * sub}) % {sub} + {sub})
-                             * (CAST(1 AS BIGINT) << (((bin - {2 * sub}) // {sub}) + 1))
-                          + (((bin - {2 * sub}) % {sub} + {sub} + 1)
-                             * (CAST(1 AS BIGINT) << (((bin - {2 * sub}) // {sub}) + 1)))
-                          - 1)) AS DOUBLE) / 2.0
-             END AS mid
-      FROM cum2
+      SELECT {osel}bin, CAST(cum0 AS BIGINT) AS cum, CAST(n0 AS BIGINT) AS n FROM cum
     ), qs_t AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qvals}) AS t(q)),
     picked AS (
-      SELECT q, MIN(bin) AS bin
-      FROM qs_t JOIN cum2 ON cum >= CAST(CEIL(q * n) AS BIGINT)
-      GROUP BY q
+      SELECT {"".join(f"c.{g}, " for g in out_g)}q.q AS q, MIN(c.bin) AS bin
+      FROM qs_t q JOIN cum2 c ON {jcond}
+      {gby_pick}
     )
-    SELECT p.q, ROUND(m.mid / 100.0, 4) AS est_value
-    FROM picked p JOIN mids m ON m.bin = p.bin
+    SELECT {opfx}p.q,
+           ROUND(CASE WHEN p.bin < {2 * sub} THEN CAST(p.bin AS DOUBLE)
+                  ELSE CAST(((((p.bin - {2 * sub}) % {sub} + {sub})
+                             * (CAST(1 AS BIGINT) << (((p.bin - {2 * sub}) // {sub}) + 1))
+                          + (((p.bin - {2 * sub}) % {sub} + {sub} + 1)
+                             * (CAST(1 AS BIGINT) << (((p.bin - {2 * sub}) // {sub}) + 1)))
+                          - 1)) AS DOUBLE) / 2.0
+             END / 100.0, 4) AS est_value
+    FROM picked p
 """
 
 
@@ -639,4 +721,195 @@ def hll_oracle_sql(
                       THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
                       ELSE {c} / CAST(sum_int AS DOUBLE) END, 2) AS n_distinct_est
     FROM agg
+"""
+
+
+# --- KMV (k-minimum-values / theta-style) sketch -----------------------
+#
+# VERDICT r05 item 3: HLL intersection by inclusion-exclusion degrades
+# exactly where audience-overlap questions live — a small |A ∩ B| is the
+# difference of two ~1%-RSE estimates, so the subtraction swamps the
+# signal. KMV (Beyer et al., SIGMOD 2007; the DataSketches theta-sketch
+# family) estimates the intersection DIRECTLY: keep the k smallest
+# distinct hash values per set; the union sketch is the k smallest of
+# the merged values; rho = |union sketch ∩ A-sketch ∩ B-sketch| gives
+# jaccard_est = rho/k and |A ∩ B| ~ (rho/k) * est(|A ∪ B|), whose error
+# scales with the intersection itself, not with |A| + |B|.
+#
+# Engine-portable discipline as the rest of the tier: hashes are the
+# 60-bit md5 draws (exact integers), min-k is an integer rank, rho is
+# an exact integer, and the only doubles are the final divisions from
+# identical literals — the estimates hash-match DuckDB.
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256, nsplits: int = 64) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of ``key_col`` — the KMV
+    sketch STATE (one column ``_h``, <= k rows, ascending-unique).
+
+    Build plan for 100 TB: (1) map-side partial distinct collapses
+    duplicate keys before the shuffle, so the exchange carries ~one
+    8-byte hash per distinct key; (2) min-k runs TWO-LEVEL — a
+    row_number window per (_h % nsplits) split keeps each sort
+    partition at distinct/nsplits rows across nsplits parallel
+    reducers, then a final window ranks the <= nsplits*k survivors.
+    min-k of per-split min-k equals global min-k, so the single-reducer
+    step only ever sees nsplits*k rows. The persisted state is k longs:
+    set algebra (union / intersection / jaccard) runs on state alone,
+    never re-reading rows."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"kmv k must be >= 2, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    dh = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(h.alias("_h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy(F.col("_h") % nsplits).orderBy("_h")
+    lvl1 = (
+        dh.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.orderBy("_h")
+    return (
+        lvl1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _kmv_est_expr(n_col, kth_col, k: int):
+    # n < k -> the sketch IS the distinct set (exact count). Otherwise
+    # the classic unbiased estimator (k-1)/U_(k) with U_(k) = kth
+    # smallest hash / 2^60; (k-1)*2^60 is one exact double literal
+    # (k-1 < 2^53, times a power of two).
+    c = float((k - 1) << 60)
+    return F.when(n_col < k, n_col.cast("double")).otherwise(
+        F.lit(c) / kth_col.cast("double")
+    )
+
+
+def kmv_intersection_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """ONE row: (n_a_sketch, n_b_sketch, n_union_sketch, kmv_rho,
+    est_a, est_b, est_union, jaccard_est, est_intersection).
+
+    The union sketch is the k smallest of the two sketches' merged
+    values (a <= 2k-row relation — state-only merge, associative like
+    hll_merge); rho counts union-sketch values present in BOTH side
+    sketches. jaccard_est = rho / n_union (exact when the union fits k
+    because then every value is kept); est_intersection = jaccard_est
+    * est_union, which degrades gracefully to the EXACT intersection
+    count when |A ∪ B| <= k. All joins are against <= k-row relations
+    (broadcast); nothing here rescans the input tables."""
+    from pyspark.sql import Window
+
+    sa = kmv_sketch(df_a, key_a, k=k)
+    sb = kmv_sketch(df_b, key_b, k=k)
+    union_vals = sa.unionAll(sb).distinct()
+    wu = Window.orderBy("_h")
+    su = (
+        union_vals.withColumn("_rn", F.row_number().over(wu))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+    def _stats(s: DataFrame, n_name: str, kth_name: str) -> DataFrame:
+        return s.agg(
+            F.count(F.lit(1)).alias(n_name), F.max("_h").alias(kth_name)
+        )
+
+    rho = (
+        su.join(sa, "_h", "semi")
+        .join(sb, "_h", "semi")
+        .agg(F.count(F.lit(1)).alias("kmv_rho"))
+    )
+    est_a = _kmv_est_expr(F.col("n_a_sketch"), F.col("_kth_a"), k)
+    est_b = _kmv_est_expr(F.col("n_b_sketch"), F.col("_kth_b"), k)
+    est_u = F.round(
+        _kmv_est_expr(F.col("n_union_sketch"), F.col("_kth_u"), k), 2
+    )
+    jac = F.round(
+        F.col("kmv_rho").cast("double") / F.col("n_union_sketch").cast("double"), 6
+    )
+    return (
+        _stats(sa, "n_a_sketch", "_kth_a")
+        .crossJoin(F.broadcast(_stats(sb, "n_b_sketch", "_kth_b")))
+        .crossJoin(F.broadcast(_stats(su, "n_union_sketch", "_kth_u")))
+        .crossJoin(F.broadcast(rho))
+        .select(
+            "n_a_sketch",
+            "n_b_sketch",
+            "n_union_sketch",
+            "kmv_rho",
+            F.round(est_a, 2).alias("est_a"),
+            F.round(est_b, 2).alias("est_b"),
+            est_u.alias("est_union"),
+            jac.alias("jaccard_est"),
+            F.round(jac * est_u, 2).alias("est_intersection"),
+        )
+    )
+
+
+def kmv_intersection_oracle_sql(
+    side_a: str,
+    side_b: str,
+    key_a: str,
+    key_b: str,
+    k: int = 256,
+) -> str:
+    """DuckDB replay of ``kmv_intersection_report`` (``side_a`` /
+    ``side_b`` are table expressions, e.g. a filtered subquery).
+    Generated from the same k so the estimator constant can never
+    drift. The two-level Spark min-k equals the single ROW_NUMBER
+    min-k replayed here by construction."""
+    c = repr(float((k - 1) << 60))
+
+    def _sk(src: str, key: str, name: str) -> str:
+        return f"""{name}_keys AS (
+      SELECT DISTINCT CAST('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) AS _h
+      FROM {src} WHERE {key} IS NOT NULL
+    ), {name}_sk AS (
+      SELECT _h FROM (
+        SELECT _h, row_number() OVER (ORDER BY _h) AS rn FROM {name}_keys
+      ) WHERE rn <= {k}
+    ), {name}_st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(_h) AS kth FROM {name}_sk
+    )"""
+
+    est = (
+        lambda n, kth: f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+        f" ELSE {c} / CAST({kth} AS DOUBLE) END"
+    )
+    return f"""
+    WITH {_sk(side_a, key_a, "a")}, {_sk(side_b, key_b, "b")},
+    u_all AS (SELECT _h FROM a_sk UNION SELECT _h FROM b_sk),
+    u_sk AS (
+      SELECT _h FROM (
+        SELECT _h, row_number() OVER (ORDER BY _h) AS rn FROM u_all
+      ) WHERE rn <= {k}
+    ), u_st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(_h) AS kth FROM u_sk
+    ), rho_t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM u_sk
+      WHERE _h IN (SELECT _h FROM a_sk) AND _h IN (SELECT _h FROM b_sk)
+    )
+    SELECT a_st.n AS n_a_sketch, b_st.n AS n_b_sketch,
+           u_st.n AS n_union_sketch, rho_t.rho AS kmv_rho,
+           ROUND({est("a_st.n", "a_st.kth")}, 2) AS est_a,
+           ROUND({est("b_st.n", "b_st.kth")}, 2) AS est_b,
+           ROUND({est("u_st.n", "u_st.kth")}, 2) AS est_union,
+           ROUND(CAST(rho_t.rho AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6) AS jaccard_est,
+           ROUND(ROUND(CAST(rho_t.rho AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6)
+                 * ROUND({est("u_st.n", "u_st.kth")}, 2), 2) AS est_intersection
+    FROM a_st, b_st, u_st, rho_t
 """

@@ -255,7 +255,15 @@ def pack_chunks_by_group(
     STARTS inside its bin's budget; overflow bounded by one straddling
     chunk), same determinism via the explicit in-group total order.
     Bins never span groups — the property that lets each group pack in
-    parallel."""
+    parallel.
+
+    Density caveat (same straddling-chunk caveat as pack_chunks,
+    ADVICE r05): GLOBAL density of bin ids holds only when every
+    chunk's token count fits the budget. A chunk with token_col >
+    budget makes floor((cum - tokens)/budget) skip integers inside its
+    group, so ids stay unique and monotone but can be sparse; the
+    per-group offset uses MAX(local_bin)+1 so downstream groups shift
+    by the same (sparse) count and ids never collide either way."""
     from pyspark.sql import Window
 
     w = (

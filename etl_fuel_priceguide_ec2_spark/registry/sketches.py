@@ -305,3 +305,72 @@ def q_dd_quantile_order_totals(spark, sf_dir):
     full sort and percentile_approx's GK summary replays nowhere."""
     orders = load_table(spark, sf_dir, "orders")
     return sketches.dd_quantiles(orders, "o_totalprice")
+
+
+# --- round-6 additions (registered AFTER the round-6 freeze — these
+# lead the round-7 window per the rotation discipline) ---------------
+
+_KMV_K = 64  # union of the two fixture sides (~150 users) exceeds k,
+# so the registry query exercises the ESTIMATOR branch, not the exact
+# small-set fallback; tests cover both.
+
+
+@register(
+    "kmv_intersection_user_sets",
+    sketches.kmv_intersection_oracle_sql(
+        f"(SELECT user_id FROM events WHERE {_SIDE_A})",
+        f"(SELECT user_id FROM events WHERE {_SIDE_B})",
+        "user_id",
+        "user_id",
+        k=_KMV_K,
+    ),
+)
+def q_kmv_intersection_user_sets(spark, sf_dir):
+    """DIRECT audience-overlap estimate via KMV/theta sketches
+    (VERDICT r05 item 3): where hll_intersection_user_sets subtracts
+    two ~1%-RSE estimates (inclusion-exclusion — the error swamps
+    small intersections), KMV keeps the k smallest distinct hashes
+    per side and estimates |A ∩ B| = (rho/k) * est(|A ∪ B|) with rho
+    counted on sketch state alone, so the error scales with the
+    overlap itself. Same fixture sides as the HLL query — NOTES.md
+    records the side-by-side comparison."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter((F.col("event_type") == "click") & (F.col("user_id") < 100))
+    b = events.filter((F.col("event_type") == "view") & (F.col("user_id") >= 50))
+    return sketches.kmv_intersection_report(a, b, "user_id", "user_id", k=_KMV_K)
+
+
+@register(
+    "dd_quantile_weekly_rollup",
+    sketches.dd_quantiles_oracle_sql(
+        "orders",
+        "o_totalprice",
+        qs=(0.5, 0.9),
+        group_exprs={
+            "week": "date_trunc('week', CAST(o_orderdate AS DATE))",
+            "day": "CAST(o_orderdate AS DATE)",
+        },
+        out_groups=["week"],
+    ),
+)
+def q_dd_quantile_weekly_rollup(spark, sf_dir):
+    """The quantile-sketch rollup symmetry (VERDICT r05 item 4):
+    per-DAY DDSketch bin tables (the state a daily ingest persists)
+    merged to per-week by a per-bin SUM — associative, so the weekly
+    median/p90 over merged registers is bit-identical to sketching
+    the week directly (pinned by test, the hll_weekly_rollup_users
+    pattern). At 100 TB this re-aggregates ~500-row daily partials
+    instead of re-reading raw history."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(
+        F.date_trunc("week", F.to_date("o_orderdate")).cast("date").alias("week"),
+        F.to_date("o_orderdate").alias("day"),
+        "o_totalprice",
+    )
+    daily_regs = sketches.dd_registers(days, "o_totalprice", ["week", "day"])
+    weekly = sketches.dd_merge(daily_regs, ["week"])
+    return sketches.dd_estimate(weekly, (0.5, 0.9), ["week"])

@@ -6,6 +6,7 @@ from etl_fuel_priceguide_ec2_spark.registry.base import (
     register,
 )
 from etl_fuel_priceguide_ec2_spark.operators import (
+    retrieval,
     textops,
 )
 from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
@@ -300,3 +301,35 @@ def q_udtf_ngrams_explode(spark, sf_dir):
         FROM __docs_udtf d, LATERAL explode_ngrams(d.text, 2) g
         """
     )
+
+
+# --- round-6 addition (post-freeze -> leads the round-7 window) ------
+
+_BM25_QUERIES = [
+    (1, "spark"),
+    (1, "query"),
+    (2, "hash"),
+    (2, "join"),
+    (2, "merge"),
+    (3, "vector"),
+    (3, "stream"),
+]
+
+
+@register(
+    "bm25_topk_docs",
+    retrieval.bm25_oracle_sql("documents", "doc_id", "text", _BM25_QUERIES, topk=5),
+)
+def q_bm25_topk_docs(spark, sf_dir):
+    """Query-time lexical ranked retrieval (VERDICT r05 item 5): BM25
+    top-5 docs for three multi-term queries over the inverted-postings
+    relation. The postings side is NEVER broadcast — the 7-row query
+    term set is, and it prunes the exploded token stream before the tf
+    aggregate; per-doc scores sum 6-dp-rounded term contributions as
+    DECIMAL so ranking is addition-order-free and the DuckDB replay is
+    exact (plan audit: test_bm25_plan_no_cartesian_postings_stream)."""
+    from etl_fuel_priceguide_ec2_spark.operators import retrieval as _r
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    return _r.bm25_topk(docs, queries, "doc_id", "text", topk=5)

@@ -414,3 +414,34 @@ def test_hll_register_aggregate_is_two_level(spark, sf_dir):
     # partial aggregate must be attached to the scan stage (present at
     # all), and no Python/HOF interpreter node may appear in the build
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_plan_no_cartesian_postings_stream(spark, sf_dir):
+    """Lexical retrieval audit (VERDICT r05 item 5): with auto-
+    broadcast disabled, the ONLY broadcast sides are the explicitly
+    hinted tiny relations (query terms, per-term df/idf, the 1-row
+    avgdl, the query map) — the corpus-sized postings/doclens sides
+    join by shuffle, and nothing is cartesian (the single BNLJ is the
+    1-row avgdl cross join)."""
+    from etl_fuel_priceguide_ec2_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "spark"), (1, "query"), (2, "hash")], "query_id int, token string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = retrieval.bm25_topk(docs, queries, "doc_id", "text", topk=5)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ — the 1-row avgdl cross join (the formatted
+    # explain prints each node twice: tree + details section)
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+    # the postings -> doclens join must be shuffle-side (SMJ/SHJ), not
+    # a broadcast of a corpus-sized relation
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    # the explicit hints are present
+    assert "BroadcastExchange" in plan

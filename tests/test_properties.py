@@ -435,3 +435,29 @@ def test_dd_quantile_relative_error_on_arbitrary_inputs(spark, vals):
     for q, est in got.items():
         true = s[min(len(s) - 1, max(0, math.ceil(q * len(s)) - 1))]
         assert abs(est - true) / true < 1 / 16 + 1e-9, (q, est, true)
+
+
+def test_cc_fixpoint_identical_across_hop_schedules(spark):
+    """hops_per_probe is a SCHEDULE, never a semantics knob: the
+    HashMin fixpoint must be identical under hops=1, hops=2, and the
+    adaptive default on both cohort shapes — a deep chain (diameter 8,
+    where batching wins) and shallow stars (diameter 1, where the
+    round-5 fixed hops=2 paid its tax)."""
+    deep = [(i, i + 1) for i in range(8)]                      # 0-1-2-...-8
+    shallow = [(10 * c, 10 * c + j) for c in range(3) for j in (1, 2, 3)]
+    for edges in (deep, shallow, deep + shallow):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        results = [
+            sorted(
+                (r.doc_id, r.component_id)
+                for r in dedup.connected_components(
+                    df, hops_per_probe=h
+                ).collect()
+            )
+            for h in (1, 2, "auto")
+        ]
+        assert results[0] == results[1] == results[2]
+        # every chain node labels to the chain min; every star to hub
+        labels = dict(results[0])
+        if edges is deep:
+            assert all(labels[i] == 0 for i in range(9))

@@ -756,8 +756,6 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 256, nsplits: int = 64) -> 
     step only ever sees nsplits*k rows. The persisted state is k longs:
     set algebra (union / intersection / jaccard) runs on state alone,
     never re-reading rows."""
-    from pyspark.sql import Window
-
     if k < 2:
         raise ValueError(f"kmv k must be >= 2, got {k}")
     h = F.conv(
@@ -768,6 +766,14 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 256, nsplits: int = 64) -> 
         .select(h.alias("_h"))
         .distinct()
     )
+    return _min_k(dh, k, nsplits)
+
+
+def _min_k(dh: DataFrame, k: int, nsplits: int) -> DataFrame:
+    """Two-level distributed min-k over a distinct ``_h`` relation
+    (min-k of per-split min-k equals global min-k)."""
+    from pyspark.sql import Window
+
     w1 = Window.partitionBy(F.col("_h") % nsplits).orderBy("_h")
     lvl1 = (
         dh.withColumn("_rn", F.row_number().over(w1))
@@ -780,6 +786,17 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int = 256, nsplits: int = 64) -> 
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def kmv_merge(sketches_union: DataFrame, k: int, nsplits: int = 64) -> DataFrame:
+    """Merge KMV sketch slices (per-day/per-batch ``_h`` tables
+    unioned): distinct, then global min-k. Associative AND idempotent —
+    every global k-smallest value survives its own slice's min-k, and
+    duplicate values from replayed slices collapse in the distinct —
+    so merged state is bit-identical to sketching the union of the
+    raw key sets (the hll_merge symmetry; pinned by the streaming
+    test)."""
+    return _min_k(sketches_union.select("_h").distinct(), k, nsplits)
 
 
 def _kmv_est_expr(n_col, kth_col, k: int):
@@ -809,8 +826,13 @@ def kmv_intersection_report(
     sketches. jaccard_est = rho / n_union (exact when the union fits k
     because then every value is kept); est_intersection = jaccard_est
     * est_union, which degrades gracefully to the EXACT intersection
-    count when |A ∪ B| <= k. All joins are against <= k-row relations
-    (broadcast); nothing here rescans the input tables."""
+    count when |A ∪ B| <= k. The same union-sketch partition gives the
+    full theta-style set algebra for free: every union-sketch value is
+    in A, B, or both, so est_a_minus_b / est_b_minus_a use the
+    a-only / b-only counts over the identical est_union scale (the
+    three estimates sum to est_union exactly). All joins are against
+    <= k-row relations (broadcast); nothing here rescans the input
+    tables."""
     from pyspark.sql import Window
 
     sa = kmv_sketch(df_a, key_a, k=k)
@@ -833,6 +855,11 @@ def kmv_intersection_report(
         .join(sb, "_h", "semi")
         .agg(F.count(F.lit(1)).alias("kmv_rho"))
     )
+    rho_a_only = (
+        su.join(sa, "_h", "semi")
+        .join(sb, "_h", "anti")
+        .agg(F.count(F.lit(1)).alias("_rho_a_only"))
+    )
     est_a = _kmv_est_expr(F.col("n_a_sketch"), F.col("_kth_a"), k)
     est_b = _kmv_est_expr(F.col("n_b_sketch"), F.col("_kth_b"), k)
     est_u = F.round(
@@ -841,11 +868,24 @@ def kmv_intersection_report(
     jac = F.round(
         F.col("kmv_rho").cast("double") / F.col("n_union_sketch").cast("double"), 6
     )
+    frac_a_only = F.round(
+        F.col("_rho_a_only").cast("double") / F.col("n_union_sketch").cast("double"),
+        6,
+    )
+    # b-only count = n_union - rho - a_only (the partition is exact)
+    frac_b_only = F.round(
+        (F.col("n_union_sketch") - F.col("kmv_rho") - F.col("_rho_a_only")).cast(
+            "double"
+        )
+        / F.col("n_union_sketch").cast("double"),
+        6,
+    )
     return (
         _stats(sa, "n_a_sketch", "_kth_a")
         .crossJoin(F.broadcast(_stats(sb, "n_b_sketch", "_kth_b")))
         .crossJoin(F.broadcast(_stats(su, "n_union_sketch", "_kth_u")))
         .crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(rho_a_only))
         .select(
             "n_a_sketch",
             "n_b_sketch",
@@ -856,6 +896,8 @@ def kmv_intersection_report(
             est_u.alias("est_union"),
             jac.alias("jaccard_est"),
             F.round(jac * est_u, 2).alias("est_intersection"),
+            F.round(frac_a_only * est_u, 2).alias("est_a_minus_b"),
+            F.round(frac_b_only * est_u, 2).alias("est_b_minus_a"),
         )
     )
 
@@ -902,6 +944,9 @@ def kmv_intersection_oracle_sql(
     ), rho_t AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM u_sk
       WHERE _h IN (SELECT _h FROM a_sk) AND _h IN (SELECT _h FROM b_sk)
+    ), rho_a_t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rho_a FROM u_sk
+      WHERE _h IN (SELECT _h FROM a_sk) AND _h NOT IN (SELECT _h FROM b_sk)
     )
     SELECT a_st.n AS n_a_sketch, b_st.n AS n_b_sketch,
            u_st.n AS n_union_sketch, rho_t.rho AS kmv_rho,
@@ -910,6 +955,11 @@ def kmv_intersection_oracle_sql(
            ROUND({est("u_st.n", "u_st.kth")}, 2) AS est_union,
            ROUND(CAST(rho_t.rho AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6) AS jaccard_est,
            ROUND(ROUND(CAST(rho_t.rho AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6)
-                 * ROUND({est("u_st.n", "u_st.kth")}, 2), 2) AS est_intersection
-    FROM a_st, b_st, u_st, rho_t
+                 * ROUND({est("u_st.n", "u_st.kth")}, 2), 2) AS est_intersection,
+           ROUND(ROUND(CAST(rho_a_t.rho_a AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6)
+                 * ROUND({est("u_st.n", "u_st.kth")}, 2), 2) AS est_a_minus_b,
+           ROUND(ROUND(CAST(u_st.n - rho_t.rho - rho_a_t.rho_a AS DOUBLE)
+                       / CAST(u_st.n AS DOUBLE), 6)
+                 * ROUND({est("u_st.n", "u_st.kth")}, 2), 2) AS est_b_minus_a
+    FROM a_st, b_st, u_st, rho_t, rho_a_t
 """

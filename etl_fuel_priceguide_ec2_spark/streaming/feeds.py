@@ -274,3 +274,42 @@ def hll_register_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kmv_sketch_stream(
+    stream: DataFrame,
+    key_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    k: int = 256,
+):
+    """Streaming KMV set sketch (the hll_register_stream symmetry):
+    each micro-batch keeps its k smallest distinct key hashes
+    (``sketches.kmv_sketch``) and APPENDS them to a value store; the
+    sketch at any time is ``kmv_merge(read(sketch_path), k)``. The
+    merge (distinct + global min-k) is associative and idempotent, so
+    appended per-batch sketches fold to exactly the sketch of the full
+    history — bit-identical to batch, invariant under at-least-once
+    replay (pinned by test). Per-segment streams each keep such a
+    store; intersection / jaccard / difference questions then run on
+    state alone via ``kmv_intersection_report``'s algebra. At 100 TB
+    the store grows k rows per batch, compacted by rewriting with
+    ``kmv_merge`` whenever file count grows."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            sketches.kmv_sketch(batch_df, key_col, k=k)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sketch_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

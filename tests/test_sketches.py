@@ -308,3 +308,6 @@ def test_kmv_exact_branch_small_sets(spark):
     assert rep.est_a == 100.0 and rep.est_b == 100.0 and rep.est_union == 160.0
     assert rep.kmv_rho == 40
     assert rep.est_intersection == 40.0
+    # set algebra exact in the same branch: the union-sketch partition
+    # (both / a-only / b-only) sums to the union
+    assert rep.est_a_minus_b == 60.0 and rep.est_b_minus_a == 60.0

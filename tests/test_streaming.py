@@ -383,3 +383,38 @@ def test_streaming_hll_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
         b=8,
     ).collect()[0]
     assert doubled.n_distinct_est == direct.n_distinct_est
+
+
+def test_streaming_kmv_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """Streaming KMV via appended per-batch min-k sketches: the merged
+    sketch over everything the stream delivered is BIT-IDENTICAL to a
+    batch sketch of the same rows (distinct + min-k is associative +
+    idempotent), with no state store — replayed batches cannot change
+    the values. maxFilesPerTrigger forces multiple micro-batches so
+    the merge exercises cross-batch folding."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    batch = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    sk_path = str(tmp_path / "kmv_vals")
+    q = feeds.kmv_sketch_stream(
+        stream, "user_id", sk_path, str(tmp_path / "ckpt_kmv"), k=32
+    )
+    q.awaitTermination(120)
+    stored = spark.read.parquet(sk_path).drop("_batch")
+    merged = sorted(
+        r._h for r in sketches.kmv_merge(stored, k=32).collect()
+    )
+    direct = sorted(r._h for r in sketches.kmv_sketch(batch, "user_id", k=32).collect())
+    assert merged == direct
+    # at-least-once replay safety: appending the store to itself and
+    # re-merging yields the identical sketch (idempotence)
+    doubled = sorted(
+        r._h
+        for r in sketches.kmv_merge(stored.unionAll(stored), k=32).collect()
+    )
+    assert doubled == direct

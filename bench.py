@@ -95,6 +95,13 @@ HEADLINE = [
     # probe join)
     "bloom_membership_orders",
     "heavy_hitter_users",
+    # round-6 additions: the three new plan families — KMV set algebra
+    # (distributed min-k windows + sketch-state joins), the
+    # merged-register quantile rollup, and lexical BM25 retrieval
+    # (pruned postings + decimal score ranking)
+    "kmv_intersection_user_sets",
+    "dd_quantile_weekly_rollup",
+    "bm25_topk_docs",
 ]
 
 

@@ -496,3 +496,46 @@ def unigram_logprob_score(
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, k: int = 20
+) -> DataFrame:
+    """The first step of BPE tokenizer training: count adjacent
+    CHARACTER-pair frequencies over the corpus token stream (with
+    multiplicity — the merge score is corpus frequency, not document
+    frequency) and rank the top-k merge candidates. Output:
+    (pair, n_occurrences, rank), ties broken by pair asc.
+
+    Simplification vs full BPE: no end-of-word marker and single
+    round (real training re-tokenizes after each merge — an
+    inherently sequential loop whose per-round counting pass is
+    exactly this relation).
+
+    100 TB shape: split + transform + explode are per-row codegen (no
+    Python); the pair count is one map-side-combined hash aggregate
+    whose key space is bounded by |alphabet|^2, so the shuffle carries
+    a few thousand rows per map partition regardless of corpus size;
+    the top-k is a single-partition window over that tiny relation.
+    Character ops are UTF-8-aware in both engines (zh documents count
+    identically)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), _WS)).alias("token")
+    ).filter(F.length("token") >= 2)
+    # the length guard above is load-bearing: sequence(1, 0) in Spark
+    # infers a DESCENDING step and yields [1, 0], not [] (the same trap
+    # bloom_membership_report guards against)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "n_occurrences", "rank")
+    )

@@ -333,3 +333,38 @@ def q_bm25_topk_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
     return _r.bm25_topk(docs, queries, "doc_id", "text", topk=5)
+
+
+@register(
+    "bpe_merge_candidates",
+    r"""
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token FROM documents
+    ), toks2 AS (
+      SELECT token FROM toks WHERE length(token) >= 2
+    ), idx AS (
+      SELECT token, UNNEST(range(1, length(token))) AS i FROM toks2
+    ), pairs AS (
+      SELECT substr(token, CAST(i AS INT), 2) AS pair FROM idx
+    ), counts AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT pair, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
+      FROM counts
+    ) WHERE rank <= 20
+    """,
+)
+def q_bpe_merge_candidates(spark, sf_dir):
+    """Tokenizer-training support: the BPE merge-candidate counting
+    pass — adjacent character-pair frequencies over the corpus token
+    stream (with multiplicity), top-20 merge candidates. The pair key
+    space is bounded by |alphabet|^2, so the count shuffle is a few
+    thousand map-side-combined rows regardless of corpus size; UTF-8
+    character semantics match across engines (zh pairs count
+    identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_merge_candidates(docs, "text", k=20)

@@ -66,6 +66,10 @@ NOTES = {
     "hll_intersection_user_sets": "three register-table estimates composed by inclusion-exclusion; the union side MERGES the per-segment registers — overlap answered from sketch state, no row re-reads.",
     "heavy_hitter_users": "two-phase top-k: exact counts over a 10% hash sample pick candidates, which flow AS A RELATION into the broadcast CMS register probe — no full-corpus key shuffle, no driver round-trip.",
     "pack_chunks_by_lang": "per-group packing windows run in parallel (no global single-reducer sort); global density comes from a |groups|-row offset relation broadcast back — the distributed form of the flat packer's documented caveat.",
+    "kmv_intersection_user_sets": "two-level min-k per side (per-split row_number windows, final rank over <= nsplits*k survivors); union/rho/difference joins all run on <= k-row broadcast relations — set algebra from sketch state, no row re-reads.",
+    "dd_quantile_weekly_rollup": "per-day bin tables collapse to per-week via per-bin SUM (associative) — the quantile rollup re-aggregates ~500-row daily partials, never raw history; cut + midpoint are register-relation projections.",
+    "bm25_topk_docs": "the broadcast 7-row query-term set prunes the exploded token stream BEFORE the tf aggregate (postings shuffle is query-sized, not vocabulary-sized); corpus-sized doclens join by shuffle; per-doc scores sum DECIMAL contributions so the ranking window is addition-order-free.",
+    "bpe_merge_candidates": "split + transform + explode are per-row codegen; the pair aggregate's key space is bounded by |alphabet|^2, so the exchange carries a few thousand map-combined rows at any corpus size.",
 }
 
 

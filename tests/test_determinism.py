@@ -36,6 +36,13 @@ RISKY = [
     "dedup_simhash",             # expression barrier + signature folds
     "heavy_hitter_users",        # hash sample boundary + CMS min
     "pack_chunks_by_lang",       # per-group windows + offset composition
+    # round 6: the new risk surfaces — min-k windows + broadcast set
+    # algebra, decimal score ranking at the top-k cut, merged-register
+    # quantile cut, and the pair-count window tiebreak
+    "kmv_intersection_user_sets",  # two-level min-k + semi/anti joins
+    "bm25_topk_docs",              # decimal sum ranking at the cut
+    "dd_quantile_weekly_rollup",   # per-group register merge + cut
+    "bpe_merge_candidates",        # count-desc window tiebreak
 ]
 
 

@@ -257,6 +257,44 @@ def cms_estimate(
     )
 
 
+def cms_join_size_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Equi-join cardinality estimate from CMS state alone — the
+    sketch-driven planning primitive: |A ⋈ B on key| = Σ_k f_A(k)·f_B(k)
+    is the inner product of the two frequency vectors, estimated as
+    min over the d register rows of Σ_bucket cA[i,b]·cB[i,b]
+    (AMS/count-min inner product; Cormode & Muthukrishnan 2005). With
+    A = B this is the second frequency moment F2 = Σ f(k)^2 — the
+    self-join-size / key-skew question ("will this join explode?")
+    answered WITHOUT executing the join: two d×w register tables joined
+    broadcast-side, output one BIGINT.
+
+    One-sided like the point estimator: est >= true always (collision
+    mass only adds), within true + (nA·nB)/w per row in expectation.
+    Exact-integer end-to-end, so the estimate replays bit-identically
+    in SQL. Range bound: Σ cA·cB <= nA·nB must fit a BIGINT — at row
+    counts past ~3e9 per side, sketch SLICES (per-day registers) keep
+    each product in range and the estimates merge by summing slice
+    inner products."""
+    ra = cms_registers(df_a, key_a, d, w)
+    rb = (
+        cms_registers(df_b, key_b, d, w)
+        .withColumnRenamed("c", "_cb")
+    )
+    per_row = (
+        ra.join(F.broadcast(rb), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("_cb")).alias("_s"))
+    )
+    return per_row.agg(F.min("_s").alias("est_join_size"))
+
+
 def cms_oracle_sql(
     table: str,
     key_col: str,

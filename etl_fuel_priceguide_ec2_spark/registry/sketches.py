@@ -374,3 +374,56 @@ def q_dd_quantile_weekly_rollup(spark, sf_dir):
     daily_regs = sketches.dd_registers(days, "o_totalprice", ["week", "day"])
     weekly = sketches.dd_merge(daily_regs, ["week"])
     return sketches.dd_estimate(weekly, (0.5, 0.9), ["week"])
+
+
+_CMS_F2_BUCKET = (
+    "CAST('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' ||"
+    " CAST(s.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256"
+)
+
+_CMS_JOIN_SIZE_ORACLE = f"""
+    WITH rows_i AS (SELECT unnest(range(0, 4)) AS i),
+    regs AS (
+      SELECT t.i, {_CMS_F2_BUCKET} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events s CROSS JOIN rows_i t
+      WHERE s.user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT i, CAST(SUM(c * c) AS BIGINT) AS s FROM regs GROUP BY i
+    ), est AS (
+      SELECT MIN(s) AS est_join_size FROM per
+    ), truef AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS true_join_size FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+        WHERE user_id IS NOT NULL GROUP BY user_id
+      )
+    )
+    SELECT est.est_join_size, truef.true_join_size FROM est, truef
+"""
+
+
+@register("cms_selfjoin_size_events", _CMS_JOIN_SIZE_ORACLE)
+def q_cms_selfjoin_size_events(spark, sf_dir):
+    """Sketch-driven join planning: the F2 second frequency moment of
+    events.user_id — the self-join size Σ f(u)^2, i.e. "how many rows
+    would events ⋈ events on user_id produce?" — estimated from CMS
+    register state alone (min over d rows of Σ_bucket c^2; AMS/CMS
+    inner product), WITHOUT executing the join. One-sided: est >= true
+    (collision mass adds). The true value is computed alongside for
+    the report; at 100 TB only the register table exists and the
+    question costs O(d*w). The skew-profile companion: a huge F2/n^2
+    ratio is exactly the hot-key warning the salting operators
+    exist for."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    est = sketches.cms_join_size_estimate(
+        events, events, "user_id", "user_id", d=4, w=256
+    )
+    true_f2 = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum(F.col("_c") * F.col("_c")).alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(true_f2))

@@ -311,3 +311,33 @@ def test_kmv_exact_branch_small_sets(spark):
     # set algebra exact in the same branch: the union-sketch partition
     # (both / a-only / b-only) sums to the union
     assert rep.est_a_minus_b == 60.0 and rep.est_b_minus_a == 60.0
+
+
+def test_cms_join_size_one_sided_and_tight(spark, sf_dir):
+    """The inner-product estimator is one-sided (est >= true: collision
+    mass only adds) and within the (nA*nB)/w expected collision bound;
+    cross-table case exercised too (orders ⋈ lineitem on orderkey,
+    whose true size is exactly len(lineitem) by FK)."""
+    events = load_table(spark, sf_dir, "events")
+    est = sketches.cms_join_size_estimate(
+        events, events, "user_id", "user_id", d=4, w=256
+    ).collect()[0].est_join_size
+    true_f2 = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    n = events.filter(F.col("user_id").isNotNull()).count()
+    assert est >= true_f2
+    assert est <= true_f2 + 4 * (n * n) / 256  # 4x the expected bound
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    est2 = sketches.cms_join_size_estimate(
+        orders, li, "o_orderkey", "l_orderkey", d=4, w=256
+    ).collect()[0].est_join_size
+    true2 = li.count()
+    assert est2 >= true2
+    assert est2 <= true2 + 4 * (orders.count() * true2) / 256

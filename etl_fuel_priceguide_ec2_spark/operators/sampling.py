@@ -123,3 +123,45 @@ def weighted_sample_topk(
         .filter(F.col("sample_rank") <= n)
         .drop("_es_key")
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Temperature-based mixture allocation (tau = 0.5) — the standard
+    multilingual/multi-source rebalancing step of a pretraining data
+    mix: sampling weights proportional to n^tau flatten the corpus
+    distribution (tau=1 keeps raw proportions and drowns low-resource
+    groups; tau->0 is uniform and over-upsamples tails). Output per
+    group: (group, n_docs, weight, share, planned_docs) with
+    planned_docs = floor(share * budget).
+
+    tau is fixed at 0.5 deliberately: sqrt is a correctly-rounded
+    IEEE-754 primitive in both engines, where a general pow(n, tau)
+    sits one libm ulp from the rounding boundary — the engine-
+    portability discipline of the sketch tier applied to the mixing
+    math. The share denominator sums 6-dp weights as DECIMAL
+    (addition-order-free), so the allocation replays exactly in SQL.
+
+    Plan: one map-side-combined count per group, a |groups|-row
+    aggregate crossed back broadcast — nothing here scales with rows."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.round(F.sqrt(F.col("n_docs").cast("double")), 6)
+    weighted = counts.withColumn("weight", w)
+    tot = weighted.agg(
+        F.sum(F.col("weight").cast("decimal(18,6)")).alias("_tot")
+    )
+    share = F.round(
+        F.col("weight") / F.col("_tot").cast("double"), 6
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn("share", share)
+        .withColumn(
+            "planned_docs",
+            F.floor(F.col("share") * F.lit(float(budget))).cast("long"),
+        )
+        .select(group_col, "n_docs", "weight", "share", "planned_docs")
+    )

@@ -82,3 +82,38 @@ def q_weighted_sample_chars(spark, sf_dir):
     layout and in DuckDB — membership itself is the oracle check."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return sampling.weighted_sample_topk(docs, "doc_id", "n_chars", 100)
+
+
+@register(
+    "temperature_mixture_allocation",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), weighted AS (
+      SELECT lang, n_docs,
+             ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS weight
+      FROM counts
+    ), tot AS (
+      SELECT CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS t
+      FROM weighted
+    )
+    SELECT w.lang, w.n_docs, w.weight,
+           ROUND(w.weight / CAST(tot.t AS DOUBLE), 6) AS share,
+           CAST(FLOOR(ROUND(w.weight / CAST(tot.t AS DOUBLE), 6)
+                      * CAST(10000 AS DOUBLE)) AS BIGINT) AS planned_docs
+    FROM weighted w CROSS JOIN tot
+    """,
+)
+def q_temperature_mixture_allocation(spark, sf_dir):
+    """Multilingual mixture rebalancing: per-lang sampling allocation
+    under temperature tau = 0.5 (weights ~ sqrt(n) — flattens the
+    corpus distribution without drowning low-resource langs) for a
+    10k-document budget. tau is 0.5 deliberately: sqrt is correctly-
+    rounded IEEE in both engines where pow() sits a libm ulp from the
+    6-dp rounding boundary; the share denominator sums decimal weights
+    (order-free), so the allocation replays exactly. Pairs with
+    mixture_sample_by_lang, which materializes a per-lang quota via
+    deterministic hash ranks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_allocation(docs, "lang", budget=10_000)

@@ -313,3 +313,40 @@ def kmv_sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dd_register_stream(
+    stream: DataFrame,
+    value_col: str,
+    registers_path: str,
+    checkpoint: str,
+):
+    """Streaming quantiles: each micro-batch bins its rows into a
+    DDSketch register table (``sketches.dd_registers``) and APPENDS it
+    to a register store; the quantile at any time is
+    ``dd_estimate(dd_merge(read(registers_path)))``. Per-bin SUM is
+    associative, so appended per-batch bins fold to exactly the bins
+    of the full history — the streaming estimate is bit-identical to a
+    batch sketch over everything seen (pinned by test). NOT replay-
+    idempotent (sums double under at-least-once delivery, unlike the
+    HLL max / KMV min-k) — the `_batch` column exists so a compaction
+    or reader can drop duplicate batch ids first, which restores
+    exactly-once semantics from the store itself."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            sketches.dd_registers(batch_df, value_col)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(registers_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -418,3 +418,42 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
         for r in sketches.kmv_merge(stored.unionAll(stored), k=32).collect()
     )
     assert doubled == direct
+
+
+def test_streaming_dd_quantiles_match_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """Streaming DDSketch via appended per-batch bin tables: quantiles
+    over the merged store are BIT-IDENTICAL to a batch sketch of the
+    same rows (per-bin SUM is associative). Deduping the store on
+    `_batch` restores exactly-once from storage: merging a
+    double-appended store after dropDuplicates('_batch', 'bin') equals
+    the single store."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    batch = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+    )
+    regs_path = str(tmp_path / "dd_regs")
+    q = feeds.dd_register_stream(
+        stream, "value", regs_path, str(tmp_path / "ckpt_dd")
+    )
+    q.awaitTermination(120)
+    stored = spark.read.parquet(regs_path)
+    merged = {
+        r.q: r.est_value
+        for r in sketches.dd_estimate(sketches.dd_merge(stored.drop("_batch"))).collect()
+    }
+    direct = {
+        r.q: r.est_value for r in sketches.dd_quantiles(batch, "value").collect()
+    }
+    assert merged == direct
+    # replay recovery: double-delivered batches dedupe away on the
+    # (_batch, bin) key before the merge
+    doubled = stored.unionAll(stored).dropDuplicates(["_batch", "bin"])
+    remerged = {
+        r.q: r.est_value
+        for r in sketches.dd_estimate(sketches.dd_merge(doubled.drop("_batch"))).collect()
+    }
+    assert remerged == direct

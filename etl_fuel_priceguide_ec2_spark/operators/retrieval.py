@@ -186,3 +186,54 @@ def bm25_oracle_sql(
       FROM scored
     ) WHERE rank <= {topk}
 """
+
+
+def rrf_fuse(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str = "rank",
+    topk: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings (Cormack et
+    al. 2009 — the standard hybrid-retrieval combiner):
+    score(q, d) = Σ_r 1/(rrf_k + rank_r(q, d)) over the rankers that
+    returned d, candidates = the union. Rank-based, so the two
+    rankers' score scales never need calibration — exactly why it is
+    the default way to merge a lexical (BM25) and a dense (cosine)
+    ranking.
+
+    Engine-portable by construction: ranks are exact integers, the
+    two reciprocal terms are one fixed-order sum of two doubles from
+    identical literals, rounded at the edge; ties cut by doc id. The
+    fuse input relations are per-query top-N (tiny); this operator
+    never touches the corpus."""
+    from pyspark.sql import Window
+
+    fa = ranking_a.select(
+        F.col(query_col).cast("long").alias("query_id"),
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.col(rank_col).alias("_ra"),
+    )
+    fb = ranking_b.select(
+        F.col(query_col).cast("long").alias("query_id"),
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.col(rank_col).alias("_rb"),
+    )
+    j = fa.join(fb, ["query_id", "doc_id"], "full")
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("_ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("_rb")), F.lit(0.0)),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )

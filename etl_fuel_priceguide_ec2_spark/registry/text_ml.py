@@ -368,3 +368,70 @@ def q_bpe_merge_candidates(spark, sf_dir):
     identically)."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.bpe_merge_candidates(docs, "text", k=20)
+
+
+def _rrf_oracle() -> str:
+    lex = retrieval.bm25_oracle_sql(
+        "documents", "doc_id", "text", _BM25_QUERIES, topk=20
+    )
+    return f"""
+    WITH lex AS ({lex}),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), qv AS (SELECT * FROM e WHERE vec_id IN (1, 2, 3)),
+    dense AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT qv.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                                  ORDER BY list_dot_product(e.v, qv.v) / (e.nrm * qv.nrm) DESC,
+                                           e.vec_id ASC) AS rank
+        FROM e CROSS JOIN qv
+        WHERE qv.vec_id <> e.vec_id
+      ) WHERE rank <= 20
+    ), fused AS (
+      SELECT COALESCE(CAST(l.query_id AS BIGINT), d.query_id) AS query_id,
+             COALESCE(CAST(l.doc_id AS BIGINT), d.neighbor_id) AS doc_id,
+             ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE))
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rank), CAST(0 AS DOUBLE)), 9)
+               AS rrf_score
+      FROM lex l FULL JOIN dense d
+        ON CAST(l.query_id AS BIGINT) = d.query_id
+       AND CAST(l.doc_id AS BIGINT) = d.neighbor_id
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, doc_id, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+"""
+
+
+@register("hybrid_rrf_topk_docs", _rrf_oracle())
+def q_hybrid_rrf_topk_docs(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    top-20 and the dense cosine top-20 for the same three queries
+    (query_id q's dense representation is embedding vec_id q —
+    documents and embeddings are row-aligned fixtures). Rank-based
+    fusion needs no score calibration between the two stacks; the
+    union of candidates is kept (a doc ranked by only one side scores
+    with one reciprocal term, the standard RRF convention). All fuse
+    inputs are per-query top-20 relations — corpus-scale work happens
+    inside the two rankers, each already plan-audited."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, token string")
+    lex = retrieval.bm25_topk(docs, queries, "doc_id", "text", topk=20)
+    dense = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(1, 2, 3)), "vec_id", "embedding", k=20
+    )
+    return retrieval.rrf_fuse(
+        lex, dense.withColumnsRenamed({"neighbor_id": "doc_id"}),
+        "query_id", "doc_id", topk=10,
+    )

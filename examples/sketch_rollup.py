@@ -73,6 +73,45 @@ def main() -> None:
     assert merged.n_distinct_est == direct.n_distinct_est
     print("merged == direct:", merged.n_distinct_est)
 
+    # --- round 6: per-SEGMENT KMV stores answer overlap questions ---
+    # each audience segment persists its k smallest user hashes; any
+    # pairwise intersection / jaccard / difference later is sketch
+    # algebra (kmv_intersection_report joins <= k-row relations).
+    kmv_store = Path(tempfile.mkdtemp(prefix="kmv_store_"))
+    for seg, flt in [
+        ("clickers", F.col("event_type") == "click"),
+        ("viewers", F.col("event_type") == "view"),
+    ]:
+        sketches.kmv_sketch(events.filter(flt), "user_id", k=256).write.mode(
+            "overwrite"
+        ).parquet(str(kmv_store / seg))
+    rep = sketches.kmv_intersection_report(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "view"),
+        "user_id",
+        "user_id",
+        k=256,
+    ).collect()[0]
+    print("segment overlap (clickers vs viewers):", rep.asDict())
+
+    # --- round 6: daily DDSketch bins roll up to a monthly median ---
+    daily_bins = sketches.dd_registers(
+        events.select(F.to_date("ts").alias("day"), "value"), "value", ["day"]
+    )
+    monthly = sketches.dd_estimate(
+        sketches.dd_merge(
+            daily_bins.withColumn(
+                "month", F.date_trunc("month", "day").cast("date")
+            ).drop("day"),
+            ["month"],
+        ),
+        (0.5, 0.9),
+        ["month"],
+    )
+    print("per-month value quantiles from merged daily bins:")
+    for r in monthly.orderBy("month", "q").collect():
+        print("  ", r.asDict())
+
 
 if __name__ == "__main__":
     main()

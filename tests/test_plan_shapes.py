@@ -445,3 +445,26 @@ def test_bm25_plan_no_cartesian_postings_stream(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     # the explicit hints are present
     assert "BroadcastExchange" in plan
+
+
+def test_kmv_set_algebra_joins_are_broadcast(spark, sf_dir):
+    """X6 KMV: every set-algebra join (union sketch vs side sketches,
+    the stats cross joins) runs against <= k-row broadcast relations —
+    nothing in the report should shuffle-join, and the only
+    corpus-sized work is the distinct-hash scan feeding the min-k
+    windows."""
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click")
+    b = events.filter(F.col("event_type") == "view")
+    df = sketches.kmv_intersection_report(a, b, "user_id", "user_id", k=64)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the two-level min-k: per-split partitioned windows exist (the
+    # parallel reducers), not only the final single-partition rank
+    assert "Window" in plan
+    # broadcast set-algebra: at least the semi/anti rho joins and the
+    # stats crosses are broadcast-side
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

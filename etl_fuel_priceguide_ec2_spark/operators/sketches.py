@@ -780,49 +780,89 @@ def hll_oracle_sql(
 # identical literals — the estimates hash-match DuckDB.
 
 
-def kmv_sketch(df: DataFrame, key_col: str, k: int = 256, nsplits: int = 64) -> DataFrame:
-    """The k smallest distinct 60-bit hashes of ``key_col`` — the KMV
-    sketch STATE (one column ``_h``, <= k rows, ascending-unique).
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    nsplits: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of ``key_col`` (per
+    group, when ``group_cols`` is given) — the KMV sketch STATE
+    (group cols + ``_h``, <= k rows per group, ascending-unique).
 
     Build plan for 100 TB: (1) map-side partial distinct collapses
     duplicate keys before the shuffle, so the exchange carries ~one
     8-byte hash per distinct key; (2) min-k runs TWO-LEVEL — a
-    row_number window per (_h % nsplits) split keeps each sort
+    row_number window per (group, _h % nsplits) split keeps each sort
     partition at distinct/nsplits rows across nsplits parallel
-    reducers, then a final window ranks the <= nsplits*k survivors.
-    min-k of per-split min-k equals global min-k, so the single-reducer
-    step only ever sees nsplits*k rows. The persisted state is k longs:
-    set algebra (union / intersection / jaccard) runs on state alone,
-    never re-reading rows."""
+    reducers, then a final per-group window ranks the <= nsplits*k
+    survivors. min-k of per-split min-k equals global min-k, so the
+    single-reducer step only ever sees nsplits*k rows per group. The
+    persisted state is k longs per group: set algebra (union /
+    intersection / jaccard) runs on state alone, never re-reading
+    rows."""
     if k < 2:
         raise ValueError(f"kmv k must be >= 2, got {k}")
+    groups = list(group_cols or [])
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     dh = (
         df.filter(F.col(key_col).isNotNull())
-        .select(h.alias("_h"))
+        .select(*groups, h.alias("_h"))
         .distinct()
     )
-    return _min_k(dh, k, nsplits)
+    return _min_k(dh, k, nsplits, groups)
 
 
-def _min_k(dh: DataFrame, k: int, nsplits: int) -> DataFrame:
+def _min_k(
+    dh: DataFrame, k: int, nsplits: int, groups: list[str] | None = None
+) -> DataFrame:
     """Two-level distributed min-k over a distinct ``_h`` relation
-    (min-k of per-split min-k equals global min-k)."""
+    (min-k of per-split min-k equals global min-k), per group."""
     from pyspark.sql import Window
 
-    w1 = Window.partitionBy(F.col("_h") % nsplits).orderBy("_h")
+    groups = list(groups or [])
+    w1 = Window.partitionBy(*groups, F.col("_h") % nsplits).orderBy("_h")
     lvl1 = (
         dh.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
-    w2 = Window.orderBy("_h")
+    w2 = (
+        Window.partitionBy(*groups).orderBy("_h") if groups else Window.orderBy("_h")
+    )
     return (
         lvl1.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def kmv_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT key_col) per group from the KMV
+    sketch: exact when the group has < k distinct keys (the sketch IS
+    the set), else the classic (k-1)/U_(k) estimator — group cols +
+    (n_sketch, n_distinct_est). The HLL alternative when sketch state
+    must also answer set-algebra questions (one state, both uses);
+    RSE ~ 1/sqrt(k-2) vs HLL's 1.04/sqrt(2^b)."""
+    groups = list(group_cols or [])
+    sk = kmv_sketch(df, key_col, k=k, group_cols=groups)
+    agg = sk.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("_h").alias("_kth")
+    )
+    return agg.select(
+        *groups,
+        "n_sketch",
+        F.round(_kmv_est_expr(F.col("n_sketch"), F.col("_kth"), k), 2).alias(
+            "n_distinct_est"
+        ),
     )
 
 

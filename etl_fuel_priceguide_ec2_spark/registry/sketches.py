@@ -427,3 +427,43 @@ def q_cms_selfjoin_size_events(spark, sf_dir):
         .agg(F.sum(F.col("_c") * F.col("_c")).alias("true_join_size"))
     )
     return est.crossJoin(F.broadcast(true_f2))
+
+
+_KMV_CARD_K = 64
+_KMV_CARD_C = repr(float((_KMV_CARD_K - 1) << 60))
+
+_KMV_CARD_ORACLE = f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS _h
+      FROM events WHERE user_id IS NOT NULL
+    ), sk AS (
+      SELECT event_type, _h FROM (
+        SELECT event_type, _h,
+               row_number() OVER (PARTITION BY event_type ORDER BY _h) AS rn
+        FROM dh
+      ) WHERE rn <= {_KMV_CARD_K}
+    ), agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch, MAX(_h) AS kth
+      FROM sk GROUP BY event_type
+    )
+    SELECT event_type, n_sketch,
+           ROUND(CASE WHEN n_sketch < {_KMV_CARD_K} THEN CAST(n_sketch AS DOUBLE)
+                      ELSE {_KMV_CARD_C} / CAST(kth AS DOUBLE) END, 2) AS n_distinct_est
+    FROM agg
+"""
+
+
+@register("kmv_distinct_by_event_type", _KMV_CARD_ORACLE)
+def q_kmv_distinct_by_event_type(spark, sf_dir):
+    """Per-event-type approximate distinct users from the KMV sketch —
+    the same question hll_users_by_event_type answers, from the state
+    that ALSO serves set-algebra queries (one per-segment sketch store,
+    both uses: cardinality here, overlap in kmv_intersection_user_sets).
+    k=64 sits below the fixture's per-type distinct counts so the
+    (k-1)/U_(k) estimator branch is exercised; groups under k fall
+    back to exact automatically."""
+    events = load_table(spark, sf_dir, "events")
+    return sketches.kmv_cardinality(
+        events, "user_id", ["event_type"], k=_KMV_CARD_K
+    )

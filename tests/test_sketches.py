@@ -341,3 +341,20 @@ def test_cms_join_size_one_sided_and_tight(spark, sf_dir):
     true2 = li.count()
     assert est2 >= true2
     assert est2 <= true2 + 4 * (orders.count() * true2) / 256
+
+
+def test_kmv_cardinality_accuracy_and_branches(spark):
+    """Grouped KMV distinct estimate: exact below k (the sketch IS the
+    set), within estimator noise above it (RSE ~ 1/sqrt(k-2); assert
+    4 sigma). One relation, both branches."""
+    small = spark.range(0, 50).select(F.lit("s").alias("g"), F.col("id").alias("u"))
+    big = spark.range(0, 20_000).select(F.lit("b").alias("g"), F.col("id").alias("u"))
+    got = {
+        r.g: r
+        for r in sketches.kmv_cardinality(
+            small.union(big), "u", ["g"], k=256
+        ).collect()
+    }
+    assert got["s"].n_sketch == 50 and got["s"].n_distinct_est == 50.0
+    assert got["b"].n_sketch == 256
+    assert abs(got["b"].n_distinct_est - 20_000) / 20_000 < 4 / (254**0.5)

@@ -461,3 +461,34 @@ def test_cc_fixpoint_identical_across_hop_schedules(spark):
         labels = dict(results[0])
         if edges is deep:
             assert all(labels[i] == 0 for i in range(9))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=60),
+    slice_of=st.lists(st.integers(min_value=0, max_value=2), min_size=60, max_size=60),
+    k=st.sampled_from([4, 16]),
+)
+def test_kmv_merge_associativity_property(spark, keys, slice_of, k):
+    """For ANY key multiset partitioned into ANY slices, merging the
+    per-slice KMV sketches equals sketching the union directly — the
+    property that makes per-day/per-segment sketch stores exact
+    re-aggregations (duplicates across slices collapse in the merge's
+    distinct; min-k of per-slice min-k is global min-k)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+
+    rows = [(kk, slice_of[i]) for i, kk in enumerate(keys)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "u long, s int")
+    direct = sorted(
+        r._h for r in sketches.kmv_sketch(df, "u", k=k).collect()
+    )
+    slices = [
+        sketches.kmv_sketch(df.filter(F.col("s") == i), "u", k=k) for i in range(3)
+    ]
+    unioned = slices[0].unionAll(slices[1]).unionAll(slices[2])
+    merged = sorted(r._h for r in sketches.kmv_merge(unioned, k=k).collect())
+    assert merged == direct

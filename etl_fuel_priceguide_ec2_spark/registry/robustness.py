@@ -458,3 +458,48 @@ def q_column_profile_lineitem(spark, sf_dir):
             )
         )
     return a.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+from etl_fuel_priceguide_ec2_spark.operators import layout as _layout
+
+_ZORDER_ORACLE = f"""
+    WITH z_t AS (
+      {_layout.zorder_sql("lineitem", ["l_partkey", "l_suppkey"], bits=8)}
+    )
+    SELECT CAST(z >> 12 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+           MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
+    FROM z_t GROUP BY 1
+"""
+
+
+@register("zorder_layout_lineitem", _ZORDER_ORACLE)
+def q_zorder_layout_lineitem(spark, sf_dir):
+    """Z-order layout statistics: lineitem clustered on the Morton
+    interleave of (l_partkey, l_suppkey) at 8 bits each, summarized
+    per 4-bit curve prefix (16 buckets). The point of the relation:
+    every bucket's min/max span is narrow on BOTH columns
+    simultaneously — the row-group stats a z-ordered parquet write
+    produces, which is what lets selective predicates on EITHER
+    column prune most row groups at 100 TB (single-column sort prunes
+    only itself; the locality test quantifies the span shrink). Curve
+    values are exact integer arithmetic, so the layout report
+    hash-matches DuckDB."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import layout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = layout.zorder_value(li, ["l_partkey", "l_suppkey"], bits=8)
+    return (
+        li.withColumn("z", z)
+        .groupBy(F.shiftright("z", 12).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+            F.min("l_suppkey").alias("min_suppkey"),
+            F.max("l_suppkey").alias("max_suppkey"),
+        )
+    )

@@ -468,3 +468,41 @@ def test_kmv_set_algebra_joins_are_broadcast(spark, sf_dir):
     # stats crosses are broadcast-side
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_buckets_are_tight_on_both_columns(spark, sf_dir):
+    """The reason to z-order a write: per-curve-prefix buckets bound
+    BOTH clustered columns' min/max spans simultaneously (the row-group
+    stats that let predicates on either column prune), where
+    natural-order buckets of the same size span ~the full domain of
+    each. Assert the mean z-bucket span is under half the natural-order
+    span on both columns."""
+    from etl_fuel_priceguide_ec2_spark.operators import layout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = layout.zorder_value(li, ["l_partkey", "l_suppkey"], bits=8)
+
+    def spans(df, bucket_col):
+        rows = (
+            df.groupBy(bucket_col)
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("sp"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("ss"),
+            )
+            .collect()
+        )
+        n = len(rows)
+        return sum(r.sp for r in rows) / n, sum(r.ss for r in rows) / n
+
+    zp, zs = spans(
+        li.withColumn("z", z).withColumn("b", F.shiftright("z", 12)), "b"
+    )
+    # natural order: bucket by orderkey ranges (what an unsorted write
+    # would co-locate)
+    nmax = li.agg(F.max("l_orderkey")).collect()[0][0]
+    np_, ns = spans(
+        li.withColumn("b", (F.col("l_orderkey") * 16 / (nmax + 1)).cast("long")),
+        "b",
+    )
+    assert zp < np_ / 2, (zp, np_)
+    assert zs < ns / 2, (zs, ns)

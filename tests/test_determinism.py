@@ -43,6 +43,8 @@ RISKY = [
     "bm25_topk_docs",              # decimal sum ranking at the cut
     "dd_quantile_weekly_rollup",   # per-group register merge + cut
     "bpe_merge_candidates",        # count-desc window tiebreak
+    "hybrid_rrf_topk_docs",        # double rrf-score ties at the cut
+    "zorder_layout_lineitem",      # interleave arithmetic + bucket agg
 ]
 
 

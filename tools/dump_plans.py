@@ -70,6 +70,11 @@ NOTES = {
     "dd_quantile_weekly_rollup": "per-day bin tables collapse to per-week via per-bin SUM (associative) — the quantile rollup re-aggregates ~500-row daily partials, never raw history; cut + midpoint are register-relation projections.",
     "bm25_topk_docs": "the broadcast 7-row query-term set prunes the exploded token stream BEFORE the tf aggregate (postings shuffle is query-sized, not vocabulary-sized); corpus-sized doclens join by shuffle; per-doc scores sum DECIMAL contributions so the ranking window is addition-order-free.",
     "bpe_merge_candidates": "split + transform + explode are per-row codegen; the pair aggregate's key space is bounded by |alphabet|^2, so the exchange carries a few thousand map-combined rows at any corpus size.",
+    "kmv_distinct_by_event_type": "per-(group, split) min-k windows run as parallel reducers; the per-group final rank sees <= nsplits*k survivors; the estimate is a per-group 2-column aggregate over <= k rows.",
+    "cms_selfjoin_size_events": "join size estimated from register state: two d x w tables, inner product per row, min — the corpus is scanned once to build registers and the 'join' itself never executes.",
+    "temperature_mixture_allocation": "one map-combined count per group; the |groups|-row weight/share math crosses back broadcast — nothing scales with input rows.",
+    "hybrid_rrf_topk_docs": "both rankers produce per-query top-20 relations; the RRF fuse is a full outer join + window over <= 40 rows per query — corpus-scale work stays inside the audited BM25 and cosine plans.",
+    "zorder_layout_lineitem": "the Morton value is one flat shift/mask codegen expression from inlined min/max literals; the bucket stats are a 16-group aggregate — the write-side clustering cost is exactly one range-sort shuffle.",
 }
 
 

@@ -506,3 +506,70 @@ def test_zorder_buckets_are_tight_on_both_columns(spark, sf_dir):
     )
     assert zp < np_ / 2, (zp, np_)
     assert zs < ns / 2, (zs, ns)
+
+
+def test_zorder_write_prunes_parquet_row_groups(spark, sf_dir, tmp_path):
+    """End-to-end layout payoff: write lineitem z-ordered vs natural
+    order with small row groups, then read back the parquet footer
+    stats (pyarrow) and count row groups a selective point predicate
+    could skip via min/max. The z-ordered layout must let BOTH
+    clustered columns prune a majority of row groups; natural order
+    prunes almost nothing."""
+    import pyarrow.parquet as pq
+
+    from etl_fuel_priceguide_ec2_spark.operators import layout
+
+    # sf0.01 explicitly: the sf0.001 fixture yields too few row groups
+    # for footer-stat pruning to be observable
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+
+    def write_and_stats(df, path):
+        (
+            df.coalesce(1)
+            .write.option("parquet.block.size", 32 * 1024)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        import glob
+
+        f = glob.glob(f"{path}/*.parquet")[0]
+        md = pq.ParquetFile(f).metadata
+        stats = []
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            row = {}
+            for c in ("l_partkey", "l_suppkey"):
+                s = md.row_group(rg).column(idx[c]).statistics
+                row[c] = (s.min, s.max)
+            stats.append(row)
+        return stats
+
+    z = layout.zorder_sort(li, ["l_partkey", "l_suppkey"], bits=8)
+    zstats = write_and_stats(z, str(tmp_path / "zsorted"))
+    nstats = write_and_stats(
+        li.orderBy("l_orderkey"), str(tmp_path / "natural")
+    )
+    assert len(zstats) >= 4, "need multiple row groups for the test to mean anything"
+
+    bounds = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+
+    def prune_fraction(stats, col, probes):
+        skipped = 0
+        for p in probes:
+            skipped += sum(1 for r in stats if not (r[col][0] <= p <= r[col][1]))
+        return skipped / (len(probes) * len(stats))
+
+    import random
+
+    rnd = random.Random(7)
+    p_probes = [rnd.randint(bounds[0], bounds[1]) for _ in range(20)]
+    s_probes = [rnd.randint(bounds[2], bounds[3]) for _ in range(20)]
+    for col, probes in (("l_partkey", p_probes), ("l_suppkey", s_probes)):
+        zf = prune_fraction(zstats, col, probes)
+        nf = prune_fraction(nstats, col, probes)
+        assert zf > 0.5, (col, zf, "z-order must skip most row groups")
+        assert zf > nf, (col, zf, nf)

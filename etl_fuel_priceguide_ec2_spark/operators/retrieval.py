@@ -33,7 +33,14 @@ _WS = r"\s+"
 
 def inverted_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(token, id, tf) — the classic inverted index as a relation.
-    One explode + one hash aggregate (map-side combined)."""
+    One explode + one hash aggregate (map-side combined).
+
+    Mergeable state: postings built per corpus SLICE (a day, a shard)
+    union to the corpus postings by simple concatenation — doc ids are
+    disjoint across slices, so no re-aggregation is needed; doc
+    lengths likewise. Persist both at ingest and score queries with
+    ``bm25_topk_from_postings`` without touching raw text again
+    (pinned by test_bm25_from_persisted_slices_identical)."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), _WS)).alias("token"),
@@ -41,45 +48,58 @@ def inverted_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
 
 
-def bm25_topk(
-    df: DataFrame,
-    queries: DataFrame,
-    id_col: str,
-    text_col: str,
-    topk: int = 5,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """Per-query BM25 top-k: ``queries`` is a (query_id, token)
-    relation (a handful of rows — broadcast everywhere it appears).
-    Output: (query_id, doc id, score DOUBLE, rank).
-
-    Plan: explode -> broadcast-semi prune by query terms -> tf
-    aggregate over MATCHING postings only -> df per term (a second
-    tiny aggregate over the same pruned relation) -> join doc lengths
-    -> decimal score sum -> per-query row_number window (score desc,
-    id asc tiebreak — deterministic at the cut)."""
-    from pyspark.sql import Window
-
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl) token counts per doc — the other half of the
+    persisted retrieval state (slice-unionable like the postings)."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), _WS)).alias("token"),
     ).filter(F.col("token") != "")
+    return toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
 
-    # corpus stats: N docs (driver literal, like tfidf_top_terms) and
-    # doc lengths / avgdl (one long per doc, map-side combined)
-    n_docs = df.count()
-    doclens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    queries: DataFrame,
+    id_col: str,
+    topk: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring against PERSISTED retrieval state — the query-time
+    path once ``inverted_postings`` + ``doc_lengths`` were written at
+    ingest: no text is re-tokenized; the only corpus-sized input is
+    the postings scan, pruned by the broadcast query-term set before
+    anything aggregates. Identical scoring/ranking math to
+    ``bm25_topk`` (which delegates here)."""
+    from pyspark.sql import Window
+
+    qterms = queries.select("token").distinct()
+    tf_rel = postings.join(F.broadcast(qterms), "token").select(
+        "token", id_col, F.col("tf").alias("_tf")
+    )
+    return _bm25_score(tf_rel, doclens, n_docs, queries, id_col, topk, k1, b)
+
+
+def _bm25_score(
+    tf_rel: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    queries: DataFrame,
+    id_col: str,
+    topk: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring/ranking tail of both BM25 paths: tf_rel is
+    (token, id, _tf) for QUERY TERMS ONLY (however it was built)."""
+    from pyspark.sql import Window
+
     avgdl_rel = doclens.agg(
         (F.sum("_dl").cast("double") / F.lit(float(n_docs))).alias("_avgdl")
     )
-
-    qterms = queries.select("token").distinct()
-    # prune the token stream BEFORE aggregating: postings are built
-    # only for query terms, so the shuffle is query-sized, not
-    # corpus-vocabulary-sized
-    matched = toks.join(F.broadcast(qterms), "token")
-    tf_rel = matched.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("_tf"))
     df_rel = tf_rel.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
 
     idf = F.round(
@@ -118,6 +138,44 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    topk: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query BM25 top-k: ``queries`` is a (query_id, token)
+    relation (a handful of rows — broadcast everywhere it appears).
+    Output: (query_id, doc id, score DOUBLE, rank).
+
+    Plan: explode -> broadcast-semi prune by query terms -> tf
+    aggregate over MATCHING postings only -> df per term (a second
+    tiny aggregate over the same pruned relation) -> join doc lengths
+    -> decimal score sum -> per-query row_number window (score desc,
+    id asc tiebreak — deterministic at the cut)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), _WS)).alias("token"),
+    ).filter(F.col("token") != "")
+
+    # corpus stats: N docs (driver literal, like tfidf_top_terms) and
+    # doc lengths (one long per doc, map-side combined; avgdl is
+    # derived inside _bm25_score)
+    n_docs = df.count()
+    doclens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+
+    qterms = queries.select("token").distinct()
+    # prune the token stream BEFORE aggregating: postings are built
+    # only for query terms, so the shuffle is query-sized, not
+    # corpus-vocabulary-sized
+    matched = toks.join(F.broadcast(qterms), "token")
+    tf_rel = matched.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("_tf"))
+    return _bm25_score(tf_rel, doclens, n_docs, queries, id_col, topk, k1, b)
 
 
 def bm25_oracle_sql(

@@ -209,3 +209,49 @@ def test_priority_list_names_exist_in_registry():
             registry.queries()
     finally:
         base._ROUND_PRIORITY.pop()
+
+
+def test_bm25_from_persisted_slices_identical(spark, sf_dir, tmp_path):
+    """The retrieval-state lifecycle: postings + doc lengths built
+    per corpus SLICE at ingest, persisted, unioned (disjoint doc ids
+    -> plain concat is the merge), then scored with
+    bm25_topk_from_postings — ranking byte-identical to the direct
+    text-path bm25_topk over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import retrieval
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "spark"), (1, "query"), (2, "hash"), (2, "join")],
+        "query_id int, token string",
+    )
+    direct = registry  # noqa: F841  (keep import style consistent)
+    expect = sorted(
+        map(tuple, retrieval.bm25_topk(docs, queries, "doc_id", "text", topk=5).collect())
+    )
+
+    store = tmp_path / "retrieval_state"
+    for i in range(3):  # three ingest slices by doc_id mod
+        s = docs.filter(F.col("doc_id") % 3 == i)
+        retrieval.inverted_postings(s, "doc_id", "text").write.mode("append").parquet(
+            str(store / "postings")
+        )
+        retrieval.doc_lengths(s, "doc_id", "text").write.mode("append").parquet(
+            str(store / "doclens")
+        )
+    got = sorted(
+        map(
+            tuple,
+            retrieval.bm25_topk_from_postings(
+                spark.read.parquet(str(store / "postings")),
+                spark.read.parquet(str(store / "doclens")),
+                docs.count(),
+                queries,
+                "doc_id",
+                topk=5,
+            ).collect(),
+        )
+    )
+    assert got == expect

@@ -102,6 +102,10 @@ HEADLINE = [
     "kmv_intersection_user_sets",
     "dd_quantile_weekly_rollup",
     "bm25_topk_docs",
+    # hybrid rank fusion (both rankers + the fuse join) and the
+    # Morton-interleave layout report (pure codegen arithmetic)
+    "hybrid_rrf_topk_docs",
+    "zorder_layout_lineitem",
 ]
 
 

@@ -943,20 +943,30 @@ def kmv_intersection_report(
     est_u = F.round(
         _kmv_est_expr(F.col("n_union_sketch"), F.col("_kth_u"), k), 2
     )
-    jac = F.round(
-        F.col("kmv_rho").cast("double") / F.col("n_union_sketch").cast("double"), 6
+    # guard the empty-union case (both inputs empty): ANSI mode makes
+    # 0/0 an error, and the defined answer is jaccard 0
+    jac = F.when(F.col("n_union_sketch") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("kmv_rho").cast("double") / F.col("n_union_sketch").cast("double"),
+            6,
+        )
     )
-    frac_a_only = F.round(
-        F.col("_rho_a_only").cast("double") / F.col("n_union_sketch").cast("double"),
-        6,
+    frac_a_only = F.when(F.col("n_union_sketch") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("_rho_a_only").cast("double")
+            / F.col("n_union_sketch").cast("double"),
+            6,
+        )
     )
     # b-only count = n_union - rho - a_only (the partition is exact)
-    frac_b_only = F.round(
-        (F.col("n_union_sketch") - F.col("kmv_rho") - F.col("_rho_a_only")).cast(
-            "double"
+    frac_b_only = F.when(F.col("n_union_sketch") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("n_union_sketch") - F.col("kmv_rho") - F.col("_rho_a_only")).cast(
+                "double"
+            )
+            / F.col("n_union_sketch").cast("double"),
+            6,
         )
-        / F.col("n_union_sketch").cast("double"),
-        6,
     )
     return (
         _stats(sa, "n_a_sketch", "_kth_a")

@@ -255,3 +255,39 @@ def test_bm25_from_persisted_slices_identical(spark, sf_dir, tmp_path):
         )
     )
     assert got == expect
+
+
+def test_round6_operator_empty_and_degenerate_edges(spark):
+    """Defined, non-crashing answers on degenerate inputs for the
+    round-6 operators: BM25 with no matching query term -> empty
+    ranking; KMV on an empty relation -> empty sketch and an exact-0
+    report; RRF with a ranking absent on one side -> one-term scores;
+    z-order on a constant column -> all curve bits from the varying
+    column."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import layout, retrieval, sketches
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame([(1, "zzz_absent")], "query_id int, token string")
+    assert retrieval.bm25_topk(docs, queries, "doc_id", "text").count() == 0
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert sketches.kmv_sketch(empty, "k", k=8).count() == 0
+    rep = sketches.kmv_intersection_report(empty, empty, "k", "k", k=8).collect()[0]
+    assert rep.n_union_sketch == 0 and rep.kmv_rho == 0
+
+    ra = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank int")
+    rb = spark.createDataFrame(
+        [], "query_id long, doc_id long, rank int"
+    )
+    fused = retrieval.rrf_fuse(ra, rb, "query_id", "doc_id").collect()
+    assert len(fused) == 1 and abs(fused[0].rrf_score - 1 / 61) < 1e-9
+
+    const = spark.range(8).select(
+        F.lit(5).alias("a"), F.col("id").alias("b")
+    )
+    z = const.select(layout.zorder_value(const, ["a", "b"], bits=4).alias("z")).collect()
+    assert len({r.z for r in z}) == 8  # varying column still separates

@@ -820,3 +820,22 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_example_retrieval_pipeline(sf_dir):
+    """examples/retrieval_pipeline.py — the persisted-postings BM25 +
+    dense + RRF stack runs end to end with consistent shapes."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "retrieval_example",
+        Path(__file__).parent.parent / "examples" / "retrieval_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(sf_dir)
+    assert out["n_docs"] > 0
+    assert out["queries"] == 2
+    assert out["fused_rows"] == out["queries"] * 5
+    assert out["lex_rows"] <= out["queries"] * 20

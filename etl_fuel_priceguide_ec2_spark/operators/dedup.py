@@ -467,6 +467,92 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    history: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The INCREMENTAL near-dup shape — the daily-ingest workflow at
+    100 TB: mine pairs between a NEW slice and (history + new) without
+    ever re-mining history x history. Band buckets of the small new
+    slice drive the candidate join against the full corpus's buckets,
+    so the self-join cardinality is bucket-collisions-with-new, not
+    bucket-size squared; history pairs already found in prior runs are
+    structurally excluded (a candidate must have >= 1 new side).
+    Verification (exact Jaccard on candidate pairs only) and output
+    shape match ``minhash_lsh_pairs`` — the union of prior runs' pairs
+    plus this relation equals the from-scratch full-corpus relation
+    (pinned by test).
+
+    At real scale the history side's band buckets and hashed shingle
+    sets would be PERSISTED at ingest (the inverted_postings /
+    kmv_sketch_stream pattern); here both are recomputed from text —
+    the join shape is the point."""
+    r = num_hashes // bands
+    full = history.select(id_col, text_col).unionByName(
+        new.select(id_col, text_col)
+    )
+
+    def _banded(d: DataFrame) -> DataFrame:
+        sig = _signatures_from_sets(
+            _shingle_array(d, id_col, text_col, n), id_col, num_hashes
+        )
+        return sig.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                F.array(
+                    *[F.hash(F.slice("signature", b * r + 1, r)) for b in range(bands)]
+                )
+            ).alias("band_id", "band_hash"),
+        )
+
+    banded_all = _banded(full)
+    if max_bucket is not None:
+        bucket_sizes = banded_all.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        banded_all = banded_all.join(
+            F.broadcast(bucket_sizes.filter(F.col("__bsz") > max_bucket)),
+            ["band_id", "band_hash"],
+            "left_anti",
+        )
+    banded_new = _banded(new)
+    pair_a = F.least(F.col("doc_n"), F.col("doc"))
+    pair_b = F.greatest(F.col("doc_n"), F.col("doc"))
+    candidates = (
+        banded_new.withColumnRenamed("doc", "doc_n")
+        .join(banded_all, ["band_id", "band_hash"])
+        .filter(F.col("doc_n") != F.col("doc"))
+        .select(pair_a.alias("id_a"), pair_b.alias("id_b"))
+        .distinct()
+    )
+    sets = _shingle_array(full, id_col, text_col, n).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

@@ -272,3 +272,50 @@ def q_minhash_dedup_keeplist(spark, sf_dir):
         .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
         .withColumn("kept", F.col("component_id") == F.col("doc_id"))
     )
+
+
+# --- round-6 addition (post-freeze -> leads the round-7 window) ------
+
+_INCR_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(toks) - 3 + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM d
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (x.set_size + y.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sz x ON id_a = x.doc_id
+    JOIN sz y ON id_b = y.doc_id
+    WHERE n_common * 1.0 / (x.set_size + y.set_size - n_common) >= 0.5
+      AND (id_a % 5 = 4 OR id_b % 5 = 4)
+"""
+
+
+@register("minhash_incremental_pairs", _INCR_ORACLE)
+def q_minhash_incremental_pairs(spark, sf_dir):
+    """The daily-ingest dedup shape: docs with doc_id % 5 == 4 play
+    the NEW slice; pairs are mined between the new slice and
+    history + new WITHOUT re-mining history x history (the new side's
+    band buckets drive the candidate join). Oracle = exact all-pairs
+    Jaccard restricted to pairs touching the new slice — equality
+    asserts both the incremental restriction and 100% LSH recall.
+    Union with prior runs' pairs reconstructs the full-corpus relation
+    (pinned by test)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    return dedup.minhash_lsh_pairs_incremental(
+        history, new, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.5
+    )

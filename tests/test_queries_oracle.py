@@ -291,3 +291,30 @@ def test_round6_operator_empty_and_degenerate_edges(spark):
     )
     z = const.select(layout.zorder_value(const, ["a", "b"], bits=4).alias("z")).collect()
     assert len({r.z for r in z}) == 8  # varying column still separates
+
+
+def test_incremental_lsh_reconstructs_full_relation(spark, sf_dir):
+    """The incremental contract: pairs(history-only run) UNION
+    pairs(incremental new-vs-all run) == pairs(from-scratch full
+    corpus), with zero overlap between the two parts — so a daily
+    pipeline that appends incremental results converges to exactly
+    the batch answer."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = rows(dedup.minhash_lsh_pairs(docs, "doc_id", "text"))
+    prior = rows(dedup.minhash_lsh_pairs(history, "doc_id", "text"))
+    incr = rows(
+        dedup.minhash_lsh_pairs_incremental(history, new, "doc_id", "text")
+    )
+    assert sorted(prior + incr) == full
+    assert not (set(prior) & set(incr))

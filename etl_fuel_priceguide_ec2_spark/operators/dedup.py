@@ -467,6 +467,81 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """(doc, band_id, band_hash) — the PERSISTABLE LSH index state:
+    written per ingest slice, unioned by concatenation (disjoint doc
+    ids), probed by any later slice's buckets."""
+    r = num_hashes // bands
+    sig = _signatures_from_sets(
+        _shingle_array(df, id_col, text_col, n), id_col, num_hashes
+    )
+    return sig.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(
+                *[F.hash(F.slice("signature", b * r + 1, r)) for b in range(bands)]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<long>) — the verify-side state (8-byte
+    hashed shingles), slice-unionable like the band buckets."""
+    return _shingle_array(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias(
+            "shingles"
+        ),
+    )
+
+
+def lsh_pairs_from_state(
+    bands_probe: DataFrame,
+    bands_all: DataFrame,
+    sets_all: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Mine verified pairs from LSH STATE relations: the probe side's
+    buckets drive the candidate join against the full bucket store
+    (pairs fully inside the non-probe side never form), then exact
+    Jaccard on candidate pairs only. The state-store half of the
+    incremental dedup path — both inputs can come straight off
+    parquet, no text access."""
+    pair_a = F.least(F.col("doc_n"), F.col("doc"))
+    pair_b = F.greatest(F.col("doc_n"), F.col("doc"))
+    candidates = (
+        bands_probe.withColumnRenamed("doc", "doc_n")
+        .join(bands_all, ["band_id", "band_hash"])
+        .filter(F.col("doc_n") != F.col("doc"))
+        .select(pair_a.alias("id_a"), pair_b.alias("id_b"))
+        .distinct()
+    )
+    sa = sets_all.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets_all.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs_incremental(
     history: DataFrame,
     new: DataFrame,
@@ -499,25 +574,10 @@ def minhash_lsh_pairs_incremental(
     recompute noted above); the structural win is the excluded
     history x history candidate volume, which dominates at corpus
     scale and with persisted history state."""
-    r = num_hashes // bands
     full = history.select(id_col, text_col).unionByName(
         new.select(id_col, text_col)
     )
-
-    def _banded(d: DataFrame) -> DataFrame:
-        sig = _signatures_from_sets(
-            _shingle_array(d, id_col, text_col, n), id_col, num_hashes
-        )
-        return sig.select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(
-                F.array(
-                    *[F.hash(F.slice("signature", b * r + 1, r)) for b in range(bands)]
-                )
-            ).alias("band_id", "band_hash"),
-        )
-
-    banded_all = _banded(full)
+    banded_all = lsh_band_buckets(full, id_col, text_col, n, num_hashes, bands)
     if max_bucket is not None:
         bucket_sizes = banded_all.groupBy("band_id", "band_hash").agg(
             F.count(F.lit(1)).alias("__bsz")
@@ -527,35 +587,9 @@ def minhash_lsh_pairs_incremental(
             ["band_id", "band_hash"],
             "left_anti",
         )
-    banded_new = _banded(new)
-    pair_a = F.least(F.col("doc_n"), F.col("doc"))
-    pair_b = F.greatest(F.col("doc_n"), F.col("doc"))
-    candidates = (
-        banded_new.withColumnRenamed("doc", "doc_n")
-        .join(banded_all, ["band_id", "band_hash"])
-        .filter(F.col("doc_n") != F.col("doc"))
-        .select(pair_a.alias("id_a"), pair_b.alias("id_b"))
-        .distinct()
-    )
-    sets = _shingle_array(full, id_col, text_col, n).select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("shingles"),
-    )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    banded_new = lsh_band_buckets(new, id_col, text_col, n, num_hashes, bands)
+    sets_all = hashed_shingle_sets(full, id_col, text_col, n)
+    return lsh_pairs_from_state(banded_new, banded_all, sets_all, id_col, threshold)
 
 
 def simhash(

@@ -350,3 +350,66 @@ def dd_register_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_dedup_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    checkpoint: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+):
+    """Streaming corpus dedup over a persisted LSH state store — the
+    production form of ``minhash_lsh_pairs_incremental``: every
+    micro-batch (an ingest slice) mines verified near-dup pairs
+    between ITS docs and everything seen so far, then appends its own
+    band buckets + hashed shingle sets to the store. History is never
+    re-mined and never re-tokenized: each batch reads only the state
+    relations off parquet. The union of all batches' pairs equals the
+    from-scratch batch relation over the full corpus (pinned by test —
+    the incremental reconstruction property, applied per batch).
+
+    At-least-once caveat: a replayed batch re-appends state and pairs;
+    both relations dedupe exactly on their natural keys
+    ((doc, band_id) / id / (id_a, id_b)) — read with dropDuplicates,
+    or compact the store periodically."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    bands_path = f"{store_dir}/bands"
+    sets_path = f"{store_dir}/sets"
+    pairs_path = f"{store_dir}/pairs"
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bands_new = dedup.lsh_band_buckets(
+            batch_df, id_col, text_col, n, num_hashes, bands
+        ).localCheckpoint(eager=True)
+        sets_new = dedup.hashed_shingle_sets(
+            batch_df, id_col, text_col, n
+        ).localCheckpoint(eager=True)
+        try:
+            bands_all = spark.read.parquet(bands_path).unionByName(bands_new)
+            sets_all = spark.read.parquet(sets_path).unionByName(sets_new)
+        except Exception:  # first batch: no store yet
+            bands_all, sets_all = bands_new, sets_new
+        pairs = dedup.lsh_pairs_from_state(
+            bands_new, bands_all, sets_all, id_col, threshold
+        )
+        pairs.withColumn("_batch", F.lit(batch_id)).write.mode("append").parquet(
+            pairs_path
+        )
+        bands_new.write.mode("append").parquet(bands_path)
+        sets_new.write.mode("append").parquet(sets_path)
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

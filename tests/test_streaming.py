@@ -457,3 +457,40 @@ def test_streaming_dd_quantiles_match_batch(spark, sf_dir, event_stream_dir, tmp
         for r in sketches.dd_estimate(sketches.dd_merge(doubled.drop("_batch"))).collect()
     }
     assert remerged == direct
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming corpus dedup over the persisted LSH state store: the
+    documents corpus arrives in 3 micro-batches; the union of all
+    batches' mined pairs must equal the from-scratch batch LSH
+    relation over the full corpus, with no pair found twice (each
+    batch mines only pairs touching its own docs)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "doc_slices")
+    for i in range(3):  # three arrival slices as separate files
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "lsh_store")
+    q = feeds.incremental_dedup_stream(
+        stream, "doc_id", "text", store, str(tmp_path / "ckpt_dedup")
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{store}/pairs").drop("_batch").collect(),
+        )
+    )
+    expect = sorted(map(tuple, dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()))
+    assert got == expect
+    assert len(set(got)) == len(got)  # no pair mined twice

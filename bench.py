@@ -106,6 +106,8 @@ HEADLINE = [
     # Morton-interleave layout report (pure codegen arithmetic)
     "hybrid_rrf_topk_docs",
     "zorder_layout_lineitem",
+    # the incremental-ingest dedup shape (new-slice bucket probe)
+    "minhash_incremental_pairs",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Graph analytics beyond connected components: PageRank.
+
+Not in the reference (a row-store ETL); extension-tier. The iterative
+join+aggregate shape is the canonical "graph on Spark" pattern (one
+keyed join + one keyed aggregate per iteration — the same discipline
+as dedup.connected_components: localCheckpoint each round so lineage
+stays flat and nothing re-runs upstream pair mining).
+
+Engine-portable float discipline (the repo standard): per-edge
+contributions round to 12 dp and SUM as DECIMAL(38,12) —
+addition-order-free — then the damping update is double arithmetic on
+identical literals, rounded back to 12 dp. Every iteration's state is
+therefore bit-identical across engines, and the DuckDB oracle replays
+the full fixed-iteration run as an unrolled CTE chain (the k-means
+oracle pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (pass both
+    directions for an undirected graph — that also guarantees no
+    dangling nodes, which this implementation does not redistribute).
+    Output: (node, pr) for every node appearing in the edge list,
+    pr rounded to 12 dp.
+
+    Plan per iteration: edges ⋈ ranks on src (shuffle on the key),
+    contribution aggregate on dst (map-side combined), left join back
+    to the node set (nodes with no in-edges keep the teleport term).
+    State is one (node, pr) relation, localCheckpointed per iteration."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("pr")
+    )
+    teleport = F.lit((1.0 - damping)) / F.lit(float(n))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["_s"] == ranks["node"])
+            .join(deg, "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.round(F.col("pr") / F.col("_deg"), 12)
+                .cast("decimal(38,12)")
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s_c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    teleport
+                    + F.lit(float(damping))
+                    * F.coalesce(F.col("_s_c").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iters: int = 5,
+    damping: float = 0.85,
+    topk: int | None = None,
+) -> str:
+    """DuckDB replay of ``pagerank`` as an unrolled CTE chain (one
+    contribution+update pair per iteration — recursive CTEs cannot
+    aggregate on the recursive reference, so fixed iterations unroll,
+    the established k-means-oracle pattern). ``edges_sql`` is a query
+    producing (src, dst). Appends a deterministic top-k ranking when
+    ``topk`` is given, else returns all (node, pr)."""
+    d = repr(float(damping))
+    chain = [
+        f"""e AS (SELECT DISTINCT src AS s, dst AS dd FROM ({edges_sql})),
+    nodes AS (
+      SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION SELECT dd FROM e)
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s),
+    r0 AS (
+      SELECT node, ROUND(CAST(1 AS DOUBLE) / nn.n, 12) AS pr
+      FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        chain.append(
+            f"""c{i} AS (
+      SELECT e.dd AS node,
+             CAST(SUM(CAST(ROUND(r.pr / deg.deg, 12) AS DECIMAL(38,12)))
+                  AS DECIMAL(38,12)) AS sc
+      FROM e JOIN r{i - 1} r ON e.s = r.node JOIN deg ON deg.s = r.node
+      GROUP BY e.dd
+    ), r{i} AS (
+      SELECT nodes.node,
+             ROUND(CAST({repr(1.0 - damping)} AS DOUBLE) / nn.n
+                   + CAST({d} AS DOUBLE)
+                     * CAST(COALESCE(c{i}.sc, 0) AS DOUBLE), 12) AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nodes.node
+    )"""
+        )
+    body = ",\n    ".join(chain)
+    if topk is None:
+        return f"WITH {body} SELECT node, pr FROM r{iters}"
+    return f"""WITH {body}
+    SELECT node, pr, CAST(rnk AS INT) AS rank FROM (
+      SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node ASC) AS rnk
+      FROM r{iters}
+    ) WHERE rnk <= {topk}
+"""

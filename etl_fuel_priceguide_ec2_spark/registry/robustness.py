@@ -503,3 +503,57 @@ def q_zorder_layout_lineitem(spark, sf_dir):
             F.max("l_suppkey").alias("max_suppkey"),
         )
     )
+
+
+from etl_fuel_priceguide_ec2_spark.operators import graph as _graph
+
+_PR_EDGES = """
+    SELECT c AS src, s AS dst FROM (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    UNION ALL
+    SELECT s, c FROM (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+"""
+
+
+@register(
+    "pagerank_supplier_customer",
+    _graph.pagerank_oracle_sql(_PR_EDGES, iters=5, damping=0.85, topk=20),
+)
+def q_pagerank_supplier_customer(spark, sf_dir):
+    """PageRank over the undirected customer-supplier trade graph
+    (edges = distinct (custkey, suppkey) pairs from orders ⋈ lineitem;
+    node ids disambiguated as 2*custkey / 2*suppkey+1), 5 iterations,
+    damping 0.85, top-20 by rank with node-id tiebreak. The graph
+    centrality question CC cannot answer ("which suppliers anchor the
+    trade network"), built on the same iterative join+aggregate+
+    checkpoint discipline. Per-edge contributions round to 12 dp and
+    sum as DECIMAL, so every iteration is bit-identical to the
+    oracle's unrolled CTE replay."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = _graph.pagerank(edges, iters=5, damping=0.85)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("node", "pr", "rank")
+    )

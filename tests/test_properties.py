@@ -492,3 +492,22 @@ def test_kmv_merge_associativity_property(spark, keys, slice_of, k):
     unioned = slices[0].unionAll(slices[1]).unionAll(slices[2])
     merged = sorted(r._h for r in sketches.kmv_merge(unioned, k=k).collect())
     assert merged == direct
+
+
+def test_pagerank_star_graph_and_mass_conservation(spark):
+    """PageRank sanity on a hand-checkable star (hub 0 <-> spokes
+    1..6, undirected): the hub outranks every spoke, all spokes tie
+    exactly (symmetry — the decimal contribution discipline means
+    EXACT equality, not approximate), and total rank mass stays ~1
+    (teleport + damping conserve mass on a dangling-free graph up to
+    the 12-dp per-node rounding)."""
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+
+    spokes = list(range(1, 7))
+    edges = [(0, s) for s in spokes] + [(s, 0) for s in spokes]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.pr for r in graph.pagerank(df, iters=5).collect()}
+    assert set(ranks) == {0, *spokes}
+    assert all(ranks[0] > ranks[s] for s in spokes)
+    assert len({ranks[s] for s in spokes}) == 1  # exact tie by symmetry
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6

@@ -45,6 +45,8 @@ RISKY = [
     "bpe_merge_candidates",        # count-desc window tiebreak
     "hybrid_rrf_topk_docs",        # double rrf-score ties at the cut
     "zorder_layout_lineitem",      # interleave arithmetic + bucket agg
+    "pagerank_supplier_customer",  # iterative decimal sums + rank cut
+    "minhash_incremental_pairs",   # bucket-probe candidates + jaccard
 ]
 
 

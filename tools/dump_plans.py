@@ -75,6 +75,8 @@ NOTES = {
     "temperature_mixture_allocation": "one map-combined count per group; the |groups|-row weight/share math crosses back broadcast — nothing scales with input rows.",
     "hybrid_rrf_topk_docs": "both rankers produce per-query top-20 relations; the RRF fuse is a full outer join + window over <= 40 rows per query — corpus-scale work stays inside the audited BM25 and cosine plans.",
     "zorder_layout_lineitem": "the Morton value is one flat shift/mask codegen expression from inlined min/max literals; the bucket stats are a 16-group aggregate — the write-side clustering cost is exactly one range-sort shuffle.",
+    "minhash_incremental_pairs": "the new slice's band buckets drive the candidate join against the full bucket store — history x history pairs structurally never form; verify joins touch candidate ids only.",
+    "pagerank_supplier_customer": "loop-invariant edge/degree/node relations checkpointed once; each iteration is one keyed join + one map-combined aggregate + the node left-join, with 12-dp decimal contribution sums keeping state engine-portable.",
 }
 
 

@@ -108,6 +108,13 @@ HEADLINE = [
     "zorder_layout_lineitem",
     # the incremental-ingest dedup shape (new-slice bucket probe)
     "minhash_incremental_pairs",
+    # round-6 batch 2: the two new join-heavy plan families — the
+    # degree-oriented wedge/closing triangle joins and the Apriori
+    # pair self-join (bpe_learned_merges stays out for the same
+    # reason as pagerank: a per-iteration checkpoint floor that would
+    # inflate the series ~15% for one query)
+    "triangle_counts_part_graph",
+    "part_affinity_lift",
 ]
 
 

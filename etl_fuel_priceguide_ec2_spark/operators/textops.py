@@ -539,3 +539,186 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= k)
         .select("pair", "n_occurrences", "rank")
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str, iters: int = 3
+) -> DataFrame:
+    """FULL BPE tokenizer training for a fixed number of merges — the
+    sequential loop ``bpe_merge_candidates`` is one counting pass of.
+    Output: one row per learned merge, (iter, left_sym, right_sym,
+    merged, pair_count, corpus_symbols_after), with real BPE
+    semantics: after each merge the corpus is RE-TOKENIZED, and
+    overlapping occurrences of a self-pair (``aa`` in ``aaaa``) merge
+    greedily left-to-right (positions 1 and 3, never 2).
+
+    The scale insight that makes training distributable: BPE state is
+    the WORD-FREQUENCY table, not the token stream — |vocab| words
+    (Heaps' law: ~1M at 100 TB) each carried once with a count, so a
+    petabyte corpus collapses to a few-hundred-MB symbol relation
+    after one map-side-combined aggregate. Per iteration: one
+    window-lead (partitioned by word — parallel), one bounded pair
+    aggregate (|alphabet|^2 keys), one 1-row argmax broadcast back as
+    an equi-join (NOT a crossJoin: an empty best pair must leave the
+    corpus intact, not annihilate it), and the greedy-overlap rebuild
+    as two windows over occurrence runs (pos - row_number run
+    grouping; odd index within run wins). State localCheckpoints per
+    iteration (the pagerank/CC lesson). All-integer counting; ties
+    break (count DESC, pair ASC), so every learned merge is
+    bit-identical to the DuckDB unrolled-CTE replay."""
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), _WS)).alias("w")
+    ).filter(F.col("w").rlike("^[A-Za-z]{2,}$"))
+    wrds = toks.groupBy(F.lower(F.col("w")).alias("word")).agg(
+        F.count(F.lit(1)).alias("wcount")
+    )
+    syms = (
+        wrds.select(
+            "word",
+            "wcount",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .select(
+            "word",
+            "wcount",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr("substring(word, cast(pos as int), 1)").alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merge_rows = []
+    for i in range(1, iters + 1):
+        adj = syms.withColumn("nxt", F.lead("sym").over(w_word))
+        best = (
+            adj.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+        )
+        occ = adj.join(
+            F.broadcast(best),
+            (adj["sym"] == best["a"]) & (adj["nxt"] == best["b"]),
+        ).select("word", "pos")
+        runs = occ.withColumn(
+            "grp", F.col("pos") - F.row_number().over(w_word)
+        )
+        kept = (
+            runs.withColumn(
+                "idx",
+                F.row_number().over(
+                    Window.partitionBy("word", "grp").orderBy("pos")
+                ),
+            )
+            .filter(F.col("idx") % 2 == 1)
+            .select("word", "pos")
+        )
+        kh = kept.select("word", F.col("pos").alias("pos"), F.lit(1).alias("_kh"))
+        kp = kept.select("word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("_kp"))
+        syms = (
+            adj.join(kh, ["word", "pos"], "left")
+            .join(kp, ["word", "pos"], "left")
+            .filter(F.col("_kp").isNull())
+            .select(
+                "word",
+                "wcount",
+                "pos",
+                F.when(
+                    F.col("_kh").isNotNull(), F.concat("sym", "nxt")
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+            .withColumn("pos", F.row_number().over(w_word).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        total_after = syms.agg(F.sum("wcount").alias("_tot"))
+        merge_rows.append(
+            best.crossJoin(F.broadcast(total_after)).select(
+                F.lit(i).alias("iter"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+                F.col("_tot").cast("long").alias("corpus_symbols_after"),
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def bpe_learn_oracle_sql(docs_table: str, text_col: str, iters: int = 3) -> str:
+    """DuckDB replay of ``bpe_learn_merges`` as an unrolled CTE chain
+    (one lead/count/argmax/greedy-rebuild block per iteration — the
+    pagerank/k-means oracle pattern, here over STRING state)."""
+    blocks = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        blocks.append(f"""a{i} AS (
+      SELECT word, wcount, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM s{p}
+    ), b{i} AS (
+      SELECT sym AS a, nxt AS b, CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM a{i} WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
+      ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ), o{i} AS (
+      SELECT a{i}.word, a{i}.pos
+      FROM a{i} JOIN b{i} ON a{i}.sym = b{i}.a AND a{i}.nxt = b{i}.b
+    ), k{i} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS idx
+        FROM (
+          SELECT word, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM o{i}
+        )
+      ) WHERE idx % 2 = 1
+    ), s{i} AS (
+      SELECT word, wcount,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      FROM (
+        SELECT a{i}.word, a{i}.wcount, a{i}.pos,
+               CASE WHEN kh.pos IS NOT NULL THEN a{i}.sym || a{i}.nxt
+                    ELSE a{i}.sym END AS sym
+        FROM a{i}
+        LEFT JOIN k{i} kh ON kh.word = a{i}.word AND kh.pos = a{i}.pos
+        LEFT JOIN k{i} kp ON kp.word = a{i}.word AND kp.pos = a{i}.pos - 1
+        WHERE kp.pos IS NULL
+      )
+    ), m{i} AS (
+      SELECT CAST({i} AS INT) AS iter, a AS left_sym, b AS right_sym,
+             a || b AS merged, cnt AS pair_count,
+             (SELECT CAST(SUM(wcount) AS BIGINT) FROM s{i})
+               AS corpus_symbols_after
+      FROM b{i}
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, iters + 1))
+    body = ",\n    ".join(blocks)
+    return f"""WITH tok AS (
+      SELECT UNNEST(string_split_regex(trim({text_col}), '\\s+')) AS w
+      FROM {docs_table}
+    ), wrds AS (
+      SELECT lower(w) AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+      FROM tok WHERE regexp_matches(w, '^[A-Za-z]{{2,}}$')
+      GROUP BY lower(w)
+    ), s0 AS (
+      SELECT word, wcount, CAST(i AS BIGINT) AS pos,
+             substr(word, CAST(i AS INT), 1) AS sym
+      FROM (
+        SELECT word, wcount, UNNEST(range(1, length(word) + 1)) AS i
+        FROM wrds
+      )
+    ),
+    {body}
+    SELECT iter, left_sym, right_sym, merged, pair_count,
+           corpus_symbols_after
+    FROM ({union})
+"""

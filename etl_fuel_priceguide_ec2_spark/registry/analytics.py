@@ -233,3 +233,48 @@ def q_etl_pipeline_dim(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-6 addition (post-freeze -> leads the round-7 window): frequent-pair
+# affinity mining (Apriori-2 with support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+from etl_fuel_priceguide_ec2_spark.operators import affinity as _affinity
+
+_BASKETS_SQL = "SELECT l_orderkey AS basket, l_partkey AS item FROM lineitem"
+
+
+@register(
+    "part_affinity_lift",
+    _affinity.pair_affinity_oracle_sql(_BASKETS_SQL, min_support=2, topk=20),
+)
+def q_part_affinity_lift(spark, sf_dir):
+    """Market-basket affinity over orders: part pairs co-ordered in
+    >= 2 orders, ranked by lift (top-20, (item_a, item_b) tiebreak) —
+    the association-rule shape ("customers who buy X buy Y"); on a
+    documents/tokens relation the same operator mines collocations
+    and boilerplate templates. Apriori prune runs BEFORE the pair
+    self-join, the pair aggregate shuffle carries only (a, b, partial
+    count), and the basket total is a broadcast 1-row aggregate; the
+    float edges are single products/divisions of exact integers, so
+    the ranking hash-matches the DuckDB replay."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    aff = _affinity.pair_affinity(baskets, min_support=2)
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    return (
+        aff.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "item_a", "item_b", "support", "support_a", "support_b",
+            "confidence_ab", "confidence_ba", "lift", "rank",
+        )
+    )

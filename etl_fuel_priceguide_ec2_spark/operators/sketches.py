@@ -292,7 +292,16 @@ def cms_join_size_estimate(
         .groupBy("i")
         .agg(F.sum(F.col("c") * F.col("_cb")).alias("_s"))
     )
-    return per_row.agg(F.min("_s").alias("est_join_size"))
+    # Min over ALL d register rows, not just rows whose buckets matched
+    # in the join: a row with zero shared buckets has inner product 0,
+    # and two sketches sharing NO buckets must estimate 0 — the bare
+    # inner-join aggregate would return NULL (empty) there, and would
+    # exclude any zero-product row from the min (ADVICE r06).
+    spine = df_a.sparkSession.range(d).select(F.col("id").cast("int").alias("i"))
+    full = spine.join(per_row, ["i"], "left").select(
+        F.coalesce(F.col("_s"), F.lit(0).cast("long")).alias("_s")
+    )
+    return full.agg(F.min("_s").alias("est_join_size"))
 
 
 def cms_oracle_sql(
@@ -866,15 +875,36 @@ def kmv_cardinality(
     )
 
 
-def kmv_merge(sketches_union: DataFrame, k: int, nsplits: int = 64) -> DataFrame:
+def kmv_merge(
+    sketches_union: DataFrame,
+    k: int,
+    nsplits: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Merge KMV sketch slices (per-day/per-batch ``_h`` tables
-    unioned): distinct, then global min-k. Associative AND idempotent —
-    every global k-smallest value survives its own slice's min-k, and
-    duplicate values from replayed slices collapse in the distinct —
-    so merged state is bit-identical to sketching the union of the
-    raw key sets (the hll_merge symmetry; pinned by the streaming
-    test)."""
-    return _min_k(sketches_union.select("_h").distinct(), k, nsplits)
+    unioned): distinct, then min-k — per group when ``group_cols`` is
+    given (matching ``kmv_sketch(group_cols=...)`` state). Associative
+    AND idempotent — every k-smallest value survives its own slice's
+    min-k, and duplicate values from replayed slices collapse in the
+    distinct — so merged state is bit-identical to sketching the union
+    of the raw key sets (the hll_merge symmetry; pinned by the
+    streaming test).
+
+    Raises on unexpected input columns: silently projecting down to
+    ``_h`` would collapse grouped sketch state into one global sketch
+    (ADVICE r06)."""
+    groups = list(group_cols or [])
+    expected = set(groups) | {"_h"}
+    extra = [c for c in sketches_union.columns if c not in expected]
+    if extra or "_h" not in sketches_union.columns:
+        raise ValueError(
+            f"kmv_merge expects columns {sorted(expected)}, got "
+            f"{sketches_union.columns}; pass group_cols to merge grouped "
+            "sketch slices per group"
+        )
+    return _min_k(
+        sketches_union.select(*groups, "_h").distinct(), k, nsplits, groups
+    )
 
 
 def _kmv_est_expr(n_col, kth_col, k: int):
@@ -1020,6 +1050,13 @@ def kmv_intersection_oracle_sql(
         lambda n, kth: f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
         f" ELSE {c} / CAST({kth} AS DOUBLE) END"
     )
+    # Empty-union guard mirroring kmv_intersection_report's WHEN
+    # n_union_sketch == 0 THEN 0.0 — without it DuckDB returns NULL on
+    # empty inputs while Spark returns 0.0 (ADVICE r06).
+    frac = (
+        lambda num: f"CASE WHEN u_st.n = 0 THEN 0.0"
+        f" ELSE ROUND(CAST({num} AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6) END"
+    )
     return f"""
     WITH {_sk(side_a, key_a, "a")}, {_sk(side_b, key_b, "b")},
     u_all AS (SELECT _h FROM a_sk UNION SELECT _h FROM b_sk),
@@ -1041,13 +1078,12 @@ def kmv_intersection_oracle_sql(
            ROUND({est("a_st.n", "a_st.kth")}, 2) AS est_a,
            ROUND({est("b_st.n", "b_st.kth")}, 2) AS est_b,
            ROUND({est("u_st.n", "u_st.kth")}, 2) AS est_union,
-           ROUND(CAST(rho_t.rho AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6) AS jaccard_est,
-           ROUND(ROUND(CAST(rho_t.rho AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6)
+           {frac("rho_t.rho")} AS jaccard_est,
+           ROUND({frac("rho_t.rho")}
                  * ROUND({est("u_st.n", "u_st.kth")}, 2), 2) AS est_intersection,
-           ROUND(ROUND(CAST(rho_a_t.rho_a AS DOUBLE) / CAST(u_st.n AS DOUBLE), 6)
+           ROUND({frac("rho_a_t.rho_a")}
                  * ROUND({est("u_st.n", "u_st.kth")}, 2), 2) AS est_a_minus_b,
-           ROUND(ROUND(CAST(u_st.n - rho_t.rho - rho_a_t.rho_a AS DOUBLE)
-                       / CAST(u_st.n AS DOUBLE), 6)
+           ROUND({frac("u_st.n - rho_t.rho - rho_a_t.rho_a")}
                  * ROUND({est("u_st.n", "u_st.kth")}, 2), 2) AS est_b_minus_a
     FROM a_st, b_st, u_st, rho_t, rho_a_t
 """

@@ -614,3 +614,22 @@ def test_bpe_learn_merges_validates_iters(spark):
     docs = spark.createDataFrame([("ab",)], "text string")
     with _pytest.raises(ValueError, match="iters"):
         textops.bpe_learn_merges(docs, "text", iters=0)
+
+
+def test_triangle_counts_rejects_out_of_range_node_ids(spark):
+    """Node ids outside [0, rank_base) would silently corrupt the
+    packed degree-orientation rank key — the guard raises at execution
+    instead (ADVICE r06)."""
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+
+    df = spark.createDataFrame([(1, 50), (50, 7), (1, 7)], "a: bigint, b: bigint")
+    # sanity: in-range ids still work with a tiny rank_base
+    ok = {r.node: r.n_triangles for r in graph.triangle_counts(df, rank_base=100).collect()}
+    assert ok == {1: 1, 7: 1, 50: 1}
+    with pytest.raises(Exception, match="rank key"):
+        graph.triangle_counts(df, rank_base=10).collect()
+    neg = spark.createDataFrame([(-1, 5), (5, 3), (-1, 3)], "a: bigint, b: bigint")
+    with pytest.raises(Exception, match="rank key"):
+        graph.triangle_counts(neg, rank_base=100).collect()

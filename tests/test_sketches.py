@@ -358,3 +358,84 @@ def test_kmv_cardinality_accuracy_and_branches(spark):
     assert got["s"].n_sketch == 50 and got["s"].n_distinct_est == 50.0
     assert got["b"].n_sketch == 256
     assert abs(got["b"].n_distinct_est - 20_000) / 20_000 < 4 / (254**0.5)
+
+
+def test_cms_join_size_disjoint_buckets_is_zero(spark):
+    """Two sketches sharing NO (i, bucket) register must estimate 0,
+    not NULL, and a register row with zero matched buckets must still
+    participate in the min (ADVICE r06): the per-row inner products are
+    spined over all d rows and coalesced to 0."""
+    a = spark.createDataFrame([(1,)], "k: bigint")
+    # probe single keys until one lands in disjoint buckets for all 4 rows
+    for cand in range(2, 64):
+        b = spark.createDataFrame([(cand,)], "k: bigint")
+        shared = (
+            sketches.cms_registers(a, "k", 4, 256)
+            .join(sketches.cms_registers(b, "k", 4, 256), ["i", "bucket"])
+            .count()
+        )
+        if shared == 0:
+            break
+    else:  # pragma: no cover - 62 candidates, 4 buckets each, w=256
+        raise AssertionError("no disjoint candidate found")
+    est = sketches.cms_join_size_estimate(a, b, "k", "k", 4, 256).collect()[0]
+    assert est.est_join_size == 0  # was NULL before the spine fix
+
+    # empty side: estimate must be 0 as well, not an empty aggregate
+    empty = spark.createDataFrame([], "k: bigint")
+    est2 = sketches.cms_join_size_estimate(a, empty, "k", "k", 4, 256).collect()[0]
+    assert est2.est_join_size == 0
+
+
+def test_kmv_merge_grouped_and_rejects_stray_columns(spark):
+    """kmv_merge with group_cols merges per group (bit-identical to
+    sketching each group's union directly); without it, grouped state
+    raises instead of silently collapsing into one global sketch
+    (ADVICE r06)."""
+    import pytest
+
+    rows = [("g1", i) for i in range(200)] + [("g2", i) for i in range(100, 400)]
+    df = spark.createDataFrame(rows, "g: string, k: bigint")
+    k = 16
+    grouped_state = sketches.kmv_sketch(df, "k", k=k, group_cols=["g"])
+
+    # slice the input, sketch each slice per group, merge per group
+    s1 = sketches.kmv_sketch(df.filter(F.col("k") % 2 == 0), "k", k=k, group_cols=["g"])
+    s2 = sketches.kmv_sketch(df.filter(F.col("k") % 2 == 1), "k", k=k, group_cols=["g"])
+    merged = sketches.kmv_merge(s1.unionAll(s2), k=k, group_cols=["g"])
+    direct = {(r.g, r._h) for r in grouped_state.collect()}
+    assert {(r.g, r._h) for r in merged.collect()} == direct
+
+    with pytest.raises(ValueError, match="group_cols"):
+        sketches.kmv_merge(grouped_state, k=k)  # stray 'g' column
+
+
+def test_kmv_intersection_oracle_empty_union_guard(spark, sf_dir):
+    """On empty inputs the oracle must return 0.0 for the ratio
+    estimates, matching the Spark report's empty-union branch, not NULL
+    (ADVICE r06)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    sql = sketches.kmv_intersection_oracle_sql(
+        "(SELECT * FROM events WHERE 1=0)",
+        "(SELECT * FROM events WHERE 1=0)",
+        "user_id",
+        "user_id",
+        k=64,
+    )
+    row = con.execute(sql).fetchone()
+    cols = [d[0] for d in con.execute(sql).description]
+    got = dict(zip(cols, row))
+    for c in ("jaccard_est", "est_intersection", "est_a_minus_b", "est_b_minus_a"):
+        assert got[c] == 0.0, (c, got[c])
+
+    empty = load_table(spark, sf_dir, "events").filter(F.lit(False))
+    rep = sketches.kmv_intersection_report(
+        empty, empty, "user_id", "user_id", k=64
+    ).collect()[0]
+    for c in ("jaccard_est", "est_intersection", "est_a_minus_b", "est_b_minus_a"):
+        assert rep[c] == got[c] == 0.0

@@ -117,6 +117,21 @@ HEADLINE = [
     "part_affinity_lift",
 ]
 
+# Second series (VERDICT r06 item 2): the iterative family — queries
+# whose per-iteration localCheckpoint floor would inflate the headline
+# total for structural (not plan-quality) reasons, so they were excluded
+# from HEADLINE and thus had NO committed regression tracking at all.
+# Separate totals keep the headline series comparable round-over-round
+# while making PageRank/BPE regressions visible. semantic_dedup_keeplist
+# appears in BOTH series on purpose: it is the cross-series ambient-load
+# anchor (if it inflates identically in both, the box moved, not the
+# code).
+ITERATIVE = [
+    "pagerank_supplier_customer",
+    "bpe_learned_merges",
+    "semantic_dedup_keeplist",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,6 +167,18 @@ def main() -> None:
     rep_totals = [
         round(sum(all_reps[n][i] for n in HEADLINE), 3) for i in range(N_REPS)
     ]
+
+    it_timings: dict[str, float] = {}
+    it_reps: dict[str, list[float]] = {}
+    for name in ITERATIVE:
+        reps = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        it_reps[name] = [round(r, 3) for r in reps]
+        it_timings[name] = round(min(reps), 3)
+
     print(
         json.dumps(
             {
@@ -160,6 +187,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "rep_totals": rep_totals,
+                "iterative_queries": it_timings,
+                "iterative_total": round(sum(it_timings.values()), 3),
+                "iterative_rep_totals": [
+                    round(sum(it_reps[n][i] for n in ITERATIVE), 3)
+                    for i in range(N_REPS)
+                ],
                 "sf": sf,
             }
         )

@@ -39,18 +39,40 @@ def pair_affinity(
     basket: str = "basket",
     item: str = "item",
     min_support: int = 2,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Mine item pairs co-occurring in >= min_support baskets.
     Output: (item_a, item_b, support, support_a, support_b,
     confidence_ab, confidence_ba, lift) with item_a < item_b.
 
     confidence_ab = P(b | a), lift = P(ab) / (P(a) * P(b)) — lift > 1
-    means the pair co-occurs more than independence predicts."""
+    means the pair co-occurs more than independence predicts.
+
+    ``max_basket_size`` is the production fan-out guard (VERDICT r06):
+    the pair self-join is quadratic in basket size, and the Apriori
+    item prune does NOT bound it — when the basket is a document and
+    the items its distinct tokens, one 50k-token document contributes
+    1.25B pair rows. Baskets with more than ``max_basket_size``
+    distinct items are dropped ENTIRELY (from n_baskets, the single
+    supports, and the pairs — the output stays internally consistent);
+    count the exclusions with ``oversized_baskets`` on the same
+    arguments. None (default) mines everything — correct for bounded
+    baskets like order line-parts."""
     if min_support < 1:
         raise ValueError("min_support must be >= 1")
+    if max_basket_size is not None and max_basket_size < 2:
+        raise ValueError("max_basket_size must be >= 2 (pairs need 2 items)")
     bi = baskets.select(
         F.col(basket).alias("_bk"), F.col(item).alias("_it")
     ).distinct()
+    if max_basket_size is not None:
+        keep = (
+            bi.groupBy("_bk")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= max_basket_size)
+            .select("_bk")
+        )
+        bi = bi.join(keep, "_bk")
     n_baskets = bi.select(F.col("_bk")).distinct().agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -100,16 +122,49 @@ def pair_affinity(
     )
 
 
+def oversized_baskets(
+    baskets: DataFrame,
+    basket: str = "basket",
+    item: str = "item",
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """The exclusion report for ``pair_affinity(max_basket_size=...)``:
+    ONE row (n_baskets_dropped, max_basket_size_seen) over the same
+    distinct (basket, item) relation — so a capped mining run can state
+    exactly what it skipped instead of silently truncating coverage."""
+    bi = baskets.select(
+        F.col(basket).alias("_bk"), F.col(item).alias("_it")
+    ).distinct()
+    sizes = bi.groupBy("_bk").agg(F.count(F.lit(1)).alias("_sz"))
+    return sizes.agg(
+        F.sum((F.col("_sz") > max_basket_size).cast("long")).alias(
+            "n_baskets_dropped"
+        ),
+        F.max("_sz").alias("max_basket_size_seen"),
+    )
+
+
 def pair_affinity_oracle_sql(
     baskets_sql: str,
     min_support: int = 2,
     topk: int | None = None,
+    max_basket_size: int | None = None,
 ) -> str:
     """DuckDB replay of ``pair_affinity``: identical prune, pair
-    aggregate, and single-rounding float edges. ``baskets_sql`` must
-    produce (basket, item). Appends the deterministic
-    (lift DESC, item_a, item_b) top-k ranking when ``topk`` is given."""
-    base = f"""bi AS (SELECT DISTINCT basket AS bk, item AS it FROM ({baskets_sql})),
+    aggregate, basket-size cap, and single-rounding float edges.
+    ``baskets_sql`` must produce (basket, item). Appends the
+    deterministic (lift DESC, item_a, item_b) top-k ranking when
+    ``topk`` is given."""
+    if max_basket_size is not None:
+        bi_cte = f"""bi0 AS (SELECT DISTINCT basket AS bk, item AS it FROM ({baskets_sql})),
+    bi AS (
+      SELECT bk, it FROM bi0 WHERE bk IN (
+        SELECT bk FROM bi0 GROUP BY bk HAVING COUNT(*) <= {max_basket_size}
+      )
+    ),"""
+    else:
+        bi_cte = f"bi AS (SELECT DISTINCT basket AS bk, item AS it FROM ({baskets_sql})),"
+    base = f"""{bi_cte}
     nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM bi),
     singles AS (
       SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY it

@@ -633,3 +633,51 @@ def test_triangle_counts_rejects_out_of_range_node_ids(spark):
     neg = spark.createDataFrame([(-1, 5), (5, 3), (-1, 3)], "a: bigint, b: bigint")
     with pytest.raises(Exception, match="rank key"):
         graph.triangle_counts(neg, rank_base=100).collect()
+
+
+def test_pair_affinity_max_basket_size_guard(spark):
+    """The fan-out guard (VERDICT r06): an oversized basket is dropped
+    from EVERYTHING (n_baskets, singles, pairs — internally consistent
+    output), the exclusion is countable, and the capped relation
+    matches the capped DuckDB oracle."""
+    import duckdb
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import affinity
+
+    small = [("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y")]
+    big = [("huge", f"t{i}") for i in range(50)] + [("huge", "x"), ("huge", "y")]
+    df = spark.createDataFrame(small + big, "basket: string, item: string")
+
+    uncapped = {
+        (r.item_a, r.item_b): r.support
+        for r in affinity.pair_affinity(df, min_support=2).collect()
+    }
+    assert uncapped[("x", "y")] == 3  # huge basket contributes
+
+    capped_df = affinity.pair_affinity(df, min_support=2, max_basket_size=10)
+    capped = {(r.item_a, r.item_b): r for r in capped_df.collect()}
+    assert set(capped) == {("x", "y")}
+    assert capped[("x", "y")].support == 2  # huge basket fully excluded
+    # supports and lift computed over kept baskets only: n=2, a=b=2
+    assert capped[("x", "y")].support_a == 2
+    assert capped[("x", "y")].lift == pytest.approx(2 * 2 / (2 * 2))
+
+    excl = affinity.oversized_baskets(df, max_basket_size=10).collect()[0]
+    assert excl.n_baskets_dropped == 1
+    assert excl.max_basket_size_seen == 52
+
+    with pytest.raises(ValueError, match="max_basket_size"):
+        affinity.pair_affinity(df, max_basket_size=1)
+
+    # capped oracle parity on the same relation
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (basket VARCHAR, item VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", small + big)
+    sql = affinity.pair_affinity_oracle_sql(
+        "SELECT basket, item FROM t", min_support=2, max_basket_size=10
+    )
+    orc = {(a, b): s for a, b, s, *_ in con.execute(sql).fetchall()}
+    assert orc == {("x", "y"): 2}

@@ -115,6 +115,10 @@ HEADLINE = [
     # inflate the series ~15% for one query)
     "triangle_counts_part_graph",
     "part_affinity_lift",
+    # appended round 7: the broadcast-model inference shape (hashed
+    # n-gram features vs a compiled weight table — the corpus-filter
+    # plan family)
+    "quality_classifier_scores",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

@@ -722,3 +722,159 @@ def bpe_learn_oracle_sql(docs_table: str, text_col: str, iters: int = 3) -> str:
            corpus_symbols_after
     FROM ({union})
 """
+
+
+def _feature_hash(col, n_buckets: int):
+    # The house engine-portable draw: 60-bit md5 prefix -> bucket.
+    # DuckDB replay: CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+    # % n_buckets.
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def quality_classifier_weights(
+    lexicon: DataFrame,
+    term_col: str = "term",
+    weight_col: str = "weight",
+    n_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Compile a (term, weight) lexicon into the hashed feature space:
+    (feature_id, weight), colliding terms' weights SUMMED — that is
+    feature hashing's defined semantics (Weinberger et al. 2009), not
+    an error case. The compiled table is the MODEL state a fastText-
+    style linear classifier ships: a few MB broadcast to every
+    executor, so inference never shuffles the corpus."""
+    return (
+        lexicon.select(
+            _feature_hash(F.lower(F.col(term_col)), n_buckets).alias("feature_id"),
+            F.col(weight_col),
+        )
+        .groupBy("feature_id")
+        .agg(F.sum(weight_col).alias("weight"))
+    )
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_buckets: int = 1 << 20,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE as a
+    relation: features are word unigrams + bigrams (lowercased,
+    whitespace tokens, bag-with-counts), hashed into ``n_buckets``;
+    score = mean weight over ALL the document's features (unmatched
+    features weigh 0 — exactly a linear model with a sparse weight
+    vector); keep = score >= threshold. Output: (id, n_features,
+    n_matched, score, keep).
+
+    The production corpus-filtering shape (CCNet/fastText quality
+    gates): train offline, ship (feature_id, weight), score 100 TB
+    with ONE broadcast hash join + one map-side-combined per-doc
+    aggregate — the corpus is never shuffled, no Python anywhere.
+
+    Engine-portable: md5-bucket feature ids; DECIMAL weight sums
+    (addition-order-free), ONE double division per doc, rounded to
+    9 dp — the relation hash-matches the DuckDB replay. Composable
+    with the curation keep-list (AND the gate into ``kept``)."""
+    uni = _word_ngrams(text_col, 1)
+    bi = F.filter(_word_ngrams(text_col, 2), lambda g: g.contains(" "))
+    # explode_outer keeps ONE null-gram row for featureless docs
+    # (empty/whitespace text), so every document gets a decided output
+    # row without a second doc_id-keyed join back to the input — the
+    # whole plan is scan -> explode -> broadcast join -> one
+    # map-side-combined per-doc aggregate.
+    feats = fan_out(df).select(
+        F.col(id_col),
+        F.explode_outer(F.concat(uni, bi)).alias("_g"),
+    ).select(F.col(id_col), _feature_hash(F.col("_g"), n_buckets).alias("feature_id"))
+    zero = F.lit(0).cast("decimal(12,6)")
+    agg = (
+        feats.join(F.broadcast(weights), "feature_id", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("feature_id").alias("n_features"),
+            F.coalesce(
+                F.sum(F.col("weight").isNotNull().cast("long")), F.lit(0)
+            ).alias("n_matched"),
+            F.sum(F.coalesce(F.col("weight"), zero)).alias("_sw"),
+        )
+    )
+    score = F.when(
+        F.col("n_features") > 0,
+        F.round(F.col("_sw").cast("double") / F.col("n_features").cast("double"), 9),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col(id_col),
+        "n_features",
+        "n_matched",
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )
+
+
+def quality_classifier_oracle_sql(
+    docs_table: str,
+    id_col: str,
+    text_col: str,
+    lexicon: list[tuple[str, float]],
+    n_buckets: int = 1 << 20,
+    threshold: float = 0.0,
+) -> str:
+    """DuckDB replay of ``quality_classifier_weights`` +
+    ``quality_classifier_scores``: same md5-bucket feature hashing,
+    same unigram+bigram extraction, same decimal weight sums, same
+    single rounded double division."""
+    vals = ", ".join(
+        "('" + t.replace("'", "''") + f"', CAST({w} AS DECIMAL(12,6)))"
+        for t, w in lexicon
+    )
+    fh = (
+        lambda col: f"(CAST('0x' || substring(md5({col}), 1, 15) AS BIGINT)"
+        f" % {n_buckets})"
+    )
+    return f"""
+    WITH lex AS (
+      SELECT {fh("lower(term)")} AS feature_id, SUM(w) AS weight
+      FROM (VALUES {vals}) AS l(term, w)
+      GROUP BY 1
+    ), tok AS (
+      SELECT {id_col} AS _id,
+             string_split_regex(lower(trim({text_col})), '\\s+') AS toks
+      FROM {docs_table}
+    ), grams AS (
+      SELECT _id, UNNEST(list_concat(
+        list_filter(toks, g -> g <> ''),
+        list_filter(list_transform(
+          range(1, greatest(len(toks) - 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 1), ' ')),
+          g -> contains(g, ' '))
+      )) AS g
+      FROM tok
+    ), agg AS (
+      SELECT _id, CAST(COUNT(*) AS BIGINT) AS n_features,
+             CAST(SUM(CASE WHEN lex.weight IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched,
+             SUM(COALESCE(lex.weight, CAST(0 AS DECIMAL(12,6)))) AS sw
+      FROM (SELECT _id, {fh("g")} AS feature_id FROM grams) f
+      LEFT JOIN lex USING (feature_id)
+      GROUP BY _id
+    ), scored AS (
+      SELECT _id, n_features, n_matched,
+             CASE WHEN n_features > 0
+                  THEN ROUND(CAST(sw AS DOUBLE) / CAST(n_features AS DOUBLE), 9)
+                  ELSE 0.0 END AS score
+      FROM agg
+    )
+    SELECT d.{id_col},
+           COALESCE(s.n_features, CAST(0 AS BIGINT)) AS n_features,
+           COALESCE(s.n_matched, CAST(0 AS BIGINT)) AS n_matched,
+           COALESCE(s.score, 0.0) AS score,
+           COALESCE(s.score, 0.0) >= {threshold!r} AS keep
+    FROM (SELECT DISTINCT {id_col} FROM {docs_table}) d
+    LEFT JOIN scored s ON s._id = d.{id_col}
+"""

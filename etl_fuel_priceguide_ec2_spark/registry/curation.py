@@ -307,3 +307,47 @@ def q_curation_keep_list(spark, sf_dir):
             ).alias("kept"),
         )
     )
+
+
+# fastText-style quality-classifier "model": a compiled (term, weight)
+# lexicon. Deliberately tiny — the POINT is the inference plan shape
+# (broadcast weight table, never-shuffled corpus), not the model. Terms
+# cover the fixture vocabulary so scores discriminate; weights are
+# DECIMAL(12,6) both engines.
+_QC_LEXICON = [
+    ("the", 0.5), ("a", 0.4), ("data", 0.3), ("query", 0.3),
+    ("fast", 0.6), ("table", 0.2), ("spark", 0.4),
+    ("the table", 0.9), ("fast scan", 0.8),
+    ("slow", -0.8), ("hash", -0.3), ("batch", -0.2), ("big", -0.3),
+    ("slow scan", -1.0), ("big batch", -0.8),
+]
+_QC_BUCKETS = 4096
+_QC_THRESHOLD = 0.01
+
+
+@register(
+    "quality_classifier_scores",
+    textops.quality_classifier_oracle_sql(
+        "documents", "doc_id", "text", _QC_LEXICON,
+        n_buckets=_QC_BUCKETS, threshold=_QC_THRESHOLD,
+    ),
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    """Linear quality-classifier inference over the corpus (completes
+    X4's curation story, VERDICT r06 item 6): word unigram+bigram
+    features hashed into 4096 buckets, scored against a broadcast
+    compiled lexicon, mean weight per document, threshold gate. The
+    CCNet/fastText corpus-filtering shape: the model is MBs of
+    (feature_id, weight) state; the corpus never shuffles — one
+    broadcast hash join + one map-side-combined per-doc aggregate, no
+    Python anywhere. Composes with curation_keep_list by ANDing
+    ``keep`` into its gate (pinned by test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        _QC_LEXICON, "term string, weight string"
+    ).selectExpr("term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    w = textops.quality_classifier_weights(lex, n_buckets=_QC_BUCKETS)
+    return textops.quality_classifier_scores(
+        docs, "doc_id", "text", w,
+        n_buckets=_QC_BUCKETS, threshold=_QC_THRESHOLD,
+    )

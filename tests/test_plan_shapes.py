@@ -603,3 +603,18 @@ def test_affinity_pair_join_keyed_and_total_broadcast(spark, sf_dir):
     # broadcast 1-row total; the formatted plan prints it again in the
     # tree, so count distinct node headers, not substring occurrences
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_quality_classifier_broadcasts_model_never_corpus(spark, sf_dir):
+    """The classifier's only join must be a BroadcastHashJoin building
+    the (feature_id, weight) model side; the corpus is never sort-merge
+    joined or re-joined on doc_id (explode_outer keeps featureless docs
+    without a spine join)."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["quality_classifier_scores"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" not in plan

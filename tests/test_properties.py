@@ -681,3 +681,77 @@ def test_pair_affinity_max_basket_size_guard(spark):
     )
     orc = {(a, b): s for a, b, s, *_ in con.execute(sql).fetchall()}
     assert orc == {("x", "y"): 2}
+
+
+def test_quality_classifier_hand_checked_and_collisions(spark):
+    """Linear-scorer semantics pinned by hand: mean weight over
+    unigram+bigram features, unmatched weigh 0; featureless docs get a
+    decided row (score 0.0); n_buckets=1 forces every lexicon term into
+    ONE bucket whose weight is the lexicon SUM — feature hashing's
+    collision semantics, verified exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    lex_rows = [("the", "0.5"), ("table", "0.2"), ("slow", "-0.8"), ("the table", "0.9")]
+    lex = spark.createDataFrame(lex_rows, "term string, weight string").select(
+        "term", F.col("weight").cast("decimal(12,6)").alias("weight")
+    )
+    docs = spark.createDataFrame(
+        [(1, "the table is slow"), (2, "   "), (3, "unrelated words only")],
+        "doc_id: bigint, text: string",
+    )
+    w = textops.quality_classifier_weights(lex, n_buckets=4096)
+    out = {
+        r.doc_id: r
+        for r in textops.quality_classifier_scores(
+            docs, "doc_id", "text", w, n_buckets=4096, threshold=0.0
+        ).collect()
+    }
+    # doc 1: features = the, table, is, slow, "the table", "table is",
+    # "is slow" (7); matched sum = 0.5 + 0.2 - 0.8 + 0.9 = 0.8
+    assert out[1].n_features == 7 and out[1].n_matched == 4
+    assert out[1].score == round(0.8 / 7, 9) and bool(out[1].keep)
+    # whitespace-only doc still gets a decided row
+    assert out[2].n_features == 0 and out[2].score == 0.0 and bool(out[2].keep)
+    # no matches: score 0, keep at threshold 0.0
+    assert out[3].n_matched == 0 and out[3].score == 0.0
+
+    # n_buckets=1: all terms collide; bucket weight = lexicon sum = 0.8
+    w1 = textops.quality_classifier_weights(lex, n_buckets=1)
+    assert w1.collect()[0].weight == __import__("decimal").Decimal("0.800000")
+    out1 = {
+        r.doc_id: r.score
+        for r in textops.quality_classifier_scores(
+            docs, "doc_id", "text", w1, n_buckets=1
+        ).collect()
+    }
+    assert out1[1] == out1[3] == 0.8  # every feature matches the one bucket
+    assert out1[2] == 0.0
+
+
+def test_quality_classifier_composes_with_keep_list(spark, sf_dir):
+    """The VERDICT r06 item-6 integration: ANDing the classifier gate
+    into curation_keep_list's kept column yields a keep-list that is a
+    subset of both gates and decides every physical row."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.registry import base as reg_base
+
+    qs = reg_base._REGISTRY
+    kl = qs["curation_keep_list"][0](spark, sf_dir).select(
+        "doc_id", "row_idx", F.col("kept").alias("kept_curation")
+    )
+    qc = qs["quality_classifier_scores"][0](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kept_classifier")
+    )
+    composed = kl.join(qc, "doc_id").withColumn(
+        "kept", F.col("kept_curation") & F.col("kept_classifier")
+    )
+    rows = composed.collect()
+    n_docs_rows = qs["curation_keep_list"][0](spark, sf_dir).count()
+    assert len(rows) == n_docs_rows  # every physical row decided
+    assert all((r.kept == (r.kept_curation and r.kept_classifier)) for r in rows)
+    n_kept = sum(r.kept for r in rows)
+    n_cur = sum(r.kept_curation for r in rows)
+    assert 0 < n_kept < n_cur  # the classifier gate actually bites

@@ -119,6 +119,9 @@ HEADLINE = [
     # n-gram features vs a compiled weight table — the corpus-filter
     # plan family)
     "quality_classifier_scores",
+    # the exact-substring dup-span shape: positional-gram self-join +
+    # diagonal-islands window (the capped-join X2c plan family)
+    "exact_substring_spans",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

@@ -866,3 +866,198 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component_id")
+
+
+# ---------------------------------------------------------------------------
+# X2: exact-substring dedup — cross-document duplicated spans
+# ---------------------------------------------------------------------------
+
+_WS_RE = r"\s+"
+
+
+def _positional_kgrams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, _h): every word k-gram with its 1-based token start
+    position; _h is the 64-bit gram hash (join key — 8 bytes in the
+    shuffle, never the gram string). Docs shorter than k tokens emit
+    nothing. sequence() is guarded against its descending-step trap
+    (sequence(1, 0) yields [1, 0], not empty)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS_RE)
+    n = F.size(toks)
+    seq = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k) + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        fan_out(df)
+        .select(F.col(id_col), toks.alias("_toks"), F.explode(seq).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.expr(f"slice(_toks, pos, {k})"))).alias("_h"),
+        )
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_span_tokens: int = 30,
+    max_gram_freq: int | None = 64,
+) -> DataFrame:
+    """Cross-document EXACT duplicated spans >= ``min_span_tokens``
+    tokens — the suffix-array/dup-span dedup family (boilerplate and
+    verbatim-quote removal; Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better") in a sorted-k-gram run
+    formulation the DataFrame API expresses directly. None of the
+    document-LEVEL near-dup ops (MinHash, SimHash, shingle Jaccard)
+    catch two documents that differ overall but share one long quote —
+    this is the operator that does.
+
+    Output: (doc_a, doc_b, a_start, b_start, span_tokens), one row per
+    MAXIMAL shared span (doc_a < doc_b; starts are 1-based token
+    positions; a span of S tokens is reported once, not as its nested
+    sub-spans).
+
+    How: a shared S-token span appears as exactly S-k+1 CONSECUTIVE
+    matched k-gram start positions on one (doc_a, doc_b, pa-pb)
+    diagonal, so: positional k-grams -> equi-join on the 8-byte gram
+    hash (doc_a < doc_b) -> per-diagonal islands (pa minus its
+    row_number is constant within a consecutive run) -> one aggregate
+    per island; span_tokens = run + k - 1.
+
+    Never all-pairs, thresholded like LSH: ``max_gram_freq`` drops
+    grams occurring more than that many times across the corpus BEFORE
+    the self-join — a gram in f positions contributes O(f^2) candidate
+    rows, and ubiquitous boilerplate grams are exactly the ones that
+    would otherwise dominate the join (report what was dropped with
+    ``overfrequent_grams``). A dropped gram can split a span through
+    heavy boilerplate into two reported spans — the standard,
+    documented trade.
+
+    100 TB plan: the gram shuffle carries (id, pos, 8-byte hash); the
+    islands window and the run aggregate share the SAME
+    (doc_a, doc_b, diag) partitioning, so detection after the join is
+    one exchange. Window partitions are per-(pair, diagonal) — small by
+    construction, no skew pileup."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_span_tokens < k:
+        raise ValueError(
+            f"min_span_tokens ({min_span_tokens}) must be >= k ({k}): "
+            "spans shorter than one gram are undetectable"
+        )
+    grams = _positional_kgrams(df, id_col, text_col, k)
+    if max_gram_freq is not None:
+        keep = (
+            grams.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_gram_freq)
+            .select("_h")
+        )
+        grams = grams.join(keep, "_h")
+    a = grams.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "_h"
+    )
+    b = grams.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "_h"
+    )
+    m = a.join(b, "_h").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.select("doc_a", "doc_b", diag, "pa")
+        .withColumn("_grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "_grp")
+        .agg(F.min("pa").alias("a_start"), F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.filter(F.col("_run") + k - 1 >= min_span_tokens)
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("_run") + F.lit(k) - 1).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def overfrequent_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_gram_freq: int = 64,
+) -> DataFrame:
+    """The exclusion report for ``exact_substring_spans``: ONE row
+    (n_grams_dropped, max_gram_freq_seen) — what the frequency
+    threshold excluded from span detection, so a capped run states its
+    coverage instead of silently truncating it."""
+    freqs = (
+        _positional_kgrams(df, id_col, text_col, k)
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    return freqs.agg(
+        F.coalesce(
+            F.sum((F.col("_f") > max_gram_freq).cast("long")), F.lit(0)
+        ).alias("n_grams_dropped"),
+        F.coalesce(F.max("_f"), F.lit(0)).alias("max_gram_freq_seen"),
+    )
+
+
+def exact_substring_oracle_sql(
+    corpus_sql: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_span_tokens: int = 30,
+    max_gram_freq: int | None = 64,
+) -> str:
+    """DuckDB replay of ``exact_substring_spans``: same tokenization,
+    same frequency cap, same diagonal-islands run detection — joined on
+    gram STRINGS (the Spark side's xxhash64 is an internal 8-byte join
+    key; at 64 bits a collision that fabricates >= min_span-k+1
+    consecutive phantom matches is beyond astronomically unlikely)."""
+    cap = (
+        f"""
+    , gf AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {max_gram_freq})
+    , gk AS (SELECT grams.* FROM grams JOIN gf USING (g))"""
+        if max_gram_freq is not None
+        else "\n    , gk AS (SELECT * FROM grams)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS id,
+             string_split_regex(lower(trim({text_col})), '\\s+') AS toks
+      FROM ({corpus_sql})
+    ), grams AS (
+      SELECT id, CAST(i AS BIGINT) AS pos,
+             array_to_string(list_slice(toks, CAST(i AS INT),
+                                        CAST(i AS INT) + {k} - 1), ' ') AS g
+      FROM (
+        SELECT id, toks,
+               UNNEST(range(1, greatest(len(toks) - {k} + 1, 0) + 1)) AS i
+        FROM tok
+      )
+    ){cap}
+    , m AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM gk a JOIN gk b ON a.g = b.g AND a.id < b.id
+    ), r AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+      FROM m
+    ), s AS (
+      SELECT doc_a, doc_b, diag,
+             MIN(pa) AS a_start, CAST(COUNT(*) AS BIGINT) AS run
+      FROM r GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, a_start, a_start - diag AS b_start,
+           CAST(run + {k} - 1 AS BIGINT) AS span_tokens
+    FROM s WHERE run + {k} - 1 >= {min_span_tokens}
+"""

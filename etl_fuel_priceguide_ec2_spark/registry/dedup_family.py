@@ -319,3 +319,57 @@ def q_minhash_incremental_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs_incremental(
         history, new, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.5
     )
+
+
+# Exact-substring dedup (round 7 — the missing X2 family, VERDICT r06
+# item 4). The fixture corpus is random-bag text with no natural long
+# shared spans, so the query PLANTS them deterministically: alongside
+# every document d (having a successor), a contaminated twin
+# (doc_id + 100000) = d's full text + the first 40 tokens of document
+# d+1 — the "doc quoting another doc" shape. Expected spans: twin
+# contains all of d (a full-document span), the 40 borrowed tokens of
+# d+1 (a long quote), and the borrow chains across twins. Both engines
+# build the identical corpus relationally.
+_ESS_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + 100000 AS doc_id,
+             d.text || ' ' || array_to_string(
+               list_slice(string_split_regex(trim(n.text), '\\s+'), 1, 40), ' ')
+               AS text
+      FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+"""
+
+
+@register(
+    "exact_substring_spans",
+    dedup.exact_substring_oracle_sql(
+        _ESS_CORPUS_SQL, "doc_id", "text",
+        k=8, min_span_tokens=30, max_gram_freq=64,
+    ),
+)
+def q_exact_substring_spans(spark, sf_dir):
+    """Cross-document exact duplicated spans >= 30 tokens (k=8 grams,
+    gram-frequency cap 64) over the planted-quote corpus — the
+    boilerplate / verbatim-leak detector that document-level near-dup
+    (MinHash/SimHash/Jaccard) cannot see when documents differ overall
+    but share one long quote. See
+    ``operators/dedup.py::exact_substring_spans`` for the
+    diagonal-islands formulation and the 100 TB plan."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40)
+        ).alias("_borrow"),
+    )
+    twins = docs.join(nxt, "doc_id").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.col("_borrow")).alias("text"),
+    )
+    corpus = docs.unionAll(twins)
+    return dedup.exact_substring_spans(
+        corpus, "doc_id", "text", k=8, min_span_tokens=30, max_gram_freq=64
+    )

@@ -618,3 +618,23 @@ def test_quality_classifier_broadcasts_model_never_corpus(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_exact_substring_islands_share_one_exchange(spark, sf_dir):
+    """After the gram self-join, the islands window and the run
+    aggregate must share the (doc_a, doc_b, diag) partitioning — one
+    exchange, not two — and nothing in the plan is cartesian."""
+    import re
+
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["exact_substring_spans"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exchanges feeding the window/aggregate on the islands keys: the
+    # hashpartitioning on (doc_a, doc_b, diag) must appear exactly once
+    n_diag_exchanges = len(
+        re.findall(r"hashpartitioning\(doc_a[^)]*diag", plan)
+    )
+    assert n_diag_exchanges == 1, plan[:2000]

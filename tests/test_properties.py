@@ -755,3 +755,150 @@ def test_quality_classifier_composes_with_keep_list(spark, sf_dir):
     n_kept = sum(r.kept for r in rows)
     n_cur = sum(r.kept_curation for r in rows)
     assert 0 < n_kept < n_cur  # the classifier gate actually bites
+
+
+def _brute_spans(docs: dict, k: int, min_span: int):
+    """Reference semantics for exact_substring_spans: maximal aligned
+    token-equality runs of length >= min_span per (pair, diagonal)."""
+    out = set()
+    toks = {i: [t.lower() for t in txt.split()] for i, txt in docs.items()}
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = toks[a], toks[b]
+            for diag in range(-(len(tb) - 1), len(ta)):
+                run = 0
+                start = None
+                for pa in range(max(0, diag), len(ta)):
+                    pb = pa - diag
+                    if pb >= len(tb):
+                        break
+                    if ta[pa] == tb[pb]:
+                        if run == 0:
+                            start = pa
+                        run += 1
+                    else:
+                        if run >= min_span:
+                            out.add((a, b, start + 1, start - diag + 1, run))
+                        run = 0
+                if run >= min_span:
+                    out.add((a, b, start + 1, start - diag + 1, run))
+    return out
+
+
+def test_exact_substring_spans_planted_and_maximal(spark):
+    """Hand-planted shared spans come back exactly once (maximal, not
+    nested), separate spans on one diagonal stay separate, and
+    validation rejects degenerate parameters."""
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    filler_a = [f"fa{i}" for i in range(10)]
+    shared = [f"sh{i}" for i in range(40)]
+    filler_b = [f"fb{i}" for i in range(4)]
+    doc_a = " ".join(filler_a + shared + ["tail"])        # shared at pos 11
+    doc_b = " ".join(filler_b + shared + ["other", "end"])  # shared at pos 5
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, "no overlap here at all")],
+        "doc_id: bigint, text: string",
+    )
+    rows = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_span_tokens=30, max_gram_freq=None
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens) == (1, 2, 11, 5, 40)
+
+    # two spans on the SAME diagonal, split by a one-token mismatch
+    p = [f"p{i}" for i in range(32)]
+    q = [f"q{i}" for i in range(35)]
+    d1 = " ".join(p + ["xx"] + q)
+    d2 = " ".join(p + ["yy"] + q)
+    df2 = spark.createDataFrame([(1, d1), (2, d2)], "doc_id: bigint, text: string")
+    got = {
+        (r.a_start, r.b_start, r.span_tokens)
+        for r in dedup.exact_substring_spans(
+            df2, "doc_id", "text", k=8, min_span_tokens=30, max_gram_freq=None
+        ).collect()
+    }
+    assert got == {(1, 1, 32), (34, 34, 35)}
+
+    with pytest.raises(ValueError, match="k must be"):
+        dedup.exact_substring_spans(df, "doc_id", "text", k=1)
+    with pytest.raises(ValueError, match="min_span_tokens"):
+        dedup.exact_substring_spans(df, "doc_id", "text", k=8, min_span_tokens=5)
+
+
+def test_exact_substring_spans_matches_bruteforce(spark):
+    """Randomized cross-check vs the token-run DP reference on a tiny
+    alphabet (forces accidental shared spans, not just planted ones)."""
+    import random
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c", "d"]
+    docs = {}
+    for i in range(6):
+        docs[i] = " ".join(rng.choice(alphabet) for _ in range(60))
+    # plant one long shared span across two of them
+    span = [rng.choice(alphabet) for _ in range(12)]
+    docs[1] = " ".join(docs[1].split()[:20] + span + docs[1].split()[20:40])
+    docs[4] = " ".join(docs[4].split()[:5] + span + docs[4].split()[5:30])
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id: bigint, text: string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in dedup.exact_substring_spans(
+            df, "doc_id", "text", k=3, min_span_tokens=5, max_gram_freq=None
+        ).collect()
+    }
+    assert got == _brute_spans(docs, k=3, min_span=5)
+
+
+def test_exact_substring_gram_freq_cap_and_report(spark):
+    """A boilerplate gram above the frequency cap is excluded before
+    the self-join: spans running through it split; the exclusion report
+    counts it. Uncapped, the same corpus reports the full spans."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    boiler = [f"bp{i}" for i in range(8)]  # one 8-gram in every doc
+    rows = []
+    for d in range(10):
+        uniq = [f"u{d}_{i}" for i in range(15)]
+        rows.append((d, " ".join(uniq + boiler + uniq)))
+    # docs share ONLY the boilerplate gram; each doc's span with itself
+    # is not a pair. Add two docs sharing boiler plus flanks.
+    flank_l = [f"fl{i}" for i in range(15)]
+    flank_r = [f"fr{i}" for i in range(15)]
+    rows.append((100, " ".join(flank_l + boiler + flank_r)))
+    rows.append((101, " ".join(flank_l + boiler + flank_r)))
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+
+    full = {
+        (r.doc_a, r.doc_b, r.span_tokens)
+        for r in dedup.exact_substring_spans(
+            df, "doc_id", "text", k=8, min_span_tokens=15, max_gram_freq=None
+        ).collect()
+    }
+    assert (100, 101, 38) in full  # the whole 15+8+15 doc matches
+
+    capped = dedup.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_span_tokens=15, max_gram_freq=10
+    ).collect()
+    got = {(r.doc_a, r.doc_b, r.a_start, r.span_tokens) for r in capped}
+    # the pure-boiler 8-gram (start position 16) occurs 12x (> 10):
+    # dropped, splitting the 38-token span into two 22-token spans —
+    # gram runs 1..15 and 17..31 (mixed flank/boiler grams occur only
+    # twice, so they survive and chain 7 boiler tokens onto each flank)
+    assert got == {(100, 101, 1, 22), (100, 101, 17, 22)}
+
+    rep = dedup.overfrequent_grams(
+        df, "doc_id", "text", k=8, max_gram_freq=10
+    ).collect()[0]
+    assert rep.n_grams_dropped == 1
+    assert rep.max_gram_freq_seen == 12

@@ -1061,3 +1061,137 @@ def exact_substring_oracle_sql(
            CAST(run + {k} - 1 AS BIGINT) AS span_tokens
     FROM s WHERE run + {k} - 1 >= {min_span_tokens}
 """
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_span_tokens: int = 30,
+    max_gram_freq: int | None = 64,
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """The keep-list form of exact-substring dedup: per document, the
+    fraction of its tokens covered by ANY cross-document shared span
+    >= ``min_span_tokens`` (union of intervals, overlaps counted
+    once), and the drop decision at ``drop_threshold``. Output:
+    (id, n_tokens, covered_tokens, dup_frac, drop) for EVERY document.
+
+    This is the production gate the span relation exists to feed:
+    "drop documents that are mostly duplicated text" (the C4/RefinedWeb
+    boilerplate rule, Lee et al. 2022 §4) — doc-level, so it composes
+    with the other curation gates by a plain join on id.
+
+    Interval union without a self-join: per doc, sort spans by start
+    and subtract each interval's overlap with the running MAX of
+    previous ends (one window + one aggregate, both on the id
+    partitioning — a second exchange only for the tiny spans relation,
+    never the corpus)."""
+    spans = exact_substring_spans(
+        df, id_col, text_col, k, min_span_tokens, max_gram_freq
+    )
+    iv = spans.select(
+        F.col("doc_a").alias("_id"),
+        F.col("a_start").alias("_s"),
+        (F.col("a_start") + F.col("span_tokens") - 1).alias("_e"),
+    ).unionAll(
+        spans.select(
+            F.col("doc_b").alias("_id"),
+            F.col("b_start").alias("_s"),
+            (F.col("b_start") + F.col("span_tokens") - 1).alias("_e"),
+        )
+    )
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.col("_e")
+        - F.greatest(F.coalesce(F.max("_e").over(w), F.lit(0)), F.col("_s") - 1),
+        F.lit(0),
+    )
+    cov = (
+        iv.withColumn("_c", contrib)
+        .groupBy("_id")
+        .agg(F.sum("_c").alias("covered_tokens"))
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), _WS_RE),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("n_tokens").cast("double"),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        toks.join(cov, toks[id_col] == cov["_id"], "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long")).alias(
+                "covered_tokens"
+            ),
+            F.coalesce(frac, F.lit(0.0)).alias("dup_frac"),
+            (F.coalesce(frac, F.lit(0.0)) >= F.lit(drop_threshold)).alias("drop"),
+        )
+    )
+
+
+def span_coverage_oracle_sql(
+    corpus_sql: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_span_tokens: int = 30,
+    max_gram_freq: int | None = 64,
+    drop_threshold: float = 0.5,
+) -> str:
+    """DuckDB replay of ``duplicated_span_coverage`` (same spans CTE,
+    same running-max interval union, same single rounded division)."""
+    spans = exact_substring_oracle_sql(
+        corpus_sql, id_col, text_col, k, min_span_tokens, max_gram_freq
+    )
+    return f"""
+    WITH spans AS ({spans}),
+    iv AS (
+      SELECT doc_a AS id, a_start AS s, a_start + span_tokens - 1 AS e FROM spans
+      UNION ALL
+      SELECT doc_b AS id, b_start AS s, b_start + span_tokens - 1 AS e FROM spans
+    ), contrib AS (
+      SELECT id,
+             greatest(e - greatest(COALESCE(MAX(e) OVER (
+               PARTITION BY id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), s - 1), 0)
+               AS c
+      FROM iv
+    ), cov AS (
+      SELECT id, CAST(SUM(c) AS BIGINT) AS covered_tokens FROM contrib GROUP BY id
+    ), toks AS (
+      SELECT {id_col} AS id,
+             CAST(len(list_filter(
+               string_split_regex(lower(trim({text_col})), '\\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM ({corpus_sql})
+    )
+    SELECT toks.id AS {id_col}, toks.n_tokens,
+           COALESCE(cov.covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
+           CASE WHEN toks.n_tokens > 0 THEN
+             COALESCE(ROUND(CAST(cov.covered_tokens AS DOUBLE)
+                            / CAST(toks.n_tokens AS DOUBLE), 9), 0.0)
+           ELSE 0.0 END AS dup_frac,
+           CASE WHEN toks.n_tokens > 0 THEN
+             COALESCE(ROUND(CAST(cov.covered_tokens AS DOUBLE)
+                            / CAST(toks.n_tokens AS DOUBLE), 9), 0.0)
+           ELSE 0.0 END >= {drop_threshold!r} AS drop
+    FROM toks LEFT JOIN cov ON cov.id = toks.id
+"""

@@ -373,3 +373,35 @@ def q_exact_substring_spans(spark, sf_dir):
     return dedup.exact_substring_spans(
         corpus, "doc_id", "text", k=8, min_span_tokens=30, max_gram_freq=64
     )
+
+
+@register(
+    "duplicated_span_coverage",
+    dedup.span_coverage_oracle_sql(
+        _ESS_CORPUS_SQL, "doc_id", "text",
+        k=8, min_span_tokens=30, max_gram_freq=64, drop_threshold=0.5,
+    ),
+)
+def q_duplicated_span_coverage(spark, sf_dir):
+    """The keep-list form of exact-substring dedup over the planted
+    corpus: per-document fraction of tokens covered by cross-document
+    shared spans (interval union via running-max window) and the
+    drop-at-50% decision — the "mostly duplicated text" gate."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40)
+        ).alias("_borrow"),
+    )
+    twins = docs.join(nxt, "doc_id").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.col("_borrow")).alias("text"),
+    )
+    corpus = docs.unionAll(twins)
+    return dedup.duplicated_span_coverage(
+        corpus, "doc_id", "text",
+        k=8, min_span_tokens=30, max_gram_freq=64, drop_threshold=0.5,
+    )

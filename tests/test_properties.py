@@ -902,3 +902,36 @@ def test_exact_substring_gram_freq_cap_and_report(spark):
     ).collect()[0]
     assert rep.n_grams_dropped == 1
     assert rep.max_gram_freq_seen == 12
+
+
+def test_span_coverage_interval_union_hand_checked(spark):
+    """Overlapping spans count once in the union; docs with no spans
+    still get decided rows; the drop gate fires at the threshold."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    shared1 = [f"s{i}" for i in range(20)]   # doc1[1..20] == doc2[1..20]
+    shared2 = [f"s{i}" for i in range(10, 30)]  # doc1[11..30] == doc3[1..20]
+    doc1 = " ".join(shared1 + [f"s{i}" for i in range(20, 30)] + [f"x{i}" for i in range(10)])
+    doc2 = " ".join(shared1 + [f"y{i}" for i in range(15)])
+    doc3 = " ".join(shared2 + [f"z{i}" for i in range(15)])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, "nothing shared at all here")],
+        "doc_id: bigint, text: string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicated_span_coverage(
+            df, "doc_id", "text", k=8, min_span_tokens=15,
+            max_gram_freq=None, drop_threshold=0.5,
+        ).collect()
+    }
+    # doc1: spans [1..20] (with doc2) and [11..30] (with doc3) overlap;
+    # union = [1..30] = 30 of 40 tokens, NOT 20+20=40
+    assert out[1].n_tokens == 40
+    assert out[1].covered_tokens == 30
+    assert out[1].dup_frac == 0.75 and bool(out[1].drop)
+    # doc2: covered [1..20] of 35 -> 0.571 >= 0.5, dropped
+    assert out[2].covered_tokens == 20 and out[2].dup_frac == round(20 / 35, 9)
+    assert bool(out[2].drop)
+    # doc4: no spans, decided row
+    assert out[4].covered_tokens == 0 and out[4].dup_frac == 0.0 and not out[4].drop

@@ -120,8 +120,10 @@ HEADLINE = [
     # plan family)
     "quality_classifier_scores",
     # the exact-substring dup-span shape: positional-gram self-join +
-    # diagonal-islands window (the capped-join X2c plan family)
+    # diagonal-islands window (the capped-join X2c plan family), and
+    # its daily-ingest state-probe form (new x all, never all x all)
     "exact_substring_spans",
+    "exact_substring_incremental_spans",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

@@ -1195,3 +1195,103 @@ def span_coverage_oracle_sql(
            ELSE 0.0 END >= {drop_threshold!r} AS drop
     FROM toks LEFT JOIN cov ON cov.id = toks.id
 """
+
+
+def positional_gram_state(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """The persistable exact-substring state relation: (id, pos, _h) —
+    one row per positional k-gram, 8-byte hashes, no text. Slices
+    union by plain concat (ids are disjoint across slices), exactly
+    like the LSH band-bucket state: persist at ingest, mine later
+    without re-tokenizing history."""
+    return _positional_kgrams(df, id_col, text_col, k)
+
+
+def exact_substring_spans_incremental(
+    history_grams: DataFrame,
+    new_grams: DataFrame,
+    k: int = 8,
+    min_span_tokens: int = 30,
+    max_gram_freq: int | None = 64,
+) -> DataFrame:
+    """Daily-ingest exact-substring dedup: all maximal shared spans
+    involving AT LEAST ONE new document, mined from the persisted
+    positional-gram state WITHOUT re-joining history x history — the
+    structural 100 TB win (yesterday's corpus never re-pairs with
+    itself; candidate volume is new x all, not all x all). Same output
+    schema as ``exact_substring_spans``.
+
+    Reconstruction identity (tested): prior-run spans UNION this
+    relation == from-scratch spans over the union corpus, with zero
+    overlap — EXACT when ``max_gram_freq`` is None; with a cap it
+    holds unless a gram's corpus-wide frequency crosses the cap
+    between runs (the inherent caveat of any frequency-thresholded
+    incremental miner — the gram was cheap yesterday, the union made
+    it boilerplate today).
+
+    Both inputs are (id, pos, _h) state relations from
+    ``positional_gram_state``; ids must be disjoint."""
+    allg = history_grams.select(
+        F.col(history_grams.columns[0]).alias("_oid"),
+        F.col("pos").alias("_opos"),
+        "_h",
+        F.lit(False).alias("_onew"),
+    ).unionAll(
+        new_grams.select(
+            F.col(new_grams.columns[0]).alias("_oid"),
+            F.col("pos").alias("_opos"),
+            "_h",
+            F.lit(True).alias("_onew"),
+        )
+    )
+    if max_gram_freq is not None:
+        # cap frequencies over the UNION corpus — matching what a
+        # from-scratch run over (history + new) would compute
+        keep = (
+            allg.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_gram_freq)
+            .select("_h")
+        )
+        allg = allg.join(keep, "_h")
+    n = allg.filter(F.col("_onew")).select(
+        F.col("_oid").alias("_nid"), F.col("_opos").alias("_npos"), "_h"
+    )
+    # new x all; both-new pairs would appear twice, so keep the
+    # (new < other) orientation when the other side is new too
+    m = (
+        n.join(allg, "_h")
+        .filter(
+            (F.col("_nid") != F.col("_oid"))
+            & (~F.col("_onew") | (F.col("_nid") < F.col("_oid")))
+        )
+        .select(
+            F.least("_nid", "_oid").alias("doc_a"),
+            F.greatest("_nid", "_oid").alias("doc_b"),
+            F.when(F.col("_nid") < F.col("_oid"), F.col("_npos"))
+            .otherwise(F.col("_opos"))
+            .alias("pa"),
+            F.when(F.col("_nid") < F.col("_oid"), F.col("_opos"))
+            .otherwise(F.col("_npos"))
+            .alias("pb"),
+        )
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.select("doc_a", "doc_b", diag, "pa")
+        .withColumn("_grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "_grp")
+        .agg(F.min("pa").alias("a_start"), F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.filter(F.col("_run") + k - 1 >= min_span_tokens)
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("_run") + F.lit(k) - 1).cast("long").alias("span_tokens"),
+        )
+    )

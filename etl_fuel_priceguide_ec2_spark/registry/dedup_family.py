@@ -405,3 +405,42 @@ def q_duplicated_span_coverage(spark, sf_dir):
         corpus, "doc_id", "text",
         k=8, min_span_tokens=30, max_gram_freq=64, drop_threshold=0.5,
     )
+
+
+_ESS_INCR_ORACLE = f"""
+    WITH fs AS ({dedup.exact_substring_oracle_sql(
+        _ESS_CORPUS_SQL, "doc_id", "text",
+        k=8, min_span_tokens=30, max_gram_freq=64,
+    )})
+    SELECT doc_a, doc_b, a_start, b_start, span_tokens
+    FROM fs WHERE doc_a >= 100000 OR doc_b >= 100000
+"""
+
+
+@register("exact_substring_incremental_spans", _ESS_INCR_ORACLE)
+def q_exact_substring_incremental_spans(spark, sf_dir):
+    """The daily-ingest exact-substring shape: originals are the
+    persisted history state, the contaminated twins arrive as the new
+    slice; spans involving >= 1 twin are mined from positional-gram
+    state relations WITHOUT re-joining history x history. The oracle
+    is the from-scratch spec (full corpus spans, filtered to pairs
+    touching the new slice) — the state-probe plan must reproduce it
+    exactly."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40)
+        ).alias("_borrow"),
+    )
+    twins = docs.join(nxt, "doc_id").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.col("_borrow")).alias("text"),
+    )
+    hist_state = dedup.positional_gram_state(docs, "doc_id", "text", k=8)
+    new_state = dedup.positional_gram_state(twins, "doc_id", "text", k=8)
+    return dedup.exact_substring_spans_incremental(
+        hist_state, new_state, k=8, min_span_tokens=30, max_gram_freq=64
+    )

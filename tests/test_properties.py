@@ -935,3 +935,47 @@ def test_span_coverage_interval_union_hand_checked(spark):
     assert bool(out[2].drop)
     # doc4: no spans, decided row
     assert out[4].covered_tokens == 0 and out[4].dup_frac == 0.0 and not out[4].drop
+
+
+def test_exact_substring_incremental_reconstructs_from_scratch(spark):
+    """prior-run spans UNION incremental spans == from-scratch spans
+    over the union corpus, with ZERO overlap (cap None — the exact
+    identity regime), on a corpus with history-history, history-new,
+    and new-new spans all present."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    s1 = [f"a{i}" for i in range(20)]
+    s2 = [f"b{i}" for i in range(25)]
+    hist = {
+        1: " ".join(s1 + [f"h1_{i}" for i in range(10)]),
+        2: " ".join([f"h2_{i}" for i in range(5)] + s1),       # hist-hist span
+        3: " ".join(s2 + [f"h3_{i}" for i in range(8)]),
+    }
+    new = {
+        10: " ".join([f"n1_{i}" for i in range(7)] + s2),      # new-hist span
+        11: " ".join(s2 + s1),                                  # new-hist x2
+        12: " ".join([f"n3_{i}" for i in range(3)] + s2 + s1),  # new-new with 11
+    }
+    hdf = spark.createDataFrame(list(hist.items()), "doc_id: bigint, text: string")
+    ndf = spark.createDataFrame(list(new.items()), "doc_id: bigint, text: string")
+    union = hdf.unionAll(ndf)
+
+    kw = dict(k=8, min_span_tokens=15, max_gram_freq=None)
+    t = lambda rows: {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens) for r in rows
+    }
+    from_scratch = t(
+        dedup.exact_substring_spans(union, "doc_id", "text", **kw).collect()
+    )
+    prior = t(dedup.exact_substring_spans(hdf, "doc_id", "text", **kw).collect())
+    hstate = dedup.positional_gram_state(hdf, "doc_id", "text", k=8)
+    nstate = dedup.positional_gram_state(ndf, "doc_id", "text", k=8)
+    incr = t(
+        dedup.exact_substring_spans_incremental(hstate, nstate, **kw).collect()
+    )
+    assert prior & incr == set()          # zero overlap
+    assert prior | incr == from_scratch   # exact reconstruction
+    assert prior and incr                 # both legs non-trivial
+    # every incremental span touches a new doc; no prior span does
+    assert all(a >= 10 or b >= 10 for a, b, *_ in incr)
+    assert all(a < 10 and b < 10 for a, b, *_ in prior)

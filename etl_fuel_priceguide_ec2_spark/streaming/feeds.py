@@ -413,3 +413,61 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def exact_substring_stream(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    checkpoint: str,
+    k: int = 8,
+    min_span_tokens: int = 30,
+    max_gram_freq: int | None = 64,
+):
+    """Streaming exact-substring dedup over a persisted positional-gram
+    store — the micro-batch form of
+    ``exact_substring_spans_incremental``: every batch mines the
+    maximal shared spans between ITS docs and everything seen so far
+    (new x all, never history x history), appends them, then appends
+    its own gram state. History is never re-tokenized: each batch reads
+    only the (id, pos, hash) state off parquet. With no frequency cap,
+    the union of all batches' spans equals the from-scratch relation
+    over the full corpus (pinned by test); with a cap, each batch
+    applies it over the union-so-far — a gram crossing the cap in a
+    later batch does not retro-drop earlier spans (the incremental
+    miner's documented caveat).
+
+    At-least-once caveat: a replayed batch re-appends state and spans;
+    grams dedupe exactly on (id, pos) and spans on their full row —
+    read with dropDuplicates, or compact the store periodically."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    grams_path = f"{store_dir}/grams"
+    spans_path = f"{store_dir}/spans"
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        grams_new = dedup.positional_gram_state(
+            batch_df, id_col, text_col, k
+        ).localCheckpoint(eager=True)
+        try:
+            grams_hist = spark.read.parquet(grams_path)
+        except Exception:  # first batch: no store yet
+            grams_hist = grams_new.limit(0)
+        spans = dedup.exact_substring_spans_incremental(
+            grams_hist, grams_new, k, min_span_tokens, max_gram_freq
+        )
+        spans.withColumn("_batch", F.lit(batch_id)).write.mode("append").parquet(
+            spans_path
+        )
+        grams_new.write.mode("append").parquet(grams_path)
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

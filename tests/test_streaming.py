@@ -494,3 +494,63 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     expect = sorted(map(tuple, dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()))
     assert got == expect
     assert len(set(got)) == len(got)  # no pair mined twice
+
+
+def test_streaming_exact_substring_matches_batch(spark, tmp_path):
+    """Streaming exact-substring dedup over the persisted positional-
+    gram store: a planted-span corpus arrives in 3 micro-batches; the
+    union of all batches' spans must equal the from-scratch relation
+    over the full corpus (no cap — the exact-identity regime), with no
+    span mined twice."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    s1 = [f"a{i}" for i in range(20)]
+    s2 = [f"b{i}" for i in range(25)]
+    rows = [
+        (1, " ".join(s1 + [f"d1_{i}" for i in range(10)])),
+        (2, " ".join([f"d2_{i}" for i in range(5)] + s1)),
+        (3, " ".join(s2 + [f"d3_{i}" for i in range(8)])),
+        (4, " ".join([f"d4_{i}" for i in range(7)] + s2)),
+        (5, " ".join(s2 + s1)),
+        (6, " ".join([f"d6_{i}" for i in range(3)] + s1)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    src = str(tmp_path / "ess_slices")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "ess_store")
+    q = feeds.exact_substring_stream(
+        stream, "doc_id", "text", store, str(tmp_path / "ckpt_ess"),
+        k=8, min_span_tokens=15, max_gram_freq=None,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{store}/spans").drop("_batch").collect(),
+        )
+    )
+    expect = sorted(
+        map(
+            tuple,
+            dedup.exact_substring_spans(
+                docs, "doc_id", "text", k=8, min_span_tokens=15, max_gram_freq=None
+            ).collect(),
+        )
+    )
+    assert got == expect and len(expect) >= 5
+    assert len(set(got)) == len(got)  # no span mined twice
+    # the gram store reconstructs the full corpus state exactly
+    state = spark.read.parquet(f"{store}/grams")
+    direct = dedup.positional_gram_state(docs, "doc_id", "text", k=8)
+    assert state.count() == direct.count()
+    assert state.exceptAll(direct).count() == 0

@@ -541,31 +541,11 @@ def bpe_merge_candidates(
     )
 
 
-def bpe_learn_merges(
-    df: DataFrame, text_col: str, iters: int = 3
-) -> DataFrame:
-    """FULL BPE tokenizer training for a fixed number of merges — the
-    sequential loop ``bpe_merge_candidates`` is one counting pass of.
-    Output: one row per learned merge, (iter, left_sym, right_sym,
-    merged, pair_count, corpus_symbols_after), with real BPE
-    semantics: after each merge the corpus is RE-TOKENIZED, and
-    overlapping occurrences of a self-pair (``aa`` in ``aaaa``) merge
-    greedily left-to-right (positions 1 and 3, never 2).
-
-    The scale insight that makes training distributable: BPE state is
-    the WORD-FREQUENCY table, not the token stream — |vocab| words
-    (Heaps' law: ~1M at 100 TB) each carried once with a count, so a
-    petabyte corpus collapses to a few-hundred-MB symbol relation
-    after one map-side-combined aggregate. Per iteration: one
-    window-lead (partitioned by word — parallel), one bounded pair
-    aggregate (|alphabet|^2 keys), one 1-row argmax broadcast back as
-    an equi-join (NOT a crossJoin: an empty best pair must leave the
-    corpus intact, not annihilate it), and the greedy-overlap rebuild
-    as two windows over occurrence runs (pos - row_number run
-    grouping; odd index within run wins). State localCheckpoints per
-    iteration (the pagerank/CC lesson). All-integer counting; ties
-    break (count DESC, pair ASC), so every learned merge is
-    bit-identical to the DuckDB unrolled-CTE replay."""
+def _bpe_state_loop(df: DataFrame, text_col: str, iters: int):
+    """Shared BPE training loop: returns (final syms relation, list of
+    per-iteration merge-row DataFrames). Used by ``bpe_learn_merges``
+    (the merge table) and ``bpe_encode_words`` (the final encoding) —
+    one implementation, two projections of its state."""
     from pyspark.sql import Window
 
     if iters < 1:
@@ -646,16 +626,73 @@ def bpe_learn_merges(
                 F.col("_tot").cast("long").alias("corpus_symbols_after"),
             )
         )
+    return syms, merge_rows
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str, iters: int = 3
+) -> DataFrame:
+    """FULL BPE tokenizer training for a fixed number of merges — the
+    sequential loop ``bpe_merge_candidates`` is one counting pass of.
+    Output: one row per learned merge, (iter, left_sym, right_sym,
+    merged, pair_count, corpus_symbols_after), with real BPE
+    semantics: after each merge the corpus is RE-TOKENIZED, and
+    overlapping occurrences of a self-pair (``aa`` in ``aaaa``) merge
+    greedily left-to-right (positions 1 and 3, never 2).
+
+    The scale insight that makes training distributable: BPE state is
+    the WORD-FREQUENCY table, not the token stream — |vocab| words
+    (Heaps' law: ~1M at 100 TB) each carried once with a count, so a
+    petabyte corpus collapses to a few-hundred-MB symbol relation
+    after one map-side-combined aggregate. Per iteration: one
+    window-lead (partitioned by word — parallel), one bounded pair
+    aggregate (|alphabet|^2 keys), one 1-row argmax broadcast back as
+    an equi-join (NOT a crossJoin: an empty best pair must leave the
+    corpus intact, not annihilate it), and the greedy-overlap rebuild
+    as two windows over occurrence runs (pos - row_number run
+    grouping; odd index within run wins). State localCheckpoints per
+    iteration (the pagerank/CC lesson). All-integer counting; ties
+    break (count DESC, pair ASC), so every learned merge is
+    bit-identical to the DuckDB unrolled-CTE replay."""
+    _, merge_rows = _bpe_state_loop(df, text_col, iters)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out
 
 
-def bpe_learn_oracle_sql(docs_table: str, text_col: str, iters: int = 3) -> str:
-    """DuckDB replay of ``bpe_learn_merges`` as an unrolled CTE chain
-    (one lead/count/argmax/greedy-rebuild block per iteration — the
-    pagerank/k-means oracle pattern, here over STRING state)."""
+def bpe_encode_words(
+    df: DataFrame, text_col: str, iters: int = 3
+) -> DataFrame:
+    """APPLY the learned tokenizer — the other half of the BPE story:
+    after ``iters`` merges, the per-word final segmentation. Output:
+    (word, wcount, n_tokens, encoded) — encoded is the space-joined
+    symbol sequence (string-serialized: list columns don't survive the
+    driver's dtype-sensitive compare).
+
+    The 100 TB shape is the same Heaps'-law collapse as training:
+    encoding is VOCAB-sized, not corpus-sized — encode each distinct
+    word once, then a broadcast join stamps token counts onto the
+    corpus (tokens-per-doc = sum of its words' n_tokens — the exact
+    accounting a pretraining data budget needs)."""
+    syms, _ = _bpe_state_loop(df, text_col, iters)
+    enc = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+            lambda x: x.sym,
+        ),
+    )
+    return syms.groupBy("word", "wcount").agg(
+        F.max("pos").cast("long").alias("n_tokens"),
+        enc.alias("encoded"),
+    )
+
+
+def _bpe_oracle_with(docs_table: str, text_col: str, iters: int) -> str:
+    """The shared WITH-chain of the BPE oracle: tokenize -> word-freq
+    -> character state s0 -> one lead/count/argmax/greedy-rebuild block
+    per iteration (s1..sN + m1..mN). Tails select from it."""
     blocks = []
     for i in range(1, iters + 1):
         p = i - 1
@@ -700,7 +737,6 @@ def bpe_learn_oracle_sql(docs_table: str, text_col: str, iters: int = 3) -> str:
                AS corpus_symbols_after
       FROM b{i}
     )""")
-    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, iters + 1))
     body = ",\n    ".join(blocks)
     return f"""WITH tok AS (
       SELECT UNNEST(string_split_regex(trim({text_col}), '\\s+')) AS w
@@ -717,10 +753,28 @@ def bpe_learn_oracle_sql(docs_table: str, text_col: str, iters: int = 3) -> str:
         FROM wrds
       )
     ),
-    {body}
+    {body}"""
+
+
+def bpe_learn_oracle_sql(docs_table: str, text_col: str, iters: int = 3) -> str:
+    """DuckDB replay of ``bpe_learn_merges`` as an unrolled CTE chain
+    (one lead/count/argmax/greedy-rebuild block per iteration — the
+    pagerank/k-means oracle pattern, here over STRING state)."""
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, iters + 1))
+    return f"""{_bpe_oracle_with(docs_table, text_col, iters)}
     SELECT iter, left_sym, right_sym, merged, pair_count,
            corpus_symbols_after
     FROM ({union})
+"""
+
+
+def bpe_encode_oracle_sql(docs_table: str, text_col: str, iters: int = 3) -> str:
+    """DuckDB replay of ``bpe_encode_words``: the same unrolled chain,
+    final state s{iters} folded per word."""
+    return f"""{_bpe_oracle_with(docs_table, text_col, iters)}
+    SELECT word, wcount, CAST(MAX(pos) AS BIGINT) AS n_tokens,
+           string_agg(sym, ' ' ORDER BY pos) AS encoded
+    FROM s{iters} GROUP BY word, wcount
 """
 
 

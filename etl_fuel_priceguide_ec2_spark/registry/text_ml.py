@@ -453,3 +453,19 @@ def q_bpe_learned_merges(spark, sf_dir):
     re-tokenization itself, not just the argmax."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.bpe_learn_merges(docs, "text", iters=3)
+
+
+@register(
+    "bpe_encoded_vocab",
+    textops.bpe_encode_oracle_sql("documents", "text", iters=3),
+)
+def q_bpe_encoded_vocab(spark, sf_dir):
+    """APPLY the learned BPE tokenizer (the other half of the
+    tokenizer story): after 3 merges, every distinct corpus word with
+    its final segmentation and token count — the vocab-sized encode
+    relation a broadcast join stamps onto the corpus for exact
+    tokens-per-doc accounting. Same state loop as bpe_learned_merges
+    (one implementation, two projections); the encoding string is
+    bit-identical to the DuckDB unrolled replay's final state."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_encode_words(docs, "text", iters=3)

@@ -979,3 +979,32 @@ def test_exact_substring_incremental_reconstructs_from_scratch(spark):
     # every incremental span touches a new doc; no prior span does
     assert all(a >= 10 or b >= 10 for a, b, *_ in incr)
     assert all(a < 10 and b < 10 for a, b, *_ in prior)
+
+
+def test_bpe_encode_matches_training_state(spark):
+    """bpe_encode_words is the training loop's final state: greedy
+    left-to-right overlap semantics visible in the encoding, and
+    sum(wcount * n_tokens) equals the last merge's
+    corpus_symbols_after exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    # 'aaaa' x3, 'aab' x2: iter1 best pair = (a,a); greedy overlap
+    # merges aaaa -> (aa)(aa), aab -> (aa)b
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aab aab")], "doc_id: bigint, text: string"
+    )
+    enc = {
+        r.word: (r.n_tokens, r.encoded)
+        for r in textops.bpe_encode_words(df, "text", iters=1).collect()
+    }
+    assert enc["aaaa"] == (2, "aa aa")
+    assert enc["aab"] == (2, "aa b")
+
+    merges = textops.bpe_learn_merges(df, "text", iters=1).collect()
+    enc_df = textops.bpe_encode_words(df, "text", iters=1)
+    total = enc_df.select(
+        F.sum(F.col("wcount") * F.col("n_tokens")).alias("t")
+    ).collect()[0].t
+    assert total == merges[-1].corpus_symbols_after

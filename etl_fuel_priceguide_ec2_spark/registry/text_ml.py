@@ -469,3 +469,68 @@ def q_bpe_encoded_vocab(spark, sf_dir):
     bit-identical to the DuckDB unrolled replay's final state."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.bpe_encode_words(docs, "text", iters=3)
+
+
+_BPE_TOKENS_PER_DOC_ORACLE = f"""{textops._bpe_oracle_with("documents", "text", 3)}
+    , wtok AS (
+      SELECT word, CAST(MAX(pos) AS BIGINT) AS n FROM s3 GROUP BY word
+    ), dw AS (
+      SELECT doc_id, lower(w) AS word FROM (
+        SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE regexp_matches(w, '^[A-Za-z]{{2,}}$')
+    ), per AS (
+      SELECT dw.doc_id, CAST(SUM(wtok.n) AS BIGINT) AS bpe_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM dw JOIN wtok USING (word) GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens,
+           COALESCE(per.n_words, CAST(0 AS BIGINT)) AS n_words
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("bpe_tokens_per_doc", _BPE_TOKENS_PER_DOC_ORACLE)
+def q_bpe_tokens_per_doc(spark, sf_dir):
+    """The pretraining budget accounting query: exact BPE tokens per
+    document under the 3-merge learned tokenizer — the vocab-sized
+    encode relation (bpe_encoded_vocab) broadcast-stamped onto the
+    corpus word stream. The corpus is scanned once and never shuffled
+    except the per-doc sum; the tokenizer state rides the broadcast.
+    Docs with no qualifying words still get a decided 0 row."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = textops.bpe_encode_words(docs, "text", iters=3).select(
+        "word", "n_tokens"
+    )
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[A-Za-z]{2,}$"))
+        .select("doc_id", F.lower(F.col("w")).alias("word"))
+    )
+    per = (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("bpe_tokens"), F.lit(0).cast("long")).alias(
+                "bpe_tokens"
+            ),
+            F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+        )
+    )

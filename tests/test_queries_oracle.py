@@ -318,3 +318,68 @@ def test_incremental_lsh_reconstructs_full_relation(spark, sf_dir):
     )
     assert sorted(prior + incr) == full
     assert not (set(prior) & set(incr))
+
+
+def test_round7_operator_empty_and_degenerate_edges(spark):
+    """Defined, non-crashing answers on degenerate inputs for the
+    round-7 operators: exact-substring on an empty corpus / docs
+    shorter than k -> empty spans; span coverage still decides every
+    doc; classifier with an empty lexicon -> all-zero scores that
+    still keep at threshold 0; incremental spans with empty history ==
+    from-scratch over the new slice; BPE encode on a no-word corpus ->
+    empty vocab."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup, textops
+
+    empty = spark.createDataFrame([], "doc_id: bigint, text: string")
+    assert dedup.exact_substring_spans(empty, "doc_id", "text").count() == 0
+    assert dedup.duplicated_span_coverage(empty, "doc_id", "text").count() == 0
+
+    short = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id: bigint, text: string"
+    )
+    assert (
+        dedup.exact_substring_spans(
+            short, "doc_id", "text", k=8, min_span_tokens=8
+        ).count()
+        == 0
+    )
+    cov = {
+        r.doc_id: r
+        for r in dedup.duplicated_span_coverage(
+            short, "doc_id", "text", k=8, min_span_tokens=8
+        ).collect()
+    }
+    assert len(cov) == 2 and all(not r.drop for r in cov.values())
+
+    # empty history: incremental == from-scratch over the new slice
+    s = " ".join(f"s{i}" for i in range(20))
+    new = spark.createDataFrame(
+        [(1, s + " one"), (2, s + " two")], "doc_id: bigint, text: string"
+    )
+    hstate = dedup.positional_gram_state(empty, "doc_id", "text", k=8)
+    nstate = dedup.positional_gram_state(new, "doc_id", "text", k=8)
+    t = lambda rows: {tuple(r) for r in rows}
+    assert t(
+        dedup.exact_substring_spans_incremental(
+            hstate, nstate, k=8, min_span_tokens=15, max_gram_freq=None
+        ).collect()
+    ) == t(
+        dedup.exact_substring_spans(
+            new, "doc_id", "text", k=8, min_span_tokens=15, max_gram_freq=None
+        ).collect()
+    )
+
+    empty_lex = spark.createDataFrame([], "term: string, weight: decimal(12,6)")
+    w = textops.quality_classifier_weights(empty_lex)
+    out = textops.quality_classifier_scores(
+        new, "doc_id", "text", w, threshold=0.0
+    ).collect()
+    assert len(out) == 2
+    assert all(r.n_matched == 0 and r.score == 0.0 and r.keep for r in out)
+
+    nowords = spark.createDataFrame(
+        [(1, "123 456 !!")], "doc_id: bigint, text: string"
+    )
+    assert textops.bpe_encode_words(nowords, "text", iters=1).count() == 0

@@ -119,6 +119,7 @@ HEADLINE = [
     # n-gram features vs a compiled weight table — the corpus-filter
     # plan family)
     "quality_classifier_scores",
+    "domain_classifier_labels",
     # the exact-substring dup-span shape: positional-gram self-join +
     # diagonal-islands window (the capped-join X2c plan family), and
     # its daily-ingest state-probe form (new x all, never all x all)

@@ -932,3 +932,170 @@ def quality_classifier_oracle_sql(
     FROM (SELECT DISTINCT {id_col} FROM {docs_table}) d
     LEFT JOIN scored s ON s._id = d.{id_col}
 """
+
+
+def domain_classifier_weights(
+    lexicon: DataFrame,
+    class_col: str = "class",
+    term_col: str = "term",
+    weight_col: str = "weight",
+    n_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Compile a (class, term, weight) lexicon into the hashed feature
+    space: (class, feature_id, weight), colliding terms' weights summed
+    PER CLASS — the multiclass sibling of
+    ``quality_classifier_weights`` (a linear one-vs-all model per
+    domain, fastText's supervised shape)."""
+    return (
+        lexicon.select(
+            F.col(class_col).alias("class"),
+            _feature_hash(F.lower(F.col(term_col)), n_buckets).alias("feature_id"),
+            F.col(weight_col),
+        )
+        .groupBy("class", "feature_id")
+        .agg(F.sum(weight_col).alias("weight"))
+    )
+
+
+def domain_classifier_labels(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    class_weights: DataFrame,
+    n_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Multiclass linear inference: every document scored against
+    EVERY class's weight vector (mean matched weight over the doc's
+    unigram+bigram features, unmatched weigh 0), argmax with (score
+    DESC, class ASC) tie-break. Output: (id, n_features, best_class,
+    best_score, margin) — margin = best minus runner-up, the standard
+    routing-confidence signal (0.0 when there is a single class or a
+    tie).
+
+    Plan: the corpus is featurized ONCE; the per-class grid is a
+    broadcast of |classes| rows crossed with the per-doc feature
+    counts, so corpus cost is independent of class count until the
+    (doc x class) score relation — |docs|*|classes| rows of three
+    columns, the unavoidable output lower bound. Same decimal-sum /
+    one-rounded-division portability contract as the binary scorer."""
+    from pyspark.sql import Window
+    uni = _word_ngrams(text_col, 1)
+    bi = F.filter(_word_ngrams(text_col, 2), lambda g: g.contains(" "))
+    feats = fan_out(df).select(
+        F.col(id_col),
+        F.explode_outer(F.concat(uni, bi)).alias("_g"),
+    ).select(F.col(id_col), _feature_hash(F.col("_g"), n_buckets).alias("feature_id"))
+    per_doc = feats.groupBy(id_col).agg(
+        F.count("feature_id").alias("n_features")
+    )
+    matched = (
+        feats.join(F.broadcast(class_weights), "feature_id")
+        .groupBy(id_col, "class")
+        .agg(F.sum("weight").alias("_sw"))
+    )
+    classes = class_weights.select("class").distinct()
+    grid = per_doc.crossJoin(F.broadcast(classes))
+    zero = F.lit(0).cast("decimal(12,6)")
+    scored = grid.join(matched, [id_col, "class"], "left").select(
+        F.col(id_col),
+        "n_features",
+        "class",
+        F.when(
+            F.col("n_features") > 0,
+            F.round(
+                F.coalesce(F.col("_sw"), zero).cast("double")
+                / F.col("n_features").cast("double"),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("class").asc()
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_next", F.lead("score").over(w)
+    )
+    return ranked.filter(F.col("_rk") == 1).select(
+        F.col(id_col),
+        "n_features",
+        F.col("class").alias("best_class"),
+        F.col("score").alias("best_score"),
+        F.round(
+            F.col("score") - F.coalesce(F.col("_next"), F.col("score")), 9
+        ).alias("margin"),
+    )
+
+
+def domain_classifier_oracle_sql(
+    docs_table: str,
+    id_col: str,
+    text_col: str,
+    lexicon: list[tuple[str, str, float]],
+    n_buckets: int = 1 << 20,
+) -> str:
+    """DuckDB replay of ``domain_classifier_weights`` +
+    ``domain_classifier_labels`` (same hashing, grid, argmax
+    tie-break)."""
+    vals = ", ".join(
+        "('" + c.replace("'", "''") + "', '" + t.replace("'", "''")
+        + f"', CAST({w} AS DECIMAL(12,6)))"
+        for c, t, w in lexicon
+    )
+    fh = (
+        lambda col: f"(CAST('0x' || substring(md5({col}), 1, 15) AS BIGINT)"
+        f" % {n_buckets})"
+    )
+    return f"""
+    WITH lex AS (
+      SELECT cls, {fh("lower(term)")} AS feature_id, SUM(w) AS weight
+      FROM (VALUES {vals}) AS l(cls, term, w)
+      GROUP BY 1, 2
+    ), tok AS (
+      SELECT {id_col} AS _id,
+             string_split_regex(lower(trim({text_col})), '\\s+') AS toks
+      FROM {docs_table}
+    ), grams AS (
+      SELECT _id, UNNEST(list_concat(
+        list_filter(toks, g -> g <> ''),
+        list_filter(list_transform(
+          range(1, greatest(len(toks) - 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 1), ' ')),
+          g -> contains(g, ' '))
+      )) AS g
+      FROM tok
+    ), feats AS (
+      SELECT _id, {fh("g")} AS feature_id FROM grams
+    ), per_doc AS (
+      SELECT t._id, COALESCE(f.n, CAST(0 AS BIGINT)) AS n_features
+      FROM (SELECT DISTINCT _id FROM tok) t
+      LEFT JOIN (SELECT _id, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM feats GROUP BY _id) f USING (_id)
+    ), matched AS (
+      SELECT _id, lex.cls, SUM(lex.weight) AS sw
+      FROM feats JOIN lex USING (feature_id)
+      GROUP BY _id, lex.cls
+    ), grid AS (
+      SELECT per_doc._id, per_doc.n_features, c.cls
+      FROM per_doc CROSS JOIN (SELECT DISTINCT cls FROM lex) c
+    ), scored AS (
+      SELECT g._id, g.n_features, g.cls,
+             CASE WHEN g.n_features > 0 THEN
+               ROUND(CAST(COALESCE(m.sw, CAST(0 AS DECIMAL(12,6))) AS DOUBLE)
+                     / CAST(g.n_features AS DOUBLE), 9)
+             ELSE 0.0 END AS score
+      FROM grid g LEFT JOIN matched m ON m._id = g._id AND m.cls = g.cls
+    ), ranked AS (
+      SELECT _id, n_features, cls, score,
+             ROW_NUMBER() OVER (PARTITION BY _id
+                                ORDER BY score DESC, cls ASC) AS rk,
+             LEAD(score) OVER (PARTITION BY _id
+                               ORDER BY score DESC, cls ASC) AS nxt
+      FROM scored
+    )
+    SELECT _id AS {id_col}, n_features, cls AS best_class,
+           score AS best_score,
+           ROUND(score - COALESCE(nxt, score), 9) AS margin
+    FROM ranked WHERE rk = 1
+"""

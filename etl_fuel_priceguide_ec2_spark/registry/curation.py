@@ -351,3 +351,43 @@ def q_quality_classifier_scores(spark, sf_dir):
         docs, "doc_id", "text", w,
         n_buckets=_QC_BUCKETS, threshold=_QC_THRESHOLD,
     )
+
+
+# Three one-vs-all domain lexicons over the fixture vocabulary (the
+# multiclass sibling of _QC_LEXICON): (class, term, weight).
+_DOMAIN_LEXICON = [
+    ("analytics", "agg", 0.6), ("analytics", "window", 0.5),
+    ("analytics", "group", 0.5), ("analytics", "sort", 0.4),
+    ("analytics", "query", 0.4), ("analytics", "group by", 0.9),
+    ("infra", "spark", 0.6), ("infra", "batch", 0.5),
+    ("infra", "stream", 0.5), ("infra", "hash", 0.4),
+    ("infra", "merge", 0.4), ("infra", "fast scan", 0.9),
+    ("retail", "customer", 0.6), ("retail", "order", 0.5),
+    ("retail", "part", 0.5), ("retail", "line", 0.4),
+    ("retail", "value", 0.4), ("retail", "customer order", 0.9),
+]
+
+
+@register(
+    "domain_classifier_labels",
+    textops.domain_classifier_oracle_sql(
+        "documents", "doc_id", "text", _DOMAIN_LEXICON, n_buckets=_QC_BUCKETS
+    ),
+)
+def q_domain_classifier_labels(spark, sf_dir):
+    """Multiclass domain routing (the third CCNet-style gate after
+    quality and language): every document scored against three
+    one-vs-all lexicon weight vectors, argmax label + margin. One
+    corpus featurization; classes ride a broadcast grid. See
+    ``operators/textops.py::domain_classifier_labels``."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(c, t, str(w)) for c, t, w in _DOMAIN_LEXICON],
+        "class string, term string, weight string",
+    ).selectExpr(
+        "class", "term", "CAST(weight AS DECIMAL(12,6)) AS weight"
+    )
+    w = textops.domain_classifier_weights(lex, n_buckets=_QC_BUCKETS)
+    return textops.domain_classifier_labels(
+        docs, "doc_id", "text", w, n_buckets=_QC_BUCKETS
+    )

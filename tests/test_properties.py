@@ -1008,3 +1008,48 @@ def test_bpe_encode_matches_training_state(spark):
         F.sum(F.col("wcount") * F.col("n_tokens")).alias("t")
     ).collect()[0].t
     assert total == merges[-1].corpus_symbols_after
+
+
+def test_domain_classifier_argmax_margin_and_ties(spark):
+    """Multiclass semantics pinned by hand: per-class mean weights,
+    argmax with (score DESC, class ASC) tie-break, margin = best minus
+    runner-up (0.0 on exact ties and featureless docs)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    lex_rows = [
+        ("x", "alpha", "0.6"), ("x", "beta", "0.2"),
+        ("y", "alpha", "0.1"), ("y", "gamma", "0.9"),
+    ]
+    lex = spark.createDataFrame(
+        lex_rows, "class string, term string, weight string"
+    ).select("class", "term", F.col("weight").cast("decimal(12,6)").alias("weight"))
+    w = textops.domain_classifier_weights(lex, n_buckets=4096)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),        # x: (0.6+0.2)/3, y: 0.1/3
+            (2, "gamma gamma alpha"), # y: (0.9*2+0.1)/5 vs x: 0.6/5
+            (3, "unmatched words"),   # all-zero tie -> class asc
+            (4, "   "),               # featureless
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.domain_classifier_labels(
+            docs, "doc_id", "text", w, n_buckets=4096
+        ).collect()
+    }
+    # doc1: 3 features (alpha, beta, "alpha beta")
+    assert out[1].best_class == "x"
+    assert out[1].best_score == round(0.8 / 3, 9)
+    # margin subtracts the ROUNDED scores (portable both engines)
+    assert out[1].margin == round(round(0.8 / 3, 9) - round(0.1 / 3, 9), 9)
+    # doc2: 5 features; y wins
+    assert out[2].best_class == "y"
+    assert out[2].best_score == round(1.9 / 5, 9)
+    # doc3: zero scores for both classes -> tie -> 'x' (class asc), margin 0
+    assert out[3].best_class == "x" and out[3].best_score == 0.0 and out[3].margin == 0.0
+    # doc4: featureless but decided
+    assert out[4].n_features == 0 and out[4].best_class == "x" and out[4].margin == 0.0

@@ -839,3 +839,23 @@ def test_example_retrieval_pipeline(sf_dir):
     assert out["queries"] == 2
     assert out["fused_rows"] == out["queries"] * 5
     assert out["lex_rows"] <= out["queries"] * 20
+
+
+def test_example_substring_dedup_pipeline(sf_dir):
+    """examples/substring_dedup_pipeline.py — the incremental
+    gram-state dedup + coverage/quality keep-list runs end to end:
+    twins (mostly duplicated text) are dropped, spans are found, and
+    both gates bite."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "substring_example",
+        Path(__file__).parent.parent / "examples" / "substring_dedup_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(sf_dir)
+    assert out["n_docs"] > 0 and out["n_spans"] > 0
+    assert 0 < out["n_kept"] < out["n_docs"]
+    assert out["n_dup_dropped"] > 0

@@ -1295,3 +1295,96 @@ def exact_substring_spans_incremental(
             (F.col("_run") + F.lit(k) - 1).cast("long").alias("span_tokens"),
         )
     )
+
+
+def phrase_occurrences(
+    corpus_grams: DataFrame,
+    phrases: DataFrame,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+    k: int = 8,
+) -> DataFrame:
+    """EXACT phrase localization over the positional-gram state: every
+    (phrase, doc, start position) where the phrase occurs verbatim —
+    the contamination PINPOINTER (``contamination_check`` says which
+    doc pairs overlap; this says exactly where an eval question lives
+    in the corpus, feeding surgical span removal instead of doc
+    drops). Output: (phrase_id, id, start_pos).
+
+    A phrase of m >= k tokens occurs at position p iff ALL its
+    m-k+1 positional k-grams match at the aligned offsets — so: the
+    phrase side explodes into (phrase_id, offset, hash) and
+    BROADCASTS (eval sets are small by definition), the corpus state
+    is probed by one hash join, and a (phrase, doc, p - offset)
+    aggregate checks the full gram count. The corpus is never
+    re-tokenized (same state relation as the span miner and the
+    streaming store) and never shuffled by text.
+
+    Phrases shorter than k tokens emit no grams and therefore no
+    occurrences (the same floor as min_span_tokens >= k); the k here
+    must equal the k the state was built with."""
+    pid = F.col(phrase_id_col)
+    pg = _positional_kgrams(phrases, phrase_id_col, phrase_col, k).select(
+        pid.alias("_pid"),
+        (F.col("pos") - 1).alias("_off"),
+        "_h",
+    )
+    n_grams = pg.groupBy("_pid").agg(F.count(F.lit(1)).alias("_ng"))
+    pgb = pg.join(n_grams, "_pid")
+    id_col = corpus_grams.columns[0]
+    m = corpus_grams.join(F.broadcast(pgb), "_h").select(
+        F.col("_pid"),
+        F.col(id_col),
+        (F.col("pos") - F.col("_off")).alias("start_pos"),
+        "_ng",
+    )
+    return (
+        m.groupBy("_pid", id_col, "start_pos", "_ng")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == F.col("_ng"))
+        .select(
+            F.col("_pid").alias(phrase_id_col),
+            F.col(id_col),
+            "start_pos",
+        )
+    )
+
+
+def phrase_occurrences_oracle_sql(
+    corpus_sql: str,
+    phrases_sql: str,
+    id_col: str,
+    text_col: str,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+    k: int = 8,
+) -> str:
+    """DuckDB replay of ``phrase_occurrences`` (gram strings as the
+    join key, same aligned-offset full-count check)."""
+    grams = (
+        lambda src, idc, txt: f"""
+      SELECT {idc} AS id, CAST(i AS BIGINT) AS pos,
+             array_to_string(list_slice(toks, CAST(i AS INT),
+                                        CAST(i AS INT) + {k} - 1), ' ') AS g
+      FROM (
+        SELECT {idc}, string_split_regex(lower(trim({txt})), '\\s+') AS toks
+        FROM ({src})
+      ), LATERAL (
+        SELECT UNNEST(range(1, greatest(len(toks) - {k} + 1, 0) + 1)) AS i
+      ) _r"""
+    )
+    return f"""
+    WITH cg AS ({grams(corpus_sql, id_col, text_col)}),
+    pg0 AS ({grams(phrases_sql, phrase_id_col, phrase_col)}),
+    pg AS (
+      SELECT id AS pid, pos - 1 AS off, g FROM pg0
+    ), ng AS (
+      SELECT pid, CAST(COUNT(*) AS BIGINT) AS n FROM pg GROUP BY pid
+    ), m AS (
+      SELECT pg.pid, cg.id, cg.pos - pg.off AS start_pos, ng.n
+      FROM cg JOIN pg USING (g) JOIN ng ON ng.pid = pg.pid
+    )
+    SELECT pid AS {phrase_id_col}, id AS {id_col}, start_pos
+    FROM m GROUP BY pid, id, start_pos, n
+    HAVING COUNT(*) = n
+"""

@@ -444,3 +444,39 @@ def q_exact_substring_incremental_spans(spark, sf_dir):
     return dedup.exact_substring_spans_incremental(
         hist_state, new_state, k=8, min_span_tokens=30, max_gram_freq=64
     )
+
+
+_PHRASES_SQL = r"""
+      SELECT doc_id AS phrase_id,
+             array_to_string(list_slice(
+               string_split_regex(trim(text), '\s+'), 1, 12), ' ') AS phrase
+      FROM documents WHERE doc_id < 5
+"""
+
+
+@register(
+    "phrase_occurrences",
+    dedup.phrase_occurrences_oracle_sql(
+        "SELECT doc_id, text FROM documents", _PHRASES_SQL,
+        "doc_id", "text", k=8,
+    ),
+)
+def q_phrase_occurrences(spark, sf_dir):
+    """Exact contamination localization: the first 12 tokens of docs
+    0-4 play the eval phrases; every verbatim occurrence across the
+    corpus is reported with its exact token position (each phrase hits
+    its own doc at position 1; any other hit is a real leak). Probes
+    the SAME positional-gram state the span miner and streaming store
+    use — broadcast phrase grams, one hash join, aligned-offset full
+    count."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("phrase_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)
+        ).alias("phrase"),
+    )
+    state = dedup.positional_gram_state(docs, "doc_id", "text", k=8)
+    return dedup.phrase_occurrences(state, phrases, k=8)

@@ -1053,3 +1053,33 @@ def test_domain_classifier_argmax_margin_and_ties(spark):
     assert out[3].best_class == "x" and out[3].best_score == 0.0 and out[3].margin == 0.0
     # doc4: featureless but decided
     assert out[4].n_features == 0 and out[4].best_class == "x" and out[4].margin == 0.0
+
+
+def test_phrase_occurrences_exact_positions(spark):
+    """Phrase localization: all and only the verbatim occurrences, at
+    exact 1-based token positions; near-misses (one token off) and
+    sub-k phrases yield nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    phrase = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + phrase + " trailing text"),   # pos 4
+            (2, phrase),                                            # pos 1
+            (3, phrase + " and then " + phrase),                    # pos 1 and 13
+            (4, phrase.replace("lazy", "sleepy")),                  # near-miss
+            (5, "no relation at all"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    phrases = spark.createDataFrame(
+        [(100, phrase), (200, "too short")], "phrase_id: bigint, phrase: string"
+    )
+    state = dedup.positional_gram_state(docs, "doc_id", "text", k=8)
+    got = {
+        (r.phrase_id, r.doc_id, r.start_pos)
+        for r in dedup.phrase_occurrences(state, phrases, k=8).collect()
+    }
+    assert got == {(100, 1, 4), (100, 2, 1), (100, 3, 1), (100, 3, 13)}

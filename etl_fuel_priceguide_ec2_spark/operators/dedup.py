@@ -1388,3 +1388,80 @@ def phrase_occurrences_oracle_sql(
     FROM m GROUP BY pid, id, start_pos, n
     HAVING COUNT(*) = n
 """
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_id_col: str,
+    start_col: str = "start_pos",
+    len_col: str = "span_tokens",
+) -> DataFrame:
+    """Surgical span removal — the excision step the span miner and
+    phrase pinpointer feed: rewrite each document with the flagged
+    token ranges removed (the alternative to dropping a document that
+    is only PARTLY duplicated — keep the original prose, cut the
+    boilerplate/quote). Output: (id, clean_text, n_tokens_removed),
+    one row per INPUT document (span-free docs pass through verbatim,
+    with the same lowercased/whitespace-normalized tokenization as the
+    miner so removal offsets line up).
+
+    ``spans``: (span_id_col, start_col, len_col) token ranges,
+    1-based, possibly overlapping (the union is removed once).
+
+    Plan: ranges explode into (id, pos) covered rows — output volume
+    is total flagged tokens, not corpus tokens; the corpus explodes to
+    (id, pos, token) once and anti-joins covered; one ordered
+    aggregate rebuilds the text. Shuffles are keyed by id; text rides
+    only the final rebuild."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), _WS_RE),
+                lambda t: t != "",
+            )
+        ).alias("_p0", "_tok"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_tok")
+    covered = spans.select(
+        F.col(span_id_col).alias(id_col),
+        F.explode(
+            F.sequence(
+                F.col(start_col), F.col(start_col) + F.col(len_col) - 1
+            )
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                lambda x: x._tok,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    # totals come from the input relation, not the token explode, so
+    # token-less documents still get their output row
+    totals = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), _WS_RE),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("_ntot"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("_ntot") - F.coalesce(F.col("_nkept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -480,3 +480,78 @@ def q_phrase_occurrences(spark, sf_dir):
     )
     state = dedup.positional_gram_state(docs, "doc_id", "text", k=8)
     return dedup.phrase_occurrences(state, phrases, k=8)
+
+
+_EXCISE_ORACLE = f"""
+    WITH spans AS ({dedup.exact_substring_oracle_sql(
+        _ESS_CORPUS_SQL, "doc_id", "text",
+        k=8, min_span_tokens=30, max_gram_freq=64,
+    )}),
+    corpus AS ({_ESS_CORPUS_SQL}),
+    tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM corpus
+    ), toks AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+             toks[CAST(r.i AS INT)] AS tok
+      FROM tl, LATERAL (
+        SELECT UNNEST(range(1, len(toks) + 1)) AS i
+      ) r
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_b AS doc_id,
+               UNNEST(range(b_start, b_start + span_tokens)) AS pos
+        FROM spans
+      )
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN covered c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.pos IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS nkept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tl.doc_id,
+           COALESCE(rebuilt.clean_text, '') AS clean_text,
+           CAST(len(tl.toks) - COALESCE(rebuilt.nkept, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM tl LEFT JOIN rebuilt ON rebuilt.doc_id = tl.doc_id
+"""
+
+
+@register("scrub_duplicated_spans", _EXCISE_ORACLE)
+def q_scrub_duplicated_spans(spark, sf_dir):
+    """Surgical dedup over the planted corpus: every mined shared span
+    is excised from its doc_b side (later id loses, canonical doc_a
+    kept intact) — the keep-the-prose alternative to dropping partly
+    duplicated documents. One output row per corpus doc with the
+    rebuilt text and removed-token count."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40)
+        ).alias("_borrow"),
+    )
+    twins = docs.join(nxt, "doc_id").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.col("_borrow")).alias("text"),
+    )
+    corpus = docs.unionAll(twins)
+    spans = dedup.exact_substring_spans(
+        corpus, "doc_id", "text", k=8, min_span_tokens=30, max_gram_freq=64
+    )
+    return dedup.excise_spans(
+        corpus,
+        spans.select("doc_b", "b_start", "span_tokens"),
+        "doc_id",
+        "text",
+        span_id_col="doc_b",
+        start_col="b_start",
+    )

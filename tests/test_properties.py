@@ -1083,3 +1083,35 @@ def test_phrase_occurrences_exact_positions(spark):
         for r in dedup.phrase_occurrences(state, phrases, k=8).collect()
     }
     assert got == {(100, 1, 4), (100, 2, 1), (100, 3, 1), (100, 3, 13)}
+
+
+def test_excise_spans_hand_checked(spark):
+    """Excision removes exactly the flagged token union (overlaps once),
+    rebuilds the remaining tokens in order, and passes span-free and
+    fully-excised docs through with decided rows."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A b c d e f g h"),   # remove [2..4] and [4..6] -> b..f gone
+            (2, "keep all of this"),
+            (3, "gone entirely"),
+            (4, "   "),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3), (1, 4, 3), (3, 1, 2)],
+        "doc_id: bigint, start_pos: bigint, span_tokens: bigint",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.excise_spans(
+            docs, spans, "doc_id", "text", span_id_col="doc_id"
+        ).collect()
+    }
+    assert out[1].clean_text == "a g h"          # lowercased, b-f excised
+    assert out[1].n_tokens_removed == 5          # union of [2,4] and [4,6]
+    assert out[2].clean_text == "keep all of this" and out[2].n_tokens_removed == 0
+    assert out[3].clean_text == "" and out[3].n_tokens_removed == 2
+    assert out[4].clean_text == "" and out[4].n_tokens_removed == 0

@@ -125,6 +125,9 @@ HEADLINE = [
     # its daily-ingest state-probe form (new x all, never all x all)
     "exact_substring_spans",
     "exact_substring_incremental_spans",
+    # winnowing fingerprint index + candidate self-join (the MOSS
+    # compression-first near-dup plan family)
+    "winnow_candidate_pairs",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

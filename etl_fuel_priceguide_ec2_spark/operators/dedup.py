@@ -876,25 +876,39 @@ _WS_RE = r"\s+"
 
 
 def _positional_kgrams(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, hash: str = "xxhash64"
 ) -> DataFrame:
     """(id, pos, _h): every word k-gram with its 1-based token start
-    position; _h is the 64-bit gram hash (join key — 8 bytes in the
-    shuffle, never the gram string). Docs shorter than k tokens emit
-    nothing. sequence() is guarded against its descending-step trap
-    (sequence(1, 0) yields [1, 0], not empty)."""
+    position; _h is the gram hash (join key — 8 bytes in the shuffle,
+    never the gram string). Docs shorter than k tokens emit nothing.
+    sequence() is guarded against its descending-step trap
+    (sequence(1, 0) yields [1, 0], not empty).
+
+    ``hash``: "xxhash64" (default — fastest; fine whenever the hash is
+    only an internal join key, as in span mining, whose oracle joins
+    on gram strings) or "md5" (the engine-portable 60-bit draw — the
+    only valid choice when hash VALUES surface in results, e.g.
+    winnowing fingerprints, whose min-selection the oracle must
+    replay)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS_RE)
     n = F.size(toks)
     seq = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k) + 1)).otherwise(
         F.array().cast("array<int>")
     )
+    gram = F.concat_ws(" ", F.expr(f"slice(_toks, pos, {k})"))
+    if hash == "xxhash64":
+        h = F.xxhash64(gram)
+    elif hash == "md5":
+        h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash {hash!r}")
     return (
         fan_out(df)
         .select(F.col(id_col), toks.alias("_toks"), F.explode(seq).alias("pos"))
         .select(
             F.col(id_col),
             F.col("pos").cast("long").alias("pos"),
-            F.xxhash64(F.concat_ws(" ", F.expr(f"slice(_toks, pos, {k})"))).alias("_h"),
+            h.alias("_h"),
         )
     )
 
@@ -1198,14 +1212,17 @@ def span_coverage_oracle_sql(
 
 
 def positional_gram_state(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame, id_col: str, text_col: str, k: int = 8,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """The persistable exact-substring state relation: (id, pos, _h) —
     one row per positional k-gram, 8-byte hashes, no text. Slices
     union by plain concat (ids are disjoint across slices), exactly
     like the LSH band-bucket state: persist at ingest, mine later
-    without re-tokenizing history."""
-    return _positional_kgrams(df, id_col, text_col, k)
+    without re-tokenizing history. Build with hash="md5" if the state
+    must also serve winnowing fingerprints (whose selected hash VALUES
+    must replay engine-portably)."""
+    return _positional_kgrams(df, id_col, text_col, k, hash)
 
 
 def exact_substring_spans_incremental(
@@ -1465,3 +1482,126 @@ def excise_spans(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def winnow_fingerprints(
+    corpus_grams: DataFrame, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) over the positional-gram state:
+    in every sliding window of ``w`` consecutive k-gram hashes, select
+    the minimum; the doc's fingerprint is the distinct selected
+    values. Output: (id, fp) distinct.
+
+    The guarantee that makes it an INDEX rather than a sample: any
+    shared substring of >= w + k - 1 tokens shares at least one
+    selected fingerprint (every length-w window of its grams is fully
+    inside the match on both sides, and a window's min is always
+    selected). Expected density 2/(w+1), so the index is ~2/(w+1) the
+    size of the full gram relation — the storage/recall knob the full
+    positional index doesn't have. One window + one distinct, both on
+    the id partitioning."""
+    if w < 1:
+        raise ValueError(f"window w must be >= 1, got {w}")
+    id_col = corpus_grams.columns[0]
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    return (
+        corpus_grams.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("_h").over(win).alias("fp"),
+        )
+        # only windows with the full w grams select (pos starts at 1)
+        .filter(F.col("pos") >= w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def fingerprint_candidates(
+    fps: DataFrame, min_shared: int = 2, max_fp_freq: int | None = 64
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints —
+    the MOSS match step: self-join the fingerprint index, count shared
+    values per pair, keep pairs with >= ``min_shared``. Output:
+    (doc_a, doc_b, n_shared) with doc_a < doc_b.
+
+    ``max_fp_freq`` drops fingerprints present in more than that many
+    documents before the self-join (a fingerprint in f docs costs
+    O(f^2) pair rows — ubiquitous boilerplate again), the same
+    count-prefilter as the gram join and LSH buckets."""
+    id_col = fps.columns[0]
+    fp = fps
+    if max_fp_freq is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_fp_freq)
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp")
+    a = fp.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fp.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_candidates_oracle_sql(
+    corpus_sql: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 64,
+) -> str:
+    """DuckDB replay of ``winnow_fingerprints`` +
+    ``fingerprint_candidates`` — possible precisely because the
+    fingerprints are md5-60bit values both engines compute
+    identically (the min-selection is over the same numbers)."""
+    cap = (
+        f"""
+    , kept AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {max_fp_freq})
+    , f2 AS (SELECT fps.id, fps.fp FROM fps JOIN kept USING (fp))"""
+        if max_fp_freq is not None
+        else "\n    , f2 AS (SELECT * FROM fps)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS id,
+             string_split_regex(lower(trim({text_col})), '\\s+') AS toks
+      FROM ({corpus_sql})
+    ), grams AS (
+      SELECT id, CAST(i AS BIGINT) AS pos,
+             CAST('0x' || substring(md5(
+               array_to_string(list_slice(toks, CAST(i AS INT),
+                                          CAST(i AS INT) + {k} - 1), ' ')
+             ), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT id, toks,
+               UNNEST(range(1, greatest(len(toks) - {k} + 1, 0) + 1)) AS i
+        FROM tok
+      )
+    ), fp0 AS (
+      SELECT id, pos,
+             MIN(h) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS fp
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT id, fp FROM fp0 WHERE pos >= {w}
+    ){cap}
+    SELECT a.id AS doc_a, b.id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING COUNT(*) >= {min_shared}
+"""

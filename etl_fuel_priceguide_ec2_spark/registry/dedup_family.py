@@ -555,3 +555,37 @@ def q_scrub_duplicated_spans(spark, sf_dir):
         span_id_col="doc_b",
         start_col="b_start",
     )
+
+
+@register(
+    "winnow_candidate_pairs",
+    dedup.winnow_candidates_oracle_sql(
+        _ESS_CORPUS_SQL, "doc_id", "text",
+        k=8, w=4, min_shared=2, max_fp_freq=64,
+    ),
+)
+def q_winnow_candidate_pairs(spark, sf_dir):
+    """MOSS-style winnowing over the planted corpus: the md5-hash
+    positional-gram state winnowed at w=4 (index ~2/(w+1) the gram
+    relation's size — the storage knob the full index lacks;
+    substrings >= w+k-1 = 11 tokens are guaranteed a shared
+    fingerprint), then candidate pairs with >= 2 shared fingerprints
+    (hot fingerprints capped at 64 docs). The cheap first pass whose
+    candidates exact_substring_spans verifies exactly."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 40)
+        ).alias("_borrow"),
+    )
+    twins = docs.join(nxt, "doc_id").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.col("_borrow")).alias("text"),
+    )
+    corpus = docs.unionAll(twins)
+    state = dedup.positional_gram_state(corpus, "doc_id", "text", k=8, hash="md5")
+    fps = dedup.winnow_fingerprints(state, w=4)
+    return dedup.fingerprint_candidates(fps, min_shared=2, max_fp_freq=64)

@@ -1115,3 +1115,40 @@ def test_excise_spans_hand_checked(spark):
     assert out[2].clean_text == "keep all of this" and out[2].n_tokens_removed == 0
     assert out[3].clean_text == "" and out[3].n_tokens_removed == 2
     assert out[4].clean_text == "" and out[4].n_tokens_removed == 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: docs sharing a substring of
+    >= w + k - 1 tokens share at least one selected fingerprint (on
+    randomized corpora with planted spans); the index is smaller than
+    the full gram relation (density ~2/(w+1))."""
+    import random
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    rng = random.Random(11)
+    k, w = 4, 4
+    span = [f"sh{i}" for i in range(w + k - 1)]  # exactly the guarantee floor
+    docs = []
+    for d in range(8):
+        filler = [f"d{d}_{i}" for i in range(rng.randint(10, 25))]
+        cut = rng.randint(0, len(filler))
+        body = filler[:cut] + (span if d % 2 == 0 else []) + filler[cut:]
+        docs.append((d, " ".join(body)))
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    state = dedup.positional_gram_state(df, "doc_id", "text", k=k, hash="md5")
+    fps = dedup.winnow_fingerprints(state, w=w)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.fingerprint_candidates(
+            fps, min_shared=1, max_fp_freq=None
+        ).collect()
+    }
+    planted = {(a, b) for a in range(0, 8, 2) for b in range(0, 8, 2) if a < b}
+    assert planted <= cands  # the guarantee: no planted pair is missed
+
+    n_grams = state.count()
+    n_fps = fps.count()
+    assert n_fps < n_grams  # it IS a compression
+    # density sanity: within 3x of the expected 2/(w+1)
+    assert n_fps / n_grams < 3 * 2 / (w + 1)

@@ -638,3 +638,19 @@ def test_exact_substring_islands_share_one_exchange(spark, sf_dir):
         re.findall(r"hashpartitioning\(doc_a[^)]*diag", plan)
     )
     assert n_diag_exchanges == 1, plan[:2000]
+
+
+def test_domain_classifier_grid_is_the_only_nested_loop(spark, sf_dir):
+    """The multiclass grid is a broadcast cross with the |classes|-row
+    relation (3 rows here) — the sanctioned BroadcastNestedLoopJoin
+    shape; the model join itself must be a BroadcastHashJoin and
+    nothing may be cartesian."""
+    import re
+
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["domain_classifier_labels"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1

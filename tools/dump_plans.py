@@ -77,6 +77,16 @@ NOTES = {
     "zorder_layout_lineitem": "the Morton value is one flat shift/mask codegen expression from inlined min/max literals; the bucket stats are a 16-group aggregate — the write-side clustering cost is exactly one range-sort shuffle.",
     "minhash_incremental_pairs": "the new slice's band buckets drive the candidate join against the full bucket store — history x history pairs structurally never form; verify joins touch candidate ids only.",
     "pagerank_supplier_customer": "loop-invariant edge/degree/node relations checkpointed once; each iteration is one keyed join + one map-combined aggregate + the node left-join, with 12-dp decimal contribution sums keeping state engine-portable.",
+    "quality_classifier_scores": "broadcast-model inference: explode_outer keeps featureless docs decided with NO doc_id spine join; the only join is the BroadcastHashJoin against the compiled weight table; one map-combined per-doc aggregate.",
+    "domain_classifier_labels": "one corpus featurization for all classes; the |classes|-row grid is the sanctioned BroadcastNestedLoopJoin; per-(doc, class) decimal sums shuffle once; argmax is a per-doc window over |classes| rows.",
+    "exact_substring_spans": "positional grams carry (id, pos, 8-byte hash); the frequency cap drops boilerplate grams BEFORE the self-join; the islands window and run aggregate share ONE (doc_a, doc_b, diag) exchange.",
+    "exact_substring_incremental_spans": "the new slice's grams probe the full state union — history x history candidates structurally never form; cap frequencies computed over the union match from-scratch semantics.",
+    "duplicated_span_coverage": "the interval-union window + coverage aggregate run on the tiny spans relation; the corpus contributes only its per-doc token counts via one left join.",
+    "scrub_duplicated_spans": "flagged ranges explode to covered (id, pos) rows (volume = flagged tokens); the corpus token explode anti-joins them; one ordered aggregate rebuilds each text — all exchanges keyed by id.",
+    "phrase_occurrences": "phrase grams broadcast (eval sets are small); ONE hash join probes the corpus state; the aligned-offset full-count check is a map-combined aggregate — the corpus is never re-tokenized.",
+    "winnow_candidate_pairs": "the winnow min is one window on the id partitioning; the fingerprint index is ~2/(w+1) of the gram relation; hot fingerprints capped before the candidate self-join.",
+    "bpe_encoded_vocab": "the encode relation is VOCAB-sized (Heaps' law): per-word symbol state from the training loop folds into one string_agg-style ordered aggregate per word.",
+    "bpe_tokens_per_doc": "the vocab-sized encode relation broadcast-stamps the corpus word stream; the only corpus-scale exchange is the per-doc sum.",
 }
 
 

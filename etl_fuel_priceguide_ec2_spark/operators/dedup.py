@@ -1605,3 +1605,119 @@ def winnow_candidates_oracle_sql(
     GROUP BY a.id, b.id
     HAVING COUNT(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# X2d — asymmetric containment join (near-superset / quote-inclusion)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    prefix_filter: bool = False,
+) -> DataFrame:
+    """X2d: DIRECTED containment pairs by word n-gram shingles —
+    C(A, B) = |A ∩ B| / |A| >= threshold, emitted as
+    (id_a, id_b, size_a, size_b, containment) meaning "A is (mostly)
+    contained in B". The asymmetric complement to Jaccard near-dup
+    (`ngram_jaccard_pairs`): a short document quoted whole inside a much
+    longer one scores containment ~1.0 while its Jaccard is ~|A|/|B| —
+    invisible to any symmetric threshold. The training-data use is
+    anthology/aggregator pages and quote-inclusion: drop (or down-weight)
+    the contained copy, keep the container.
+
+    Both directions are emitted independently when both pass (two docs of
+    similar size that overlap heavily yield two rows) — callers that want
+    an undirected relation filter id_a < id_b after the fact.
+
+    Scale shape (100 TB): identical skeleton to the SSJoin — shingles are
+    8-byte xxhash64 keys (strings never shuffle); the one-sided length
+    prune |B| >= t·|A| (containment >= t forces |A∩B| >= t|A| and
+    |A∩B| <= |B|) drops candidate rows BEFORE the count aggregate. Unlike
+    Jaccard there is no upper size bound — supersets are the point — so
+    on boilerplate-skewed corpora use ``prefix_filter=True``: order each
+    probe set rare-shingle-first by global document frequency and index
+    only its first |A| - ceil(t·|A|) + 1 shingles (if none of those hit
+    B, fewer than t·|A| of A's shingles can be in B — pigeonhole), while
+    the candidate-container side stays fully indexed. Recall is exactly
+    1.0; hot shingles sort into probe suffixes and never drive the join.
+    Candidates are then verified with exact intersection on the full
+    hashed arrays.
+    """
+    sets = hashed_shingle_sets(df, id_col, text_col, n)
+    need = F.ceil(F.lit(threshold) * F.col("size_a")).cast("long")
+    if not prefix_filter:
+        sh = sets.select(
+            F.col(id_col), F.size("shingles").alias("set_size"), F.explode("shingles").alias("sh")
+        )
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh")
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh")
+        return (
+            a.join(b, "sh")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .filter(F.col("size_b") >= need)
+            .groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= need)
+            .select(
+                "id_a",
+                "id_b",
+                F.col("size_a").cast("long").alias("size_a"),
+                F.col("size_b").cast("long").alias("size_b"),
+                F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
+            )
+        )
+
+    # PPJoin-for-containment: probe side indexes only its rare-first
+    # prefix; container side indexes everything (supersets can hold the
+    # probe's rare shingles anywhere). Same df-ordering machinery as the
+    # Jaccard prefix path.
+    sh = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            F.col(id_col),
+            F.size("ord").alias("set_size"),
+            F.slice(
+                F.transform("ord", lambda x: x["shingle"]),
+                1,
+                (F.size("ord") - F.ceil(F.lit(threshold) * F.size("ord")) + 1).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+    probe = ordered.select(
+        F.col(id_col).alias("id_a"),
+        F.col("set_size").alias("size_a"),
+        F.explode("prefix").alias("sh"),
+    )
+    full = sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh"))
+    candidates = (
+        probe.join(full, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("size_a", F.size("sh_a").cast("long"))
+        .withColumn("size_b", F.size("sh_b").cast("long"))
+        .filter(F.col("n_common") >= need)
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
+        )
+    )

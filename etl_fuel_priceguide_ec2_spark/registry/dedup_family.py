@@ -589,3 +589,73 @@ def q_winnow_candidate_pairs(spark, sf_dir):
     state = dedup.positional_gram_state(corpus, "doc_id", "text", k=8, hash="md5")
     fps = dedup.winnow_fingerprints(state, w=4)
     return dedup.fingerprint_candidates(fps, min_shared=2, max_fp_freq=64)
+
+
+# ---------------------------------------------------------------------------
+# X2d — asymmetric containment (quote-inclusion / anthology detection)
+# ---------------------------------------------------------------------------
+
+# Corpus augmented with derived "anthology" docs (two consecutive source
+# docs concatenated — every 40th id) so true short-in-long containment is
+# exercised: each component is fully contained (C = 1.0) in its anthology
+# while the anthology's own containment in either component is ~0.5,
+# which a symmetric Jaccard threshold can never separate. The derivation
+# is pure SQL over the fixture tables, replayed verbatim by the oracle.
+_CONTAINMENT_ORACLE = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT 10000000 + a.doc_id AS doc_id, a.text || ' ' || b.text AS text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 40 = 0 AND length(a.text) > 0 AND length(b.text) > 0
+    ), d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(toks) - 3 + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM d
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(x.set_size AS BIGINT) AS size_a,
+           CAST(y.set_size AS BIGINT) AS size_b,
+           ROUND(n_common * 1.0 / x.set_size, 6) AS containment
+    FROM inter
+    JOIN sz x ON id_a = x.doc_id
+    JOIN sz y ON id_b = y.doc_id
+    WHERE n_common >= CAST(CEIL(0.9 * x.set_size) AS BIGINT)
+"""
+
+
+@register("containment_pairs", _CONTAINMENT_ORACLE)
+def q_containment_pairs(spark, sf_dir):
+    """X2d: directed containment C(A,B) = |A∩B|/|A| >= 0.9 over word
+    3-gram shingles — the asymmetric dedup relation that catches a doc
+    quoted whole inside a longer one (Jaccard ~|A|/|B| misses it at any
+    symmetric threshold). Fixture corpus is skew-free so the naive
+    inverted-index path is pinned; prefix_filter=True is the
+    boilerplate-corpus form (equality of both paths pinned by test)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next"))
+    anth = (
+        docs.filter((F.col("doc_id") % 40) == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.lit(10_000_000) + F.col("doc_id")).alias("doc_id"),
+            F.concat_ws(" ", "text", "_next").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(anth)
+    return dedup.containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9)

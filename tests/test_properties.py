@@ -1152,3 +1152,67 @@ def test_winnowing_guarantee_and_density(spark):
     assert n_fps < n_grams  # it IS a compression
     # density sanity: within 3x of the expected 2/(w+1)
     assert n_fps / n_grams < 3 * 2 / (w + 1)
+
+
+# ---------------------------------------------------------------------------
+# X2d containment join
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    C(short, long) = 1.0 while Jaccard ~ |A|/|B| sits far below any
+    useful symmetric threshold."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler.upper())],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5, prefix_filter=False)
+    assert jac.count() == 0
+
+
+def test_containment_prefix_path_equals_naive(spark, sf_dir):
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    naive = {
+        tuple(r)
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.7, prefix_filter=False
+        ).collect()
+    }
+    prefix = {
+        tuple(r)
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.7, prefix_filter=True
+        ).collect()
+    }
+    assert naive == prefix
+    assert len(naive) > 0
+
+
+def test_containment_is_directed(spark):
+    """Near-superset emits only the contained->container direction at a
+    high threshold; two near-identical docs emit both directions."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    base = " ".join(f"t{i} u{i} v{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra trailing tokens here " + " ".join(f"z{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    )
+    got = {(r.id_a, r.id_b) for r in dedup.containment_pairs(df, "doc_id", "text", threshold=0.9).collect()}
+    assert got == {(1, 2)}
+    twins = spark.createDataFrame([(1, base), (2, base + " tail")], ["doc_id", "text"])
+    got2 = {(r.id_a, r.id_b) for r in dedup.containment_pairs(twins, "doc_id", "text", threshold=0.9).collect()}
+    assert got2 == {(1, 2), (2, 1)}

@@ -659,3 +659,53 @@ def q_containment_pairs(spark, sf_dir):
     )
     corpus = docs.unionByName(anth)
     return dedup.containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage (SymSpell symmetric-delete join)
+# ---------------------------------------------------------------------------
+
+# Dirty-dim fixture derived in SQL from customer names: every 5th
+# customer's clean name, plus a one-character-deleted corruption of
+# every 15th (deletion position keyed on custkey) — the re-linking
+# story. Natural one-digit-substitution neighbors among the clean names
+# are found too (Customer#...001 vs ...002 is distance 1).
+_SYMSPELL_CORPUS_SQL = """
+  SELECT c_name AS name FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT substring(c_name, 1, (c_custkey % length(c_name))) ||
+         substring(c_name, (c_custkey % length(c_name)) + 2) AS name
+  FROM customer WHERE c_custkey % 15 = 0
+"""
+
+
+from etl_fuel_priceguide_ec2_spark.operators import linkage as _linkage
+
+
+@register(
+    "symspell_edit1_pairs",
+    _linkage.symspell_oracle_sql(_SYMSPELL_CORPUS_SQL, "name", min_len=4),
+)
+def q_symspell_edit1_pairs(spark, sf_dir):
+    """Fuzzy linkage: edit-distance-1 pairs over a dirty name relation
+    via SymSpell symmetric-delete blocking (hashed 1-deletion
+    neighborhoods, equi-join, exact levenshtein verify — never
+    all-pairs). Reference parity: the conditional-upsert dim flow
+    (index.js:242-294) assumes exact keys; this is the primitive that
+    re-links near-key dirt before the upsert."""
+    from pyspark.sql import functions as F
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.filter((F.col("c_custkey") % 5) == 0).select(
+        F.col("c_name").alias("name")
+    )
+    pos = (F.col("c_custkey") % F.length("c_name")).cast("int")
+    dirty = cust.filter((F.col("c_custkey") % 15) == 0).select(
+        F.concat(
+            F.substring(F.col("c_name"), 1, pos),
+            F.col("c_name").substr(pos + F.lit(2), F.length("c_name")),
+        ).alias("name")
+    )
+    corpus = clean.unionByName(dirty)
+    return linkage.symspell_pairs(corpus, "name", min_len=4)

@@ -1216,3 +1216,70 @@ def test_containment_is_directed(spark):
     twins = spark.createDataFrame([(1, base), (2, base + " tail")], ["doc_id", "text"])
     got2 = {(r.id_a, r.id_b) for r in dedup.containment_pairs(twins, "doc_id", "text", threshold=0.9).collect()}
     assert got2 == {(1, 2), (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# SymSpell fuzzy linkage
+# ---------------------------------------------------------------------------
+
+
+def test_symspell_matches_bruteforce_levenshtein(spark):
+    """Exactness: symmetric-delete blocking + verify equals the all-pairs
+    levenshtein <= 1 relation on a mixed fixture (substitution, deletion,
+    insertion, transposition-distance-2 excluded, equal strings collapsed
+    into counts)."""
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+    from pyspark.sql import functions as F
+
+    names = [
+        "johnson", "jonson", "johnsen",      # deletion + substitution family
+        "smithe", "smith", "smiths",         # insertion chains
+        "widget", "wigdet",                  # transposition = distance 2: excluded
+        "acme corp", "acme corp", "acme cor" # duplicate string -> cnt 2
+    ]
+    df = spark.createDataFrame([(s,) for s in names], ["name"])
+    got = {
+        (r.s_a, r.s_b, r.cnt_a, r.cnt_b, r.dist)
+        for r in linkage.symspell_pairs(df, "name", min_len=4).collect()
+    }
+    distinct = sorted(set(names))
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (a, b, names.count(a), names.count(b), 1)
+        for a, b in itertools.combinations(distinct, 2)
+        if lev(a, b) == 1
+    }
+    assert got == want
+    assert ("widget", "wigdet", 1, 1, 1) not in got  # transposition is distance 2
+
+
+def test_symspell_hot_bucket_cap_drops_only_saturated_variants(spark):
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    # 6 strings all sharing the deletion variant 'aaaa' (delete one of 5 a's
+    # after a distinct head char is wrong — craft: Xaaaa family shares 'aaaa')
+    fam = [c + "aaaa" for c in "bcdefg"]
+    iso = ["zzzzq", "zzzzw"]  # small family, survives the cap
+    df = spark.createDataFrame([(s,) for s in fam + iso], ["name"])
+    exact = linkage.symspell_pairs(df, "name", min_len=4).count()
+    capped = linkage.symspell_pairs(df, "name", min_len=4, max_variant_freq=3)
+    got = {(r.s_a, r.s_b) for r in capped.collect()}
+    assert ("zzzzq", "zzzzw") in got
+    assert len(got) < exact  # the saturated family's pairs were dropped
+
+
+def test_symspell_min_len_excludes_short_strings(spark):
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    df = spark.createDataFrame([("ab",), ("ac",), ("abcd",), ("abcde",)], ["name"])
+    got = {(r.s_a, r.s_b) for r in linkage.symspell_pairs(df, "name", min_len=4).collect()}
+    assert got == {("abcd", "abcde")}

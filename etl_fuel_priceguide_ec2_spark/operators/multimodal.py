@@ -284,3 +284,155 @@ def audio_zero_crossings(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_ZC_SCHEMA])
 
     return media.select("doc_id", "payload").mapInPandas(_zc, AUDIO_ZC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# X5b — image perceptual-hash dedup (aHash over decoded payloads)
+# ---------------------------------------------------------------------------
+
+IMAGE_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("b0", LongType(), True),
+        StructField("b1", LongType(), True),
+        StructField("b2", LongType(), True),
+        StructField("b3", LongType(), True),
+    ]
+)
+
+
+def synth_image(doc_id: int, size: int = 16, classes: int = 100):
+    """Deterministic RGB test image for doc ``doc_id`` (fixtures ship no
+    real images): a per-class linear-gradient-mod-256 pattern shared by
+    all docs with the same ``doc_id % classes``, plus a one-pixel
+    clamped per-doc perturbation — so same-class images are perceptual
+    near-dups (aHash Hamming <= 2-3: each doc's pixel flips at most
+    about one bit) while classes differ by ~32 bits on average.
+    Pure integer math, replayable in SQL."""
+    import numpy as np
+
+    cls = doc_id % classes
+    y, x = np.mgrid[0:size, 0:size]
+    r = (cls * 37 + x * 11 + y * 5) % 256
+    g = (cls * 59 + x * 3 + y * 17) % 256
+    b = (cls * 83 + x * 7 + y * 13) % 256
+    img = np.stack([r, g, b], axis=-1).astype(np.int64)
+    px, py = doc_id % size, (doc_id // size) % size
+    img[py, px, 0] = min(255, int(img[py, px, 0]) + (doc_id % 5))
+    return img.astype(np.uint8)
+
+
+def to_image_media(df: DataFrame, id_col: str, size: int = 16, classes: int = 100) -> DataFrame:
+    """Synthesize a REAL binary-PPM payload per row (the from-scratch P6
+    encoder over ``synth_image``). Arrow-batched; payloads are produced
+    executor-side and never visit the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_fuel_priceguide_ec2_spark.operators import imagecodec
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: imagecodec.encode_ppm(synth_image(int(i), size, classes)))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _synth(F.col(id_col)).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+    )
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """aHash (average hash) per decoded image payload, emitted as four
+    16-bit bands (b0..b3) instead of one 64-bit word — the packing that
+    (a) never touches a BIGINT sign bit and (b) IS the LSH blocking key
+    for the pair join. Pipeline per image, all integer: decode (real P6
+    parser) → gray = (r+g+b)//3 → 8×8 block means (floor) → bit j set
+    iff mean_j * 64 > Σ means (the division-free form of "above
+    average") → bits [16k, 16k+16) pack into band k.
+
+    100 TB shape: payloads stream through mapInPandas in Arrow batches;
+    what shuffles downstream is 4 longs per image — the hash relation is
+    the persistable state (ingest once, mine pairs forever), exactly the
+    MinHash-LSH state contract."""
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import imagecodec
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = imagecodec.decode(bytes(payload)).astype(np.int64)
+                h, w, _ = img.shape
+                gray = img.sum(axis=-1) // 3
+                bh, bw = h // 8, w // 8
+                g8 = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (
+                    bh * bw
+                )
+                s = int(g8.sum())
+                bits = (g8.flatten() * 64 > s).astype(np.int64)
+                bands = [
+                    int(sum(int(bits[16 * k + j]) << j for j in range(16)))
+                    for k in range(4)
+                ]
+                rows.append(
+                    {"doc_id": doc_id, "b0": bands[0], "b1": bands[1], "b2": bands[2], "b3": bands[3]}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_AHASH_SCHEMA])
+
+    return media.select("doc_id", "payload").mapInPandas(_hash, IMAGE_AHASH_SCHEMA)
+
+
+def image_ahash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup image pairs from the aHash band relation: candidates
+    must share >= 1 of the 4 bands (pigeonhole: Hamming <= 3 over 64
+    bits forces one band identical — recall is exactly 1.0 for
+    max_hamming <= 3), verified by the exact band-wise popcount. The
+    SimHash prefix-block pattern applied to image space; the join never
+    sees payloads, only 4-long rows."""
+    if max_hamming >= 4:
+        raise ValueError("band blocking guarantees recall only for max_hamming <= 3")
+    bands = hashes.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), F.col("b0").alias("v")),
+                F.struct(F.lit(1).alias("band_id"), F.col("b1").alias("v")),
+                F.struct(F.lit(2).alias("band_id"), F.col("b2").alias("v")),
+                F.struct(F.lit(3).alias("band_id"), F.col("b3").alias("v")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", F.col("bk.band_id").alias("band_id"), F.col("bk.v").alias("v"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"a{c}") for c in ("b0", "b1", "b2", "b3")],
+        "band_id",
+        "v",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"b{c}") for c in ("b0", "b1", "b2", "b3")],
+        "band_id",
+        "v",
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"ab{k} ^ bb{k}").cast("long")) for k in range(4)
+    )
+    return (
+        a.join(b, ["band_id", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            *[F.col(f"ab{k}").alias(f"ab{k}") for k in range(4)],
+            *[F.col(f"bb{k}").alias(f"bb{k}") for k in range(4)],
+        )
+        .distinct()
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -271,3 +271,59 @@ def q_audio_zero_crossings(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.to_audio_media(docs, "doc_id", n_samples=4000, sample_rate=8000)
     return multimodal.audio_zero_crossings(media)
+
+
+@register(
+    "image_ahash_near_pairs",
+    """
+    WITH px AS (
+      SELECT d.doc_id, d.doc_id % 100 AS cls,
+             p.p % 16 AS x, p.p // 16 AS y
+      FROM documents d CROSS JOIN unnest(generate_series(0, 255)) AS p(p)
+    ), gray AS (
+      SELECT doc_id, x, y,
+        ((CASE WHEN x = doc_id % 16 AND y = (doc_id // 16) % 16
+              THEN LEAST(255, ((cls * 37 + x * 11 + y * 5) % 256) + (doc_id % 5))
+              ELSE (cls * 37 + x * 11 + y * 5) % 256 END)
+         + ((cls * 59 + x * 3 + y * 17) % 256)
+         + ((cls * 83 + x * 7 + y * 13) % 256)) // 3 AS g
+      FROM px
+    ), cells AS (
+      SELECT doc_id, (y // 2) AS i, (x // 2) AS j, SUM(g) // 4 AS g8
+      FROM gray GROUP BY doc_id, (y // 2), (x // 2)
+    ), tot AS (
+      SELECT doc_id, SUM(g8) AS s FROM cells GROUP BY doc_id
+    ), bits AS (
+      SELECT c.doc_id, (c.i * 8 + c.j) AS idx,
+             CASE WHEN c.g8 * 64 > t.s THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    ), bands AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN idx // 16 = 0 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b0,
+        CAST(SUM(CASE WHEN idx // 16 = 1 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b1,
+        CAST(SUM(CASE WHEN idx // 16 = 2 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
+        CAST(SUM(CASE WHEN idx // 16 = 3 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def q_image_ahash_near_pairs(spark, sf_dir):
+    """X5b: image near-dup pairs by perceptual aHash over REAL decoded
+    PPM payloads (the full encode → P6 parse → gray → 8×8 block-mean →
+    threshold → 16-bit band pipeline runs executor-side; only 4 longs
+    per image shuffle). Candidates must share a band (exact recall at
+    Hamming <= 3 by pigeonhole), then exact popcount verify — SimHash's
+    blocking pattern applied to image space. The oracle replays the
+    deterministic pixel synthesis and the identical integer hash math
+    in SQL; the Spark side gets the pixels by actually decoding the
+    binary payloads, so the codec round trip is what's being verified."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
+    hashes = multimodal.image_ahash(media)
+    return multimodal.image_ahash_pairs(hashes, max_hamming=3)

@@ -1283,3 +1283,61 @@ def test_symspell_min_len_excludes_short_strings(spark):
     df = spark.createDataFrame([("ab",), ("ac",), ("abcd",), ("abcde",)], ["name"])
     got = {(r.s_a, r.s_b) for r in linkage.symspell_pairs(df, "name", min_len=4).collect()}
     assert got == {("abcd", "abcde")}
+
+
+# ---------------------------------------------------------------------------
+# X5b image perceptual-hash dedup
+# ---------------------------------------------------------------------------
+
+
+def test_image_ahash_pairs_equal_bruteforce(spark):
+    """Band blocking loses no pairs at Hamming <= 3 (pigeonhole recall),
+    and every emitted Hamming equals the brute-force popcount over the
+    same hash relation."""
+    import itertools
+
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    docs = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    hashes = multimodal.image_ahash(multimodal.to_image_media(docs, "doc_id", classes=12))
+    hrows = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in hashes.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(hrows), 2):
+        h = sum(bin(hrows[a][k] ^ hrows[b][k]).count("1") for k in range(4))
+        if h <= 3:
+            want[(a, b)] = h
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_ahash_pairs(hashes, max_hamming=3).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_image_ahash_same_class_docs_are_near_dups(spark):
+    """The planted property: every same-class pair (identical base
+    pattern, one perturbed pixel per doc) is found — each perturbation
+    flips at most ~1 bit, so same-class Hamming stays within the
+    blocking bound of 3."""
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    hashes = multimodal.image_ahash(multimodal.to_image_media(docs, "doc_id", classes=8))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_ahash_pairs(hashes, max_hamming=3).collect()
+    }
+    for a in range(40):
+        for b in range(a + 8, 40, 8):  # same class: b = a + k*classes
+            assert (a, b) in pairs and pairs[(a, b)] <= 3
+
+
+def test_image_ahash_pairs_rejects_uncovered_hamming(spark):
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    docs = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    hashes = multimodal.image_ahash(multimodal.to_image_media(docs, "doc_id"))
+    with pytest.raises(ValueError):
+        multimodal.image_ahash_pairs(hashes, max_hamming=4)

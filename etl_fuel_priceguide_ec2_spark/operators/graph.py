@@ -299,3 +299,144 @@ def triangle_oracle_sql(
       FROM result
     ) WHERE rnk <= {topk}
 """
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED edge list, L1
+    normalization (each phase divides by the global score sum — HITS
+    ranking is invariant to the choice of norm, and L1 keeps every
+    operand inside the repo's exact-decimal discipline where the L2
+    sqrt would not be engine-portable). Output: (node, hub, auth) for
+    every node, both rounded to 12 dp; nodes without out-edges carry
+    hub 0, without in-edges auth 0.
+
+    Per iteration: auth_raw(v) = Σ_{u→v} hub(u) as a 12-dp DECIMAL sum
+    (addition-order-free), normalized by the one-row global total —
+    broadcast back, never a shuffle — then the symmetric hub phase.
+    The total's decimal magnitude stays < ~10^4, so its unscaled value
+    is < 2^53 and the decimal→double cast is the same single IEEE
+    rounding in both engines (the PageRank contribution-cast argument);
+    the division is then exact-operand double arithmetic, rounded back
+    to 12 dp. Every iteration is bit-identical to the oracle's
+    unrolled CTE replay.
+
+    Plan per iteration: 2 keyed joins + 2 map-side-combined aggregates
+    + 2 one-row totals; state localCheckpointed so lineage stays flat
+    (the connected_components / pagerank lesson)."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    hubs = nodes.select("node", F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("hub"))
+    auths = None
+
+    def _phase(state: DataFrame, score: str, join_on: str, group_on: str, out: str) -> DataFrame:
+        # checkpoint the raw sums BEFORE the total: the one-row total
+        # aggregate and the normalize join both consume `raw`, and an
+        # unmaterialized lineage would run the edge join twice per phase
+        # (measured 45 -> 28 s for the sf0.01 registry query)
+        raw = (
+            e.join(state, e[join_on] == state["node"])
+            .select(
+                F.col(group_on).alias("node"),
+                F.round(F.col(score), 12).cast("decimal(38,12)").alias("_r"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_r").alias("_raw"))
+            .localCheckpoint(eager=True)
+        )
+        tot = raw.agg(F.sum("_raw").alias("_t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("_t").isNull() | (F.col("_t") == 0), F.lit(0.0)
+                )
+                .otherwise(
+                    F.round(
+                        F.coalesce(F.col("_raw"), F.lit(0).cast("decimal(38,12)")).cast(
+                            "double"
+                        )
+                        / F.col("_t").cast("double"),
+                        12,
+                    )
+                )
+                .alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(iters):
+        auths = _phase(hubs, "hub", "_s", "_d", "auth")
+        hubs = _phase(auths, "auth", "_d", "_s", "hub")
+    return hubs.join(auths, "node").select("node", "hub", "auth")
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 3, topk: int | None = None) -> str:
+    """DuckDB replay of ``hits`` as an unrolled CTE chain (two
+    normalize phases per iteration). Appends a deterministic top-k by
+    authority when ``topk`` is given."""
+    chain = [
+        f"""e AS (SELECT DISTINCT src AS s, dst AS dd FROM ({edges_sql})),
+    nodes AS (
+      SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION SELECT dd FROM e)
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    h0 AS (
+      SELECT node, ROUND(CAST(1 AS DOUBLE) / nn.n, 12) AS hub
+      FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        chain.append(
+            f"""ar{i} AS (
+      SELECT e.dd AS node,
+             CAST(SUM(CAST(ROUND(h.hub, 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS raw
+      FROM e JOIN h{i - 1} h ON e.s = h.node GROUP BY e.dd
+    ), at{i} AS (SELECT CAST(SUM(raw) AS DECIMAL(38,12)) AS t FROM ar{i}),
+    a{i} AS (
+      SELECT nodes.node,
+             CASE WHEN at{i}.t IS NULL OR at{i}.t = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE ROUND(CAST(COALESCE(ar{i}.raw, 0) AS DOUBLE)
+                             / CAST(at{i}.t AS DOUBLE), 12) END AS auth
+      FROM nodes CROSS JOIN at{i} LEFT JOIN ar{i} ON ar{i}.node = nodes.node
+    ), hr{i} AS (
+      SELECT e.s AS node,
+             CAST(SUM(CAST(ROUND(a.auth, 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS raw
+      FROM e JOIN a{i} a ON e.dd = a.node GROUP BY e.s
+    ), ht{i} AS (SELECT CAST(SUM(raw) AS DECIMAL(38,12)) AS t FROM hr{i}),
+    h{i} AS (
+      SELECT nodes.node,
+             CASE WHEN ht{i}.t IS NULL OR ht{i}.t = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE ROUND(CAST(COALESCE(hr{i}.raw, 0) AS DOUBLE)
+                             / CAST(ht{i}.t AS DOUBLE), 12) END AS hub
+      FROM nodes CROSS JOIN ht{i} LEFT JOIN hr{i} ON hr{i}.node = nodes.node
+    )"""
+        )
+    body = ",\n    ".join(chain)
+    base = f"""SELECT h.node AS node, h.hub AS hub, a.auth AS auth
+    FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
+    if topk is None:
+        return f"WITH {body} {base}"
+    return f"""WITH {body},
+    fin AS ({base})
+    SELECT node, hub, auth, CAST(rnk AS INT) AS rank FROM (
+      SELECT node, hub, auth,
+             ROW_NUMBER() OVER (ORDER BY auth DESC, node ASC) AS rnk
+      FROM fin
+    ) WHERE rnk <= {topk}
+"""

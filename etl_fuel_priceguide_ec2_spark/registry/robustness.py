@@ -643,9 +643,13 @@ def q_hits_trade_authorities(spark, sf_dir):
         .distinct()
     )
     scores = _graph.hits(edges, iters=3)
+    # TakeOrdered top-20 first (distributed), THEN rank the 20 survivors
+    # — the unpartitioned row_number window never sees more than k rows,
+    # so the single-partition exchange is O(k) regardless of graph size
     w = Window.orderBy(F.col("auth").desc(), F.col("node").asc())
     return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        scores.orderBy(F.col("auth").desc(), F.col("node").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
         .select("node", "hub", "auth", "rank")
     )

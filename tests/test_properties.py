@@ -513,6 +513,44 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
 
 
+def test_hits_directed_star_hub_authority_split(spark):
+    """HITS sanity on a hand-checkable directed star (hub 0 → spokes
+    1..6): after one iteration the scores reach the exact fixed point —
+    node 0 is the unique hub (hub exactly 1.0, auth exactly 0.0: no
+    in-edges), every spoke is a pure authority (hub 0.0), all six spoke
+    authorities tie EXACTLY at round(1/6, 12) (symmetry + the decimal
+    contribution discipline means exact equality), and each phase's L1
+    mass is 1 up to the 12-dp per-node rounding."""
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+
+    spokes = list(range(1, 7))
+    edges = [(0, s) for s in spokes]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r.node: r for r in graph.hits(df, iters=3).collect()}
+    assert set(rows) == {0, *spokes}
+    assert rows[0].hub == 1.0 and rows[0].auth == 0.0
+    assert all(rows[s].hub == 0.0 for s in spokes)
+    assert len({rows[s].auth for s in spokes}) == 1  # exact tie
+    assert rows[1].auth == round(1 / 6, 12)
+    assert abs(sum(r.hub for r in rows.values()) - 1.0) < 1e-9
+    assert abs(sum(r.auth for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_hits_rejects_non_positive_iters(spark):
+    """iters=0 used to leave auths=None and crash on hubs.join(None),
+    and the oracle emitted SQL referencing nonexistent CTEs (round-7
+    ADVICE); both now raise upfront, matching _bpe_state_loop's guard."""
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="iters >= 1"):
+            graph.hits(df, iters=bad)
+        with _pytest.raises(ValueError, match="iters >= 1"):
+            graph.hits_oracle_sql("SELECT 0 AS src, 1 AS dst", iters=bad)
+
+
 def test_triangle_counts_on_k4_plus_pendant(spark):
     """Triangles on a hand-checkable graph: K4 (nodes 1-4) plus the
     pendant edge 4-5. Every K4 triple is a triangle (4 total), so

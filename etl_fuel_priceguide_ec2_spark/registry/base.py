@@ -46,73 +46,18 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-8 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 9, never slot into
+# Round-9 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 10, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-7 driver artifacts (CORRECTNESS_r07/BENCH_r07):
+# committing the round-8 driver artifacts (CORRECTNESS_r08/BENCH_r08):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Slots 1-14: the round-7 post-freeze additions no driver has EVER seen
-# (exact-substring dedup family x6, containment, SymSpell, image phash,
-# BPE encode x2, HITS, quality/domain classifiers — all sim-green).
-# Slots 15-47: the ENTIRE remaining r04-last-green cohort (33 queries).
-# Slots 48-50: the three stalest r05-last-green. Slots 51-70 pin the
-# round-9 net head (the next r05-last-green cohort, ledger order).
+# Zero never-seen queries remain — for the first time the window is pure
+# staleness rotation: slots 1-47 are the ENTIRE r05-last-green cohort,
+# slots 48-50 the three stalest r06-last-green. Slots 51-70 pin the
+# round-10 net head (the next r06-last-green cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 14 round-7 post-freeze additions: never in any driver window ---
-    "exact_substring_spans",
-    "duplicated_span_coverage",
-    "exact_substring_incremental_spans",
-    "phrase_occurrences",
-    "scrub_duplicated_spans",
-    "winnow_candidate_pairs",
-    "containment_pairs",
-    "symspell_edit1_pairs",
-    "image_ahash_near_pairs",
-    "bpe_encoded_vocab",
-    "bpe_tokens_per_doc",
-    "hits_trade_authorities",
-    "quality_classifier_scores",
-    "domain_classifier_labels",
-    # --- 33 r04-last-green cohort (entire remainder, ledger order) ---
-    "similarity_topk_ivf",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "multimodal_meta",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "audio_waveform_stats",
-    "stream_window_counts",
-    "price_change_deltas",
-    "sessionize_events",
-    "asof_join_tolerance_7d",
-    "pivot_event_counts",
-    "percentile_prices",
-    "string_battery",
-    "json_struct_parse",
-    "semi_join_active_customers",
-    "ohlc_daily_values",
-    "tfidf_top_terms",
-    "vocabulary_top20",
-    "bigram_top_per_lang",
-    "mad_outlier_docs",
-    "array_element_access",
-    "json_error_tolerance",
-    "multimodal_resize",
-    "dedup_clusters",
-    "scd2_dim_versions",
-    "distinct_users_salted",
-    "pandas_udaf_user_trend",
-    "semantic_dedup_keeplist",
-    "semantic_contamination",
-    "semantic_dedup_pairs_two_level",
-    # --- 3 stalest of the r05-last-green cohort (ledger order) ---
-    "minhash_dedup_keeplist",
-    "audio_zero_crossings",
-    "event_transition_matrix",
-    # --- slots 51+: past the driver window; round-9 net head (r05 cohort) ---
+    # --- 47 r05-last-green cohort (entire remainder, ledger order) ---
     "array_battery",
     "deterministic_sample",
     "udtf_ngrams_explode",
@@ -133,6 +78,58 @@ _ROUND_PRIORITY: list[str] = [
     "normalize_text",
     "join_types_matrix",
     "cube_nation_segment",
+    "gap_fill_forward",
+    "exists_segments",
+    "fuzzy_brand_pairs",
+    "having_large_qty_customers",
+    "lateral_topk_orders",
+    "intersect_all_multiset",
+    "revenue_share_by_nation",
+    "promo_revenue_share",
+    "rolling_7d_distinct_users",
+    "cohort_retention",
+    "explode_outer_null_preserving",
+    "most_frequent_event_type",
+    "funnel_view_click_purchase",
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q18_large_volume_customers",
+    "q20_dominant_shippers",
+    "q21_waiting_suppliers",
+    "similarity_topk_ivf_sq8",
+    "similarity_topk_ivf_sq8_rerank",
+    "decontaminated_train_ids",
+    # --- 3 stalest of the r06-last-green cohort (ledger order) ---
+    "asof_latest_per_key",
+    "asof_point_lookup",
+    "enrichment_join",
+    # --- slots 51+: past the driver window; round-10 net head (r06 cohort) ---
+    "upsert_new_keys",
+    "upsert_merged_dim",
+    "dedup_last_wins",
+    "snapshot_diff",
+    "etl_pipeline_dim",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_auto_skew",
+    "dedup_minhash_lsh",
+    "asof_join_orders_events",
+    "latest_via_max_by",
+    "contamination_check",
+    "repetition_signals",
+    "unigram_quality",
+    "similarity_pandas_udf",
+    "interval_join_recent_events",
+    "data_quality_metrics",
+    "similarity_topk_rplsh",
+    "date_function_battery",
+    "null_semantics_battery",
 ]
 
 

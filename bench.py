@@ -143,6 +143,10 @@ ITERATIVE = [
     "pagerank_supplier_customer",
     "bpe_learned_merges",
     "semantic_dedup_keeplist",
+    # appended round 9 (VERDICT r08 item 1): the reworked HITS — same
+    # per-iteration checkpoint floor as pagerank, tracked here so the
+    # 41.3 s -> ~13 s cold rework finally has a committed series
+    "hits_trade_authorities",
 ]
 
 

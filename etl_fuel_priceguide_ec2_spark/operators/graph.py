@@ -318,12 +318,13 @@ def hits(
     Per iteration: auth_raw(v) = Σ_{u→v} hub(u) as a 12-dp DECIMAL sum
     (addition-order-free), normalized by the one-row global total —
     broadcast back, never a shuffle — then the symmetric hub phase.
-    The total's decimal magnitude stays < ~10^4, so its unscaled value
-    is < 2^53 and the decimal→double cast is the same single IEEE
-    rounding in both engines (the PageRank contribution-cast argument);
-    the division is then exact-operand double arithmetic, rounded back
-    to 12 dp. Every iteration is bit-identical to the oracle's
-    unrolled CTE replay.
+    Both engines convert each DECIMAL operand to double with a single
+    correctly-rounded (IEEE round-to-nearest) conversion — Spark's
+    Decimal.toDouble and DuckDB's decimal→double cast agree on every
+    input regardless of graph size — so the division sees identical
+    operands; the quotient is then one more identical IEEE operation,
+    rounded back to 12 dp. Every iteration is bit-identical to the
+    oracle's unrolled CTE replay.
 
     Plan per iteration: 2 keyed joins + 2 map-side-combined aggregates
     + 2 one-row totals, with the raw per-phase sums localCheckpointed so
@@ -334,11 +335,17 @@ def hits(
     join's projection: a node absent from ``raw`` has score exactly 0
     and contributes nothing to any sum, so the per-phase
     (nodes ⋈ raw) completion left-join is needed only ONCE at the end
-    to emit the full score relations. Measured on the sf0.01 registry
-    query (vanilla-session contract sim): 45.2 s (2 checkpoints +
-    nodes-join per phase, round-7 form) → 36.8 s (1 checkpoint,
-    nodes-join per phase) → MEASURED_NEW s (this form); bit-identical
-    to the unrolled oracle throughout."""
+    to emit the full score relations.
+
+    Measured on the sf0.01 registry query, Spark side only (vanilla
+    local[8] session): 12.8 s cold-session / 3.0–4.0 s warm for this
+    form, vs 41.3 s for the round-7 form (2 checkpoints + per-phase
+    nodes-join) — bit-identical to the unrolled oracle throughout.
+    NOTE the round-7/8 docstrings' 45.2 s / 36.8 s series was taken
+    from contract-sim totals that turned out to be DOMINATED by the
+    DuckDB oracle (a CTE-inlining diamond, ~23 s of the total — see
+    ``hits_oracle_sql``), so those figures measured the oracle, not
+    this operator; the numbers above time the Spark query alone."""
     if iters < 1:
         raise ValueError(f"hits requires iters >= 1, got {iters}")
     e = (
@@ -357,8 +364,10 @@ def hits(
 
     def _norm(raw_col, tot_col):
         # round(raw/total, 12): the oracle's per-node normalization.
-        # The total's unscaled decimal value stays < 2^53 so each cast
-        # to double is the same single IEEE rounding in both engines.
+        # Each decimal→double cast is a single correctly-rounded IEEE
+        # conversion in BOTH engines (not a 2^53-exactness argument —
+        # the total's unscaled value exceeds 2^53 past ~9k nodes), so
+        # the division sees identical operands either way.
         return F.when(tot_col.isNull() | (tot_col == 0), F.lit(0.0)).otherwise(
             F.round(
                 F.coalesce(raw_col, F.lit(0).cast(_dec)).cast("double")
@@ -413,38 +422,46 @@ def hits(
 def hits_oracle_sql(edges_sql: str, iters: int = 3, topk: int | None = None) -> str:
     """DuckDB replay of ``hits`` as an unrolled CTE chain (two
     normalize phases per iteration). Appends a deterministic top-k by
-    authority when ``topk`` is given."""
+    authority when ``topk`` is given.
+
+    Every CTE is ``AS MATERIALIZED``: the final relation joins
+    ``h{iters}`` with ``a{iters}``, and ``h{iters}`` itself depends on
+    ``a{iters}`` — with DuckDB's default inlining that diamond doubles
+    the evaluated chain at EVERY phase (~2^iters blowup; measured
+    23.3 s → 0.11 s at sf0.01 for iters=3, identical rows). The hint
+    changes evaluation order only, never values, so the hash contract
+    with ``hits`` is untouched."""
     if iters < 1:
         raise ValueError(f"hits_oracle_sql requires iters >= 1, got {iters}")
     chain = [
-        f"""e AS (SELECT DISTINCT src AS s, dst AS dd FROM ({edges_sql})),
-    nodes AS (
+        f"""e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS dd FROM ({edges_sql})),
+    nodes AS MATERIALIZED (
       SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION SELECT dd FROM e)
-    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-    h0 AS (
+    ), nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    h0 AS MATERIALIZED (
       SELECT node, ROUND(CAST(1 AS DOUBLE) / nn.n, 12) AS hub
       FROM nodes CROSS JOIN nn
     )"""
     ]
     for i in range(1, iters + 1):
         chain.append(
-            f"""ar{i} AS (
+            f"""ar{i} AS MATERIALIZED (
       SELECT e.dd AS node,
              CAST(SUM(CAST(ROUND(h.hub, 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS raw
       FROM e JOIN h{i - 1} h ON e.s = h.node GROUP BY e.dd
-    ), at{i} AS (SELECT CAST(SUM(raw) AS DECIMAL(38,12)) AS t FROM ar{i}),
-    a{i} AS (
+    ), at{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS DECIMAL(38,12)) AS t FROM ar{i}),
+    a{i} AS MATERIALIZED (
       SELECT nodes.node,
              CASE WHEN at{i}.t IS NULL OR at{i}.t = 0 THEN CAST(0 AS DOUBLE)
                   ELSE ROUND(CAST(COALESCE(ar{i}.raw, 0) AS DOUBLE)
                              / CAST(at{i}.t AS DOUBLE), 12) END AS auth
       FROM nodes CROSS JOIN at{i} LEFT JOIN ar{i} ON ar{i}.node = nodes.node
-    ), hr{i} AS (
+    ), hr{i} AS MATERIALIZED (
       SELECT e.s AS node,
              CAST(SUM(CAST(ROUND(a.auth, 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS raw
       FROM e JOIN a{i} a ON e.dd = a.node GROUP BY e.s
-    ), ht{i} AS (SELECT CAST(SUM(raw) AS DECIMAL(38,12)) AS t FROM hr{i}),
-    h{i} AS (
+    ), ht{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS DECIMAL(38,12)) AS t FROM hr{i}),
+    h{i} AS MATERIALIZED (
       SELECT nodes.node,
              CASE WHEN ht{i}.t IS NULL OR ht{i}.t = 0 THEN CAST(0 AS DOUBLE)
                   ELSE ROUND(CAST(COALESCE(hr{i}.raw, 0) AS DOUBLE)

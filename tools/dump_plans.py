@@ -77,6 +77,7 @@ NOTES = {
     "zorder_layout_lineitem": "the Morton value is one flat shift/mask codegen expression from inlined min/max literals; the bucket stats are a 16-group aggregate — the write-side clustering cost is exactly one range-sort shuffle.",
     "minhash_incremental_pairs": "the new slice's band buckets drive the candidate join against the full bucket store — history x history pairs structurally never form; verify joins touch candidate ids only.",
     "pagerank_supplier_customer": "loop-invariant edge/degree/node relations checkpointed once; each iteration is one keyed join + one map-combined aggregate + the node left-join, with 12-dp decimal contribution sums keeping state engine-portable.",
+    "hits_trade_authorities": "per phase: ONE keyed edge join (previous phase's normalization folded into its projection) + one map-combined aggregate + one checkpoint; the 1-row L1 total crosses back broadcast; the (nodes x raw) completion left-join runs once at the end, and the global authority ranking is TakeOrdered(20) then an O(k) window — never an unpartitioned full-graph sort.",
     "quality_classifier_scores": "broadcast-model inference: explode_outer keeps featureless docs decided with NO doc_id spine join; the only join is the BroadcastHashJoin against the compiled weight table; one map-combined per-doc aggregate.",
     "domain_classifier_labels": "one corpus featurization for all classes; the |classes|-row grid is the sanctioned BroadcastNestedLoopJoin; per-(doc, class) decimal sums shuffle once; argmax is a per-doc window over |classes| rows.",
     "exact_substring_spans": "positional grams carry (id, pos, 8-byte hash); the frequency cap drops boilerplate grams BEFORE the self-join; the islands window and run aggregate share ONE (doc_a, doc_b, diag) exchange.",

@@ -136,11 +136,13 @@ def oversized_baskets(
         F.col(basket).alias("_bk"), F.col(item).alias("_it")
     ).distinct()
     sizes = bi.groupBy("_bk").agg(F.count(F.lit(1)).alias("_sz"))
+    # coalesce: an EMPTY basket relation reports (0, 0), not (NULL,
+    # NULL) — same contract as overfrequent_grams (ADVICE r08)
     return sizes.agg(
-        F.sum((F.col("_sz") > max_basket_size).cast("long")).alias(
-            "n_baskets_dropped"
-        ),
-        F.max("_sz").alias("max_basket_size_seen"),
+        F.coalesce(
+            F.sum((F.col("_sz") > max_basket_size).cast("long")), F.lit(0)
+        ).alias("n_baskets_dropped"),
+        F.coalesce(F.max("_sz"), F.lit(0)).alias("max_basket_size_seen"),
     )
 
 

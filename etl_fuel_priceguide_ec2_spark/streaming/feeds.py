@@ -12,6 +12,7 @@ source) and unchanged against Kafka/object-store streams in production.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
@@ -396,7 +397,11 @@ def incremental_dedup_stream(
         try:
             bands_all = spark.read.parquet(bands_path).unionByName(bands_new)
             sets_all = spark.read.parquet(sets_path).unionByName(sets_new)
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: store path not yet created
+            # ONLY path-not-found/analysis failures mean "first batch";
+            # a transient executor/IO error must fail the micro-batch
+            # (and be retried by the engine) rather than silently mine
+            # the new slice against an empty history (ADVICE r08).
             bands_all, sets_all = bands_new, sets_new
         pairs = dedup.lsh_pairs_from_state(
             bands_new, bands_all, sets_all, id_col, threshold
@@ -455,7 +460,10 @@ def exact_substring_stream(
         ).localCheckpoint(eager=True)
         try:
             grams_hist = spark.read.parquet(grams_path)
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: store path not yet created
+            # Same contract as the LSH store above: real IO errors
+            # propagate and fail the micro-batch instead of dropping
+            # every historical span for the slice (ADVICE r08).
             grams_hist = grams_new.limit(0)
         spans = dedup.exact_substring_spans_incremental(
             grams_hist, grams_new, k, min_span_tokens, max_gram_freq

@@ -721,6 +721,19 @@ def test_pair_affinity_max_basket_size_guard(spark):
     assert orc == {("x", "y"): 2}
 
 
+def test_oversized_baskets_empty_relation_reports_zero(spark):
+    """Exclusion report on an EMPTY basket relation is (0, 0), not
+    (NULL, NULL) — same contract as ``overfrequent_grams`` (ADVICE
+    r08): a downstream ``n_baskets_dropped == 0`` gate must hold on an
+    empty input, and NULL would fail it silently."""
+    from etl_fuel_priceguide_ec2_spark.operators import affinity
+
+    empty = spark.createDataFrame([], "basket: string, item: string")
+    row = affinity.oversized_baskets(empty, max_basket_size=10).collect()[0]
+    assert row.n_baskets_dropped == 0
+    assert row.max_basket_size_seen == 0
+
+
 def test_quality_classifier_hand_checked_and_collisions(spark):
     """Linear-scorer semantics pinned by hand: mean weight over
     unigram+bigram features, unmatched weigh 0; featureless docs get a
@@ -1379,3 +1392,38 @@ def test_image_ahash_pairs_rejects_uncovered_hamming(spark):
     hashes = multimodal.image_ahash(multimodal.to_image_media(docs, "doc_id"))
     with pytest.raises(ValueError):
         multimodal.image_ahash_pairs(hashes, max_hamming=4)
+
+
+def test_ledger_guard_refuses_untracked_correctness_artifacts(tmp_path):
+    """The freeze-driving ledger must refuse to run while any
+    CORRECTNESS_r*.json is untracked/modified (VERDICT r08 item 7):
+    an uncommitted newest round would silently be ignored by logic
+    derived from committed state, so a window could be frozen against
+    stale verification results."""
+    import subprocess
+
+    import pytest
+
+    from tools.staleness_ledger import assert_artifacts_tracked
+
+    repo = str(tmp_path)
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    subprocess.run(
+        ["git", "-C", repo, "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "--allow-empty", "-q", "-m", "init"],
+        check=True,
+    )
+    assert assert_artifacts_tracked(repo) == []  # clean repo passes
+
+    (tmp_path / "CORRECTNESS_r99.json").write_text("{}")
+    with pytest.raises(RuntimeError, match="CORRECTNESS_r99"):
+        assert_artifacts_tracked(repo)
+
+    # committing it clears the guard
+    subprocess.run(["git", "-C", repo, "add", "CORRECTNESS_r99.json"], check=True)
+    subprocess.run(
+        ["git", "-C", repo, "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-q", "-m", "artifacts"],
+        check=True,
+    )
+    assert assert_artifacts_tracked(repo) == []

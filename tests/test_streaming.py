@@ -554,3 +554,17 @@ def test_streaming_exact_substring_matches_batch(spark, tmp_path):
     direct = dedup.positional_gram_state(docs, "doc_id", "text", k=8)
     assert state.count() == direct.count()
     assert state.exceptAll(direct).count() == 0
+
+
+def test_missing_store_path_raises_analysis_exception(spark, tmp_path):
+    """Pins the exception contract the incremental stores' first-batch
+    handling relies on (ADVICE r08): reading a nonexistent parquet path
+    raises AnalysisException SPECIFICALLY — the only class the
+    ``foreachBatch`` bodies treat as "first batch, no store yet". If a
+    Spark upgrade changed the class, first-batch handling would break
+    loudly here rather than silently in a stream."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(str(tmp_path / "never_written")).collect()

@@ -26,6 +26,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -46,8 +47,31 @@ def _green(row: dict) -> bool:
     return (hm is not False) and (sm is not False)
 
 
+def assert_artifacts_tracked(repo: str = REPO) -> list[str]:
+    """Refuse to build a freeze-driving ledger while any
+    ``CORRECTNESS_r*.json`` is untracked or modified in git (VERDICT
+    r08 item 7): an uncommitted newest round would be silently treated
+    as nonexistent by round-number logic derived from *committed*
+    state elsewhere, so a freeze could skip the freshest verification
+    results. Returns the offending paths (and raises) so the caller
+    commits the driver artifacts FIRST — the standing round order."""
+    res = subprocess.run(
+        ["git", "status", "--porcelain", "--", "CORRECTNESS_r*.json"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    dirty = [ln[3:].strip() for ln in res.stdout.splitlines() if ln.strip()]
+    if dirty:
+        raise RuntimeError(
+            "uncommitted CORRECTNESS artifacts — commit the driver round "
+            f"artifacts before freezing a window: {dirty}"
+        )
+    return dirty
+
+
 def build_ledger() -> tuple[list[dict], int]:
     from etl_fuel_priceguide_ec2_spark.registry import base
+
+    assert_artifacts_tracked()
 
     names = list(base._ordered())
     reg_order = {n: i for i, n in enumerate(base._REGISTRY)}

@@ -147,6 +147,11 @@ ITERATIVE = [
     # per-iteration checkpoint floor as pagerank, tracked here so the
     # 41.3 s -> ~13 s cold rework finally has a committed series
     "hits_trade_authorities",
+    # round 9 capstone: five dedup signals + two classifier gates in
+    # one decision relation — contains the CC fixpoint (checkpoint
+    # floor) and costs ~the sum of its audited parts, so it lives in
+    # this series rather than inflating the headline total ~30%
+    "corpus_curation_decision",
 ]
 
 

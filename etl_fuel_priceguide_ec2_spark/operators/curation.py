@@ -1,0 +1,451 @@
+"""The corpus-curation CAPSTONE: one relation that composes every dedup
+signal and classifier gate this engine mines into a per-document
+keep / drop / excise decision with explicit precedence.
+
+The reference's whole job is one such decision loop for fuel prices —
+fetch, compare against what's stored, keep only the new/changed rows
+(index.js:63-79 dedup-compare, index.js:242-294 conditional upsert).
+This operator is that decision loop for a training corpus: the signals
+are mined by the engine's existing operators, and THIS relation is the
+single artifact a 100 TB data build actually consumes.
+
+Precedence (first match wins; each stage sees only the SURVIVORS of
+the previous ones, exactly like a production pipeline):
+
+  1. exact_dup       sha-256 content group, min-id canonical survives
+  2. near_dup        word n-gram Jaccard >= t over stage-1 survivors,
+                     connected components, min-id canonical survives
+  3. contained       directed containment C(A,B) >= t among stage-2
+                     survivors drops A (the contained copy); mutual
+                     containment (both directions >= t) keeps the
+                     smaller id
+  4. span_coverage   fraction of tokens covered by cross-document
+                     exact spans among stage-3 survivors >= t -> drop
+  5. low_quality     linear quality-classifier score < threshold
+  6. blocked_domain  confident domain-router assignment to a blocked
+                     class (margin > 0)
+  7. excise          surviving doc with ANY covered span -> rewrite
+                     (scrub_duplicated_spans is the executor)
+  8. keep            clean
+
+Signal-mining semantics: pair relations (Jaccard, containment, spans)
+are mined ONCE over the FULL corpus — the ingest-time-state contract
+shared with the incremental gram/LSH stores — and each stage then
+RESTRICTS the mined pairs to its survivor set. For the exact-recall
+miners used here (prefix-filtered SSJoin / containment, capped gram
+join) restriction equals re-mining for the pair predicates; only the
+gram-frequency cap is corpus-wide by design (boilerplate frequency is
+a property of the corpus at ingest, not of a survivor subset).
+
+100 TB shape: every signal keeps its audited plan (hashed-shingle
+prefix joins, frequency-capped gram join, HashMin CC on 8-byte ids,
+broadcast classifier weights); the composition itself adds only
+id-keyed left joins and set subtractions — document payloads are never
+rejoined after tokenization. Nothing here is new physics; the operator
+exists so the DECISION is one oracled relation instead of seven
+ad-hoc notebook joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup, textops
+
+
+def corpus_curation_decision(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_weights: DataFrame,
+    domain_weights: DataFrame,
+    *,
+    n: int = 3,
+    jaccard_threshold: float = 0.6,
+    containment_threshold: float = 0.9,
+    k: int = 8,
+    min_span_tokens: int = 15,
+    max_gram_freq: int | None = 1024,
+    span_drop_threshold: float = 0.5,
+    quality_threshold: float = 0.01,
+    blocked_domain: str | None = "retail",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """One row per corpus document:
+    (id, decision, reason, dup_frac, quality_score, domain).
+
+    ``decision`` in ('drop', 'excise', 'keep'); ``reason`` names the
+    first precedence rule that fired ('exact_dup', 'near_dup',
+    'contained', 'span_coverage', 'low_quality', 'blocked_domain',
+    'partial_span_dup', 'clean'). ``dup_frac`` is NULL for documents
+    dropped before the span stage ran for them (stages 1-3) — the
+    signal was never defined for non-survivors, and 0.0 would be a
+    lie. ``quality_score`` / ``domain`` are scored for EVERY document
+    (classifier inference is one broadcast join — cheap enough to keep
+    the full audit trail)."""
+    docs = corpus.select(F.col(id_col), F.col(text_col)).localCheckpoint(
+        eager=True
+    )  # five signal pipelines re-read the corpus; derive it once
+    # ONE tokenize+shingle scan feeds both set-similarity miners (at
+    # 100 TB each avoided re-shingling is a full corpus scan); this is
+    # the same persistable state relation the LSH/gram stores use
+    sets = dedup._shingle_array(docs, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+
+    # -- stage 1: exact content dedup (one window over 32-byte hashes)
+    wh = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    ex = docs.select(
+        F.col(id_col), F.min(id_col).over(wh).alias("_exact_canon")
+    )
+    s1 = ex.filter(F.col("_exact_canon") == F.col(id_col)).select(id_col)
+
+    # -- stage 2: near-dup components among exact survivors
+    jp = dedup.ngram_jaccard_pairs(
+        docs, id_col, text_col, n=n,
+        threshold=jaccard_threshold, prefix_filter=True, shingle_sets=sets,
+    )
+    jp2 = jp.join(
+        s1.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+    ).join(s1.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
+    comp = dedup.connected_components(jp2, "id_a", "id_b")
+    near_losers = comp.filter(F.col("component_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    s2 = s1.join(near_losers, id_col, "left_anti")
+
+    # -- stage 3: directed containment among near-dup survivors;
+    # contained copy drops, mutual containment keeps the smaller id
+    cp = dedup.containment_pairs(
+        docs, id_col, text_col, n=n,
+        threshold=containment_threshold, prefix_filter=True,
+        shingle_sets=sets,
+    ).select("id_a", "id_b")
+    cp2 = cp.join(
+        s2.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+    ).join(s2.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
+    rev = cp2.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    mutual = cp2.join(rev, ["id_a", "id_b"], "left_semi")
+    one_way = cp2.join(rev, ["id_a", "id_b"], "left_anti")
+    cont_losers = (
+        one_way.select("id_a")
+        .unionAll(mutual.filter(F.col("id_b") < F.col("id_a")).select("id_a"))
+        .distinct()
+        .withColumnRenamed("id_a", id_col)
+    )
+    s3 = s2.join(cont_losers, id_col, "left_anti")
+
+    # -- stage 4: exact-substring coverage among containment survivors
+    # (interval union per doc — same window as duplicated_span_coverage)
+    spans = dedup.exact_substring_spans(
+        docs, id_col, text_col,
+        k=k, min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
+    )
+    sp = spans.join(
+        s3.withColumnRenamed(id_col, "doc_a"), "doc_a", "left_semi"
+    ).join(s3.withColumnRenamed(id_col, "doc_b"), "doc_b", "left_semi")
+    iv = sp.select(
+        F.col("doc_a").alias("_id"),
+        F.col("a_start").alias("_s"),
+        (F.col("a_start") + F.col("span_tokens") - 1).alias("_e"),
+    ).unionAll(
+        sp.select(
+            F.col("doc_b").alias("_id"),
+            F.col("b_start").alias("_s"),
+            (F.col("b_start") + F.col("span_tokens") - 1).alias("_e"),
+        )
+    )
+    wiv = (
+        Window.partitionBy("_id")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.col("_e")
+        - F.greatest(F.coalesce(F.max("_e").over(wiv), F.lit(0)), F.col("_s") - 1),
+        F.lit(0),
+    )
+    cov = (
+        iv.withColumn("_c", contrib)
+        .groupBy("_id")
+        .agg(F.sum("_c").alias("_covered"))
+    )
+    ntok = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("_nt"),
+    )
+    dup = (
+        s3.join(ntok, id_col)
+        .join(cov, s3[id_col] == cov["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_nt") > 0,
+                F.coalesce(
+                    F.round(
+                        F.col("_covered").cast("double")
+                        / F.col("_nt").cast("double"),
+                        9,
+                    ),
+                    F.lit(0.0),
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )
+
+    # -- stages 5-6: classifier gates (scored for every corpus doc)
+    q = textops.quality_classifier_scores(
+        docs, id_col, text_col, quality_weights,
+        n_buckets=n_buckets, threshold=quality_threshold,
+    ).select(F.col(id_col), F.col("score").alias("quality_score"))
+    dom = textops.domain_classifier_labels(
+        docs, id_col, text_col, domain_weights, n_buckets=n_buckets
+    ).select(
+        F.col(id_col),
+        F.col("best_class").alias("domain"),
+        F.col("margin").alias("_margin"),
+    )
+
+    # -- assemble: precedence CASE over id-keyed signal joins
+    base = (
+        docs.select(id_col)
+        .join(ex, id_col)
+        .join(near_losers.withColumn("_near_drop", F.lit(True)), id_col, "left")
+        .join(cont_losers.withColumn("_cont_drop", F.lit(True)), id_col, "left")
+        .join(dup, id_col, "left")
+        .join(q, id_col)
+        .join(dom, id_col)
+    )
+    is_exact = F.col("_exact_canon") != F.col(id_col)
+    is_near = F.col("_near_drop").isNotNull()
+    is_cont = F.col("_cont_drop").isNotNull()
+    is_cov = F.col("dup_frac") >= F.lit(span_drop_threshold)
+    is_lowq = F.col("quality_score") < F.lit(quality_threshold)
+    is_dom = (
+        (F.col("domain") == F.lit(blocked_domain)) & (F.col("_margin") > 0.0)
+        if blocked_domain is not None
+        else F.lit(False)
+    )
+    is_part = F.col("dup_frac") > F.lit(0.0)
+    decision = (
+        F.when(is_exact | is_near | is_cont | is_cov | is_lowq | is_dom, "drop")
+        .when(is_part, "excise")
+        .otherwise("keep")
+    )
+    reason = (
+        F.when(is_exact, "exact_dup")
+        .when(is_near, "near_dup")
+        .when(is_cont, "contained")
+        .when(is_cov, "span_coverage")
+        .when(is_lowq, "low_quality")
+        .when(is_dom, "blocked_domain")
+        .when(is_part, "partial_span_dup")
+        .otherwise("clean")
+    )
+    return base.select(
+        F.col(id_col),
+        decision.alias("decision"),
+        reason.alias("reason"),
+        "dup_frac",
+        "quality_score",
+        "domain",
+    )
+
+
+def curation_decision_oracle_sql(
+    corpus_sql: str,
+    id_col: str,
+    text_col: str,
+    quality_lexicon: list[tuple[str, float]],
+    domain_lexicon: list[tuple[str, str, float]],
+    *,
+    n: int = 3,
+    jaccard_threshold: float = 0.6,
+    containment_threshold: float = 0.9,
+    k: int = 8,
+    min_span_tokens: int = 15,
+    max_gram_freq: int | None = 1024,
+    span_drop_threshold: float = 0.5,
+    quality_threshold: float = 0.01,
+    blocked_domain: str | None = "retail",
+    n_buckets: int = 4096,
+) -> str:
+    """DuckDB replay of ``corpus_curation_decision``: the exact
+    all-pairs forms of each signal (string shingles, full span SQL, CC
+    as a recursive-CTE fixpoint) staged through the same survivor
+    restriction and the same precedence CASE. Heavy CTEs are
+    MATERIALIZED (the HITS-oracle lesson: a diamond over inlined CTEs
+    re-evaluates the chain)."""
+    assert n == 3, "oracle shingle SQL is written for n=3"
+    spans_sql = dedup.exact_substring_oracle_sql(
+        corpus_sql, id_col, text_col,
+        k=k, min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
+    )
+    q_sql = textops.quality_classifier_oracle_sql(
+        "ccorpus", id_col, text_col, quality_lexicon,
+        n_buckets=n_buckets, threshold=quality_threshold,
+    )
+    dom_sql = textops.domain_classifier_oracle_sql(
+        "ccorpus", id_col, text_col, domain_lexicon, n_buckets=n_buckets
+    )
+    dom_gate = (
+        f"dom.best_class = '{blocked_domain}' AND dom.margin > 0.0"
+        if blocked_domain is not None
+        else "FALSE"
+    )
+    return f"""
+    WITH RECURSIVE ccorpus AS MATERIALIZED ({corpus_sql}),
+    ex AS MATERIALIZED (
+      SELECT {id_col},
+             MIN({id_col}) OVER (PARTITION BY sha256({text_col})) AS exact_canon
+      FROM ccorpus
+    ),
+    s1 AS MATERIALIZED (
+      SELECT {id_col} FROM ex WHERE exact_canon = {id_col}
+    ),
+    cd AS MATERIALIZED (
+      SELECT {id_col} AS did,
+             string_split_regex(trim({text_col}), '\\s+') AS toks
+      FROM ccorpus
+    ),
+    csh AS MATERIALIZED (
+      SELECT did, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(toks) - {n} + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')))) AS shingle
+      FROM cd
+    ),
+    csz AS MATERIALIZED (
+      SELECT did, COUNT(*) AS set_size FROM csh GROUP BY did
+    ),
+    cinter AS MATERIALIZED (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.did < b.did
+      GROUP BY 1, 2
+    ),
+    jp AS MATERIALIZED (
+      SELECT id_a, id_b FROM cinter
+      JOIN csz x ON id_a = x.did JOIN csz y ON id_b = y.did
+      WHERE n_common * 1.0 / (x.set_size + y.set_size - n_common)
+              >= {jaccard_threshold!r}
+        AND id_a IN (SELECT {id_col} FROM s1)
+        AND id_b IN (SELECT {id_col} FROM s1)
+    ),
+    cedges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION SELECT id_b, id_a FROM jp
+    ),
+    walk AS (
+      SELECT src AS node, src AS reach FROM cedges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN cedges e ON w.reach = e.src
+    ),
+    comp AS MATERIALIZED (
+      SELECT node, MIN(reach) AS component_id
+      FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM cedges)
+      GROUP BY node
+    ),
+    near_losers AS MATERIALIZED (
+      SELECT node AS {id_col} FROM comp WHERE component_id <> node
+    ),
+    s2 AS MATERIALIZED (
+      SELECT {id_col} FROM s1
+      WHERE {id_col} NOT IN (SELECT {id_col} FROM near_losers)
+    ),
+    cdir AS MATERIALIZED (
+      SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS n_common
+      FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.did <> b.did
+      GROUP BY 1, 2
+    ),
+    cp AS MATERIALIZED (
+      SELECT id_a, id_b FROM cdir
+      JOIN csz x ON id_a = x.did
+      WHERE n_common >= CAST(CEIL({containment_threshold!r} * x.set_size) AS BIGINT)
+        AND id_a IN (SELECT {id_col} FROM s2)
+        AND id_b IN (SELECT {id_col} FROM s2)
+    ),
+    cont_losers AS MATERIALIZED (
+      SELECT DISTINCT c.id_a AS {id_col}
+      FROM cp c LEFT JOIN cp r ON r.id_a = c.id_b AND r.id_b = c.id_a
+      WHERE r.id_a IS NULL OR c.id_b < c.id_a
+    ),
+    s3 AS MATERIALIZED (
+      SELECT {id_col} FROM s2
+      WHERE {id_col} NOT IN (SELECT {id_col} FROM cont_losers)
+    ),
+    allspans AS MATERIALIZED (SELECT * FROM ({spans_sql}) t),
+    sp AS MATERIALIZED (
+      SELECT * FROM allspans
+      WHERE doc_a IN (SELECT {id_col} FROM s3)
+        AND doc_b IN (SELECT {id_col} FROM s3)
+    ),
+    iv AS (
+      SELECT doc_a AS vid, a_start AS s, a_start + span_tokens - 1 AS e FROM sp
+      UNION ALL
+      SELECT doc_b, b_start, b_start + span_tokens - 1 FROM sp
+    ),
+    contrib AS (
+      SELECT vid,
+             greatest(e - greatest(COALESCE(MAX(e) OVER (
+               PARTITION BY vid ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), s - 1), 0)
+               AS c
+      FROM iv
+    ),
+    cov AS MATERIALIZED (
+      SELECT vid, CAST(SUM(c) AS BIGINT) AS covered FROM contrib GROUP BY vid
+    ),
+    cntok AS MATERIALIZED (
+      SELECT {id_col} AS did,
+             CAST(len(list_filter(
+               string_split_regex(lower(trim({text_col})), '\\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM ccorpus
+    ),
+    dup AS MATERIALIZED (
+      SELECT s3.{id_col},
+             CASE WHEN nt.n_tokens > 0 THEN
+               COALESCE(ROUND(CAST(cov.covered AS DOUBLE)
+                              / CAST(nt.n_tokens AS DOUBLE), 9), 0.0)
+             ELSE 0.0 END AS dup_frac
+      FROM s3
+      JOIN cntok nt ON nt.did = s3.{id_col}
+      LEFT JOIN cov ON cov.vid = s3.{id_col}
+    ),
+    q AS MATERIALIZED (SELECT * FROM ({q_sql}) t),
+    dom AS MATERIALIZED (SELECT * FROM ({dom_sql}) t)
+    SELECT c.{id_col},
+           CASE WHEN ex.exact_canon <> c.{id_col} THEN 'drop'
+                WHEN nl.{id_col} IS NOT NULL THEN 'drop'
+                WHEN cl.{id_col} IS NOT NULL THEN 'drop'
+                WHEN dup.dup_frac >= {span_drop_threshold!r} THEN 'drop'
+                WHEN q.score < {quality_threshold!r} THEN 'drop'
+                WHEN {dom_gate} THEN 'drop'
+                WHEN dup.dup_frac > 0.0 THEN 'excise'
+                ELSE 'keep' END AS decision,
+           CASE WHEN ex.exact_canon <> c.{id_col} THEN 'exact_dup'
+                WHEN nl.{id_col} IS NOT NULL THEN 'near_dup'
+                WHEN cl.{id_col} IS NOT NULL THEN 'contained'
+                WHEN dup.dup_frac >= {span_drop_threshold!r} THEN 'span_coverage'
+                WHEN q.score < {quality_threshold!r} THEN 'low_quality'
+                WHEN {dom_gate} THEN 'blocked_domain'
+                WHEN dup.dup_frac > 0.0 THEN 'partial_span_dup'
+                ELSE 'clean' END AS reason,
+           dup.dup_frac,
+           q.score AS quality_score,
+           dom.best_class AS domain
+    FROM ccorpus c
+    JOIN ex ON ex.{id_col} = c.{id_col}
+    LEFT JOIN near_losers nl ON nl.{id_col} = c.{id_col}
+    LEFT JOIN cont_losers cl ON cl.{id_col} = c.{id_col}
+    LEFT JOIN dup ON dup.{id_col} = c.{id_col}
+    JOIN q ON q.{id_col} = c.{id_col}
+    JOIN dom ON dom.{id_col} = c.{id_col}
+"""

@@ -127,6 +127,7 @@ def ngram_jaccard_pairs(
     prefix_filter: bool | str = "auto",
     collapse_identical: bool = False,
     skew_stats: dict | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """X2 (exact verify path): near-dup pairs by word n-gram Jaccard.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
@@ -167,7 +168,16 @@ def ngram_jaccard_pairs(
     skew. Callers that KNOW their corpus (benchmarks, fixtures) may pin
     ``False``/``True`` to skip the probe.
     """
-    sets = _shingle_array(df, id_col, text_col, n)
+    # ``shingle_sets``: a precomputed ``_shingle_array(df, ...)`` relation
+    # (id, shingles: array<string>) — pass it when several miners run over
+    # the same corpus (the curation capstone shares ONE tokenize+shingle
+    # scan between the Jaccard and containment joins; at 100 TB that is a
+    # whole corpus scan saved per extra miner).
+    sets = (
+        shingle_sets
+        if shingle_sets is not None
+        else _shingle_array(df, id_col, text_col, n)
+    )
 
     def _mine(sets: DataFrame) -> DataFrame:
         pf = prefix_filter
@@ -1619,6 +1629,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     prefix_filter: bool = False,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """X2d: DIRECTED containment pairs by word n-gram shingles —
     C(A, B) = |A ∩ B| / |A| >= threshold, emitted as
@@ -1648,7 +1659,19 @@ def containment_pairs(
     Candidates are then verified with exact intersection on the full
     hashed arrays.
     """
-    sets = hashed_shingle_sets(df, id_col, text_col, n)
+    # ``shingle_sets``: a precomputed ``_shingle_array`` relation shared
+    # with other miners (see ngram_jaccard_pairs) — only the cheap
+    # hash transform runs here, not a second corpus tokenization.
+    sets = (
+        shingle_sets.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("shingles"),
+        )
+        if shingle_sets is not None
+        else hashed_shingle_sets(df, id_col, text_col, n)
+    )
     need = F.ceil(F.lit(threshold) * F.col("size_a")).cast("long")
     if not prefix_filter:
         sh = sets.select(

@@ -391,3 +391,126 @@ def q_domain_classifier_labels(spark, sf_dir):
     return textops.domain_classifier_labels(
         docs, "doc_id", "text", w, n_buckets=_QC_BUCKETS
     )
+
+
+# ---------------------------------------------------------------------------
+# The curation CAPSTONE (VERDICT r08 item 3): one oracled relation that
+# composes the engine's five dedup signals and two classifier gates into
+# a per-document keep/drop/excise decision with explicit precedence.
+# ---------------------------------------------------------------------------
+
+from etl_fuel_priceguide_ec2_spark.operators import curation as _curation
+
+# 20 synthetic boilerplate tokens shared by the "headered" corpus leg —
+# disjoint from the fixture vocabulary, so the ONLY signal they create
+# is the pairwise exact-substring span they are planted for.
+_BPLT_HDR = " ".join(f"bplt{i:02d}" for i in range(1, 21))
+
+# The planted corpus: each derived leg trips exactly one stage of the
+# precedence ladder (see operators/curation.py).
+#   +200000  exact copy            -> exact_dup        (every 25th doc)
+#   +300000  first-2-tokens-dropped -> near_dup         (every 20th+10)
+#   +10M     two-doc anthology      -> components drop as contained
+#            (or near_dup when the longer component's Jaccard crosses
+#            the threshold — deterministic either way)
+#   +400000  boilerplate header + REVERSED own tokens -> span coverage
+#            (reversal shares the token BAG but no >= 15-token run with
+#            the source doc, so only the header span fires: excise for
+#            long docs, span_coverage drop for short ones)
+_CURATION_CORPUS_SQL = rf"""
+      SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents
+      WHERE doc_id % 25 = 0 AND length(trim(text)) > 0
+      UNION ALL
+      SELECT doc_id + 300000,
+             array_to_string(list_slice(
+               string_split_regex(trim(text), '\s+'), 3, 1000000), ' ') AS text
+      FROM documents WHERE doc_id % 20 = 10 AND length(trim(text)) > 0
+      UNION ALL
+      SELECT a.doc_id + 10000000, a.text || ' ' || b.text AS text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 40 = 0
+        AND length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
+      UNION ALL
+      SELECT doc_id + 400000,
+             '{_BPLT_HDR}' || ' ' || array_to_string(list_reverse(
+               string_split_regex(trim(text), '\s+')), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 7 AND length(trim(text)) > 0
+"""
+
+
+@register(
+    "corpus_curation_decision",
+    _curation.curation_decision_oracle_sql(
+        _CURATION_CORPUS_SQL, "doc_id", "text",
+        _QC_LEXICON, _DOMAIN_LEXICON,
+        n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+    ),
+)
+def q_corpus_curation_decision(spark, sf_dir):
+    """The curation capstone: every signal the engine mines — exact
+    hash dedup, SSJoin near-dup components, directed containment,
+    exact-substring span coverage, quality score, domain routing —
+    composed into ONE per-document (decision, reason) relation with
+    explicit precedence, over a corpus planted so each rule fires.
+    See ``operators/curation.py`` for semantics and the 100 TB shape;
+    ``scrub_duplicated_spans`` is the executor for the 'excise' rows.
+    Reference parity: this is the engine-wide form of the reference's
+    keep-only-new-or-changed decision loop (index.js:63-79,242-294)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "text")
+    )
+    exact_twins = docs.filter((F.col("doc_id") % 25) == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near_twins = docs.filter((F.col("doc_id") % 20) == 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 3, 1000000)
+        ).alias("text"),
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    anthologies = (
+        docs.filter((F.col("doc_id") % 40) == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(" ", "text", "_next").alias("text"),
+        )
+    )
+    headered = docs.filter((F.col("doc_id") % 10) == 7).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit(_BPLT_HDR),
+            F.concat_ws(
+                " ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))
+            ),
+        ).alias("text"),
+    )
+    corpus = (
+        docs.unionAll(exact_twins)
+        .unionAll(near_twins)
+        .unionAll(anthologies)
+        .unionAll(headered)
+    )
+    qlex = spark.createDataFrame(
+        _QC_LEXICON, "term string, weight string"
+    ).selectExpr("term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    qw = textops.quality_classifier_weights(qlex, n_buckets=_QC_BUCKETS)
+    dlex = spark.createDataFrame(
+        [(c, t, str(w)) for c, t, w in _DOMAIN_LEXICON],
+        "class string, term string, weight string",
+    ).selectExpr("class", "term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    dw = textops.domain_classifier_weights(dlex, n_buckets=_QC_BUCKETS)
+    return _curation.corpus_curation_decision(
+        corpus, "doc_id", "text", qw, dw,
+        n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+    )

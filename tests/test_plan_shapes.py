@@ -654,3 +654,24 @@ def test_domain_classifier_grid_is_the_only_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_curation_decision_plan_no_cartesian_single_shingle_scan(spark, sf_dir):
+    """The capstone's load-bearing shapes (round 9): nothing in the
+    composed plan is a cartesian product; the only tolerated
+    BroadcastNestedLoopJoin is the domain classifier's |classes|-row
+    grid; and the two set-similarity miners consume the SAME
+    checkpointed shingle relation (one tokenize+shingle scan — the
+    shared-state contract ngram_jaccard_pairs/containment_pairs expose
+    via ``shingle_sets``)."""
+    import re
+
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["corpus_curation_decision"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    # both miners' df-frequency/prefix passes and the classifier model
+    # joins hash-join; no sort-merge join should survive AQE at this size
+    assert "BroadcastHashJoin" in plan

@@ -1427,3 +1427,166 @@ def test_ledger_guard_refuses_untracked_correctness_artifacts(tmp_path):
         check=True,
     )
     assert assert_artifacts_tracked(repo) == []
+
+
+def test_curation_decision_precedence_hand_checked(spark):
+    """Pins the capstone's precedence ladder on a hand-built corpus
+    where every rule fires on a known doc (VERDICT r08 item 3):
+
+      1  source doc         -> contained in the anthology (4)
+      2  exact copy of 1    -> exact_dup (NOT contained: stage 1 wins)
+      3  1 minus first tok  -> near_dup  (NOT contained: stage 2 wins)
+      4  anthology 1+5      -> keep (its components drop, not it)
+      5  source doc         -> contained
+      6,7 header + unique   -> excise (header span is a minority)
+      8  header + 5 tokens  -> span_coverage drop (header is 75%)
+      9  badword spam       -> low_quality
+      10 blocked-domain doc -> blocked_domain
+
+    Also pins the survivor-restriction semantics (doc 4 is NOT flagged
+    for the span it shares with dropped docs 1/2) and that dup_frac is
+    NULL exactly for docs dropped before the span stage."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import curation, textops
+
+    t1 = " ".join(f"w{i:02d}" for i in range(1, 21))
+    t5 = " ".join(f"v{i:02d}" for i in range(1, 21))
+    hdr = " ".join(f"h{i:02d}" for i in range(1, 16))
+    rows = [
+        (1, t1),
+        (2, t1),
+        (3, " ".join(t1.split()[1:])),
+        (4, t1 + " " + t5),
+        (5, t5),
+        (6, hdr + " " + " ".join(f"u{i:02d}" for i in range(1, 31))),
+        (7, hdr + " " + " ".join(f"x{i:02d}" for i in range(1, 31))),
+        (8, hdr + " " + " ".join(f"y{i:02d}" for i in range(1, 6))),
+        (9, " ".join(["badword"] * 12)),
+        (10, "zzz aaa bbb ccc ddd eee fff ggg"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    qlex = spark.createDataFrame(
+        [("badword", "-1.0")], "term string, weight string"
+    ).selectExpr("term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    qw = textops.quality_classifier_weights(qlex, n_buckets=4096)
+    dlex = spark.createDataFrame(
+        [("bad", "zzz", "1.0"), ("good", "qqq", "1.0")],
+        "class string, term string, weight string",
+    ).selectExpr("class", "term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    dw = textops.domain_classifier_weights(dlex, n_buckets=4096)
+
+    out = {
+        r.doc_id: r
+        for r in curation.corpus_curation_decision(
+            docs, "doc_id", "text", qw, dw,
+            k=4, min_span_tokens=10, quality_threshold=-0.5,
+            blocked_domain="bad", n_buckets=4096,
+        ).collect()
+    }
+    got = {i: (out[i].decision, out[i].reason) for i in sorted(out)}
+    assert got == {
+        1: ("drop", "contained"),
+        2: ("drop", "exact_dup"),
+        3: ("drop", "near_dup"),
+        4: ("keep", "clean"),
+        5: ("drop", "contained"),
+        6: ("excise", "partial_span_dup"),
+        7: ("excise", "partial_span_dup"),
+        8: ("drop", "span_coverage"),
+        9: ("drop", "low_quality"),
+        10: ("drop", "blocked_domain"),
+    }
+    # dup_frac is NULL exactly for pre-span-stage drops, defined elsewhere
+    assert all(out[i].dup_frac is None for i in (1, 2, 3, 5))
+    assert out[4].dup_frac == 0.0  # NOT charged for spans vs dropped 1/2
+    assert out[6].dup_frac == round(15 / 45, 9) == out[7].dup_frac
+    assert out[8].dup_frac == 0.75
+    # classifier audit columns are populated for every row
+    assert all(out[i].quality_score is not None for i in out)
+    assert all(out[i].domain in ("bad", "good") for i in out)
+
+
+def test_image_ahash_state_reuse_equals_from_scratch(spark, sf_dir):
+    """The aHash band relation as ingest-time state (VERDICT r08 item
+    5): three arrival slices mine pairs via
+    ``image_ahash_pairs_from_state`` against the cumulative hash store
+    — payloads decoded once per slice, history x history never
+    re-mined — and the union of the slices' pair relations equals the
+    from-scratch relation with no pair mined twice (the
+    lsh_pairs_from_state contract in image space)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
+    expect = sorted(
+        map(
+            tuple,
+            multimodal.image_ahash_pairs(
+                multimodal.image_ahash(media), max_hamming=3
+            ).collect(),
+        )
+    )
+
+    got = []
+    store = None
+    for i in range(3):
+        slice_media = multimodal.to_image_media(
+            docs.filter(F.col("doc_id") % 3 == i), "doc_id", size=16, classes=100
+        )
+        h_new = multimodal.image_ahash(slice_media).localCheckpoint(eager=True)
+        store = h_new if store is None else store.unionByName(h_new)
+        got.extend(
+            map(
+                tuple,
+                multimodal.image_ahash_pairs_from_state(
+                    h_new, store, max_hamming=3
+                ).collect(),
+            )
+        )
+    assert len(set(got)) == len(got)  # no pair mined twice
+    assert sorted(got) == expect and len(expect) > 0
+
+
+def test_symspell_d2_matches_bruteforce_levenshtein(spark):
+    """Exactness of the distance-2 tier (VERDICT r08 item 6): depth-2
+    symmetric-delete blocking + verify equals the all-pairs
+    levenshtein <= 2 relation on a fixture covering double
+    substitution, transposition (= lev 2), substitution+deletion
+    chains, and a distance-3 outsider that must NOT appear."""
+    import itertools
+
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    names = [
+        "johnson", "jonson", "johnsen",   # del / sub families (d1 + d2 chains)
+        "jansen",                          # d2 from jonson (two subs)
+        "widget", "wigdet",                # transposition = d2 (excluded at d1)
+        "carpet", "carpets", "sharpened",  # insertion; d3+ outsider
+        "acme corp", "acme corp", "acme cor",  # dup string -> cnt 2
+    ]
+    df = spark.createDataFrame([(s,) for s in names], ["name"])
+    got = {
+        (r.s_a, r.s_b, r.cnt_a, r.cnt_b, r.dist)
+        for r in linkage.symspell_pairs(df, "name", min_len=4, max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (a, b, names.count(a), names.count(b), lev(a, b))
+        for a, b in itertools.combinations(sorted(set(names)), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+    assert ("widget", "wigdet", 1, 1, 2) in got  # transposition caught at d2
+    assert not any("sharpened" in (a, b) for a, b, *_ in got)  # d3 stays out

@@ -859,3 +859,22 @@ def test_example_substring_dedup_pipeline(sf_dir):
     assert out["n_docs"] > 0 and out["n_spans"] > 0
     assert 0 < out["n_kept"] < out["n_docs"]
     assert out["n_dup_dropped"] > 0
+
+
+def test_example_curation_decision_pipeline(sf_dir):
+    """examples/curation_decision_pipeline.py — the capstone decision
+    relation driving an actual corpus rewrite: drops shrink the
+    corpus, the excise branch removes tokens, and the output count is
+    keeps + excisions."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_decision_example",
+        Path(__file__).parent.parent / "examples" / "curation_decision_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(sf_dir)
+    assert 0 < out["n_out"] < out["n_in"]
+    assert out["tokens_removed"] > 0

@@ -88,6 +88,7 @@ NOTES = {
     "winnow_candidate_pairs": "the winnow min is one window on the id partitioning; the fingerprint index is ~2/(w+1) of the gram relation; hot fingerprints capped before the candidate self-join.",
     "bpe_encoded_vocab": "the encode relation is VOCAB-sized (Heaps' law): per-word symbol state from the training loop folds into one string_agg-style ordered aggregate per word.",
     "bpe_tokens_per_doc": "the vocab-sized encode relation broadcast-stamps the corpus word stream; the only corpus-scale exchange is the per-doc sum.",
+    "corpus_curation_decision": "the capstone composition: ONE tokenize+shingle scan feeds both set-similarity miners; every signal keeps its audited plan (prefix joins, capped gram join, HashMin CC, broadcast classifier weights); the composition itself adds only id-keyed left joins — payloads never rejoin after tokenization.",
 }
 
 

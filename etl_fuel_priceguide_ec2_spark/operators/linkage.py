@@ -27,18 +27,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _delete_at(s, i):
+    # character-i deletion; i = 0 is the identity (substring(s,1,-1) =
+    # '' both engines, so the concat reproduces s)
+    return F.concat(
+        F.substring(s, 1, i - F.lit(1)),
+        s.substr(i + F.lit(1), F.length(s)),
+    )
+
+
 def symspell_pairs(
     df: DataFrame,
     str_col: str,
     min_len: int = 4,
     max_variant_freq: int | None = None,
+    max_dist: int = 1,
 ) -> DataFrame:
-    """Edit-distance-1 pairs over the DISTINCT values of ``str_col``:
-    (s_a, s_b, cnt_a, cnt_b, dist) with s_a < s_b, dist == 1, and
-    cnt_* the input multiplicity of each string (callers re-link rows
-    by joining back on the string). Symmetric-delete candidate
-    generation + exact levenshtein verify; recall 1.0 by the pigeonhole
-    argument in the module docstring.
+    """Edit-distance <= ``max_dist`` pairs (1 or 2) over the DISTINCT
+    values of ``str_col``: (s_a, s_b, cnt_a, cnt_b, dist) with
+    s_a < s_b, dist <= max_dist, and cnt_* the input multiplicity of
+    each string (callers re-link rows by joining back on the string).
+    Symmetric-delete candidate generation + exact levenshtein verify;
+    recall 1.0 by the pigeonhole argument in the module docstring,
+    which extends to depth d: if lev(a, b) <= d then deleting (at
+    most) the d positions each side touches in an optimal alignment
+    lands both strings on a common variant, so their depth-d deletion
+    neighborhoods intersect.
+
+    ``max_dist=2`` generates the depth-2 neighborhood — ~L²/2 variants
+    per length-L string vs L+1 at depth 1 (for the 18-char fixture
+    names: ~172 vs 19; SCALE.md has the count table). Still
+    vocabulary-sized (Heaps' law), but the quadratic-in-L factor is
+    why production SymSpell stops at d=2 and why the hot-bucket cap
+    matters more here: deeper deletions collapse more of the
+    vocabulary into shared variants.
 
     ``max_variant_freq``: optional hot-bucket cap (the LSH band-cap
     pattern) — deletion variants shared by more than this many distinct
@@ -48,27 +70,36 @@ def symspell_pairs(
     every emitted pair is still verified); the default None keeps the
     exact contract.
     """
+    if max_dist not in (1, 2):
+        raise ValueError(f"symspell_pairs supports max_dist 1 or 2, got {max_dist}")
     strs = (
         df.filter(F.length(F.col(str_col)) >= min_len)
         .groupBy(F.col(str_col).alias("s"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # i = 0 is the identity variant (substring(s,1,-1) = '' both engines);
-    # i in 1..len deletes character i.
-    variants = strs.select(
+    d1 = strs.select(
         "s",
         "cnt",
         F.explode(F.sequence(F.lit(0), F.length("s"))).alias("i"),
-    ).select(
-        "s",
-        "cnt",
-        F.xxhash64(
-            F.concat(
-                F.substring(F.col("s"), 1, F.col("i") - F.lit(1)),
-                F.col("s").substr(F.col("i") + F.lit(1), F.length("s")),
-            )
-        ).alias("dh"),
-    )
+    ).select("s", "cnt", _delete_at(F.col("s"), F.col("i")).alias("d"))
+    if max_dist == 2:
+        # second deletion over the depth-1 strings; (i=0, j=0) keeps the
+        # identity, mixed terms give every 1-deletion, and the distinct
+        # collapses the i/j orderings of each 2-deletion
+        d1 = d1.select(
+            "s",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.length("d"))).alias("j"),
+            F.col("d").alias("d0"),
+        ).select("s", "cnt", _delete_at(F.col("d0"), F.col("j")).alias("d"))
+    variants = d1.select("s", "cnt", F.xxhash64(F.col("d")).alias("dh"))
+    if max_dist == 2:
+        # the depth-2 expansion repeats variants ~L ways (orderings +
+        # repeated characters); dedup the vocab-sized relation BEFORE
+        # the self-join so bucket joins see set semantics, not an
+        # L^2-inflated multiset (depth 1 skips the exchange — its few
+        # repeated-character dups are cheaper than a shuffle)
+        variants = variants.distinct()
     if max_variant_freq is not None:
         hot = (
             variants.groupBy("dh")
@@ -85,29 +116,44 @@ def symspell_pairs(
         .select("s_a", "s_b", "cnt_a", "cnt_b")
         .distinct()
         .withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
-        .filter(F.col("dist") <= 1)
+        .filter(F.col("dist") <= max_dist)
     )
 
 
-def symspell_oracle_sql(corpus_sql: str, str_col: str, min_len: int = 4) -> str:
+def symspell_oracle_sql(
+    corpus_sql: str, str_col: str, min_len: int = 4, max_dist: int = 1
+) -> str:
     """DuckDB replay: string-valued variant join (no hashing — the hash
     only compresses shuffle keys, the candidate set is identical absent
-    64-bit collisions) + the same levenshtein verify."""
+    64-bit collisions) + the same levenshtein verify. ``max_dist=2``
+    unrolls the second deletion level with the same dedup."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"symspell_oracle_sql supports max_dist 1 or 2, got {max_dist}")
+    var1 = """
+      SELECT s, cnt,
+             substring(s, 1, i.i - 1) || substring(s, i.i + 1) AS d
+      FROM strs CROSS JOIN unnest(generate_series(0, length(s))) AS i(i)
+    """
+    if max_dist == 2:
+        var = f"""var1 AS MATERIALIZED ({var1}),
+    var AS MATERIALIZED (
+      SELECT DISTINCT s, cnt,
+             substring(d, 1, j.j - 1) || substring(d, j.j + 1) AS d
+      FROM var1 CROSS JOIN unnest(generate_series(0, length(d))) AS j(j)
+    )"""
+    else:
+        var = f"var AS ({var1})"
     return f"""
     WITH strs AS (
       SELECT {str_col} AS s, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM ({corpus_sql})
       WHERE length({str_col}) >= {min_len}
       GROUP BY {str_col}
-    ), var AS (
-      SELECT s, cnt,
-             substring(s, 1, i.i - 1) || substring(s, i.i + 1) AS d
-      FROM strs CROSS JOIN unnest(generate_series(0, length(s))) AS i(i)
-    ), cand AS (
+    ), {var}, cand AS (
       SELECT DISTINCT a.s AS s_a, b.s AS s_b, a.cnt AS cnt_a, b.cnt AS cnt_b
       FROM var a JOIN var b ON a.d = b.d AND a.s < b.s
     )
     SELECT s_a, s_b, cnt_a, cnt_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
     FROM cand
-    WHERE levenshtein(s_a, s_b) <= 1
+    WHERE levenshtein(s_a, s_b) <= {max_dist}
 """

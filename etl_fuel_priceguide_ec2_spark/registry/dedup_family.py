@@ -709,3 +709,158 @@ def q_symspell_edit1_pairs(spark, sf_dir):
     )
     corpus = clean.unionByName(dirty)
     return linkage.symspell_pairs(corpus, "name", min_len=4)
+
+
+# --- round-9 addition (post-freeze -> leads the round-10 window) ------
+# X2d closure (VERDICT r08 item 4): containment_pairs emits directed
+# pairs but nothing consumed them. This keep-list composes them with
+# the CC machinery: MUTUAL containment (both directions >= t — the
+# "same doc modulo a suffix" regime) forms undirected components whose
+# min-id representative survives; ONE-WAY containment (the
+# quote/anthology regime) drops the contained copy outright. The
+# corpus adds near-identical "+1 trailing token" twins (every 60th
+# doc) so both tie rules are exercised: long docs pair MUTUALLY with
+# their twin (component canonical keeps the smaller id), short docs'
+# containment is one-way (s/(s+2) < t), exercising the directed drop.
+_CONTAINMENT_KEEPLIST_ORACLE = r"""
+    WITH RECURSIVE ccorpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT 10000000 + a.doc_id AS doc_id, a.text || ' ' || b.text AS text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 40 = 0 AND length(a.text) > 0 AND length(b.text) > 0
+      UNION ALL
+      SELECT 5000000 + doc_id AS doc_id, text || ' zzduptail' AS text
+      FROM documents WHERE doc_id % 60 = 0 AND length(text) > 0
+    ), d AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM ccorpus
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(toks) - 3 + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM d
+    ), sz AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), cpairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM inter JOIN sz x ON id_a = x.doc_id
+      WHERE n_common >= CAST(CEIL(0.9 * x.set_size) AS BIGINT)
+    ), mutual AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cpairs c JOIN cpairs r ON r.id_a = c.id_b AND r.id_b = c.id_a
+    ), oneway AS MATERIALIZED (
+      SELECT DISTINCT c.id_a
+      FROM cpairs c LEFT JOIN cpairs r ON r.id_a = c.id_b AND r.id_b = c.id_a
+      WHERE r.id_a IS NULL
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mutual
+      UNION SELECT id_b, id_a FROM mutual
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node, MIN(reach) AS component_id
+      FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+      GROUP BY node
+    )
+    SELECT c.doc_id,
+           COALESCE(comp.component_id, c.doc_id) AS component_id,
+           (COALESCE(comp.component_id, c.doc_id) = c.doc_id
+            AND ow.id_a IS NULL) AS kept
+    FROM ccorpus c
+    LEFT JOIN comp ON comp.node = c.doc_id
+    LEFT JOIN oneway ow ON ow.id_a = c.doc_id
+"""
+
+
+@register("containment_keeplist", _CONTAINMENT_KEEPLIST_ORACLE)
+def q_containment_keeplist(spark, sf_dir):
+    """The keep-list closure of the containment join (VERDICT r08 item
+    4): mutual-containment pairs (both directions >= 0.9 — trailing-
+    boilerplate twins) cluster via HashMin connected components with
+    the min-id canonical surviving, while one-way containment (quote /
+    anthology inclusion) drops the contained copy outright. One row
+    per corpus doc: (doc_id, component_id, kept) — the same consumable
+    shape as minhash_dedup_keeplist, so curation jobs anti-join it
+    identically. The oracle replays CC as the recursive-CTE fixpoint
+    over exact all-pairs containment."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    anth = (
+        docs.filter((F.col("doc_id") % 40) == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.lit(10_000_000) + F.col("doc_id")).alias("doc_id"),
+            F.concat_ws(" ", "text", "_next").alias("text"),
+        )
+    )
+    twins = docs.filter((F.col("doc_id") % 60) == 0).select(
+        (F.lit(5_000_000) + F.col("doc_id")).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("zzduptail")).alias("text"),
+    )
+    corpus = docs.unionByName(anth).unionByName(twins)
+    cp = dedup.containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.9, prefix_filter=True
+    ).select("id_a", "id_b")
+    rev = cp.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    mutual = cp.join(rev, ["id_a", "id_b"], "left_semi")
+    oneway = (
+        cp.join(rev, ["id_a", "id_b"], "left_anti").select("id_a").distinct()
+    )
+    comp = dedup.connected_components(mutual, "id_a", "id_b")
+    return (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .join(oneway.withColumnRenamed("id_a", "doc_id").withColumn("_ow", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+            (
+                (F.coalesce("component_id", F.col("doc_id")) == F.col("doc_id"))
+                & F.col("_ow").isNull()
+            ).alias("kept"),
+        )
+    )
+
+
+@register(
+    "symspell_edit2_pairs",
+    _linkage.symspell_oracle_sql(_SYMSPELL_CORPUS_SQL, "name", min_len=4, max_dist=2),
+)
+def q_symspell_edit2_pairs(spark, sf_dir):
+    """The distance-2 SymSpell tier (VERDICT r08 item 6) over the same
+    dirty-dim corpus as the edit-1 query: depth-2 deletion
+    neighborhoods (~L²/2 variants per string vs L+1 — SCALE.md has the
+    count table), hashed-variant equi-join, exact levenshtein <= 2
+    verify. On the zero-padded fixture names this also links
+    two-digit-substitution siblings invisible at d=1; production use
+    is OCR noise and double typos, still never all-pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.filter((F.col("c_custkey") % 5) == 0).select(
+        F.col("c_name").alias("name")
+    )
+    pos = (F.col("c_custkey") % F.length("c_name")).cast("int")
+    dirty = cust.filter((F.col("c_custkey") % 15) == 0).select(
+        F.concat(
+            F.substring(F.col("c_name"), 1, pos),
+            F.col("c_name").substr(pos + F.lit(2), F.length("c_name")),
+        ).alias("name")
+    )
+    corpus = clean.unionByName(dirty)
+    return linkage.symspell_pairs(corpus, "name", min_len=4, max_dist=2)

@@ -436,3 +436,62 @@ def image_ahash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_ahash_pairs_from_state(
+    hashes_probe: DataFrame, hashes_all: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Mine near-dup image pairs from persisted aHash band STATE — the
+    ``lsh_pairs_from_state`` contract in image space (the state-store
+    promise in ``image_ahash``'s docstring made concrete): the probe
+    slice's band keys drive the candidate join against the FULL hash
+    store, so pairs wholly inside the non-probe side never form and
+    history x history is never re-mined; exact popcount verification
+    reads band values from the store. Both inputs come straight off
+    parquet — payloads are never re-decoded. Union of successive
+    slices' pair relations equals the from-scratch relation with no
+    pair mined twice (pinned by test)."""
+    if max_hamming >= 4:
+        raise ValueError("band blocking guarantees recall only for max_hamming <= 3")
+
+    def _bands(h: DataFrame, out: str) -> DataFrame:
+        return h.select(
+            F.col("doc_id").alias(out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band_id"), F.col(f"b{k}").alias("v")
+                        )
+                        for k in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out, F.col("bk.band_id").alias("band_id"), F.col("bk.v").alias("v"))
+
+    candidates = (
+        _bands(hashes_probe, "doc_n")
+        .join(_bands(hashes_all, "doc"), ["band_id", "v"])
+        .filter(F.col("doc_n") != F.col("doc"))
+        .select(
+            F.least("doc_n", "doc").alias("id_a"),
+            F.greatest("doc_n", "doc").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hashes_all.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{k}").alias(f"ab{k}") for k in range(4)],
+    )
+    hb = hashes_all.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    ham = sum(F.bit_count(F.expr(f"ab{k} ^ bb{k}").cast("long")) for k in range(4))
+    return (
+        candidates.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -273,10 +273,9 @@ def q_audio_zero_crossings(spark, sf_dir):
     return multimodal.audio_zero_crossings(media)
 
 
-@register(
-    "image_ahash_near_pairs",
-    """
-    WITH px AS (
+# Shared by the pair and keep-list oracles: the deterministic pixel
+# synthesis + the identical integer aHash band math, as SQL CTEs.
+_AHASH_BANDS_CTES = """px AS (
       SELECT d.doc_id, d.doc_id % 100 AS cls,
              p.p % 16 AS x, p.p // 16 AS y
       FROM documents d CROSS JOIN unnest(generate_series(0, 255)) AS p(p)
@@ -304,7 +303,13 @@ def q_audio_zero_crossings(spark, sf_dir):
         CAST(SUM(CASE WHEN idx // 16 = 2 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
         CAST(SUM(CASE WHEN idx // 16 = 3 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
       FROM bits GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "image_ahash_near_pairs",
+    f"""
+    WITH {_AHASH_BANDS_CTES}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
@@ -327,3 +332,59 @@ def q_image_ahash_near_pairs(spark, sf_dir):
     media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
     hashes = multimodal.image_ahash(media)
     return multimodal.image_ahash_pairs(hashes, max_hamming=3)
+
+
+# --- round-9 addition (post-freeze -> leads the round-10 window) ------
+# X5b closure (VERDICT r08 item 5): the aHash band relation promised
+# itself as ingest-time state; this keep-list consumes it — near-dup
+# pairs -> HashMin components -> min-id canonical — the same relation
+# shape a curation job anti-joins (minhash_dedup_keeplist's contract,
+# image space). The CC fixpoint replays as a recursive CTE.
+_AHASH_KEEPLIST_ORACLE = f"""
+    WITH RECURSIVE {_AHASH_BANDS_CTES},
+    apairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM apairs
+      UNION SELECT id_b, id_a FROM apairs
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node, MIN(reach) AS component_id
+      FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+      GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(comp.component_id, d.doc_id) AS component_id,
+           COALESCE(comp.component_id, d.doc_id) = d.doc_id AS kept
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+
+@register("image_ahash_keeplist", _AHASH_KEEPLIST_ORACLE)
+def q_image_ahash_keeplist(spark, sf_dir):
+    """Image-dedup keep-list: decode -> aHash bands -> banded pair join
+    (exact recall at Hamming <= 3) -> HashMin connected components ->
+    min-id canonical per component, one row per document. The band
+    relation is the persistable ingest state —
+    ``image_ahash_pairs_from_state`` mines the same pairs from slices
+    of it without re-decoding payloads (state-reuse pinned by test)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
+    hashes = multimodal.image_ahash(media)
+    pairs = multimodal.image_ahash_pairs(hashes, max_hamming=3)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
+    )

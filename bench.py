@@ -150,7 +150,14 @@ ITERATIVE = [
     # round 9 capstone: five dedup signals + two classifier gates in
     # one decision relation — contains the CC fixpoint (checkpoint
     # floor) and costs ~the sum of its audited parts, so it lives in
-    # this series rather than inflating the headline total ~30%
+    # this series rather than inflating the headline total ~30%.
+    # curation_decision_incremental is deliberately NOT benched: in
+    # this repo it must SIMULATE the persisted history state by
+    # re-mining it in-query (history pairs/spans/scores), so its
+    # wall-clock is ~2x the batch capstone — an artifact of the
+    # simulation, not the incremental plan (production reads that
+    # state off parquet; the new-vs-all mining itself is the cheap
+    # part, pinned green vs the from-scratch oracle every round).
     "corpus_curation_decision",
 ]
 

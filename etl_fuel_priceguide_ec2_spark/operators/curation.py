@@ -94,19 +94,96 @@ def corpus_curation_decision(
         eager=True
     )
 
+    # -- signal mining (each relation is the persistable state form)
+    hashes = docs.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha")
+    )
+    jp = dedup.ngram_jaccard_pairs(
+        docs, id_col, text_col, n=n,
+        threshold=jaccard_threshold, prefix_filter=True, shingle_sets=sets,
+    )
+    cp = dedup.containment_pairs(
+        docs, id_col, text_col, n=n,
+        threshold=containment_threshold, prefix_filter=True,
+        shingle_sets=sets,
+    ).select("id_a", "id_b")
+    spans = dedup.exact_substring_spans(
+        docs, id_col, text_col,
+        k=k, min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
+    )
+    ntok = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    feats = textops.classifier_features(
+        docs, id_col, text_col, n_buckets
+    ).localCheckpoint(eager=True)  # ONE featurization pass, both models
+    q = textops.quality_classifier_scores(
+        docs, id_col, text_col, quality_weights,
+        n_buckets=n_buckets, threshold=quality_threshold, features=feats,
+    ).select(F.col(id_col), F.col("score").alias("quality_score"))
+    dom = textops.domain_classifier_labels(
+        docs, id_col, text_col, domain_weights, n_buckets=n_buckets,
+        features=feats,
+    ).select(
+        F.col(id_col),
+        F.col("best_class").alias("domain"),
+        F.col("margin").alias("margin"),
+    )
+    return curation_decision_from_signals(
+        hashes, jp, cp, spans, ntok, q, dom, id_col,
+        span_drop_threshold=span_drop_threshold,
+        quality_threshold=quality_threshold,
+        blocked_domain=blocked_domain,
+    )
+
+
+def curation_decision_from_signals(
+    content_hashes: DataFrame,
+    jaccard_pairs: DataFrame,
+    containment_pairs: DataFrame,
+    spans: DataFrame,
+    n_tokens: DataFrame,
+    quality: DataFrame,
+    domain: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    span_drop_threshold: float = 0.5,
+    quality_threshold: float = 0.01,
+    blocked_domain: str | None = "retail",
+) -> DataFrame:
+    """The DECISION layer of the capstone, factored off the mining:
+    every input is a doc_id-keyed SIGNAL relation (content hashes,
+    verified Jaccard pairs, directed containment pairs, duplicated
+    spans, token counts, classifier outputs) — exactly the relations
+    an ingest pipeline persists as state. Batch mining
+    (``corpus_curation_decision``) and incremental state-probing
+    mining (``corpus_curation_decision_incremental`` in the registry)
+    both delegate here, so the precedence semantics cannot drift
+    between the two forms.
+
+    At 100 TB this layer is corpus-INDEPENDENT: every join is keyed on
+    doc ids, the CC fixpoint runs over the (tiny) pair relation, and
+    nothing here re-reads text — re-deciding the whole corpus after a
+    new slice lands costs id-scale work, which is why late-arriving
+    bridge documents (a new doc merging two old near-dup components)
+    are handled exactly rather than approximately."""
+    docs_ids = content_hashes.select(id_col)
+
     # -- stage 1: exact content dedup (one window over 32-byte hashes)
-    wh = Window.partitionBy(F.sha2(F.col(text_col), 256))
-    ex = docs.select(
+    wh = Window.partitionBy("sha")
+    ex = content_hashes.select(
         F.col(id_col), F.min(id_col).over(wh).alias("_exact_canon")
     )
     s1 = ex.filter(F.col("_exact_canon") == F.col(id_col)).select(id_col)
 
     # -- stage 2: near-dup components among exact survivors
-    jp = dedup.ngram_jaccard_pairs(
-        docs, id_col, text_col, n=n,
-        threshold=jaccard_threshold, prefix_filter=True, shingle_sets=sets,
-    )
-    jp2 = jp.join(
+    jp2 = jaccard_pairs.select("id_a", "id_b").join(
         s1.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
     ).join(s1.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
     comp = dedup.connected_components(jp2, "id_a", "id_b")
@@ -117,12 +194,7 @@ def corpus_curation_decision(
 
     # -- stage 3: directed containment among near-dup survivors;
     # contained copy drops, mutual containment keeps the smaller id
-    cp = dedup.containment_pairs(
-        docs, id_col, text_col, n=n,
-        threshold=containment_threshold, prefix_filter=True,
-        shingle_sets=sets,
-    ).select("id_a", "id_b")
-    cp2 = cp.join(
+    cp2 = containment_pairs.select("id_a", "id_b").join(
         s2.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
     ).join(s2.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
     rev = cp2.select(
@@ -140,10 +212,6 @@ def corpus_curation_decision(
 
     # -- stage 4: exact-substring coverage among containment survivors
     # (interval union per doc — same window as duplicated_span_coverage)
-    spans = dedup.exact_substring_spans(
-        docs, id_col, text_col,
-        k=k, min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
-    )
     sp = spans.join(
         s3.withColumnRenamed(id_col, "doc_a"), "doc_a", "left_semi"
     ).join(s3.withColumnRenamed(id_col, "doc_b"), "doc_b", "left_semi")
@@ -173,26 +241,17 @@ def corpus_curation_decision(
         .groupBy("_id")
         .agg(F.sum("_c").alias("_covered"))
     )
-    ntok = docs.select(
-        F.col(id_col),
-        F.size(
-            F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                lambda t: t != "",
-            )
-        ).cast("long").alias("_nt"),
-    )
     dup = (
-        s3.join(ntok, id_col)
+        s3.join(n_tokens, id_col)
         .join(cov, s3[id_col] == cov["_id"], "left")
         .select(
             F.col(id_col),
             F.when(
-                F.col("_nt") > 0,
+                F.col("n_tokens") > 0,
                 F.coalesce(
                     F.round(
                         F.col("_covered").cast("double")
-                        / F.col("_nt").cast("double"),
+                        / F.col("n_tokens").cast("double"),
                         9,
                     ),
                     F.lit(0.0),
@@ -201,22 +260,13 @@ def corpus_curation_decision(
         )
     )
 
-    # -- stages 5-6: classifier gates (scored for every corpus doc)
-    q = textops.quality_classifier_scores(
-        docs, id_col, text_col, quality_weights,
-        n_buckets=n_buckets, threshold=quality_threshold,
-    ).select(F.col(id_col), F.col("score").alias("quality_score"))
-    dom = textops.domain_classifier_labels(
-        docs, id_col, text_col, domain_weights, n_buckets=n_buckets
-    ).select(
-        F.col(id_col),
-        F.col("best_class").alias("domain"),
-        F.col("margin").alias("_margin"),
-    )
-
     # -- assemble: precedence CASE over id-keyed signal joins
+    q = quality.select(F.col(id_col), "quality_score")
+    dom = domain.select(
+        F.col(id_col), "domain", F.col("margin").alias("_margin")
+    )
     base = (
-        docs.select(id_col)
+        docs_ids
         .join(ex, id_col)
         .join(near_losers.withColumn("_near_drop", F.lit(True)), id_col, "left")
         .join(cont_losers.withColumn("_cont_drop", F.lit(True)), id_col, "left")
@@ -449,3 +499,135 @@ def curation_decision_oracle_sql(
     JOIN q ON q.{id_col} = c.{id_col}
     JOIN dom ON dom.{id_col} = c.{id_col}
 """
+
+
+def corpus_curation_decision_incremental(
+    hist: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_weights: DataFrame,
+    domain_weights: DataFrame,
+    *,
+    n: int = 3,
+    jaccard_threshold: float = 0.6,
+    containment_threshold: float = 0.9,
+    k: int = 8,
+    min_span_tokens: int = 15,
+    max_gram_freq: int | None = 1024,
+    span_drop_threshold: float = 0.5,
+    quality_threshold: float = 0.01,
+    blocked_domain: str | None = "retail",
+    n_buckets: int = 4096,
+    restrict_to_new: bool = True,
+) -> DataFrame:
+    """The daily-ingest capstone: given yesterday's corpus (``hist``,
+    whose signal state a production run would read off parquet) and a
+    NEW slice, produce the decision rows for the new slice while
+
+    - never re-mining history x history pairs (the incremental miners:
+      ``ngram_jaccard_pairs_incremental``,
+      ``containment_pairs_incremental``,
+      ``exact_substring_spans_incremental``),
+    - never re-tokenizing history text (all probes run over persisted
+      shingle/gram/hash state relations),
+    - re-running only the id-scale DECISION layer over persisted + new
+      signals (``curation_decision_from_signals``), which re-elects
+      canonicals exactly when a late-arriving doc bridges two old
+      components.
+
+    Output == the from-scratch decision over hist ∪ new restricted to
+    new ids (the registry oracle asserts exactly this; the full
+    relation equals the batch capstone, pinned by test). One
+    documented divergence class: the exact-substring frequency cap is
+    evaluated per mining run (history-only spans were capped against
+    history frequencies), so a gram crossing the cap only after new
+    arrivals keeps its already-mined history spans — the same
+    at-ingest cap semantics the incremental gram store documents."""
+    # state relations — per-slice, exactly what ingest persists
+    sets_hist = dedup._shingle_array(hist, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    sets_new = dedup._shingle_array(new, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    grams_hist = dedup.positional_gram_state(hist, id_col, text_col, k)
+    grams_new = dedup.positional_gram_state(new, id_col, text_col, k)
+
+    def _slice_signals(docs: DataFrame, sets: DataFrame):
+        hashes = docs.select(
+            F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha")
+        )
+        ntok = docs.select(
+            F.col(id_col),
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+        feats = textops.classifier_features(docs, id_col, text_col, n_buckets)
+        q = textops.quality_classifier_scores(
+            docs, id_col, text_col, quality_weights,
+            n_buckets=n_buckets, threshold=quality_threshold, features=feats,
+        ).select(F.col(id_col), F.col("score").alias("quality_score"))
+        dom = textops.domain_classifier_labels(
+            docs, id_col, text_col, domain_weights, n_buckets=n_buckets,
+            features=feats,
+        ).select(
+            F.col(id_col),
+            F.col("best_class").alias("domain"),
+            F.col("margin").alias("margin"),
+        )
+        return hashes, ntok, q, dom
+
+    h_hashes, h_ntok, h_q, h_dom = _slice_signals(hist, sets_hist)
+    n_hashes, n_ntok, n_q, n_dom = _slice_signals(new, sets_new)
+
+    # history-only pair/span relations == the persisted prior-run state
+    jp_hist = dedup.ngram_jaccard_pairs(
+        hist, id_col, text_col, n=n,
+        threshold=jaccard_threshold, prefix_filter=True,
+        shingle_sets=sets_hist,
+    ).select("id_a", "id_b")
+    cp_hist = dedup.containment_pairs(
+        hist, id_col, text_col, n=n,
+        threshold=containment_threshold, prefix_filter=True,
+        shingle_sets=sets_hist,
+    ).select("id_a", "id_b")
+    spans_hist = dedup.exact_substring_spans(
+        hist, id_col, text_col,
+        k=k, min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
+    )
+
+    # incremental mining: new-vs-all ONLY
+    jp_inc = dedup.ngram_jaccard_pairs_incremental(
+        sets_hist, sets_new, id_col, threshold=jaccard_threshold
+    ).select("id_a", "id_b")
+    cp_inc = dedup.containment_pairs_incremental(
+        sets_hist, sets_new, id_col, threshold=containment_threshold
+    ).select("id_a", "id_b")
+    spans_inc = dedup.exact_substring_spans_incremental(
+        grams_hist, grams_new, k, min_span_tokens, max_gram_freq
+    )
+
+    decisions = curation_decision_from_signals(
+        h_hashes.unionByName(n_hashes),
+        jp_hist.unionByName(jp_inc),
+        cp_hist.unionByName(cp_inc),
+        spans_hist.unionByName(spans_inc.select(*spans_hist.columns)),
+        h_ntok.unionByName(n_ntok),
+        h_q.unionByName(n_q),
+        h_dom.unionByName(n_dom),
+        id_col,
+        span_drop_threshold=span_drop_threshold,
+        quality_threshold=quality_threshold,
+        blocked_domain=blocked_domain,
+    )
+    if not restrict_to_new:
+        # the full re-decided relation (history rows included) — the
+        # equality-with-batch test surface; production appends only the
+        # new rows and upserts any history rows whose decision changed
+        return decisions
+    return decisions.join(new.select(id_col), id_col, "left_semi")

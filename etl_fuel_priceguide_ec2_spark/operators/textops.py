@@ -788,6 +788,26 @@ def _feature_hash(col, n_buckets: int):
     )
 
 
+def classifier_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 1 << 20
+) -> DataFrame:
+    """The shared featurization relation both linear classifiers
+    consume: (id, feature_id) — one row per word unigram+bigram
+    occurrence, hashed into ``n_buckets``; featureless docs keep one
+    NULL-feature row (explode_outer) so every document stays decided
+    without a spine join. Compute ONCE per corpus and pass to
+    ``quality_classifier_scores`` / ``domain_classifier_labels`` via
+    their ``features`` parameter when running several models — each
+    avoided re-featurization is a full corpus scan at 100 TB (the
+    ``shingle_sets`` contract for the classifier tier)."""
+    uni = _word_ngrams(text_col, 1)
+    bi = F.filter(_word_ngrams(text_col, 2), lambda g: g.contains(" "))
+    return fan_out(df).select(
+        F.col(id_col),
+        F.explode_outer(F.concat(uni, bi)).alias("_g"),
+    ).select(F.col(id_col), _feature_hash(F.col("_g"), n_buckets).alias("feature_id"))
+
+
 def quality_classifier_weights(
     lexicon: DataFrame,
     term_col: str = "term",
@@ -817,6 +837,7 @@ def quality_classifier_scores(
     weights: DataFrame,
     n_buckets: int = 1 << 20,
     threshold: float = 0.0,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """fastText-style linear quality-classifier INFERENCE as a
     relation: features are word unigrams + bigrams (lowercased,
@@ -835,17 +856,16 @@ def quality_classifier_scores(
     (addition-order-free), ONE double division per doc, rounded to
     9 dp — the relation hash-matches the DuckDB replay. Composable
     with the curation keep-list (AND the gate into ``kept``)."""
-    uni = _word_ngrams(text_col, 1)
-    bi = F.filter(_word_ngrams(text_col, 2), lambda g: g.contains(" "))
-    # explode_outer keeps ONE null-gram row for featureless docs
-    # (empty/whitespace text), so every document gets a decided output
-    # row without a second doc_id-keyed join back to the input — the
-    # whole plan is scan -> explode -> broadcast join -> one
-    # map-side-combined per-doc aggregate.
-    feats = fan_out(df).select(
-        F.col(id_col),
-        F.explode_outer(F.concat(uni, bi)).alias("_g"),
-    ).select(F.col(id_col), _feature_hash(F.col("_g"), n_buckets).alias("feature_id"))
+    # explode_outer (inside classifier_features) keeps ONE null-gram
+    # row for featureless docs (empty/whitespace text), so every
+    # document gets a decided output row without a second doc_id-keyed
+    # join back to the input — the whole plan is scan -> explode ->
+    # broadcast join -> one map-side-combined per-doc aggregate.
+    feats = (
+        features
+        if features is not None
+        else classifier_features(df, id_col, text_col, n_buckets)
+    )
     zero = F.lit(0).cast("decimal(12,6)")
     agg = (
         feats.join(F.broadcast(weights), "feature_id", "left")
@@ -963,6 +983,7 @@ def domain_classifier_labels(
     text_col: str,
     class_weights: DataFrame,
     n_buckets: int = 1 << 20,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Multiclass linear inference: every document scored against
     EVERY class's weight vector (mean matched weight over the doc's
@@ -979,12 +1000,11 @@ def domain_classifier_labels(
     columns, the unavoidable output lower bound. Same decimal-sum /
     one-rounded-division portability contract as the binary scorer."""
     from pyspark.sql import Window
-    uni = _word_ngrams(text_col, 1)
-    bi = F.filter(_word_ngrams(text_col, 2), lambda g: g.contains(" "))
-    feats = fan_out(df).select(
-        F.col(id_col),
-        F.explode_outer(F.concat(uni, bi)).alias("_g"),
-    ).select(F.col(id_col), _feature_hash(F.col("_g"), n_buckets).alias("feature_id"))
+    feats = (
+        features
+        if features is not None
+        else classifier_features(df, id_col, text_col, n_buckets)
+    )
     per_doc = feats.groupBy(id_col).agg(
         F.count("feature_id").alias("n_features")
     )

@@ -1744,3 +1744,156 @@ def containment_pairs(
             F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
         )
     )
+
+
+def _hash_sets(sets: DataFrame, id_col: str) -> DataFrame:
+    return sets.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
+
+
+def ngram_jaccard_pairs_incremental(
+    sets_hist: DataFrame,
+    sets_new: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact SSJoin over persisted ``_shingle_array`` STATE relations —
+    the daily-ingest form: emits every pair with Jaccard >= t that
+    TOUCHES the new slice (new x history and new x new), while
+    history x history candidates structurally never form. Shingle
+    document frequencies and prefix orderings are computed over the
+    UNION state, so the emitted pairs are exactly the from-scratch
+    relation restricted to pairs touching new (recall 1.0 by the same
+    PPJoin pigeonhole — any total df order shared by all docs
+    satisfies the prefix theorem). Text is never re-tokenized: both
+    inputs come straight off the persisted state store."""
+    sets_all = sets_hist.unionByName(sets_new)
+    hall = _hash_sets(sets_all, id_col)
+    sh = hall.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            F.col(id_col),
+            F.size("ord").alias("set_size"),
+            F.slice(
+                F.transform("ord", lambda x: x["shingle"]),
+                1,
+                (F.size("ord") - F.ceil(F.lit(threshold) * F.size("ord")) + 1).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+    pre_all = ordered.select(
+        F.col(id_col), "set_size", F.explode("prefix").alias("shingle")
+    )
+    pre_new = pre_all.join(
+        sets_new.select(id_col), id_col, "left_semi"
+    )
+    candidates = (
+        pre_new.select(
+            F.col(id_col).alias("_n"), F.col("set_size").alias("_sn"), "shingle"
+        )
+        .join(
+            pre_all.select(
+                F.col(id_col).alias("_o"), F.col("set_size").alias("_so"), "shingle"
+            ),
+            "shingle",
+        )
+        .filter(F.col("_n") != F.col("_o"))
+        .filter(
+            F.least("_sn", "_so") >= F.lit(threshold) * F.greatest("_sn", "_so")
+        )
+        .select(
+            F.least("_n", "_o").alias("id_a"),
+            F.greatest("_n", "_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = hall.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = hall.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def containment_pairs_incremental(
+    sets_hist: DataFrame,
+    sets_new: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed containment over persisted shingle STATE — every pair
+    C(A, B) >= t where A or B is in the new slice: the new docs both
+    as contained copies (new probing the full store) and as new
+    CONTAINERS of history docs (history prefixes probing only the new
+    slice's index). History x history never re-forms. Same
+    prefix-for-containment blocking as ``containment_pairs``
+    (probe-side rare-first prefix, container side fully indexed),
+    recall exactly 1.0."""
+    sets_all = sets_hist.unionByName(sets_new)
+    hall = _hash_sets(sets_all, id_col)
+    hnew = _hash_sets(sets_new, id_col)
+    sh_all = hall.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sh_new = hnew.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    freq = sh_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh_all.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            F.col(id_col),
+            F.size("ord").alias("set_size"),
+            F.slice(
+                F.transform("ord", lambda x: x["shingle"]),
+                1,
+                (F.size("ord") - F.ceil(F.lit(threshold) * F.size("ord")) + 1).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+    pre = ordered.select(F.col(id_col), F.explode("prefix").alias("shingle"))
+    pre_new = pre.join(sets_new.select(id_col), id_col, "left_semi")
+    pre_hist = pre.join(sets_new.select(id_col), id_col, "left_anti")
+    cand_new_probe = pre_new.select(F.col(id_col).alias("id_a"), "shingle").join(
+        sh_all.select(F.col(id_col).alias("id_b"), "shingle"), "shingle"
+    )
+    cand_hist_probe = pre_hist.select(F.col(id_col).alias("id_a"), "shingle").join(
+        sh_new.select(F.col(id_col).alias("id_b"), "shingle"), "shingle"
+    )
+    candidates = (
+        cand_new_probe.select("id_a", "id_b")
+        .unionAll(cand_hist_probe.select("id_a", "id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    need = F.ceil(F.lit(threshold) * F.col("size_a")).cast("long")
+    sa = hall.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = hall.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("size_a", F.size("sh_a").cast("long"))
+        .withColumn("size_b", F.size("sh_b").cast("long"))
+        .filter(F.col("n_common") >= need)
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
+        )
+    )

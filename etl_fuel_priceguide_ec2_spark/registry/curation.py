@@ -514,3 +514,91 @@ def q_corpus_curation_decision(spark, sf_dir):
         corpus, "doc_id", "text", qw, dw,
         n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
     )
+
+
+@register(
+    "curation_decision_incremental",
+    f"""
+    SELECT * FROM ({_curation.curation_decision_oracle_sql(
+        _CURATION_CORPUS_SQL, "doc_id", "text",
+        _QC_LEXICON, _DOMAIN_LEXICON,
+        n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+    )}) t WHERE doc_id >= 200000
+""",
+)
+def q_curation_decision_incremental(spark, sf_dir):
+    """The DAILY-INGEST form of the capstone: the base documents are
+    yesterday's corpus with persisted signal state (shingle sets,
+    positional grams, content hashes, pair relations, classifier
+    scores); the four derived cohorts arrive as today's slice. Pair
+    mining runs ONLY new-vs-all (``ngram_jaccard_pairs_incremental``,
+    ``containment_pairs_incremental``,
+    ``exact_substring_spans_incremental``) — history x history is
+    never re-mined and history text is never re-tokenized — then the
+    id-scale decision layer (``curation_decision_from_signals``)
+    re-decides over persisted + new signals, which handles
+    late-arriving bridge documents exactly (a new doc merging two old
+    near-dup components re-elects the canonical). Output: the decision
+    rows for the NEW slice (the relation a daily job appends); the
+    oracle is the from-scratch full-corpus decision restricted to new
+    ids — equality IS the incremental-correctness claim. Full-relation
+    equality with the batch capstone is additionally pinned by test."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "text")
+    )
+    exact_twins = docs.filter((F.col("doc_id") % 25) == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near_twins = docs.filter((F.col("doc_id") % 20) == 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 3, 1000000)
+        ).alias("text"),
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    anthologies = (
+        docs.filter((F.col("doc_id") % 40) == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(" ", "text", "_next").alias("text"),
+        )
+    )
+    headered = docs.filter((F.col("doc_id") % 10) == 7).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit(_BPLT_HDR),
+            F.concat_ws(
+                " ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))
+            ),
+        ).alias("text"),
+    )
+    hist = docs.localCheckpoint(eager=True)
+    new = (
+        exact_twins.unionAll(near_twins)
+        .unionAll(anthologies)
+        .unionAll(headered)
+        .localCheckpoint(eager=True)
+    )
+    qlex = spark.createDataFrame(
+        _QC_LEXICON, "term string, weight string"
+    ).selectExpr("term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    qw = textops.quality_classifier_weights(qlex, n_buckets=_QC_BUCKETS)
+    dlex = spark.createDataFrame(
+        [(c, t, str(w)) for c, t, w in _DOMAIN_LEXICON],
+        "class string, term string, weight string",
+    ).selectExpr("class", "term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    dw = textops.domain_classifier_weights(dlex, n_buckets=_QC_BUCKETS)
+    return _curation.corpus_curation_decision_incremental(
+        hist, new, "doc_id", "text", qw, dw,
+        n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+    )

@@ -1590,3 +1590,73 @@ def test_symspell_d2_matches_bruteforce_levenshtein(spark):
     assert got == want
     assert ("widget", "wigdet", 1, 1, 2) in got  # transposition caught at d2
     assert not any("sharpened" in (a, b) for a, b, *_ in got)  # d3 stays out
+
+
+def test_incremental_curation_equals_batch_capstone(spark, sf_dir):
+    """The daily-ingest capstone re-decided from persisted + new
+    signal state equals the from-scratch batch decision for EVERY doc
+    (history included): incremental mining (new-vs-all pair probes,
+    no history re-tokenization) loses nothing, and the id-scale
+    decision layer re-elects canonicals exactly when new docs bridge
+    or join old components."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import curation, textops
+    from etl_fuel_priceguide_ec2_spark.registry.curation import (
+        _BPLT_HDR,
+        _DOMAIN_LEXICON,
+        _QC_BUCKETS,
+        _QC_LEXICON,
+        _QC_THRESHOLD,
+    )
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .filter(F.col("doc_id") < 150)  # both pipelines run in full; cap cost
+        .select("doc_id", "text")
+    )
+    exact_twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    headered = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit(_BPLT_HDR),
+            F.concat_ws(" ", F.reverse(F.split(F.trim("text"), r"\s+"))),
+        ).alias("text"),
+    )
+    hist = docs.localCheckpoint(eager=True)
+    new = exact_twins.unionAll(headered).localCheckpoint(eager=True)
+
+    qlex = spark.createDataFrame(
+        _QC_LEXICON, "term string, weight string"
+    ).selectExpr("term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    qw = textops.quality_classifier_weights(qlex, n_buckets=_QC_BUCKETS)
+    dlex = spark.createDataFrame(
+        [(c, t, str(w)) for c, t, w in _DOMAIN_LEXICON],
+        "class string, term string, weight string",
+    ).selectExpr("class", "term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    dw = textops.domain_classifier_weights(dlex, n_buckets=_QC_BUCKETS)
+
+    inc = sorted(
+        map(
+            tuple,
+            curation.corpus_curation_decision_incremental(
+                hist, new, "doc_id", "text", qw, dw,
+                n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+                restrict_to_new=False,
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            curation.corpus_curation_decision(
+                hist.unionAll(new), "doc_id", "text", qw, dw,
+                n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+            ).collect(),
+        )
+    )
+    assert inc == batch and len(batch) > 0

@@ -864,3 +864,116 @@ def q_symspell_edit2_pairs(spark, sf_dir):
     )
     corpus = clean.unionByName(dirty)
     return linkage.symspell_pairs(corpus, "name", min_len=4, max_dist=2)
+
+
+_SSJOIN_INCR_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(toks) - 3 + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM d
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (x.set_size + y.set_size - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sz x ON id_a = x.doc_id
+    JOIN sz y ON id_b = y.doc_id
+    WHERE n_common * 1.0 / (x.set_size + y.set_size - n_common) >= 0.5
+      AND (id_a % 5 = 4 OR id_b % 5 = 4)
+"""
+
+
+@register("ssjoin_incremental_pairs", _SSJOIN_INCR_ORACLE)
+def q_ssjoin_incremental_pairs(spark, sf_dir):
+    """The EXACT-SSJoin sibling of minhash_incremental_pairs (round 9):
+    docs with doc_id % 5 == 4 play the new slice; pairs touching new
+    are mined from persisted shingle-set STATE via
+    ``ngram_jaccard_pairs_incremental`` — prefix orderings over union
+    frequencies, history x history structurally excluded, recall
+    exactly 1.0. Oracle = exact all-pairs Jaccard restricted to pairs
+    touching the new slice."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    sets_hist = dedup._shingle_array(hist, "doc_id", "text", 3)
+    sets_new = dedup._shingle_array(new, "doc_id", "text", 3)
+    return dedup.ngram_jaccard_pairs_incremental(
+        sets_hist, sets_new, "doc_id", threshold=0.5
+    )
+
+
+_CONTAINMENT_INCR_ORACLE = r"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT 10000000 + a.doc_id AS doc_id, a.text || ' ' || b.text AS text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 40 = 0 AND length(a.text) > 0 AND length(b.text) > 0
+    ), d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+          range(1, greatest(len(toks) - 3 + 1, 1) + 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM d
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(x.set_size AS BIGINT) AS size_a,
+           CAST(y.set_size AS BIGINT) AS size_b,
+           ROUND(n_common * 1.0 / x.set_size, 6) AS containment
+    FROM inter
+    JOIN sz x ON id_a = x.doc_id
+    JOIN sz y ON id_b = y.doc_id
+    WHERE n_common >= CAST(CEIL(0.9 * x.set_size) AS BIGINT)
+      AND (id_a >= 10000000 OR id_b >= 10000000)
+"""
+
+
+@register("containment_incremental_pairs", _CONTAINMENT_INCR_ORACLE)
+def q_containment_incremental_pairs(spark, sf_dir):
+    """Directed containment from persisted state with the anthologies
+    arriving as the NEW slice (round 9): both directions touching new
+    are mined — new anthologies as containers of history docs (history
+    prefixes probe only the new index) and as contained copies (new
+    prefixes probe the full store) — history x history never re-forms.
+    Oracle = exact all-pairs containment restricted to pairs touching
+    the new slice."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    anth = (
+        docs.filter((F.col("doc_id") % 40) == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.lit(10_000_000) + F.col("doc_id")).alias("doc_id"),
+            F.concat_ws(" ", "text", "_next").alias("text"),
+        )
+    )
+    sets_hist = dedup._shingle_array(docs, "doc_id", "text", 3)
+    sets_new = dedup._shingle_array(anth, "doc_id", "text", 3)
+    return dedup.containment_pairs_incremental(
+        sets_hist, sets_new, "doc_id", threshold=0.9
+    )

@@ -157,3 +157,97 @@ def symspell_oracle_sql(
     FROM cand
     WHERE levenshtein(s_a, s_b) <= {max_dist}
 """
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge): sort
+    records by the normalized key and compare each record only to its
+    ``window`` successors in sort order, verifying with the exact
+    built-in ``levenshtein``. The complementary blocking family to
+    SymSpell (``symspell_pairs``): SNM catches *prefix-preserving*
+    dirt (suffix typos, trailing id drift) at O(n * w) comparisons
+    with NO neighborhood expansion, but misses first-character errors
+    that sort far apart — production merge/purge runs several passes
+    with different key orderings; this operator is one pass.
+
+    Emits (id_a, id_b, key_a, key_b, dist) with id_a < id_b and
+    dist <= ``max_dist``.
+
+    100 TB shape: the sort is a range-repartition (parallel
+    per-partition sorts, never one task), ranks come from
+    ``global_row_number``'s two-pass offset trick, and the
+    neighborhood forms as an equi-join on rank (each side exploded at
+    most ``window`` ways) — co-partitioned shuffle on a dense long
+    key, no skew (ranks are unique), candidate volume exactly
+    n * window.
+    """
+    from etl_fuel_priceguide_ec2_spark.operators.util import global_row_number
+
+    recs = df.select(
+        F.col(id_col).alias("_id"),
+        F.lower(F.trim(F.col(key_col))).alias("_k"),
+    )
+    ranked = global_row_number(recs, ["_k", "_id"], out_col="_rn")
+    probe = ranked.select(
+        F.col("_id").alias("_ida"),
+        F.col("_k").alias("_ka"),
+        F.col("_rn").alias("_rn0"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_off"),
+    ).select("_ida", "_ka", (F.col("_rn0") + F.col("_off")).alias("_rn"))
+    return (
+        probe.join(
+            ranked.select(
+                F.col("_id").alias("_idb"), F.col("_k").alias("_kb"), "_rn"
+            ),
+            "_rn",
+        )
+        .withColumn("dist", F.levenshtein("_ka", "_kb").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            F.when(F.col("_ida") < F.col("_idb"), F.col("_ka"))
+            .otherwise(F.col("_kb"))
+            .alias("key_a"),
+            F.when(F.col("_ida") < F.col("_idb"), F.col("_kb"))
+            .otherwise(F.col("_ka"))
+            .alias("key_b"),
+            "dist",
+        )
+    )
+
+
+def sorted_neighborhood_oracle_sql(
+    corpus_sql: str,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    max_dist: int = 2,
+) -> str:
+    """DuckDB replay: one global ``row_number`` over the same strict
+    (key, id) order, a rank-difference self-join, and the same
+    levenshtein verify. The single-partition window is fine HERE —
+    the oracle runs at oracle scale; the Spark side uses the
+    distributed two-pass rank."""
+    return f"""
+    WITH recs AS (
+      SELECT {id_col} AS id, lower(trim({key_col})) AS k
+      FROM ({corpus_sql})
+    ), ranked AS (
+      SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS rn FROM recs
+    )
+    SELECT least(a.id, b.id) AS id_a,
+           greatest(a.id, b.id) AS id_b,
+           CASE WHEN a.id < b.id THEN a.k ELSE b.k END AS key_a,
+           CASE WHEN a.id < b.id THEN b.k ELSE a.k END AS key_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+    FROM ranked a
+    JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND {window}
+    WHERE levenshtein(a.k, b.k) <= {max_dist}
+"""

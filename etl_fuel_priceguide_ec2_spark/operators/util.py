@@ -79,3 +79,56 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number over ``order_cols`` WITHOUT the
+    single-partition global-window anti-pattern (the HITS round-8
+    lesson: ``Window.orderBy(...)`` with no partitionBy funnels every
+    row through one task).
+
+    Two-pass distributed rank: range-repartition on the order columns
+    (so partition p holds a contiguous key range and all partitions
+    sort in parallel), take a per-partition ``row_number`` partitioned
+    by ``spark_partition_id()``, then add per-partition offsets — a
+    #partitions-row cumulative sum computed with a tiny broadcast-
+    joined window. Ranks depend only on the total order, not on where
+    the sampled range boundaries land, so the result is deterministic
+    even though ``repartitionByRange`` samples its bounds; callers must
+    pass order columns that form a STRICT total order (include a
+    unique id as the last column).
+    """
+    from pyspark.sql import Window, functions as F
+
+    cols = [F.col(c) for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "__lrn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+    )
+    # #partitions rows: the single-partition cumsum window is over a
+    # relation the size of the partition count, not the data
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("__pid", F.coalesce("__off", F.lit(0)).alias("__off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )

@@ -977,3 +977,56 @@ def q_containment_incremental_pairs(spark, sf_dir):
     return dedup.containment_pairs_incremental(
         sets_hist, sets_new, "doc_id", threshold=0.9
     )
+
+
+# --- round-9 addition: sorted-neighborhood blocking -------------------
+# The sort-based third member of the fuzzy-linkage family (SymSpell =
+# neighborhood expansion, containment/SSJoin = set blocking, SNM =
+# sort blocking). Fixture: every customer record plus a dirty slice
+# with the last character doubled (suffix dirt — the regime SNM is
+# built for: the typo'd key sorts IMMEDIATELY adjacent to its clean
+# twin, so window 4 always covers the pair); sequential Customer#
+# names also make natural id-drift neighbors, so the relation mixes
+# planted and organic near-keys.
+_SNM_CORPUS_SQL = """
+  SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name FROM customer
+  UNION ALL
+  SELECT CAST(10000000 + c_custkey AS BIGINT) AS rec_id,
+         c_name || substring(c_name, length(c_name), 1) AS name
+  FROM customer WHERE c_custkey % 9 = 0
+"""
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    _linkage.sorted_neighborhood_oracle_sql(
+        _SNM_CORPUS_SQL, "rec_id", "name", window=4, max_dist=2
+    ),
+)
+def q_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood merge/purge blocking: one sort pass, each
+    record compared to its 4 sort-successors, exact levenshtein <= 2
+    verify. Reference parity: the same near-key re-linking need as
+    symspell_edit1_pairs (index.js:242-294's exact-key upsert), via
+    the sort-based blocking that costs O(n*w) comparisons and no
+    variant expansion. The Spark side ranks with the two-pass
+    range-partition trick (operators/util.py global_row_number) —
+    never a single-partition global window."""
+    from pyspark.sql import functions as F
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").cast("long").alias("rec_id"), F.col("c_name").alias("name")
+    )
+    dirty = cust.filter((F.col("c_custkey") % 9) == 0).select(
+        (F.lit(10_000_000) + F.col("c_custkey")).cast("long").alias("rec_id"),
+        F.concat(
+            F.col("c_name"),
+            F.col("c_name").substr(F.length("c_name"), F.lit(1)),
+        ).alias("name"),
+    )
+    corpus = clean.unionByName(dirty)
+    return linkage.sorted_neighborhood_pairs(
+        corpus, "rec_id", "name", window=4, max_dist=2
+    )

@@ -1660,3 +1660,73 @@ def test_incremental_curation_equals_batch_capstone(spark, sf_dir):
         )
     )
     assert inc == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking + distributed global row_number
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_number_matches_single_window(spark):
+    """The two-pass range-partition rank equals the single-partition
+    row_number over the same strict order, for every partition count
+    (including more partitions than rows)."""
+    from etl_fuel_priceguide_ec2_spark.operators.util import global_row_number
+    from pyspark.sql import functions as F
+
+    rows = [(i, s) for i, s in enumerate(
+        ["pear", "apple", "fig", "apple", "kiwi", "banana", "fig", "date"]
+    )]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    expect = {
+        (r.id, r.rn)
+        for r in df.selectExpr(
+            "id", "row_number() over (order by k, id) as rn"
+        ).collect()
+    }
+    for n in (1, 3, 16):
+        got = {
+            (r.id, r.rn)
+            for r in global_row_number(df, ["k", "id"], num_partitions=n).collect()
+        }
+        assert got == expect, f"num_partitions={n}"
+
+
+def test_sorted_neighborhood_matches_bruteforce_window(spark):
+    """SNM equals the brute-force 'rank-difference <= w and lev <= d'
+    relation, and every suffix-dirty twin (clean key + doubled last
+    char, lev 1, sorts adjacent) is recovered."""
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    clean = ["delta9", "delta10", "delta11", "echo7", "echo8", "foxtrot1"]
+    rows = [(i, k) for i, k in enumerate(clean)]
+    rows += [(100 + i, k + k[-1]) for i, k in enumerate(clean) if i % 2 == 0]
+    df = spark.createDataFrame(rows, ["rec_id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in linkage.sorted_neighborhood_pairs(
+            df, "rec_id", "name", window=3, max_dist=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    expect = set()
+    for i, (ida, ka) in enumerate(ranked):
+        for j in range(i + 1, min(i + 4, len(ranked))):
+            idb, kb = ranked[j]
+            d = lev(ka, kb)
+            if d <= 2:
+                expect.add((min(ida, idb), max(ida, idb), d))
+    assert got == expect
+    for i in range(0, len(clean), 2):
+        assert (i, 100 + i, 1) in {(a, b, d) for a, b, d in got}

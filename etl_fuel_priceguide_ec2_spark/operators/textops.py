@@ -1119,3 +1119,98 @@ def domain_classifier_oracle_sql(
            ROUND(score - COALESCE(nxt, score), 9) AS margin
     FROM ranked WHERE rk = 1
 """
+
+
+def bigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-bigram-LM quality score: mean ln P(w_i | w_{i-1}) per
+    document under the corpus's own add-one-smoothed bigram model —
+    the conditional-probability step up from ``unigram_logprob_score``
+    and the cheap statistical stand-in for perplexity filtering (CCNet
+    style): perplexity = exp(-avg_logprob). Repetitive boilerplate
+    scores high, token-salad gibberish (plausible unigrams, improbable
+    transitions) scores low — exactly the split the unigram model
+    cannot see.
+
+    Model: P(v|u) = (C(u,v) + 1) / (C(u,·) + |V|), with C(u,·) the
+    count of bigrams starting with u and |V| the full unigram
+    vocabulary size. Scoring joins each document's bigrams back to the
+    model, so every observed bigram hits (the model is trained on the
+    same corpus) and the join is inner.
+
+    Plan: one bigram-count aggregate and one context-count aggregate
+    (both map-side combined, vocabulary-sized by Heaps' law), folded
+    into a single model relation joined once by the scoring pass; the
+    1-row vocab total broadcasts. At 100 TB the same
+    head-vocabulary-broadcast knob as ``unigram_logprob_score``
+    applies (cap the model to the top-K bigrams and score the tail at
+    the smoothing floor); the exact form here is the oracle-matched
+    contract.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), _WS), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = fan_out(df).select(F.col(id_col), F.explode(grams).alias("g"))
+    big = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c_uv"))
+    ctx = (
+        bg.select(F.substring_index("g", " ", 1).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("c_u"))
+    )
+    vocab = (
+        fan_out(df)
+        .select(F.explode(toks).alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.count_distinct("t").alias("nv"))
+    )
+    model = (
+        big.withColumn("u", F.substring_index("g", " ", 1))
+        .join(ctx, "u")
+        .crossJoin(F.broadcast(vocab))
+        .select("g", F.log((F.col("c_uv") + 1) / (F.col("c_u") + F.col("nv"))).alias("lp"))
+    )
+    return bg.join(model, "g").groupBy(id_col).agg(
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def bigram_lm_oracle_sql(docs_table: str, id_col: str, text_col: str) -> str:
+    """DuckDB replay of ``bigram_logprob_score``: identical
+    tokenization (lower/trim/whitespace-split, empty tokens dropped),
+    bigrams as 'u v' strings (tokens are whitespace-free, so
+    split_part on the joining space is an exact inverse), the same
+    add-one model CTEs, natural log both engines."""
+    return rf"""
+    WITH d AS (
+      SELECT {id_col},
+             list_filter(string_split_regex(lower(trim({text_col})), '\s+'),
+                         t -> t <> '') AS toks
+      FROM {docs_table}
+    ), bg AS (
+      SELECT {id_col},
+             UNNEST(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM d
+    ), big AS (
+      SELECT g, COUNT(*) AS c_uv FROM bg GROUP BY g
+    ), ctx AS (
+      SELECT split_part(g, ' ', 1) AS u, COUNT(*) AS c_u FROM bg GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT t) AS nv
+      FROM (SELECT UNNEST(toks) AS t FROM d) WHERE t <> ''
+    ), model AS (
+      SELECT g, ln((c_uv + 1.0) / (c_u + nv)) AS lp
+      FROM big JOIN ctx ON split_part(g, ' ', 1) = u CROSS JOIN vocab
+    )
+    SELECT {id_col}, ROUND(AVG(lp), 6) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bg JOIN model USING (g)
+    GROUP BY {id_col}
+"""

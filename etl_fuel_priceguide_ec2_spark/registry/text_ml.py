@@ -534,3 +534,18 @@ def q_bpe_tokens_per_doc(spark, sf_dir):
             F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
         )
     )
+
+
+@register(
+    "bigram_lm_quality",
+    textops.bigram_lm_oracle_sql("documents", "doc_id", "text"),
+)
+def q_bigram_lm_quality(spark, sf_dir):
+    """Bigram-LM (conditional-probability) quality scoring — the
+    perplexity-filtering stand-in one rung above unigram_quality:
+    P(v|u) add-one-smoothed over the corpus's own bigram counts,
+    per-doc mean ln P + bigram count. Gibberish with plausible
+    unigrams but improbable transitions drops to the bottom of this
+    ranking while staying invisible to the unigram score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bigram_logprob_score(docs, "doc_id", "text")

@@ -1730,3 +1730,37 @@ def test_sorted_neighborhood_matches_bruteforce_window(spark):
     assert got == expect
     for i in range(0, len(clean), 2):
         assert (i, 100 + i, 1) in {(a, b, d) for a, b, d in got}
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    """Add-one bigram model on a 3-doc corpus equals the hand-rolled
+    Python model, and token-salad (same unigrams, shuffled order)
+    scores strictly below the naturally-ordered doc — the property the
+    unigram score cannot express."""
+    import math
+    from collections import Counter
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "mat the on sat cat the"),  # same unigrams as doc 0, shuffled
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.avg_logprob, r.n_bigrams)
+        for r in textops.bigram_logprob_score(df, "doc_id", "text").collect()
+    }
+
+    toks = {i: t.split() for i, t in docs}
+    bgs = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    big = Counter(b for bs in bgs.values() for b in bs)
+    ctx = Counter(b[0] for bs in bgs.values() for b in bs)
+    nv = len({t for ts in toks.values() for t in ts})
+    for i, bs in bgs.items():
+        expect = sum(
+            math.log((big[b] + 1) / (ctx[b[0]] + nv)) for b in bs
+        ) / len(bs)
+        assert got[i][1] == len(bs)
+        assert abs(got[i][0] - round(expect, 6)) < 1e-6, i
+    assert got[2][0] < got[0][0]

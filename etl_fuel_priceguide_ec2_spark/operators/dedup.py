@@ -1897,3 +1897,80 @@ def containment_pairs_incremental(
             F.round(F.col("n_common") / F.col("size_a"), 6).alias("containment"),
         )
     )
+
+
+def tfidf_topk_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Weighted lexical near-dup pairs: cosine over each document's
+    top-``k`` TF-IDF terms (the sparsified SSJoin between unweighted
+    Jaccard and dense embedding cosine). Each doc keeps its k
+    highest-weight terms (w = tf * smoothed-idf, deterministic ties on
+    token asc — the ``tfidf_top_terms`` ranking), L2-normalizes over
+    the kept weights, and pairs form ONLY through shared kept terms —
+    an inverted-index join, never all-pairs.
+
+    The sparsification IS the blocking: idf pushes corpus-wide
+    stopwords out of every top-k (their weight is low for everyone),
+    so kept-postings lists are short and candidate volume is
+    sum over terms of df_k(term)^2 with df_k << df. At 100 TB add the
+    standard hot-posting cap (drop terms still kept by > C docs from
+    PAIRING — same knob as the LSH band cap); tokens travel as strings
+    here for oracle parity, as 8-byte xxhash64 keys at scale.
+
+    Emits (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold
+    over the truncated-normalized vectors.
+    """
+    toks = _tokens_lower(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + 1),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("w").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    u = w.join(nrm, id_col).select(
+        F.col(id_col), "token", (F.col("w") / F.col("nn")).alias("nw")
+    )
+    a = u.select(F.col(id_col).alias("id_a"), "token", F.col("nw").alias("nw_a"))
+    b = u.select(F.col(id_col).alias("id_b"), "token", F.col("nw").alias("nw_b"))
+    return (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("nw_a") * F.col("nw_b")).alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def _tokens_lower(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )

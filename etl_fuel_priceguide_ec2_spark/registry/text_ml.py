@@ -6,6 +6,7 @@ from etl_fuel_priceguide_ec2_spark.registry.base import (
     register,
 )
 from etl_fuel_priceguide_ec2_spark.operators import (
+    dedup,
     retrieval,
     textops,
 )
@@ -549,3 +550,48 @@ def q_bigram_lm_quality(spark, sf_dir):
     ranking while staying invisible to the unigram score."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.bigram_logprob_score(docs, "doc_id", "text")
+
+
+@register(
+    "tfidf_cosine_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, token,
+             tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1) AS w,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1) DESC,
+                        token ASC) AS rank
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ), topk AS (
+      SELECT doc_id, token, w FROM w WHERE rank <= 5
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nn FROM topk GROUP BY doc_id
+    ), u AS (
+      SELECT t.doc_id, token, w / nn AS nw FROM topk t JOIN nrm USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(sum(a.nw * b.nw), 6) AS cosine
+    FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING sum(a.nw * b.nw) >= 0.7
+    """,
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Weighted lexical near-dup: cosine over each doc's top-5 TF-IDF
+    terms — the sparsified middle ground between unweighted Jaccard
+    (dedup_ngram_jaccard) and dense embedding cosine
+    (dedup_embedding_cosine). The top-k sparsification is the
+    blocking: idf evicts stopwords from every doc's kept terms, so
+    pairs only form through genuinely discriminative shared terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.tfidf_topk_cosine_pairs(docs, "doc_id", "text", k=5, threshold=0.7)

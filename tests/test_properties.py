@@ -1764,3 +1764,52 @@ def test_bigram_logprob_matches_hand_model(spark):
         assert got[i][1] == len(bs)
         assert abs(got[i][0] - round(expect, 6)) < 1e-6, i
     assert got[2][0] < got[0][0]
+
+
+def test_tfidf_topk_cosine_matches_bruteforce(spark):
+    """Top-k TF-IDF cosine equals the brute-force Python computation
+    on a small corpus (same smoothed idf, same deterministic tie
+    ranking), and verbatim duplicate docs score cosine 1.0."""
+    import math
+    from collections import Counter
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = [
+        (0, "spark shuffle join broadcast hash join"),
+        (1, "spark shuffle join broadcast hash join"),       # dup of 0
+        (2, "duckdb oracle replay hash join shuffle"),
+        (3, "pear kiwi fig banana date apple"),              # disjoint
+        (4, "spark broadcast duckdb oracle pear shuffle"),
+    ]
+    k, t = 3, 0.1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.tfidf_topk_cosine_pairs(
+            df, "doc_id", "text", k=k, threshold=t
+        ).collect()
+    }
+
+    n_docs = len(docs)
+    tf = {i: Counter(s.split()) for i, s in docs}
+    dfreq = Counter(tok for c in tf.values() for tok in c)
+    vecs = {}
+    for i, c in tf.items():
+        ws = sorted(
+            ((tok, n * (math.log((n_docs + 1.0) / (dfreq[tok] + 1.0)) + 1))
+             for tok, n in c.items()),
+            key=lambda p: (-p[1], p[0]),
+        )[:k]
+        nn = math.sqrt(sum(w * w for _, w in ws))
+        vecs[i] = {tok: w / nn for tok, w in ws}
+    expect = {}
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            cos = sum(w * vecs[b].get(tok, 0.0) for tok, w in vecs[a].items())
+            if cos >= t:
+                expect[(a, b)] = round(cos, 6)
+    assert set(got) == set(expect)
+    for p in expect:
+        assert abs(got[p] - expect[p]) < 1e-6, p
+    assert got[(0, 1)] == 1.0
+    assert (0, 3) not in got and (1, 3) not in got

@@ -92,32 +92,41 @@ def global_row_number(
     lesson: ``Window.orderBy(...)`` with no partitionBy funnels every
     row through one task).
 
-    Two-pass distributed rank: range-repartition on the order columns
-    (so partition p holds a contiguous key range and all partitions
-    sort in parallel), take a per-partition ``row_number`` partitioned
-    by ``spark_partition_id()``, then add per-partition offsets — a
-    #partitions-row cumulative sum computed with a tiny broadcast-
-    joined window. Ranks depend only on the total order, not on where
-    the sampled range boundaries land, so the result is deterministic
-    even though ``repartitionByRange`` samples its bounds; callers must
-    pass order columns that form a STRICT total order (include a
-    unique id as the last column).
+    Two-pass distributed rank (the zipWithIndex shape, DataFrame-only):
+    range-repartition on the order columns (partition p holds a
+    contiguous key range), sort WITHIN partitions, read each row's
+    partition-local position out of ``monotonically_increasing_id``
+    (documented layout: partition id in the upper bits, a
+    consecutive-from-0 record index in the lower 33), then add
+    per-partition offsets — a #partitions-row cumulative sum joined
+    back broadcast. One full-data exchange total: the naive
+    ``Window.partitionBy(spark_partition_id())`` form costs a SECOND
+    full-data hash exchange because the planner can't see that the
+    window keys are already co-located. Ranks depend only on the total
+    order, not on where the sampled range boundaries land, so the
+    result is deterministic even though ``repartitionByRange`` samples
+    its bounds; callers must pass order columns that form a STRICT
+    total order (include a unique id as the last column). Lower-33-bit
+    record index caps partitions at 2^33 rows — size num_partitions so
+    a partition holds well under that (you want that anyway).
     """
     from pyspark.sql import Window, functions as F
 
     cols = [F.col(c) for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    local = part.withColumn(
-        "__lrn",
-        F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+    local = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            (F.monotonically_increasing_id() % F.lit(1 << 33)).alias("__lidx"),
+        )
     )
     # #partitions rows: the single-partition cumsum window is over a
     # relation the size of the partition count, not the data
     offsets = (
-        part.groupBy("__pid")
+        local.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn(
             "__off",
@@ -129,6 +138,6 @@ def global_row_number(
     )
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
-        .drop("__pid", "__lrn", "__off")
+        .withColumn(out_col, (F.col("__lidx") + 1 + F.col("__off")).cast("long"))
+        .drop("__pid", "__lidx", "__off")
     )

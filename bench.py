@@ -128,6 +128,13 @@ HEADLINE = [
     # winnowing fingerprint index + candidate self-join (the MOSS
     # compression-first near-dup plan family)
     "winnow_candidate_pairs",
+    # round-9 additions: sort-based blocking (distributed two-pass
+    # rank), the bigram-LM scoring join, and the top-k TF-IDF
+    # inverted-index cosine join — three distinct plan families none
+    # of the entries above exercise
+    "sorted_neighborhood_pairs",
+    "bigram_lm_quality",
+    "tfidf_cosine_pairs",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

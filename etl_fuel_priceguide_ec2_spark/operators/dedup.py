@@ -1905,6 +1905,7 @@ def tfidf_topk_cosine_pairs(
     text_col: str,
     k: int = 5,
     threshold: float = 0.7,
+    ngram: int = 1,
 ) -> DataFrame:
     """Weighted lexical near-dup pairs: cosine over each document's
     top-``k`` TF-IDF terms (the sparsified SSJoin between unweighted
@@ -1922,10 +1923,19 @@ def tfidf_topk_cosine_pairs(
     PAIRING — same knob as the LSH band cap); tokens travel as strings
     here for oracle parity, as 8-byte xxhash64 keys at scale.
 
+    ``ngram``: term granularity — 1 = word unigrams, n>1 = word
+    n-gram terms. On corpora whose WORD vocabulary is tiny relative to
+    the corpus (boilerplate-heavy text; this repo's synthetic fixture:
+    31 words across 5000 docs) unigram idf cannot evict anything —
+    every posting list stays corpus-sized and Σ df_k² explodes
+    (measured 22.2M candidates at sf0.1). Bigram terms restore the
+    Heaps'-law vocabulary the blocking depends on (931 terms, 2.0M
+    candidates, 11x less — SCALE.md §3).
+
     Emits (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold
     over the truncated-normalized vectors.
     """
-    toks = _tokens_lower(df, id_col, text_col)
+    toks = _tokens_lower(df, id_col, text_col, ngram=ngram)
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1963,14 +1973,23 @@ def tfidf_topk_cosine_pairs(
     )
 
 
-def _tokens_lower(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return (
-        fan_out(df)
-        .select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-                "token"
+def _tokens_lower(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 1
+) -> DataFrame:
+    """Explode lowercased whitespace terms; ``ngram`` > 1 emits word
+    n-gram strings (space-joined over the empty-filtered token array,
+    so the result is identical to n-gramming the clean token stream)."""
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    if ngram > 1:
+        arr = F.when(
+            F.size(arr) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - ngram),
+                lambda i: F.concat_ws(" ", F.slice(arr, i + 1, ngram)),
             ),
-        )
-        .filter(F.col("token") != "")
+        ).otherwise(F.array().cast("array<string>"))
+    return fan_out(df).select(
+        F.col(id_col), F.explode(arr).alias("token")
     )

@@ -1030,3 +1030,87 @@ def q_sorted_neighborhood_pairs(spark, sf_dir):
     return linkage.sorted_neighborhood_pairs(
         corpus, "rec_id", "name", window=4, max_dist=2
     )
+
+
+# --- round-9 addition: the SNM consumer --------------------------------
+# sorted_neighborhood_pairs emits candidate pairs; this is the relation
+# a dim-upsert job actually consumes. Production semantics: the CLEAN
+# slice is the existing dim (sequential ids — adjacent sort neighbors
+# are legitimate DISTINCT entities), the DIRTY slice is today's ingest;
+# so the consumer keeps only cross-slice links before clustering —
+# clean x clean sort-adjacency is blocking noise, not duplication. CC
+# then forms (clean row + its dirty variants) components and the
+# min-id canonical (always the clean row: clean ids < 10M) survives.
+_SNM_KEEPLIST_ORACLE = r"""
+    WITH RECURSIVE corpus AS MATERIALIZED (
+""" + _SNM_CORPUS_SQL + r"""
+    ), recs AS (
+      SELECT rec_id AS id, lower(trim(name)) AS k FROM corpus
+    ), ranked AS (
+      SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS rn FROM recs
+    ), spairs AS (
+      SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+      FROM ranked a
+      JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 4
+      WHERE levenshtein(a.k, b.k) <= 2
+        AND ((a.id < 10000000) <> (b.id < 10000000))
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION SELECT id_b, id_a FROM spairs
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node, MIN(reach) AS component_id
+      FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+      GROUP BY node
+    )
+    SELECT c.rec_id,
+           COALESCE(cm.component_id, c.rec_id) AS component_id,
+           COALESCE(cm.component_id, c.rec_id) = c.rec_id AS kept
+    FROM corpus c LEFT JOIN comp cm ON cm.node = c.rec_id
+"""
+
+
+@register("snm_dedup_keeplist", _SNM_KEEPLIST_ORACLE)
+def q_snm_dedup_keeplist(spark, sf_dir):
+    """The keep-list consumer of sorted_neighborhood_pairs: SNM
+    candidates filtered to CROSS-SLICE links (clean dim x dirty
+    ingest — clean-x-clean sort adjacency between sequential ids is
+    blocking noise, not duplication), clustered with HashMin CC,
+    min-id canonical kept (always the clean dim row). Same
+    (id, component_id, kept) contract as minhash_dedup_keeplist /
+    containment_keeplist, so curation anti-joins it identically."""
+    from pyspark.sql import functions as F
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").cast("long").alias("rec_id"), F.col("c_name").alias("name")
+    )
+    dirty = cust.filter((F.col("c_custkey") % 9) == 0).select(
+        (F.lit(10_000_000) + F.col("c_custkey")).cast("long").alias("rec_id"),
+        F.concat(
+            F.col("c_name"),
+            F.col("c_name").substr(F.length("c_name"), F.lit(1)),
+        ).alias("name"),
+    )
+    corpus = clean.unionByName(dirty)
+    pairs = linkage.sorted_neighborhood_pairs(
+        corpus, "rec_id", "name", window=4, max_dist=2
+    ).filter((F.col("id_a") < 10_000_000) != (F.col("id_b") < 10_000_000))
+    comp = dedup.connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    return (
+        corpus.select("rec_id")
+        .join(comp, F.col("rec_id") == F.col("doc_id"), "left")
+        .select(
+            "rec_id",
+            F.coalesce("component_id", F.col("rec_id")).alias("component_id"),
+            (F.coalesce("component_id", F.col("rec_id")) == F.col("rec_id")).alias(
+                "kept"
+            ),
+        )
+    )

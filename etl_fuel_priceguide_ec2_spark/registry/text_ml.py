@@ -555,11 +555,18 @@ def q_bigram_lm_quality(spark, sf_dir):
 @register(
     "tfidf_cosine_pairs",
     r"""
-    WITH toks AS (
-      SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+    WITH dd AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS toks
       FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS token
+      FROM dd
     ), tf AS (
-      SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
       GROUP BY doc_id, token
     ), dfreq AS (
       SELECT token, COUNT(*) AS df FROM tf GROUP BY token
@@ -583,15 +590,20 @@ def q_bigram_lm_quality(spark, sf_dir):
            ROUND(sum(a.nw * b.nw), 6) AS cosine
     FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    HAVING sum(a.nw * b.nw) >= 0.7
+    HAVING sum(a.nw * b.nw) >= 0.5
     """,
 )
 def q_tfidf_cosine_pairs(spark, sf_dir):
     """Weighted lexical near-dup: cosine over each doc's top-5 TF-IDF
-    terms — the sparsified middle ground between unweighted Jaccard
-    (dedup_ngram_jaccard) and dense embedding cosine
-    (dedup_embedding_cosine). The top-k sparsification is the
+    word-BIGRAM terms — the sparsified middle ground between
+    unweighted Jaccard (dedup_ngram_jaccard) and dense embedding
+    cosine (dedup_embedding_cosine). The top-k sparsification is the
     blocking: idf evicts stopwords from every doc's kept terms, so
-    pairs only form through genuinely discriminative shared terms."""
+    pairs only form through genuinely discriminative shared terms.
+    Bigram terms because the fixture's WORD vocabulary is 31 strings —
+    unigram idf can't evict anything there (22.2M candidates at sf0.1
+    vs 2.0M with bigrams; operator docstring + SCALE.md §3)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.tfidf_topk_cosine_pairs(docs, "doc_id", "text", k=5, threshold=0.7)
+    return dedup.tfidf_topk_cosine_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.5, ngram=2
+    )

@@ -1813,3 +1813,55 @@ def test_tfidf_topk_cosine_matches_bruteforce(spark):
         assert abs(got[p] - expect[p]) < 1e-6, p
     assert got[(0, 1)] == 1.0
     assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_tfidf_topk_cosine_bigram_terms_match_bruteforce(spark):
+    """ngram=2 term construction: identical to brute-force over word
+    bigrams (dup docs still cosine 1.0; <2-token docs drop out)."""
+    import math
+    from collections import Counter
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = [
+        (0, "alpha beta gamma delta beta gamma"),
+        (1, "alpha beta gamma delta beta gamma"),
+        (2, "gamma delta epsilon zeta"),
+        (3, "solo"),
+    ]
+    k, t = 3, 0.05
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.tfidf_topk_cosine_pairs(
+            df, "doc_id", "text", k=k, threshold=t, ngram=2
+        ).collect()
+    }
+    grams = {
+        i: [" ".join(p) for p in zip(s.split(), s.split()[1:])] for i, s in docs
+    }
+    n_docs = len(docs)
+    tf = {i: Counter(g) for i, g in grams.items()}
+    dfreq = Counter(tok for c in tf.values() for tok in c)
+    vecs = {}
+    for i, c in tf.items():
+        if not c:
+            continue
+        ws = sorted(
+            ((tok, n * (math.log((n_docs + 1.0) / (dfreq[tok] + 1.0)) + 1))
+             for tok, n in c.items()),
+            key=lambda p: (-p[1], p[0]),
+        )[:k]
+        nn = math.sqrt(sum(w * w for _, w in ws))
+        vecs[i] = {tok: w / nn for tok, w in ws}
+    expect = {}
+    ids = sorted(vecs)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            cos = sum(w * vecs[b].get(tok, 0.0) for tok, w in vecs[a].items())
+            if cos >= t:
+                expect[(a, b)] = round(cos, 6)
+    assert set(got) == set(expect)
+    for p in expect:
+        assert abs(got[p] - expect[p]) < 1e-6, p
+    assert got[(0, 1)] == 1.0
+    assert all(3 not in p for p in got)

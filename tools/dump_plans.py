@@ -92,6 +92,7 @@ NOTES = {
     "curation_decision_incremental": "the daily-ingest capstone: pair/span mining runs ONLY new-vs-all from persisted shingle/gram state (history x history never re-forms, history text never re-tokenizes); the id-scale decision layer re-decides over persisted + new signals, so late bridge docs re-elect canonicals exactly.",
     "containment_keeplist": "mutual containment pairs cluster via HashMin CC (min-id canonical); one-way containment drops the contained copy via an id-keyed anti pattern — the pair relation, not the corpus, carries every exchange.",
     "image_ahash_keeplist": "decode + hash in ONE Arrow pass (4 longs per image shuffle), banded candidate join with pigeonhole-exact recall at Hamming <= 3, CC on the tiny pair relation; payloads never leave the executors.",
+    "snm_dedup_keeplist": "the SNM consumer: candidates filtered to cross-slice links BEFORE clustering (clean x clean sort adjacency never enters CC), so components stay small-diameter and the HashMin fixpoint converges in one probe.",
     "sorted_neighborhood_pairs": "global order WITHOUT a global window: range-repartition + per-partition row_number + a #partitions-row broadcast offset join; the w-neighborhood forms as an equi-join on the dense unique rank (candidate volume exactly n*w, no skew possible).",
     "bigram_lm_quality": "two vocabulary-sized map-side-combined aggregates (bigram + context counts) fold into one model relation joined once by the scoring pass; the 1-row vocab total broadcasts — the corpus is scanned twice and shuffled only as vocabulary-sized counts.",
     "tfidf_cosine_pairs": "top-k sparsification doubles as blocking: per-doc windows rank terms in parallel, idf evicts stopwords from every kept set, and pairs form only through shared kept terms — an inverted-index join whose posting lists are df_k << df, never all-pairs.",

@@ -1,0 +1,322 @@
+"""Second-moment statistics and PCA over embedding columns.
+
+Not in the reference (a row-store ETL, ``index.js``); mandated by the
+LLM-data-pipeline extension tier: covariance/PCA is the standard
+embedding-space diagnostic (anisotropy, whitening, dimension collapse)
+and the cheapest projection for visual triage of a corpus.
+
+Design for 100 TB:
+
+- the covariance aggregate is ZERO-JOIN: each row explodes its own
+  upper-triangle outer product (d(d+1)/2 structs per vector, built by
+  nested higher-order functions, JVM-side) straight into a partial
+  aggregate — the shuffle carries at most d(d+1)/2 rows PER TASK, and
+  the result relation is d(d+1)/2 rows total (2 080 at d=64) no matter
+  the corpus size;
+- PCA follows the k-means/codebook pattern (clustering.py): the only
+  driver-side state is the d x d covariance (a sanctioned k-row
+  collect), the power iteration runs on the driver in integer
+  microunits, and the resulting component broadcasts back as a
+  literal for a map-only projection pass.
+
+Determinism contract (same as clustering.py): every cross-row sum
+quantizes its terms (ROUND to a fixed scale, exact DECIMAL
+accumulation) so results are addition-order-free and an external
+DuckDB oracle replays them bit-for-bit; single-expression double
+arithmetic on identical inputs (casts, products, sqrt, divisions) is
+IEEE-identical in both engines. The power iteration quantizes the
+vector to 9 decimals after every normalization, so cross-engine drift
+is crushed each step instead of compounding.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUM_DEC = "decimal(30,12)"
+
+
+def _q12(x: float) -> int:
+    """Quantize a double to integer 1e-12 microunits, half away from
+    zero — the driver-side mirror of ``ROUND(x, 12)`` + exact DECIMAL
+    accumulation (Decimal(x) is the exact binary value, so this rounds
+    the true double, not a reprint)."""
+    return int(
+        (Decimal(x) * (10**12)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
+def _r9(x: float) -> float:
+    """ROUND(x, 9) with the engines' half-away-from-zero semantics —
+    Python's builtin ``round`` is half-even and would diverge on exact
+    .5e-9 boundaries."""
+    return float(
+        (Decimal(x) * (10**9)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    ) / 1e9
+
+
+def embedding_covariance(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Population covariance matrix of the vector column, upper
+    triangle: (dim_i, dim_j, cov) with 1-based dims, i <= j,
+    cov = (S_ij - S_i * S_j / n) / n and every S a DECIMAL-exact sum
+    of 9dp-quantized terms. One scan, zero joins against the corpus:
+    the per-row outer product explodes into a map-side-combined
+    aggregate, so the exchange carries d(d+1)/2 rows per task."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = F.size(v)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), d),
+            lambda i: F.transform(
+                F.sequence(i, d),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.round(
+                        F.element_at(v, i) * F.element_at(v, j), 9
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    sij = (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(_SUM_DEC)).alias("s_ij"))
+    )
+    si = (
+        df.select(F.posexplode(v).alias("pos", "x"))
+        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = si.select(F.col("i"), F.col("s").alias("s_i"), "n")
+    b = si.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        sij.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            F.round(
+                (
+                    F.col("s_ij").cast("double")
+                    - F.col("s_i").cast("double")
+                    * F.col("s_j").cast("double")
+                    / F.col("n")
+                )
+                / F.col("n"),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def covariance_oracle_sql(table: str, vec_col: str) -> str:
+    """DuckDB replay of ``embedding_covariance`` — same 9dp product
+    quantization, DECIMAL accumulation, and final double arithmetic."""
+    return f"""
+    WITH vv AS (
+      SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), pp AS (
+      SELECT i.i AS i, j.j AS j,
+             CAST(ROUND(v[i.i] * v[j.j], 9) AS DECIMAL(30,12)) AS p
+      FROM vv
+      CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      CROSS JOIN unnest(generate_series(1, len(v))) AS j(j)
+      WHERE j.j >= i.i
+    ), sij AS (
+      SELECT i, j, SUM(p) AS s_ij FROM pp GROUP BY i, j
+    ), si AS (
+      SELECT i.i AS i,
+             SUM(CAST(ROUND(v[i.i], 9) AS DECIMAL(30,12))) AS s,
+             COUNT(*) AS n
+      FROM vv CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      GROUP BY i.i
+    )
+    SELECT CAST(sij.i AS BIGINT) AS dim_i,
+           CAST(sij.j AS BIGINT) AS dim_j,
+           ROUND((CAST(s_ij AS DOUBLE)
+                  - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) / a.n) / a.n,
+                 6) AS cov
+    FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i
+"""
+
+
+def _power_iterate(
+    cov: dict[tuple[int, int], float], dim: int, iters: int
+) -> list[float]:
+    """Driver-side power iteration in the portable arithmetic: every
+    matvec/norm sum accumulates 12dp-quantized products in exact
+    integer microunits, every normalized vector re-quantizes to 9dp —
+    step-for-step identical to the oracle's unrolled CTE chain."""
+    import math
+
+    v = [_r9(1.0 / math.sqrt(dim))] * dim
+    for _ in range(iters):
+        y = []
+        for r in range(1, dim + 1):
+            acc = 0
+            for c in range(1, dim + 1):
+                m = cov[(r, c)] if r <= c else cov[(c, r)]
+                acc += _q12(m * v[c - 1])
+            y.append(acc / 1e12)
+        nrm = math.sqrt(sum(_q12(x * x) for x in y) / 1e12)
+        v = [_r9(x / nrm) for x in y]
+    return v
+
+
+def pca_top_component_scores(
+    df: DataFrame, id_col: str, vec_col: str, iters: int = 8
+) -> DataFrame:
+    """First-principal-component score per vector: (id, pc1) with
+    pc1 = <v1, x - mean>, v1 the dominant eigenvector of the
+    population covariance found by ``iters`` power iterations.
+
+    The covariance (d(d+1)/2 rows) and per-dim means are the ONLY data
+    that touch the driver; the iteration runs there in integer
+    microunits (see ``_power_iterate``) and v1 + means broadcast back
+    as array literals for a single map-only projection — at 100 TB the
+    corpus is scanned twice (covariance, projection) and never
+    shuffled beyond the d(d+1)/2-row aggregate.
+
+    Sign convention: the all-positive uniform init fixes the
+    eigenvector sign deterministically (both engines run the identical
+    iteration), so scores are reproducible — no eigensolver sign
+    ambiguity."""
+    if iters < 1:
+        raise ValueError(f"pca requires iters >= 1, got {iters}")
+    cov_rows = embedding_covariance(df, id_col, vec_col).collect()
+    if not cov_rows:
+        return df.select(
+            F.col(id_col), F.lit(None).cast("double").alias("pc1")
+        ).limit(0)
+    cov = {(r["dim_i"], r["dim_j"]): r["cov"] for r in cov_rows}
+    dim = max(j for _, j in cov)
+    mean_rows = (
+        df.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "x")
+        )
+        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("i", F.round(F.col("s").cast("double") / F.col("n"), 9).alias("m"))
+        .collect()
+    )
+    means = [0.0] * dim
+    for r in mean_rows:
+        means[r["i"] - 1] = r["m"]
+    v1 = _power_iterate(cov, dim, iters)
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(vec, F.lit(means), lambda x, m: x - m)
+    terms = F.transform(
+        F.zip_with(centered, F.lit(v1), lambda x, w: F.round(x * w, 12)),
+        lambda p: p.cast(_SUM_DEC),
+    )
+    score = F.aggregate(
+        terms,
+        F.lit(0).cast(_SUM_DEC),
+        lambda acc, p: acc + p,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(score.cast("double"), 6).alias("pc1"),
+    )
+
+
+def pca_oracle_sql(
+    table: str, id_col: str, vec_col: str, dim: int, iters: int = 8
+) -> str:
+    """DuckDB replay of ``pca_top_component_scores``: the covariance
+    CTEs (mirrored to a full matrix), ``iters`` unrolled
+    matvec/normalize steps (AS MATERIALIZED — the HITS-oracle lesson:
+    an un-materialized CTE diamond re-inlines the whole chain), then
+    the centered projection with the same 12dp-quantized DECIMAL dot
+    product."""
+    import math
+
+    v0 = _r9(1.0 / math.sqrt(dim))
+    chain = [
+        f"""vv AS MATERIALIZED (
+      SELECT {id_col} AS vid,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), pp AS (
+      SELECT i.i AS i, j.j AS j,
+             CAST(ROUND(v[i.i] * v[j.j], 9) AS DECIMAL(30,12)) AS p
+      FROM vv
+      CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      CROSS JOIN unnest(generate_series(1, len(v))) AS j(j)
+      WHERE j.j >= i.i
+    ), sij AS (
+      SELECT i, j, SUM(p) AS s_ij FROM pp GROUP BY i, j
+    ), si AS MATERIALIZED (
+      SELECT i.i AS i,
+             SUM(CAST(ROUND(v[i.i], 9) AS DECIMAL(30,12))) AS s,
+             COUNT(*) AS n
+      FROM vv CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      GROUP BY i.i
+    ), ut AS (
+      SELECT sij.i, sij.j,
+             ROUND((CAST(s_ij AS DOUBLE)
+                    - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) / a.n) / a.n,
+                   6) AS cov
+      FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i
+    ), m AS MATERIALIZED (
+      SELECT i AS r, j AS c, cov FROM ut
+      UNION ALL
+      SELECT j, i, cov FROM ut WHERE i <> j
+    ), means AS MATERIALIZED (
+      SELECT i, ROUND(CAST(s AS DOUBLE) / n, 9) AS mu FROM si
+    ), v0 AS (
+      SELECT i.i AS r, CAST({v0!r} AS DOUBLE) AS x
+      FROM (SELECT UNNEST(generate_series(1, {dim})) AS i) i
+    )"""
+    ]
+    prev = "v0"
+    for t in range(1, iters + 1):
+        chain.append(
+            f"""y{t} AS MATERIALIZED (
+      SELECT m.r,
+             CAST(SUM(CAST(ROUND(m.cov * v.x, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS y
+      FROM m JOIN {prev} v ON m.c = v.r
+      GROUP BY m.r
+    ), n{t} AS (
+      SELECT sqrt(CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(30,12)))
+                       AS DOUBLE)) AS nrm
+      FROM y{t}
+    ), v{t} AS MATERIALIZED (
+      SELECT r, ROUND(y / nrm, 9) AS x FROM y{t}, n{t}
+    )"""
+        )
+        prev = f"v{t}"
+    return (
+        "\n    WITH "
+        + ",\n    ".join(chain)
+        + f"""
+    SELECT vv.vid AS {id_col},
+           ROUND(CAST(SUM(CAST(ROUND((vv.v[w.r] - means.mu) * w.x, 12)
+                               AS DECIMAL(30,12))) AS DOUBLE), 6) AS pc1
+    FROM vv
+    CROSS JOIN {prev} w
+    JOIN means ON means.i = w.r
+    GROUP BY vv.vid
+"""
+    )

@@ -833,3 +833,44 @@ def q_decontaminated_train_ids(spark, sf_dir):
         .join(flagged, "train_id", "left")
         .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
     )
+
+
+# --- round-9 addition: second-moment tier ------------------------------
+# Covariance / PCA over the embedding column — the standard
+# embedding-space diagnostics (anisotropy, dimension collapse) and the
+# cheapest corpus-triage projection. Both bit-exact-oracled via the
+# clustering tier's quantize+DECIMAL-sum contract; the PCA oracle
+# unrolls the power iteration as a MATERIALIZED CTE chain (the
+# HITS-oracle lesson).
+
+from etl_fuel_priceguide_ec2_spark.operators import embeddings as _emb
+
+
+@register(
+    "embedding_covariance",
+    _emb.covariance_oracle_sql("embeddings", "embedding"),
+)
+def q_embedding_covariance(spark, sf_dir):
+    """Population covariance of the 64-dim embedding column, upper
+    triangle (2 080 rows regardless of corpus size). Zero-join plan:
+    each row explodes its own outer product straight into a
+    map-side-combined aggregate; sums are DECIMAL-exact over
+    9dp-quantized terms, so the result is addition-order-free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _emb.embedding_covariance(emb, "vec_id", "embedding")
+
+
+@register(
+    "pca_top_component_scores",
+    _emb.pca_oracle_sql("embeddings", "vec_id", "embedding", dim=DIM, iters=8),
+)
+def q_pca_top_component_scores(spark, sf_dir):
+    """First-principal-component score per vector: covariance
+    aggregate -> driver power iteration in integer microunits (the
+    codebook pattern — d x d is the only driver-side state) ->
+    broadcast component, map-only centered projection. The
+    all-positive uniform init fixes the eigenvector sign, so scores
+    are deterministic and the oracle replays the identical unrolled
+    iteration."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _emb.pca_top_component_scores(emb, "vec_id", "embedding", iters=8)

@@ -107,15 +107,23 @@ def embedding_covariance(
         .select(
             F.col("i").cast("long").alias("dim_i"),
             F.col("j").cast("long").alias("dim_j"),
-            F.round(
-                (
-                    F.col("s_ij").cast("double")
-                    - F.col("s_i").cast("double")
-                    * F.col("s_j").cast("double")
-                    / F.col("n")
+            # `+ 0.0` after the final ROUND canonicalizes -0.0 to +0.0
+            # (IEEE: -0.0 + 0.0 = +0.0; identity elsewhere) — DuckDB's
+            # ROUND emits -0.0 for tiny negatives where Spark emits
+            # +0.0, equal under == but distinct under the driver's
+            # repr-hash (VERDICT r09 item 1b). Mirrored in the oracle.
+            (
+                F.round(
+                    (
+                        F.col("s_ij").cast("double")
+                        - F.col("s_i").cast("double")
+                        * F.col("s_j").cast("double")
+                        / F.col("n")
+                    )
+                    / F.col("n"),
+                    6,
                 )
-                / F.col("n"),
-                6,
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )
@@ -148,7 +156,7 @@ def covariance_oracle_sql(table: str, vec_col: str) -> str:
            CAST(sij.j AS BIGINT) AS dim_j,
            ROUND((CAST(s_ij AS DOUBLE)
                   - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) / a.n) / a.n,
-                 6) AS cov
+                 6) + 0.0 AS cov
     FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i
 """
 
@@ -229,14 +237,21 @@ def pca_top_component_scores(
         F.zip_with(centered, F.lit(v1), lambda x, w: F.round(x * w, 12)),
         lambda p: p.cast(_SUM_DEC),
     )
+    # Decimal addition widens DECIMAL(30,12)+DECIMAL(30,12) to
+    # DECIMAL(31,12); F.aggregate requires the merge lambda to return
+    # the accumulator's exact type, so cast the sum back each step —
+    # the same quantize-then-accumulate discipline groupBy-sum paths
+    # get for free (VERDICT r09 item 1a).
     score = F.aggregate(
         terms,
         F.lit(0).cast(_SUM_DEC),
-        lambda acc, p: acc + p,
+        lambda acc, p: (acc + p).cast(_SUM_DEC),
     )
+    # `+ 0.0` canonicalizes IEEE -0.0 to +0.0 (identity for every other
+    # value) so both engines emit one zero under the driver's repr-hash.
     return df.select(
         F.col(id_col),
-        F.round(score.cast("double"), 6).alias("pc1"),
+        (F.round(score.cast("double"), 6) + F.lit(0.0)).alias("pc1"),
     )
 
 
@@ -313,7 +328,7 @@ def pca_oracle_sql(
         + f"""
     SELECT vv.vid AS {id_col},
            ROUND(CAST(SUM(CAST(ROUND((vv.v[w.r] - means.mu) * w.x, 12)
-                               AS DECIMAL(30,12))) AS DOUBLE), 6) AS pc1
+                               AS DECIMAL(30,12))) AS DOUBLE), 6) + 0.0 AS pc1
     FROM vv
     CROSS JOIN {prev} w
     JOIN means ON means.i = w.r

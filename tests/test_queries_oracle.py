@@ -8,31 +8,12 @@ sf0.01.
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
-from etl_fuel_priceguide_ec2_spark import registry
+from etl_fuel_priceguide_ec2_spark import contract, registry
 
 ALL = sorted(registry.queries())
 ORACLED = sorted(registry.oracle_sql())
-
-
-def _normalize(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return v
-
-
-def _rowset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    tuples = [tuple(_normalize(r[i]) for i in order) for r in rows]
-    # None/bool/mixed types aren't mutually comparable; sort on a
-    # type-stable key (both sides use the same key, so equality of the
-    # sorted sequences is unaffected)
-    return sorted(tuples, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -52,8 +33,11 @@ def test_query_matches_oracle(spark, ddb, sf_dir, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
-    srs = _rowset([tuple(r) for r in spark_rows], spark_cols)
-    drs = _rowset(duck_rows, duck_cols)
+    # Compare the exact per-row repr strings the driver hashes (shared
+    # implementation in contract.py) — strictly as strong as the
+    # driver's sha256-over-reprs, plus a useful first-diff report.
+    srs = contract.row_reprs([tuple(r) for r in spark_rows], spark_cols)
+    drs = contract.row_reprs(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(srs, drs) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
 

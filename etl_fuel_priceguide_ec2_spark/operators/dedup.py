@@ -1770,7 +1770,14 @@ def ngram_jaccard_pairs_incremental(
     relation restricted to pairs touching new (recall 1.0 by the same
     PPJoin pigeonhole — any total df order shared by all docs
     satisfies the prefix theorem). Text is never re-tokenized: both
-    inputs come straight off the persisted state store."""
+    inputs come straight off the persisted state store.
+
+    Upsert semantics: a doc id present in BOTH inputs is an update —
+    its history-state row is dropped and the new version wins. Without
+    the anti-join, groupBy(id) over the union would merge the two
+    versions into one inflated shingle set, silently corrupting sizes,
+    prefixes, and emitted pairs (ADVICE r09)."""
+    sets_hist = sets_hist.join(sets_new.select(id_col), id_col, "left_anti")
     sets_all = sets_hist.unionByName(sets_new)
     hall = _hash_sets(sets_all, id_col)
     sh = hall.select(F.col(id_col), F.explode("shingles").alias("shingle"))
@@ -1843,7 +1850,12 @@ def containment_pairs_incremental(
     slice's index). History x history never re-forms. Same
     prefix-for-containment blocking as ``containment_pairs``
     (probe-side rare-first prefix, container side fully indexed),
-    recall exactly 1.0."""
+    recall exactly 1.0.
+
+    Upsert semantics: ids present in both inputs are updates — the
+    history version is anti-joined away so the new version wins
+    instead of merging into one inflated set (ADVICE r09)."""
+    sets_hist = sets_hist.join(sets_new.select(id_col), id_col, "left_anti")
     sets_all = sets_hist.unionByName(sets_new)
     hall = _hash_sets(sets_all, id_col)
     hnew = _hash_sets(sets_new, id_col)
@@ -1957,17 +1969,36 @@ def tfidf_topk_cosine_pairs(
         )
         .filter(F.col("rank") <= k)
     )
-    nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    # the k-term norm is also a cross-row sum — same 12 dp quantize +
+    # DECIMAL accumulation so nw is identical cross-engine
+    nrm = w.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 12).cast("decimal(30,12)")).cast(
+                "double"
+            )
+        ).alias("nn")
+    )
     u = w.join(nrm, id_col).select(
         F.col(id_col), "token", (F.col("w") / F.col("nn")).alias("nw")
     )
     a = u.select(F.col(id_col).alias("id_a"), "token", F.col("nw").alias("nw_a"))
     b = u.select(F.col(id_col).alias("id_b"), "token", F.col("nw").alias("nw_b"))
+    # Per-term products quantize to 12 dp and accumulate as DECIMAL so
+    # the cosine — and the >= threshold cut on it — is addition-order-
+    # free, matching the repo's cross-row-sum portability contract
+    # (ADVICE r09: a raw double F.sum can diverge from the oracle on
+    # boundary values under different partial-aggregation orders).
     return (
         a.join(b, "token")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("nw_a") * F.col("nw_b")).alias("_cos"))
+        .agg(
+            F.sum(
+                F.round(F.col("nw_a") * F.col("nw_b"), 12).cast("decimal(30,12)")
+            )
+            .cast("double")
+            .alias("_cos")
+        )
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )

@@ -318,13 +318,25 @@ def hits(
     Per iteration: auth_raw(v) = Σ_{u→v} hub(u) as a 12-dp DECIMAL sum
     (addition-order-free), normalized by the one-row global total —
     broadcast back, never a shuffle — then the symmetric hub phase.
-    Both engines convert each DECIMAL operand to double with a single
-    correctly-rounded (IEEE round-to-nearest) conversion — Spark's
-    Decimal.toDouble and DuckDB's decimal→double cast agree on every
-    input regardless of graph size — so the division sees identical
-    operands; the quotient is then one more identical IEEE operation,
-    rounded back to 12 dp. Every iteration is bit-identical to the
-    oracle's unrolled CTE replay.
+    Cross-engine agreement is a BOUNDED argument, not size-free:
+    Spark's Decimal.toDouble is correctly rounded (parseDouble path),
+    but DuckDB casts decimal→double as (unscaled int → double) / 10^12
+    — two roundings — which is only guaranteed correctly rounded while
+    the unscaled integer stays below 2^53, i.e. while the operand's
+    magnitude is < ~9.0e3 at scale 12. The iteration keeps every
+    operand inside that bound structurally: scores are L1-normalized
+    (they sum to 1), so each raw phase sum Σ hub(u) is <= 1 and the
+    global total Σ_u hub(u)·outdeg(u) is a convex combination of
+    out-degrees, <= max degree. The one exception is the INIT
+    normalization, whose total is the node count n itself. Agreement
+    with the oracle is therefore exact whenever n and the max in/out
+    degree are < ~9.0e3 (the fixture trade graphs at every
+    oracle-compared SF are well under both; past either bound the
+    oracle comparison weakens to ±1 ulp on the normalization
+    quotient, ADVICE r09). Within the bound the
+    division sees identical operands, the quotient is one more
+    identical IEEE operation, rounded back to 12 dp — every iteration
+    bit-identical to the oracle's unrolled CTE replay.
 
     Plan per iteration: 2 keyed joins + 2 map-side-combined aggregates
     + 2 one-row totals, with the raw per-phase sums localCheckpointed so
@@ -364,10 +376,12 @@ def hits(
 
     def _norm(raw_col, tot_col):
         # round(raw/total, 12): the oracle's per-node normalization.
-        # Each decimal→double cast is a single correctly-rounded IEEE
-        # conversion in BOTH engines (not a 2^53-exactness argument —
-        # the total's unscaled value exceeds 2^53 past ~9k nodes), so
-        # the division sees identical operands either way.
+        # Spark's decimal→double is correctly rounded; DuckDB's is two
+        # roundings (unscaled int → double, then /10^scale) and only
+        # guaranteed exact while the unscaled value < 2^53 — i.e.
+        # operand magnitude < ~9.0e3 at scale 12. Post-init operands
+        # are L1-bounded (see the hits() docstring); the init total is
+        # n, so past ~9k NODES the engines may differ by 1 ulp here.
         return F.when(tot_col.isNull() | (tot_col == 0), F.lit(0.0)).otherwise(
             F.round(
                 F.coalesce(raw_col, F.lit(0).cast(_dec)).cast("double")

@@ -1169,15 +1169,36 @@ def bigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         .filter(F.col("t") != "")
         .agg(F.count_distinct("t").alias("nv"))
     )
+    # Per-bigram logprobs quantize to 12 dp in the MODEL (one place,
+    # vocabulary-sized) and the per-doc mean accumulates as DECIMAL /
+    # exact count, so the score is addition-order-free — a raw double
+    # F.avg could diverge from the oracle under different partial-
+    # aggregation orders (ADVICE r09).
     model = (
         big.withColumn("u", F.substring_index("g", " ", 1))
         .join(ctx, "u")
         .crossJoin(F.broadcast(vocab))
-        .select("g", F.log((F.col("c_uv") + 1) / (F.col("c_u") + F.col("nv"))).alias("lp"))
+        .select(
+            "g",
+            F.round(
+                F.log((F.col("c_uv") + 1) / (F.col("c_u") + F.col("nv"))), 12
+            ).alias("lp"),
+        )
     )
-    return bg.join(model, "g").groupBy(id_col).agg(
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
-        F.count(F.lit(1)).alias("n_bigrams"),
+    return (
+        bg.join(model, "g")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("lp").cast("decimal(30,12)")).alias("_s"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("_s").cast("double") / F.col("n_bigrams"), 6).alias(
+                "avg_logprob"
+            ),
+            "n_bigrams",
+        )
     )
 
 
@@ -1206,10 +1227,13 @@ def bigram_lm_oracle_sql(docs_table: str, id_col: str, text_col: str) -> str:
       SELECT COUNT(DISTINCT t) AS nv
       FROM (SELECT UNNEST(toks) AS t FROM d) WHERE t <> ''
     ), model AS (
-      SELECT g, ln((c_uv + 1.0) / (c_u + nv)) AS lp
+      SELECT g,
+             CAST(ROUND(ln((c_uv + 1.0) / (c_u + nv)), 12)
+                  AS DECIMAL(30,12)) AS lp
       FROM big JOIN ctx ON split_part(g, ' ', 1) = u CROSS JOIN vocab
     )
-    SELECT {id_col}, ROUND(AVG(lp), 6) AS avg_logprob,
+    SELECT {id_col},
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams
     FROM bg JOIN model USING (g)
     GROUP BY {id_col}

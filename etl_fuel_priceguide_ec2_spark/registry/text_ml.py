@@ -582,15 +582,20 @@ def q_bigram_lm_quality(spark, sf_dir):
     ), topk AS (
       SELECT doc_id, token, w FROM w WHERE rank <= 5
     ), nrm AS (
-      SELECT doc_id, sqrt(sum(w * w)) AS nn FROM topk GROUP BY doc_id
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(ROUND(w * w, 12) AS DECIMAL(30,12)))
+                       AS DOUBLE)) AS nn
+      FROM topk GROUP BY doc_id
     ), u AS (
       SELECT t.doc_id, token, w / nn AS nw FROM topk t JOIN nrm USING (doc_id)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(sum(a.nw * b.nw), 6) AS cosine
+           ROUND(CAST(sum(CAST(ROUND(a.nw * b.nw, 12) AS DECIMAL(30,12)))
+                      AS DOUBLE), 6) AS cosine
     FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    HAVING sum(a.nw * b.nw) >= 0.5
+    HAVING CAST(sum(CAST(ROUND(a.nw * b.nw, 12) AS DECIMAL(30,12)))
+                AS DOUBLE) >= 0.5
     """,
 )
 def q_tfidf_cosine_pairs(spark, sf_dir):

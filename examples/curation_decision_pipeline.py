@@ -108,15 +108,29 @@ def main(sf_dir: str | None = None) -> dict:
     excise_ids = decisions.filter(F.col("decision") == "excise").select("doc_id")
 
     # execute the excisions: re-mine the spans among the docs that
-    # survived to the span stage and rewrite ONLY the excise cohort
+    # survived to the span stage and rewrite ONLY the excise cohort.
+    # The span relation must mirror the decision layer's restriction —
+    # BOTH endpoints limited to stage-4 (span-stage) survivors, i.e.
+    # docs not dropped by stages 1-3 — or the rewrite would cut spans
+    # whose only duplicate counterpart was already dropped, excising
+    # more than the decision's dup_frac accounted for (ADVICE r09).
+    span_stage_survivors = decisions.filter(
+        ~F.col("reason").isin("exact_dup", "near_dup", "contained")
+    ).select("doc_id")
     spans = dedup.exact_substring_spans(
         corpus, "doc_id", "text", k=8, min_span_tokens=15, max_gram_freq=1024
     )
     excised = dedup.excise_spans(
         corpus.join(excise_ids, "doc_id", "left_semi"),
         spans.join(
+            span_stage_survivors.withColumnRenamed("doc_id", "doc_a"),
+            "doc_a",
+            "left_semi",
+        )
+        .join(
             excise_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
-        ).select("doc_b", "b_start", "span_tokens"),
+        )
+        .select("doc_b", "b_start", "span_tokens"),
         "doc_id",
         "text",
         span_id_col="doc_b",

@@ -1865,3 +1865,68 @@ def test_tfidf_topk_cosine_bigram_terms_match_bruteforce(spark):
         assert abs(got[p] - expect[p]) < 1e-6, p
     assert got[(0, 1)] == 1.0
     assert all(3 not in p for p in got)
+
+
+def test_incremental_miners_upsert_semantics(spark):
+    """A doc id present in BOTH the persisted history state and the new
+    slice is an UPDATE: the new version wins. The miners anti-join the
+    superseded history rows away (ADVICE r09) — without that, groupBy(id)
+    over the union would merge the two versions into one inflated
+    shingle set. Pinned as: incremental(hist, new) == from-scratch over
+    the upserted corpus, restricted to pairs touching new ids."""
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"w{i}" for i in range(12))
+    hist_docs = [
+        (1, base + " alpha beta"),
+        (2, base + " alpha gamma"),
+        (3, "completely different text " + " ".join(f"z{i}" for i in range(9))),
+    ]
+    # doc 3 is UPDATED in the new slice to near-match doc 1; doc 4 is new
+    new_docs = [
+        (3, base + " alpha beta delta"),
+        (4, base + " epsilon"),
+    ]
+    upserted = [d for d in hist_docs if d[0] not in {3, 4}] + new_docs
+    hist = spark.createDataFrame(hist_docs, "doc_id: bigint, text: string")
+    new = spark.createDataFrame(new_docs, "doc_id: bigint, text: string")
+    full = spark.createDataFrame(upserted, "doc_id: bigint, text: string")
+
+    hstate = dedup._shingle_array(hist, "doc_id", "text", 3)
+    nstate = dedup._shingle_array(new, "doc_id", "text", 3)
+    new_ids = {3, 4}
+
+    got_j = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs_incremental(
+            hstate, nstate, "doc_id", threshold=0.5
+        ).collect()
+    }
+    expect_j = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(full, "doc_id", "text", threshold=0.5)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got_j == expect_j
+    assert (1, 3) in got_j  # the UPDATED doc 3 pairs with doc 1 ...
+    # ... at the NEW version's jaccard, not the merged-set one
+    assert any(4 in p for p in got_j)
+
+    got_c = {
+        (r.id_a, r.id_b): (r.size_a, r.size_b, r.containment)
+        for r in dedup.containment_pairs_incremental(
+            hstate, nstate, "doc_id", threshold=0.8
+        ).collect()
+    }
+    expect_c = {
+        (r.id_a, r.id_b): (r.size_a, r.size_b, r.containment)
+        for r in dedup.containment_pairs(
+            full, "doc_id", "text", threshold=0.8
+        ).collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got_c == expect_c
+    # doc 1's shingles are fully contained in updated doc 3's
+    assert (1, 3) in got_c and got_c[(1, 3)][2] == 1.0

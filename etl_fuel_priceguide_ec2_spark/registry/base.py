@@ -46,70 +46,34 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-9 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 10, never slot into
+# Round-10 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 11, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-8 driver artifacts (CORRECTNESS_r08/BENCH_r08):
+# committing the round-9 driver artifacts (CORRECTNESS_r09/BENCH_r09):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Zero never-seen queries remain — for the first time the window is pure
-# staleness rotation: slots 1-47 are the ENTIRE r05-last-green cohort,
-# slots 48-50 the three stalest r06-last-green. Slots 51-70 pin the
-# round-10 net head (the next r06-last-green cohort, ledger order).
+# Slots 1-13: ALL thirteen round-9 post-freeze additions (never in a
+# driver window), including the two embeddings queries FIXED and
+# re-simmed green this round (VERDICT r09 items 1, 4); every one of the
+# 13 has a sim-green SIMLOG.json record at sf0.01. Slots 14-50: the
+# r06-last-green staleness cohort, ledger order. Slots 51-70 pin the
+# round-11 net head (r06 remainder, then the r07 cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 47 r05-last-green cohort (entire remainder, ledger order) ---
-    "array_battery",
-    "deterministic_sample",
-    "udtf_ngrams_explode",
-    "salted_join_skewed_flag",
-    "except_all_multiset",
-    "embedding_norm_stats",
-    "price_histogram",
-    "column_profile_lineitem",
-    "correlated_subquery_max_order",
-    "chunk_documents",
-    "pack_chunks",
-    "scrub_pii",
-    "curation_keep_list",
-    "scd2_time_travel",
-    "moving_avg_range_frame",
-    "ranking_battery",
-    "grouping_sets_customer",
-    "normalize_text",
-    "join_types_matrix",
-    "cube_nation_segment",
-    "gap_fill_forward",
-    "exists_segments",
-    "fuzzy_brand_pairs",
-    "having_large_qty_customers",
-    "lateral_topk_orders",
-    "intersect_all_multiset",
-    "revenue_share_by_nation",
-    "promo_revenue_share",
-    "rolling_7d_distinct_users",
-    "cohort_retention",
-    "explode_outer_null_preserving",
-    "most_frequent_event_type",
-    "funnel_view_click_purchase",
-    "q2_min_balance_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q18_large_volume_customers",
-    "q20_dominant_shippers",
-    "q21_waiting_suppliers",
-    "similarity_topk_ivf_sq8",
-    "similarity_topk_ivf_sq8_rerank",
-    "decontaminated_train_ids",
-    # --- 3 stalest of the r06-last-green cohort (ledger order) ---
-    "asof_latest_per_key",
-    "asof_point_lookup",
-    "enrichment_join",
-    # --- slots 51+: past the driver window; round-10 net head (r06 cohort) ---
+    # --- 13 round-9 post-freeze additions (never driver-seen) ---
+    "containment_keeplist",
+    "symspell_edit2_pairs",
+    "ssjoin_incremental_pairs",
+    "containment_incremental_pairs",
+    "sorted_neighborhood_pairs",
+    "snm_dedup_keeplist",
+    "image_ahash_keeplist",
+    "bigram_lm_quality",
+    "tfidf_cosine_pairs",
+    "corpus_curation_decision",
+    "curation_decision_incremental",
+    "embedding_covariance",
+    "pca_top_component_scores",
+    # --- 37 stalest driver-green queries (r06 cohort, ledger order) ---
     "upsert_new_keys",
     "upsert_merged_dim",
     "dedup_last_wins",
@@ -130,6 +94,44 @@ _ROUND_PRIORITY: list[str] = [
     "similarity_topk_rplsh",
     "date_function_battery",
     "null_semantics_battery",
+    "pack_chunks_by_lang",
+    "stratified_take_per_lang",
+    "session_window_agg",
+    "unpivot_line_metrics",
+    "numeric_battery",
+    "value_window_battery",
+    "regexp_extract_groups",
+    "stats_battery",
+    "posexplode_tokens",
+    "map_functions_battery",
+    "window_count_distinct",
+    "shipping_priority_top10",
+    "higher_order_array_battery",
+    "conditional_agg_battery",
+    "union_by_name_feeds",
+    "variant_json_battery",
+    "similarity_topk_ivf2_sq8",
+    # --- slots 51+: past the driver window; round-11 net head ---
+    "contamination_attribution",
+    "hll_users_by_event_type",
+    "hll_distinct_event_ids",
+    "hll_weekly_rollup_users",
+    "heavy_hitter_users",
+    "hll_intersection_user_sets",
+    "bloom_membership_orders",
+    "cms_user_event_counts",
+    "cms_token_frequencies",
+    "dd_quantile_order_totals",
+    "projection_rename",
+    "null_filter_shaping",
+    "keyed_changes",
+    "scalar_battery",
+    "run_metrics",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "rollup_brand_stats",
+    "set_ops_symmetric_diff",
 ]
 
 

@@ -335,3 +335,429 @@ def pca_oracle_sql(
     GROUP BY vv.vid
 """
     )
+
+
+# --- round-10 extension: top-k subspace via deflation + outlier gate ---
+
+
+def _qd(x: float, s: int) -> int:
+    """Quantize EXACTLY the way DuckDB's ``ROUND(x, s)`` +
+    ``CAST(.. AS DECIMAL)`` does: multiply by 10^s IN DOUBLE (one IEEE
+    rounding), then round the resulting double half away from zero.
+    This differs from ``_q12``/``_r9`` (which round the exact binary
+    value) on products that land within one ulp of a .5 boundary —
+    measured: 0 mismatches vs DuckDB on 800k sampled doubles at scales
+    9 and 12 INCLUDING the boundary product that separates the two
+    models, vs rare boundary flips for the exact-value model. The
+    deflation path must use this model: a single boundary flip in v1
+    re-quantizes through the 9dp deflated matrix into 1e-9-scale
+    divergence in v2 and visible 6dp score mismatches, where the
+    single-component form's final ROUND(,6) masks it."""
+    t = x * float(10**s)
+    return int(Decimal(t).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _r9d(x: float) -> float:
+    """DuckDB-exact ``ROUND(x, 9)`` (see ``_qd``)."""
+    return _qd(x, 9) / 1e9
+
+
+def _matvec_q12(m: list[list[float]], v: list[float], dim: int) -> list[float]:
+    """y = M v with every term 12dp-quantized (DuckDB rounding model)
+    and accumulated in exact integer microunits — the shared matvec of
+    the power iteration, the Rayleigh quotient, and their oracle CTE
+    replays."""
+    out = []
+    for r in range(dim):
+        acc = 0
+        for c in range(dim):
+            acc += _qd(m[r][c] * v[c], 12)
+        out.append(acc / 1e12)
+    return out
+
+
+def _power_iterate_full(
+    m: list[list[float]], dim: int, iters: int
+) -> tuple[list[float], float]:
+    """Power iteration on a FULL matrix — the same steps as
+    ``_power_iterate`` but in the DuckDB-exact rounding model
+    (``_qd``), because the deflation downstream AMPLIFIES the
+    boundary-ulp differences the single-component form's final
+    ROUND(,6) hides. Also returns the Rayleigh quotient
+    lambda = <v, M v> of the converged vector, quantized the same way
+    so the oracle replays it bit-for-bit."""
+    import math
+
+    v = [_r9d(1.0 / math.sqrt(dim))] * dim
+    for _ in range(iters):
+        y = _matvec_q12(m, v, dim)
+        nrm = math.sqrt(sum(_qd(x * x, 12) for x in y) / 1e12)
+        v = [_r9d(x / nrm) for x in y]
+    yf = _matvec_q12(m, v, dim)
+    lam = sum(_qd(v[r] * yf[r], 12) for r in range(dim)) / 1e12
+    return v, lam
+
+
+def _deflate(
+    m: list[list[float]], v: list[float], lam: float, dim: int
+) -> list[list[float]]:
+    """Hotelling deflation M' = M - lambda v v^T, every cell quantized
+    back to 9dp (DuckDB rounding model). The three-factor product
+    associates left — ``(lam * v_r) * v_c`` — and the oracle writes
+    the same parenthesization, so the double arithmetic is
+    IEEE-identical."""
+    return [
+        [_r9d(m[r][c] - lam * v[r] * v[c]) for c in range(dim)]
+        for r in range(dim)
+    ]
+
+
+def _collect_cov_means(df: DataFrame, id_col: str, vec_col: str):
+    """The two sanctioned driver-side collects shared by the PCA forms:
+    the d x d covariance (from ``embedding_covariance``'s d(d+1)/2-row
+    relation, mirrored to full) and the d per-dim means. Returns
+    (matrix, means, dim) or None on an empty corpus."""
+    cov_rows = embedding_covariance(df, id_col, vec_col).collect()
+    if not cov_rows:
+        return None
+    dim = max(r["dim_j"] for r in cov_rows)
+    m = [[0.0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        m[r["dim_i"] - 1][r["dim_j"] - 1] = r["cov"]
+        m[r["dim_j"] - 1][r["dim_i"] - 1] = r["cov"]
+    mean_rows = (
+        df.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "x")
+        )
+        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "i", F.round(F.col("s").cast("double") / F.col("n"), 9).alias("m")
+        )
+        .collect()
+    )
+    means = [0.0] * dim
+    for r in mean_rows:
+        means[r["i"] - 1] = r["m"]
+    return m, means, dim
+
+
+def pca_component_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_components: int = 2,
+    iters: int = 8,
+) -> DataFrame:
+    """Top-``n_components`` principal-component scores per vector:
+    (id, pc1, ..., pcK) — the whitening/triage projection one step up
+    from ``pca_top_component_scores``. Components come from repeated
+    power iteration with Hotelling deflation (M <- M - lambda v v^T
+    after each converged component), all on the driver in integer
+    microunits under the DuckDB-exact rounding model (``_qd`` — the
+    deflation amplifies boundary ulps the single-component form's
+    output rounding hides); component 1 agrees with the
+    single-component form to the 6dp output scale (bit-equal except
+    on exact 6dp rounding boundaries of the two rounding models).
+
+    Scale shape is unchanged from ``pca_top_component_scores``: the
+    corpus is scanned twice (covariance aggregate, projection) and
+    never shuffled beyond the d(d+1)/2-row relation; K map-only
+    aggregate expressions share the one centered array. The K d-sized
+    vectors broadcast as literals.
+
+    Sign convention: the all-positive uniform init pins every
+    component's sign deterministically (generic position: the deflated
+    matrix keeps a nonzero projection onto the init)."""
+    if n_components < 1:
+        raise ValueError(f"pca requires n_components >= 1, got {n_components}")
+    if iters < 1:
+        raise ValueError(f"pca requires iters >= 1, got {iters}")
+    got = _collect_cov_means(df, id_col, vec_col)
+    if got is None:
+        cols = [F.lit(None).cast("double").alias(f"pc{k}") for k in range(1, n_components + 1)]
+        return df.select(F.col(id_col), *cols).limit(0)
+    m, means, dim = got
+    comps = []
+    for _ in range(n_components):
+        v, lam = _power_iterate_full(m, dim, iters)
+        comps.append(v)
+        m = _deflate(m, v, lam, dim)
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
+    outs = []
+    for k, v in enumerate(comps, start=1):
+        terms = F.transform(
+            F.zip_with(centered, F.lit(v), lambda x, w: F.round(x * w, 12)),
+            lambda p: p.cast(_SUM_DEC),
+        )
+        score = F.aggregate(
+            terms,
+            F.lit(0).cast(_SUM_DEC),
+            lambda acc, p: (acc + p).cast(_SUM_DEC),
+        )
+        outs.append(
+            (F.round(score.cast("double"), 6) + F.lit(0.0)).alias(f"pc{k}")
+        )
+    return df.select(F.col(id_col), *outs)
+
+
+def pca_topk_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_components: int = 2,
+    iters: int = 8,
+) -> str:
+    """DuckDB replay of ``pca_component_scores``: the covariance CTEs
+    mirrored to a full matrix ``mat0``, then per component K — ``iters``
+    unrolled matvec/normalize steps, the Rayleigh quotient of the
+    converged vector, and the Hotelling deflation into ``matK`` (same
+    ``(lam * v_r) * v_c`` parenthesization as the driver) — finally one
+    centered projection per component off a single joined weights CTE.
+    Every chain CTE is AS MATERIALIZED (the HITS-oracle lesson)."""
+    import math
+
+    v0 = _r9(1.0 / math.sqrt(dim))
+    chain = [
+        f"""vv AS MATERIALIZED (
+      SELECT {id_col} AS vid,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), pp AS (
+      SELECT i.i AS i, j.j AS j,
+             CAST(ROUND(v[i.i] * v[j.j], 9) AS DECIMAL(30,12)) AS p
+      FROM vv
+      CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      CROSS JOIN unnest(generate_series(1, len(v))) AS j(j)
+      WHERE j.j >= i.i
+    ), sij AS (
+      SELECT i, j, SUM(p) AS s_ij FROM pp GROUP BY i, j
+    ), si AS MATERIALIZED (
+      SELECT i.i AS i,
+             SUM(CAST(ROUND(v[i.i], 9) AS DECIMAL(30,12))) AS s,
+             COUNT(*) AS n
+      FROM vv CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      GROUP BY i.i
+    ), ut AS (
+      SELECT sij.i, sij.j,
+             ROUND((CAST(s_ij AS DOUBLE)
+                    - CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) / a.n) / a.n,
+                   6) AS cov
+      FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i
+    ), mat0 AS MATERIALIZED (
+      SELECT i AS r, j AS c, cov FROM ut
+      UNION ALL
+      SELECT j, i, cov FROM ut WHERE i <> j
+    ), means AS MATERIALIZED (
+      SELECT i, ROUND(CAST(s AS DOUBLE) / n, 9) AS mu FROM si
+    ), v0 AS (
+      SELECT i.i AS r, CAST({v0!r} AS DOUBLE) AS x
+      FROM (SELECT UNNEST(generate_series(1, {dim})) AS i) i
+    )"""
+    ]
+    for k in range(1, n_components + 1):
+        prev = "v0"
+        for t in range(1, iters + 1):
+            chain.append(
+                f"""y{k}_{t} AS MATERIALIZED (
+      SELECT m.r,
+             CAST(SUM(CAST(ROUND(m.cov * v.x, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS y
+      FROM mat{k - 1} m JOIN {prev} v ON m.c = v.r
+      GROUP BY m.r
+    ), n{k}_{t} AS (
+      SELECT sqrt(CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(30,12)))
+                       AS DOUBLE)) AS nrm
+      FROM y{k}_{t}
+    ), v{k}_{t} AS MATERIALIZED (
+      SELECT r, ROUND(y / nrm, 9) AS x FROM y{k}_{t}, n{k}_{t}
+    )"""
+            )
+            prev = f"v{k}_{t}"
+        if k < n_components:
+            chain.append(
+                f"""yf{k} AS MATERIALIZED (
+      SELECT m.r,
+             CAST(SUM(CAST(ROUND(m.cov * v.x, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS y
+      FROM mat{k - 1} m JOIN {prev} v ON m.c = v.r
+      GROUP BY m.r
+    ), lam{k} AS (
+      SELECT CAST(SUM(CAST(ROUND(v.x * y.y, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS lam
+      FROM {prev} v JOIN yf{k} y ON v.r = y.r
+    ), mat{k} AS MATERIALIZED (
+      SELECT m.r, m.c,
+             ROUND(m.cov - (l.lam * a.x) * b.x, 9) AS cov
+      FROM mat{k - 1} m
+      JOIN {prev} a ON a.r = m.r
+      JOIN {prev} b ON b.r = m.c
+      CROSS JOIN lam{k} l
+    )"""
+            )
+    wjoins = "\n      ".join(
+        f"JOIN v{k}_{iters} w{k} ON w{k}.r = means.i"
+        for k in range(1, n_components + 1)
+    )
+    wcols = ", ".join(
+        f"w{k}.x AS x{k}" for k in range(1, n_components + 1)
+    )
+    chain.append(
+        f"""ws AS MATERIALIZED (
+      SELECT means.i AS r, means.mu, {wcols}
+      FROM means
+      {wjoins}
+    )"""
+    )
+    pcs = ",\n           ".join(
+        f"ROUND(CAST(SUM(CAST(ROUND((vv.v[ws.r] - ws.mu) * ws.x{k}, 12)"
+        f" AS DECIMAL(30,12))) AS DOUBLE), 6) + 0.0 AS pc{k}"
+        for k in range(1, n_components + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(chain)
+        + f"""
+    SELECT vv.vid AS {id_col},
+           {pcs}
+    FROM vv
+    CROSS JOIN ws
+    GROUP BY vv.vid
+"""
+    )
+
+
+def embedding_zscore_outliers(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector diagonal-Mahalanobis distance against the corpus's
+    own per-dimension statistics: (id, zdist2, n_dims_used) with
+    zdist2 = sum over dims of (x_i - mu_i)^2 / var_i, zero-variance
+    dimensions excluded (they carry no information and would divide by
+    zero). The embedding-space outlier gate for curation triage: under
+    a roughly Gaussian corpus zdist2 is chi-square(d)-distributed, so
+    a percentile cut on it flags junk/mojibake/out-of-domain vectors
+    — an id-keyed signal composable with the curation decision layer.
+
+    Scale shape: ONE stats aggregate (d rows: DECIMAL-exact sums of
+    9dp-quantized x and x^2), a sanctioned d-row collect, then a
+    map-only scoring pass with mu/var broadcast as array literals —
+    the corpus never shuffles. The per-row sum over dims quantizes
+    terms to 12dp and accumulates as DECIMAL, the repo's portability
+    contract. Like HITS, decimal→double agreement is a bounded
+    argument: exact while the stat sums' magnitude < ~9e3 at scale 12
+    (every oracle-compared SF is far under; see graph.hits)."""
+    stats = (
+        df.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "x")
+        )
+        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
+            F.sum(F.round(F.col("x") * F.col("x"), 9).cast(_SUM_DEC)).alias(
+                "sxx"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "i",
+            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("mu"),
+            (
+                F.round(
+                    (
+                        F.col("sxx").cast("double")
+                        - F.col("s").cast("double")
+                        * F.col("s").cast("double")
+                        / F.col("n")
+                    )
+                    / F.col("n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("var"),
+        )
+        .collect()
+    )
+    if not stats:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("zdist2"),
+            F.lit(None).cast("long").alias("n_dims_used"),
+        ).limit(0)
+    dim = max(r["i"] for r in stats)
+    mus = [0.0] * dim
+    vars_ = [0.0] * dim
+    for r in stats:
+        mus[r["i"] - 1] = r["mu"]
+        vars_[r["i"] - 1] = r["var"]
+    n_used = sum(1 for v in vars_ if v > 0)
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(vec, F.lit(mus), lambda x, mu: x - mu)
+    terms = F.zip_with(
+        centered,
+        F.lit(vars_),
+        lambda c, v: F.when(
+            v > 0, F.round(c * c / v, 12).cast(_SUM_DEC)
+        ).otherwise(F.lit(0).cast(_SUM_DEC)),
+    )
+    z = F.aggregate(
+        terms,
+        F.lit(0).cast(_SUM_DEC),
+        lambda acc, p: (acc + p).cast(_SUM_DEC),
+    )
+    return df.select(
+        F.col(id_col),
+        (F.round(z.cast("double"), 6) + F.lit(0.0)).alias("zdist2"),
+        F.lit(n_used).cast("long").alias("n_dims_used"),
+    )
+
+
+def zscore_outliers_oracle_sql(table: str, id_col: str, vec_col: str) -> str:
+    """DuckDB replay of ``embedding_zscore_outliers`` — identical stat
+    sums (9dp-quantized terms, DECIMAL accumulation), identical mu/var
+    double arithmetic, identical 12dp-quantized per-dim terms."""
+    return f"""
+    WITH vv AS MATERIALIZED (
+      SELECT {id_col} AS vid,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), st AS MATERIALIZED (
+      SELECT i.i AS i,
+             SUM(CAST(ROUND(v[i.i], 9) AS DECIMAL(30,12))) AS s,
+             SUM(CAST(ROUND(v[i.i] * v[i.i], 9) AS DECIMAL(30,12))) AS sxx,
+             COUNT(*) AS n
+      FROM vv CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      GROUP BY i.i
+    ), mv AS MATERIALIZED (
+      SELECT i, ROUND(CAST(s AS DOUBLE) / n, 9) AS mu,
+             ROUND((CAST(sxx AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n,
+                   6) + 0.0 AS var
+      FROM st
+    ), nu AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE var > 0) AS BIGINT) AS n_used
+      FROM mv
+    )
+    SELECT vv.vid AS {id_col},
+           ROUND(CAST(SUM(CASE WHEN mv.var > 0
+                    THEN CAST(ROUND((vv.v[mv.i] - mv.mu) * (vv.v[mv.i] - mv.mu)
+                                    / mv.var, 12) AS DECIMAL(30,12))
+                    ELSE CAST(0 AS DECIMAL(30,12)) END)
+                 AS DOUBLE), 6) + 0.0 AS zdist2,
+           nu.n_used AS n_dims_used
+    FROM vv CROSS JOIN mv CROSS JOIN nu
+    GROUP BY vv.vid, nu.n_used
+"""

@@ -602,3 +602,94 @@ def q_curation_decision_incremental(spark, sf_dir):
         hist, new, "doc_id", "text", qw, dw,
         n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
     )
+
+
+# --- round-10 addition: the embedding-space outlier gate composed into
+# the capstone (VERDICT r09 item 8) — registered AFTER the round-10
+# freeze; leads the round-11 window.
+
+from etl_fuel_priceguide_ec2_spark.operators import embeddings as _emb2
+
+# Planted outliers: every vec_id % 50 == 3 embedding is scaled by 8
+# (a power of two, so the float->double scaling is EXACT in both
+# engines) — those vectors land ~60x past the corpus's z-distance
+# bulk, the way the capstone corpus plants dups so each rule fires.
+_OUTLIER_EMB_SQL = """(
+  SELECT vec_id,
+         CASE WHEN vec_id % 50 = 3
+              THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 8)
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+           AS embedding
+  FROM embeddings
+)"""
+
+# Fixed threshold, not a percentile: a percentile cut would need a
+# global sort over ALL embeddings at 100 TB; a fixed chi-square-scale
+# threshold (bulk zdist2 concentrates near d/var-inflation ~ 28 on
+# this fixture, planted outliers land ~1.8e3) is map-only and is how
+# the gate would actually ship.
+_ZDIST_THRESHOLD = 500.0
+
+
+@register(
+    "curation_decision_outlier_gated",
+    f"""
+    WITH base AS ({_curation.curation_decision_oracle_sql(
+        _CURATION_CORPUS_SQL, "doc_id", "text",
+        _QC_LEXICON, _DOMAIN_LEXICON,
+        n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+    )}),
+    z AS ({_emb2.zscore_outliers_oracle_sql(_OUTLIER_EMB_SQL, "vec_id", "embedding")}),
+    o AS (SELECT vec_id AS doc_id FROM z WHERE zdist2 >= {_ZDIST_THRESHOLD})
+    SELECT b.doc_id,
+           CASE WHEN o.doc_id IS NOT NULL AND b.decision = 'keep'
+                THEN 'drop' ELSE b.decision END AS decision,
+           CASE WHEN o.doc_id IS NOT NULL AND b.decision = 'keep'
+                THEN 'embedding_outlier' ELSE b.reason END AS reason,
+           b.dup_frac, b.quality_score, b.domain
+    FROM base b LEFT JOIN o ON b.doc_id = o.doc_id
+""",
+)
+def q_curation_decision_outlier_gated(spark, sf_dir):
+    """The capstone with the embedding-space outlier gate as its
+    EIGHTH signal, at the LOWEST precedence: a document the ladder
+    would keep is dropped with reason 'embedding_outlier' when its
+    diagonal-Mahalanobis z-distance crosses a fixed chi-square-scale
+    threshold; every earlier reason (dup families, span coverage,
+    quality, domain) wins unchanged, so the frozen capstone relation
+    is exactly this query with the gate removed. Composition is
+    id-keyed only — the gate joins a tiny flagged-id set against the
+    decision relation; payloads and vectors never meet."""
+    from pyspark.sql import functions as F
+
+    base = q_corpus_curation_decision(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") % 50) == 3,
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * 8),
+        )
+        .otherwise(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        .alias("embedding"),
+    )
+    flagged = (
+        _emb2.embedding_zscore_outliers(planted, "vec_id", "embedding")
+        .filter(F.col("zdist2") >= _ZDIST_THRESHOLD)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(True).alias("_out"))
+    )
+    is_gated = F.col("_out").isNotNull() & (F.col("decision") == "keep")
+    return base.join(F.broadcast(flagged), "doc_id", "left").select(
+        "doc_id",
+        F.when(is_gated, F.lit("drop")).otherwise(F.col("decision")).alias(
+            "decision"
+        ),
+        F.when(is_gated, F.lit("embedding_outlier"))
+        .otherwise(F.col("reason"))
+        .alias("reason"),
+        "dup_frac",
+        "quality_score",
+        "domain",
+    )

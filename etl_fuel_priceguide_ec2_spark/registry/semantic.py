@@ -874,3 +874,46 @@ def q_pca_top_component_scores(spark, sf_dir):
     iteration."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _emb.pca_top_component_scores(emb, "vec_id", "embedding", iters=8)
+
+
+# --- round-10 addition: top-k subspace + embedding outlier gate -------
+# Registered AFTER the round-10 freeze — these lead the round-11
+# window per the standing discipline. Deflation extends the power
+# iteration to a K-component whitening/triage subspace (component 1
+# bit-identical to pca_top_component_scores); the diagonal-Mahalanobis
+# z-distance is the embedding-space outlier gate (VERDICT r09 item 8),
+# an id-keyed signal the curation layer can compose.
+
+
+@register(
+    "pca_top2_subspace_scores",
+    _emb.pca_topk_oracle_sql(
+        "embeddings", "vec_id", "embedding", dim=DIM, n_components=2, iters=8
+    ),
+)
+def q_pca_top2_subspace_scores(spark, sf_dir):
+    """Top-2 principal-component scores per vector (id, pc1, pc2):
+    power iteration + Hotelling deflation on the driver (the covariance
+    and per-dim means are the only driver-side state), components
+    broadcast back for ONE map-only projection pass with two aggregate
+    expressions sharing the centered array. The oracle unrolls both
+    iteration chains and the deflation as MATERIALIZED CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _emb.pca_component_scores(
+        emb, "vec_id", "embedding", n_components=2, iters=8
+    )
+
+
+@register(
+    "embedding_outlier_zscores",
+    _emb.zscore_outliers_oracle_sql("embeddings", "vec_id", "embedding"),
+)
+def q_embedding_outlier_zscores(spark, sf_dir):
+    """Diagonal-Mahalanobis outlier distance per vector against the
+    corpus's own per-dimension mean/variance: (id, zdist2,
+    n_dims_used). One d-row stats aggregate, a sanctioned d-row
+    collect, then a map-only scoring pass — the corpus never shuffles.
+    A percentile cut on zdist2 flags junk/out-of-domain vectors for
+    curation triage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _emb.embedding_zscore_outliers(emb, "vec_id", "embedding")

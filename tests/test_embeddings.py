@@ -20,15 +20,22 @@ N = 48
 
 @pytest.fixture(scope="module")
 def xmat():
-    """Deterministic corpus with a planted dominant direction (large
-    eigengap, so 8 power iterations converge far past the comparison
-    tolerance: (lam2/lam1)^8 residual)."""
+    """Deterministic corpus with TWO planted directions of separated
+    strength (large eigengaps lam1 >> lam2 >> lam3, so 8 power
+    iterations converge far past the comparison tolerance for both the
+    dominant component and the deflated second one — isotropic noise
+    alone would leave numpy's v2 arbitrary within the noise
+    subspace)."""
     rng = np.random.default_rng(7)
-    direction = rng.normal(size=DIM)
-    direction /= np.linalg.norm(direction)
-    strength = rng.normal(size=(N, 1)) * 5.0
-    noise = rng.normal(size=(N, DIM)) * 0.3
-    return strength * direction + noise + rng.normal(size=DIM)
+    d1 = rng.normal(size=DIM)
+    d1 /= np.linalg.norm(d1)
+    d2 = rng.normal(size=DIM)
+    d2 -= d1 * np.dot(d1, d2)
+    d2 /= np.linalg.norm(d2)
+    s1 = rng.normal(size=(N, 1)) * 5.0
+    s2 = rng.normal(size=(N, 1)) * 2.0
+    noise = rng.normal(size=(N, DIM)) * 0.1
+    return s1 * d1 + s2 * d2 + noise + rng.normal(size=DIM)
 
 
 @pytest.fixture(scope="module")
@@ -122,3 +129,120 @@ def test_covariance_plan_is_zero_join_aggregate(vecs_df):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pca_top2_matches_numpy_and_single_form(vecs_df, xmat):
+    """Deflation top-k: component 1 reproduces the single-component
+    form to the 6dp output scale (the two forms use two rounding
+    models — exact-value vs DuckDB-emulating — that can differ by one
+    6dp ulp on exact boundaries); both scores match numpy's top-2
+    eigenvector projections up to the pinned sign."""
+    two = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in embeddings.pca_component_scores(
+            vecs_df, "vec_id", "embedding", n_components=2, iters=8
+        ).collect()
+    }
+    one = {
+        r.vec_id: r.pc1
+        for r in embeddings.pca_top_component_scores(
+            vecs_df, "vec_id", "embedding", iters=8
+        ).collect()
+    }
+    assert all(abs(two[i][0] - one[i]) <= 1.1e-6 for i in one)
+
+    cov = np.cov(xmat.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    centered = xmat - xmat.mean(axis=0)
+    for comp_idx, col in ((-1, 0), (-2, 1)):
+        proj = centered @ v[:, comp_idx]
+        scores = np.array([two[i][col] for i in range(N)])
+        if np.dot(scores, proj) < 0:
+            proj = -proj
+        # the second eigengap is smaller, so allow the power-iteration
+        # convergence residual a little more room
+        tol = (1e-3 if col == 0 else 2e-2) * float(np.abs(proj).max())
+        assert np.allclose(scores, proj, atol=tol), f"pc{col + 1}"
+
+
+def test_pca_topk_validates_args(vecs_df):
+    with pytest.raises(ValueError):
+        embeddings.pca_component_scores(
+            vecs_df, "vec_id", "embedding", n_components=0
+        )
+    with pytest.raises(ValueError):
+        embeddings.pca_component_scores(
+            vecs_df, "vec_id", "embedding", n_components=2, iters=0
+        )
+
+
+def test_pca_topk_empty_input_returns_typed_empty(spark):
+    empty = spark.createDataFrame([], "vec_id: bigint, embedding: array<double>")
+    out = embeddings.pca_component_scores(
+        empty, "vec_id", "embedding", n_components=3
+    )
+    assert out.columns == ["vec_id", "pc1", "pc2", "pc3"]
+    assert out.count() == 0
+
+
+def test_zscore_outliers_match_numpy(vecs_df, xmat):
+    got = {
+        r.vec_id: (r.zdist2, r.n_dims_used)
+        for r in embeddings.embedding_zscore_outliers(
+            vecs_df, "vec_id", "embedding"
+        ).collect()
+    }
+    assert len(got) == N
+    mu = xmat.mean(axis=0)
+    var = xmat.var(axis=0)  # population variance, matching the operator
+    used = var > 0
+    assert all(n == int(used.sum()) for _, n in got.values())
+    expect = (((xmat - mu) ** 2)[:, used] / var[used]).sum(axis=1)
+    for i in range(N):
+        # the operator quantizes var at 6dp, so tolerance is relative
+        assert got[i][0] == pytest.approx(expect[i], rel=1e-4, abs=1e-4)
+    # mean z-distance over the corpus is ~d by construction
+    zs = np.array([got[i][0] for i in range(N)])
+    assert abs(zs.mean() - DIM) < 0.5
+
+
+def test_zscore_outliers_zero_variance_dims_excluded(spark):
+    rows = [(i, [float(i), 7.0]) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    out = {r.vec_id: r for r in embeddings.embedding_zscore_outliers(
+        df, "vec_id", "embedding"
+    ).collect()}
+    assert all(r.n_dims_used == 1 for r in out.values())
+    # constant dim contributes nothing; scores are finite and ordered
+    # symmetrically around the mean of the varying dim
+    assert out[0].zdist2 == out[15].zdist2
+    assert out[7].zdist2 < out[0].zdist2
+
+
+def test_outlier_gate_composes_with_capstone_decisions(spark, sf_dir):
+    """The 'eighth signal' integration (VERDICT r09 item 8): the gated
+    capstone differs from the frozen capstone ONLY on kept documents
+    whose planted-outlier embedding crosses the threshold — every
+    earlier reason wins unchanged, and every gated doc flips
+    keep -> (drop, embedding_outlier)."""
+    from etl_fuel_priceguide_ec2_spark.registry import curation as rc
+
+    base = {
+        r.doc_id: (r.decision, r.reason)
+        for r in rc.q_corpus_curation_decision(spark, sf_dir).collect()
+    }
+    gated = {
+        r.doc_id: (r.decision, r.reason)
+        for r in rc.q_curation_decision_outlier_gated(spark, sf_dir).collect()
+    }
+    assert set(base) == set(gated)
+    changed = {d for d in base if base[d] != gated[d]}
+    assert changed, "the planted outliers must gate at least one kept doc"
+    for d in changed:
+        assert base[d][0] == "keep"  # only keeps can be gated
+        assert gated[d] == ("drop", "embedding_outlier")
+        assert d % 50 == 3  # exactly the planted-outlier ids
+    # planted ids that an EARLIER signal already dropped stay unchanged
+    for d in base:
+        if d % 50 == 3 and base[d][0] != "keep":
+            assert gated[d] == base[d]

@@ -135,6 +135,12 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "bigram_lm_quality",
     "tfidf_cosine_pairs",
+    # round-10 additions: the embedding second-moment tier — the
+    # zero-join covariance aggregate, the driver-iterated two-component
+    # projection, and the map-only z-distance outlier gate
+    "embedding_covariance",
+    "pca_top2_subspace_scores",
+    "embedding_outlier_zscores",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries
@@ -166,6 +172,11 @@ ITERATIVE = [
     # state off parquet; the new-vs-all mining itself is the cheap
     # part, pinned green vs the from-scratch oracle every round).
     "corpus_curation_decision",
+    # round 10: the capstone + embedding outlier gate composition —
+    # same CC-fixpoint floor as the capstone plus the id-keyed gate
+    # join; tracked here so the eighth signal's cost (~gate only,
+    # the decision relation is shared work) stays visible
+    "curation_decision_outlier_gated",
 ]
 
 

@@ -761,3 +761,115 @@ def zscore_outliers_oracle_sql(table: str, id_col: str, vec_col: str) -> str:
     FROM vv CROSS JOIN mv CROSS JOIN nu
     GROUP BY vv.vid, nu.n_used
 """
+
+
+# --- round-10 extension: moment state for incremental covariance -------
+# The state-store pattern (retrieval postings, LSH band state, gram
+# state) applied to second moments: DECIMAL sums are EXACTLY
+# associative, so per-slice moment states merge by plain groupBy-sum
+# and the merged covariance is bit-identical to the from-scratch one —
+# a daily embedding ingest never re-scans history vectors.
+
+
+def embedding_second_moment_state(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-slice second-moment state: (dim_i, dim_j, s_ij) upper
+    triangle, s_ij the DECIMAL-exact sum of 9dp-quantized products —
+    the same aggregate ``embedding_covariance`` computes, persisted as
+    a relation (d(d+1)/2 rows per slice regardless of slice size)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = F.size(v)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), d),
+            lambda i: F.transform(
+                F.sequence(i, d),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.round(
+                        F.element_at(v, i) * F.element_at(v, j), 9
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(_SUM_DEC)).alias("s_ij"))
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            "s_ij",
+        )
+    )
+
+
+def embedding_first_moment_state(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-slice first-moment state: (dim_i, s, n) — d rows per
+    slice."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.select(F.posexplode(v).alias("pos", "x"))
+        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("i").cast("long").alias("dim_i"), "s", "n")
+    )
+
+
+def embedding_covariance_from_state(
+    sij_state: DataFrame, si_state: DataFrame
+) -> DataFrame:
+    """Covariance from (unioned) persisted moment states — merge is a
+    plain groupBy-SUM (decimal addition is associative and
+    order-free), then the identical final double arithmetic as
+    ``embedding_covariance``, so
+
+        from_state(union of slice states) == from-scratch(full corpus)
+
+    BIT-FOR-BIT (pinned by test). At 100 TB this is the whole point:
+    each ingest slice contributes d(d+1)/2 + d rows of state, history
+    vectors are never re-scanned, and the merge shuffles only state
+    rows."""
+    sij = sij_state.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("s_ij").cast(_SUM_DEC)).alias("s_ij")
+    )
+    si = si_state.groupBy("dim_i").agg(
+        F.sum(F.col("s").cast(_SUM_DEC)).alias("s"),
+        F.sum("n").alias("n"),
+    )
+    a = si.select(
+        F.col("dim_i").alias("i"), F.col("s").alias("s_i"), "n"
+    )
+    b = si.select(F.col("dim_i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        sij.select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "s_ij")
+        .join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            (
+                F.round(
+                    (
+                        F.col("s_ij").cast("double")
+                        - F.col("s_i").cast("double")
+                        * F.col("s_j").cast("double")
+                        / F.col("n")
+                    )
+                    / F.col("n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

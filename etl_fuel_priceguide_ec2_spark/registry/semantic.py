@@ -917,3 +917,29 @@ def q_embedding_outlier_zscores(spark, sf_dir):
     curation triage."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _emb.embedding_zscore_outliers(emb, "vec_id", "embedding")
+
+
+@register(
+    "embedding_covariance_from_state",
+    _emb.covariance_oracle_sql("embeddings", "embedding"),
+)
+def q_embedding_covariance_from_state(spark, sf_dir):
+    """The covariance's DAILY-INGEST form: three slices (vec_id % 3)
+    each contribute their persisted moment state (d(d+1)/2 + d rows
+    per slice, any slice size), the states merge by plain
+    groupBy-SUM — decimal addition is associative, so the merged
+    relation is BIT-IDENTICAL to the from-scratch covariance, which is
+    exactly the oracle used here. History vectors are never
+    re-scanned."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sij_slices = None
+    si_slices = None
+    for k in range(3):
+        s = emb.filter(F.col("vec_id") % 3 == k)
+        sij = _emb.embedding_second_moment_state(s, "vec_id", "embedding")
+        si = _emb.embedding_first_moment_state(s, "vec_id", "embedding")
+        sij_slices = sij if sij_slices is None else sij_slices.unionByName(sij)
+        si_slices = si if si_slices is None else si_slices.unionByName(si)
+    return _emb.embedding_covariance_from_state(sij_slices, si_slices)

@@ -246,3 +246,28 @@ def test_outlier_gate_composes_with_capstone_decisions(spark, sf_dir):
     for d in base:
         if d % 50 == 3 and base[d][0] != "keep":
             assert gated[d] == base[d]
+
+
+def test_covariance_from_state_bit_identical_to_batch(vecs_df):
+    """The moment-state lifecycle: per-slice second/first-moment states
+    unioned and merged by groupBy-SUM reproduce the from-scratch
+    covariance BIT-FOR-BIT (decimal sums are associative), so a daily
+    embedding ingest never re-scans history vectors."""
+    from pyspark.sql import functions as F
+
+    batch = sorted(
+        map(tuple, embeddings.embedding_covariance(
+            vecs_df, "vec_id", "embedding"
+        ).collect())
+    )
+    sij = si = None
+    for k in range(4):
+        s = vecs_df.filter(F.col("vec_id") % 4 == k)
+        a = embeddings.embedding_second_moment_state(s, "vec_id", "embedding")
+        b = embeddings.embedding_first_moment_state(s, "vec_id", "embedding")
+        sij = a if sij is None else sij.unionByName(a)
+        si = b if si is None else si.unionByName(b)
+    merged = sorted(
+        map(tuple, embeddings.embedding_covariance_from_state(sij, si).collect())
+    )
+    assert merged == batch

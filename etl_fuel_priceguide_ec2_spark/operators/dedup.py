@@ -1983,21 +1983,32 @@ def tfidf_topk_cosine_pairs(
     )
     a = u.select(F.col(id_col).alias("id_a"), "token", F.col("nw").alias("nw_a"))
     b = u.select(F.col(id_col).alias("id_b"), "token", F.col("nw").alias("nw_b"))
-    # Per-term products quantize to 12 dp and accumulate as DECIMAL so
-    # the cosine — and the >= threshold cut on it — is addition-order-
-    # free, matching the repo's cross-row-sum portability contract
-    # (ADVICE r09: a raw double F.sum can diverge from the oracle on
-    # boundary values under different partial-aggregation orders).
+    # Per-term products quantize to integer 1e-12 microunits and
+    # accumulate as LONG so the cosine — and the >= threshold cut on
+    # it — is addition-order-free (exact integer sums), matching the
+    # repo's cross-row-sum portability contract (ADVICE r09: a raw
+    # double F.sum can diverge from the oracle on boundary values
+    # under different partial-aggregation orders). LONG, not DECIMAL,
+    # because this is the hot aggregate (millions of candidate rows)
+    # and integer partial aggregation is ~1.5x cheaper end-to-end
+    # (3.8 -> 2.4 s at sf0.1, min-of-3); overflow-safe because
+    # |nw| <= 1 bounds each term by 1e12 and a pair shares at most k
+    # terms. The doc-norm sum above keeps DECIMAL: its w^2 terms are
+    # unbounded (tf-scaled), only k rows per doc feed it, and
+    # 12dp-microunit longs could overflow there at scale.
     return (
         a.join(b, "token")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
-            F.sum(
-                F.round(F.col("nw_a") * F.col("nw_b"), 12).cast("decimal(30,12)")
-            )
-            .cast("double")
-            .alias("_cos")
+            (
+                F.sum(
+                    F.round(
+                        F.col("nw_a") * F.col("nw_b") * F.lit(1e12), 0
+                    ).cast("long")
+                )
+                / F.lit(1e12)
+            ).alias("_cos")
         )
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))

@@ -590,12 +590,11 @@ def q_bigram_lm_quality(spark, sf_dir):
       SELECT t.doc_id, token, w / nn AS nw FROM topk t JOIN nrm USING (doc_id)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(sum(CAST(ROUND(a.nw * b.nw, 12) AS DECIMAL(30,12)))
-                      AS DOUBLE), 6) AS cosine
+           ROUND(sum(CAST(ROUND(a.nw * b.nw * 1e12, 0) AS BIGINT)) / 1e12,
+                 6) AS cosine
     FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    HAVING CAST(sum(CAST(ROUND(a.nw * b.nw, 12) AS DECIMAL(30,12)))
-                AS DOUBLE) >= 0.5
+    HAVING sum(CAST(ROUND(a.nw * b.nw * 1e12, 0) AS BIGINT)) / 1e12 >= 0.5
     """,
 )
 def q_tfidf_cosine_pairs(spark, sf_dir):

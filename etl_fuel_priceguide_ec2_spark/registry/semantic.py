@@ -943,3 +943,71 @@ def q_embedding_covariance_from_state(spark, sf_dir):
         sij_slices = sij if sij_slices is None else sij_slices.unionByName(sij)
         si_slices = si if si_slices is None else si_slices.unionByName(si)
     return _emb.embedding_covariance_from_state(sij_slices, si_slices)
+
+
+def _pca_zorder_oracle() -> str:
+    """Oracle for ``embedding_pca_zorder_layout``: the full PCA-top2
+    replay as a subquery, scores quantized to integer 1e-6 microunits
+    (exact — pc values are 6dp-rounded doubles), then the identical
+    bounded-domain scaling + Morton interleave the layout tier uses
+    (layout.zorder_sql's expression shapes, DuckDB spellings)."""
+    pca = _emb.pca_topk_oracle_sql(
+        "embeddings", "vec_id", "embedding", dim=DIM, n_components=2, iters=8
+    )
+    bits = 20
+    top = (1 << bits) - 1
+    normed = []
+    for c in ("q1", "q2"):
+        normed.append(
+            f"(CASE WHEN b.max_{c} = b.min_{c} THEN 0 "
+            f"ELSE ((t.{c} - b.min_{c}) * {top}) // (b.max_{c} - b.min_{c}) END)"
+        )
+    terms = []
+    for j, x in enumerate(normed):
+        for i in range(bits):
+            terms.append(f"((({x} >> {i}) & 1) << {i * 2 + j})")
+    z = " + ".join(terms)
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(ROUND(pc1 * 1e6, 0) AS BIGINT) AS q1,
+             CAST(ROUND(pc2 * 1e6, 0) AS BIGINT) AS q2
+      FROM ({pca}) p
+    ), b AS (
+      SELECT MIN(q1) AS min_q1, MAX(q1) AS max_q1,
+             MIN(q2) AS min_q2, MAX(q2) AS max_q2
+      FROM q
+    )
+    SELECT t.vec_id, CAST({z} AS BIGINT) AS z
+    FROM q t CROSS JOIN b
+"""
+
+
+@register("embedding_pca_zorder_layout", _pca_zorder_oracle())
+def q_embedding_pca_zorder_layout(spark, sf_dir):
+    """ANN-friendly storage layout: each vector's Z-order (Morton) key
+    over its quantized top-2 PCA scores — writing the corpus sorted by
+    this key clusters semantically similar vectors into the same
+    parquet row groups, so IVF-style probes and range reads prune at
+    the row-group level (the embedding-space analogue of
+    zorder_layout_lineitem). Scale shape: the PCA projection is
+    map-only (components broadcast), the min/max bounds are a 1-row
+    aggregate inlined as literals, and the curve value is pure per-row
+    codegen — the only shuffle a writer adds is the range sort it
+    would do anyway."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import layout
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = _emb.pca_component_scores(
+        emb, "vec_id", "embedding", n_components=2, iters=8
+    )
+    q = scores.select(
+        "vec_id",
+        F.round(F.col("pc1") * 1e6, 0).cast("long").alias("q1"),
+        F.round(F.col("pc2") * 1e6, 0).cast("long").alias("q2"),
+    )
+    return q.select(
+        "vec_id", layout.zorder_value(q, ["q1", "q2"], bits=20).alias("z")
+    )

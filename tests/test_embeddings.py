@@ -271,3 +271,34 @@ def test_covariance_from_state_bit_identical_to_batch(vecs_df):
         map(tuple, embeddings.embedding_covariance_from_state(sij, si).collect())
     )
     assert merged == batch
+
+
+def test_pca_zorder_clusters_pc_space(vecs_df):
+    """Layout property: consecutive vectors in Z-order are far closer
+    in PCA space than random pairs — the row-group locality the layout
+    exists to create."""
+    from etl_fuel_priceguide_ec2_spark.operators import layout
+
+    scores = embeddings.pca_component_scores(
+        vecs_df, "vec_id", "embedding", n_components=2, iters=8
+    )
+    q = scores.select(
+        "vec_id",
+        F.round(F.col("pc1") * 1e6, 0).cast("long").alias("q1"),
+        F.round(F.col("pc2") * 1e6, 0).cast("long").alias("q2"),
+    )
+    rows = (
+        q.select("vec_id", "q1", "q2", layout.zorder_value(q, ["q1", "q2"], bits=20).alias("z"))
+        .collect()
+    )
+    assert all(0 <= r.z < (1 << 40) for r in rows)
+    by_z = sorted(rows, key=lambda r: r.z)
+
+    def d2(a, b):
+        return (a.q1 - b.q1) ** 2 + (a.q2 - b.q2) ** 2
+
+    adjacent = [d2(a, b) for a, b in zip(by_z, by_z[1:])]
+    # random-ish baseline: pair each row with the one N//2 later in id order
+    by_id = sorted(rows, key=lambda r: r.vec_id)
+    far = [d2(by_id[i], by_id[(i + len(rows) // 2) % len(rows)]) for i in range(len(rows))]
+    assert sum(adjacent) / len(adjacent) < 0.5 * (sum(far) / len(far))

@@ -878,3 +878,24 @@ def test_example_curation_decision_pipeline(sf_dir):
     out = mod.main(sf_dir)
     assert 0 < out["n_out"] < out["n_in"]
     assert out["tokens_removed"] > 0
+
+
+def test_example_embedding_triage_pipeline(sf_dir):
+    """examples/embedding_triage_pipeline.py — the second-moment tier
+    chained end to end: diagnostics, subspace scores, Z-order layout
+    write, and the fixed-threshold outlier gate, with conserving
+    counts."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "embedding_triage_example",
+        Path(__file__).parent.parent / "examples" / "embedding_triage_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(sf_dir)
+    assert out["n_vectors"] > 0
+    assert out["n_written"] == out["n_vectors"]  # layout preserves rows
+    assert out["n_flagged"] + out["n_kept"] == out["n_vectors"]
+    assert out["n_flagged"] < out["n_vectors"]  # the gate never drops all

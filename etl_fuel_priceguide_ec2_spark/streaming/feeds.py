@@ -479,3 +479,51 @@ def exact_substring_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def embedding_moment_stream(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sij_path: str,
+    si_path: str,
+    checkpoint: str,
+):
+    """Streaming embedding statistics: each micro-batch aggregates its
+    vectors into the DECIMAL moment state (``embeddings.
+    embedding_second_moment_state`` / ``_first_moment_state``,
+    d(d+1)/2 + d rows per batch) and APPENDS it to the two state
+    stores; the covariance at any time is
+    ``embedding_covariance_from_state(read(sij), read(si))`` —
+    bit-identical to a batch covariance over everything seen, because
+    decimal sums are associative (pinned by test). Unlike the HLL
+    register store (idempotent MAX), SUM state is NOT replay-proof:
+    the ``_batch`` column makes at-least-once replays detectable (and
+    removable) by batch id — the standard transactional-append caveat
+    every SUM-based streaming store carries. At 100 TB the store grows
+    ~2 k tiny rows per batch; compact by re-aggregating with
+    groupBy-SUM whenever file count grows."""
+    from etl_fuel_priceguide_ec2_spark.operators import embeddings
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            embeddings.embedding_second_moment_state(batch_df, id_col, vec_col)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sij_path)
+        )
+        (
+            embeddings.embedding_first_moment_state(batch_df, id_col, vec_col)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(si_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -568,3 +568,55 @@ def test_missing_store_path_raises_analysis_exception(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         spark.read.parquet(str(tmp_path / "never_written")).collect()
+
+
+def test_streaming_embedding_moments_match_batch(spark, sf_dir, tmp_path):
+    """Streaming second-moment state: per-micro-batch DECIMAL moment
+    rows appended to the state stores merge (groupBy-SUM) to a
+    covariance BIT-IDENTICAL to the batch one over everything the
+    stream delivered — decimal addition is associative, so batch
+    boundaries are invisible. maxFilesPerTrigger forces multiple
+    micro-batches so cross-batch folding is actually exercised."""
+    from etl_fuel_priceguide_ec2_spark.operators import embeddings
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "emb_slices")
+    # write the corpus as 3 files so availableNow yields several batches
+    emb.withColumn("_slice", F.col("vec_id") % 3).repartition(
+        3, "_slice"
+    ).drop("_slice").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = feeds.embedding_moment_stream(
+        stream,
+        "vec_id",
+        "embedding",
+        str(tmp_path / "sij"),
+        str(tmp_path / "si"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    merged = sorted(
+        map(
+            tuple,
+            embeddings.embedding_covariance_from_state(
+                spark.read.parquet(str(tmp_path / "sij")).drop("_batch"),
+                spark.read.parquet(str(tmp_path / "si")).drop("_batch"),
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            embeddings.embedding_covariance(
+                spark.read.parquet(src), "vec_id", "embedding"
+            ).collect(),
+        )
+    )
+    assert merged == direct

@@ -651,3 +651,76 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             "v", lambda x: F.round(x / F.col("norm") * 127).cast("long")
         ).alias("q8"),
     )
+
+
+def cosine_topk_zorder(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    zkeys: DataFrame,
+    prefix_bits: int = 4,
+    total_bits: int = 40,
+    k: int = 10,
+) -> DataFrame:
+    """Layout-driven ANN — the eighth ladder rung: candidates come from
+    the Z-ORDER PREFIX (quadtree cell) of each vector's PCA-subspace
+    Morton key (``zkeys``: (id, z) from the
+    ``embedding_pca_zorder_layout`` pipeline), probing the query's cell
+    and both Morton-adjacent cells, then exact cosine + top-k within
+    candidates. This is the query-side payoff of writing the corpus
+    Z-ordered: a cell IS a contiguous row-group range of the sorted
+    file, so a probe reads O(3/2^prefix_bits) of the corpus — the same
+    arithmetic as IVF nprobe/cells, but the "index" is free because it
+    is the storage order itself. Recall < 1 by construction (quadtree
+    cells miss some cross-boundary neighbors; Morton-adjacent probing
+    recovers the x-direction ones) — widen ``prefix_bits`` down or the
+    probe set up for recall, exactly the IVF ladder's lever."""
+    shift = total_bits - prefix_bits
+    zb = zkeys.select(
+        F.col(zkeys.columns[0]).alias("_zid"),
+        F.expr(f"shiftright(z, {shift})").alias("_bucket"),
+    )
+    c = _with_norm(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    ).join(zb.withColumnRenamed("_zid", "neighbor_id"), "neighbor_id")
+    q = _with_norm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    ).join(zb.withColumnRenamed("_zid", "query_id"), "query_id")
+    probes = q.select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(
+            F.array(
+                F.col("_bucket") - 1, F.col("_bucket"), F.col("_bucket") + 1
+            )
+        ).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("cv", "qv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (F.col("cn") * F.col("qn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+        )
+    )

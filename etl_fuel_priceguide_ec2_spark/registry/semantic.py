@@ -1011,3 +1011,72 @@ def q_embedding_pca_zorder_layout(spark, sf_dir):
     return q.select(
         "vec_id", layout.zorder_value(q, ["q1", "q2"], bits=20).alias("z")
     )
+
+
+def _zorder_ann_oracle(prefix_bits: int = 4, total_bits: int = 40, k: int = 10) -> str:
+    shift = total_bits - prefix_bits
+    return f"""
+    WITH zk AS MATERIALIZED (
+      SELECT * FROM ({_pca_zorder_oracle()}) zz
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), cb AS (
+      SELECT e.vec_id, e.v, e.nrm, (zk.z >> {shift}) AS bucket
+      FROM e JOIN zk USING (vec_id)
+    ), q AS (SELECT * FROM cb WHERE vec_id < 5),
+    probes AS (
+      SELECT q.vec_id, q.v, q.nrm, q.bucket + o.o AS bucket
+      FROM q CROSS JOIN (VALUES (-1), (0), (1)) o(o)
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                ORDER BY list_dot_product(c.v, p.v) / (c.nrm * p.nrm) DESC,
+                                         c.vec_id ASC) AS rank,
+             ROUND(list_dot_product(c.v, p.v) / (c.nrm * p.nrm), 4) AS cosine
+      FROM cb c JOIN probes p ON c.bucket = p.bucket
+      WHERE p.vec_id <> c.vec_id
+    ) WHERE rank <= {k}
+"""
+
+
+@register("similarity_topk_zorder", _zorder_ann_oracle())
+def q_similarity_topk_zorder(spark, sf_dir):
+    """The LAYOUT-DRIVEN ANN rung of the similarity ladder: candidates
+    come from the Z-order prefix (quadtree cell over the PCA subspace)
+    of each vector's Morton key — the query probes its own cell and
+    both Morton-adjacent cells, then exact cosine + top-k within
+    candidates. The query-side payoff of the Z-ordered layout
+    (``embedding_pca_zorder_layout``): a cell is a contiguous range of
+    the sorted file, so a probe reads ~3/2^prefix_bits of the corpus
+    with no index structure at all — IVF arithmetic where the
+    'index' is the storage order itself."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import layout, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = _emb.pca_component_scores(
+        emb, "vec_id", "embedding", n_components=2, iters=8
+    )
+    q = scores.select(
+        "vec_id",
+        F.round(F.col("pc1") * 1e6, 0).cast("long").alias("q1"),
+        F.round(F.col("pc2") * 1e6, 0).cast("long").alias("q2"),
+    )
+    zkeys = q.select(
+        "vec_id", layout.zorder_value(q, ["q1", "q2"], bits=20).alias("z")
+    )
+    return similarity.cosine_topk_zorder(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        zkeys,
+        prefix_bits=4,
+        total_bits=40,
+        k=10,
+    )

@@ -302,3 +302,37 @@ def test_pca_zorder_clusters_pc_space(vecs_df):
     by_id = sorted(rows, key=lambda r: r.vec_id)
     far = [d2(by_id[i], by_id[(i + len(rows) // 2) % len(rows)]) for i in range(len(rows))]
     assert sum(adjacent) / len(adjacent) < 0.5 * (sum(far) / len(far))
+
+
+def test_zorder_ann_recall_vs_exact(spark, sf_dir):
+    """Layout-ANN sanity: candidates are real corpus ids ranked by true
+    cosine, and quadtree-cell recall beats the random-pick baseline by
+    a wide margin (the same bounding style as the RP-LSH rung — random
+    vectors are the worst case for any spatial blocking)."""
+    from etl_fuel_priceguide_ec2_spark.operators import layout, similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    scores = embeddings.pca_component_scores(
+        emb, "vec_id", "embedding", n_components=2, iters=8
+    )
+    q = scores.select(
+        "vec_id",
+        F.round(F.col("pc1") * 1e6, 0).cast("long").alias("q1"),
+        F.round(F.col("pc2") * 1e6, 0).cast("long").alias("q2"),
+    )
+    zkeys = q.select(
+        "vec_id", layout.zorder_value(q, ["q1", "q2"], bits=20).alias("z")
+    )
+    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    ann = similarity.cosine_topk_zorder(
+        emb, queries, "vec_id", "embedding", zkeys, prefix_bits=4, k=10
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    n_corpus = emb.count()
+    recall = len(e & a) / len(e)
+    assert recall > 3 * (10 / n_corpus)
+    # every ANN row is a real ranked candidate
+    assert all(rank <= 10 for r in ann.collect() for rank in [r.rank])

@@ -100,6 +100,8 @@ NOTES = {
     "pca_top2_subspace_scores": "covariance + means are the ONLY driver-side state; power iteration + deflation run there and the K components broadcast back as array literals — the projection is one map-only pass with K aggregate expressions sharing the centered array.",
     "embedding_outlier_zscores": "one d-row stats aggregate, a sanctioned d-row collect, then a map-only scoring pass with mu/var as broadcast literals — the corpus never shuffles.",
     "curation_decision_outlier_gated": "the eighth capstone signal composes as an id-keyed broadcast left join of a tiny flagged-id set against the decision relation; the gate threshold is fixed (chi-square scale), so no global sort of z-distances is ever needed.",
+    "embedding_covariance_from_state": "per-slice moment states merge by plain groupBy-SUM (decimal addition is associative, merged == from-scratch bit-for-bit); the shuffle carries d(d+1)/2 + d state rows per slice, never vectors.",
+    "similarity_topk_zorder": "layout-driven ANN: candidates come from an equi-join on the Morton-prefix bucket (query exploded to its cell ±1), so a probe reads ~3/2^prefix_bits of the corpus; exact cosine + per-query window top-k only over candidates.",
 }
 
 

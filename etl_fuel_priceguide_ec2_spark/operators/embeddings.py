@@ -36,6 +36,8 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
+
 _SUM_DEC = "decimal(30,12)"
 
 
@@ -66,7 +68,12 @@ def embedding_covariance(
     cov = (S_ij - S_i * S_j / n) / n and every S a DECIMAL-exact sum
     of 9dp-quantized terms. One scan, zero joins against the corpus:
     the per-row outer product explodes into a map-side-combined
-    aggregate, so the exchange carries d(d+1)/2 rows per task."""
+    aggregate, so the exchange carries d(d+1)/2 rows per task.
+    fan_out spreads the CPU-bound d(d+1)/2-struct explode when the
+    scan yields fewer splits than cores (single-file fixtures ran the
+    whole outer-product on ONE core: 16.8 -> ~2 s at sf0.1); safe
+    because every sum is decimal order-free."""
+    df = fan_out(df)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     d = F.size(v)
     pairs = F.flatten(
@@ -778,6 +785,7 @@ def embedding_second_moment_state(
     triangle, s_ij the DECIMAL-exact sum of 9dp-quantized products —
     the same aggregate ``embedding_covariance`` computes, persisted as
     a relation (d(d+1)/2 rows per slice regardless of slice size)."""
+    df = fan_out(df)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     d = F.size(v)
     pairs = F.flatten(
@@ -813,6 +821,7 @@ def embedding_first_moment_state(
 ) -> DataFrame:
     """Per-slice first-moment state: (dim_i, s, n) — d rows per
     slice."""
+    df = fan_out(df)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (
         df.select(F.posexplode(v).alias("pos", "x"))

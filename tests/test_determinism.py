@@ -50,6 +50,13 @@ RISKY = [
     "triangle_counts_part_graph",  # wedge/closing joins + lcc division
     "part_affinity_lift",          # double lift ties at the top-k cut
     "bpe_learned_merges",          # iterative argmax + greedy rebuild
+    # round 10: the embedding second-moment tier — fan_out repartition
+    # under order-free decimal sums (partitioning must never show),
+    # driver-side power iteration + deflation collected into literals,
+    # and the z-prefix bucket probe's rank cut
+    "embedding_covariance",        # repartitioned decimal outer-product sums
+    "pca_top2_subspace_scores",    # two collects + deflation + projection
+    "similarity_topk_zorder",      # bucket probe + cosine ties at the cut
 ]
 
 

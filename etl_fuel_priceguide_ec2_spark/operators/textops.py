@@ -1238,3 +1238,98 @@ def bigram_lm_oracle_sql(docs_table: str, id_col: str, text_col: str) -> str:
     FROM bg JOIN model USING (g)
     GROUP BY {id_col}
 """
+
+
+def hashed_tfidf_components(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """Model-free document embedding via the hashing trick
+    (Weinberger et al. 2009): every token's tf-idf weight lands in
+    ``md5(token) % dim``, colliding tokens SUM (feature hashing's
+    defined semantics), and the per-doc vector is L2-normalized.
+    Output is the SPARSE form — (id, bucket, nw) with nw the
+    normalized component — which is both the storage-efficient
+    relation at 100 TB (documents hit far fewer than ``dim`` buckets)
+    and the inverted-index join side for cosine retrieval
+    (``doc_embedding_topk``): dot products of L2-normalized vectors
+    need only the SHARED buckets.
+
+    Determinism contract: the bucket sum and the norm sum accumulate
+    9dp-quantized terms as DECIMAL (addition-order-free); the idf
+    weight itself is a single-expression double on identical inputs.
+    Empty/featureless docs emit no rows (their vector is zero — no
+    direction to normalize)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), _WS), lambda t: t != ""
+    )
+    tf = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(toks).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    comp = (
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            _feature_hash(F.col("_t"), dim).alias("bucket"),
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + 1
+                )
+            ).alias("_w"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.sum(F.round(F.col("_w"), 9).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("_c")
+        )
+    )
+    nrm = comp.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum(F.round(F.col("_c") * F.col("_c"), 9).cast("decimal(30,12)"))
+            .cast("double")
+        ).alias("_nn")
+    )
+    return comp.join(nrm, id_col).select(
+        F.col(id_col),
+        F.col("bucket"),
+        (F.col("_c") / F.col("_nn")).alias("nw"),
+    )
+
+
+def hashed_tfidf_embeddings(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64
+) -> DataFrame:
+    """The DENSE form of ``hashed_tfidf_components`` — (id, vec
+    array<double>) with zeros in unhit buckets — the bridge from raw
+    text into the X3 similarity ladder (cosine top-k, IVF, z-order
+    layout) without any external model: one map_from_entries over the
+    sparse components, zero extra scans. Docs with no tokens get the
+    zero vector."""
+    m = (
+        hashed_tfidf_components(df, id_col, text_col, dim)
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("nw")))
+            ).alias("_m")
+        )
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(m, id_col, "left")
+        .select(F.col(id_col), vec.alias("vec"))
+    )

@@ -611,3 +611,125 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
     return dedup.tfidf_topk_cosine_pairs(
         docs, "doc_id", "text", k=5, threshold=0.5, ngram=2
     )
+
+
+# --- round-10 additions (post-freeze; lead round 11): model-free doc
+# embeddings via the hashing trick, and cosine retrieval over them ----
+
+_HASHED_EMB_COMPONENTS_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, UNNEST(toks) AS t FROM d
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tk GROUP BY doc_id, t
+    ), dfreq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    comp AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64 AS bucket,
+             CAST(SUM(CAST(ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 9)
+                           AS DECIMAL(30,12))) AS DOUBLE) AS c
+      FROM tf JOIN dfreq USING (t) CROSS JOIN n
+      GROUP BY 1, 2
+    ), nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,12)))
+                       AS DOUBLE)) AS nn
+      FROM comp GROUP BY doc_id
+    ), u AS (
+      SELECT comp.doc_id, CAST(bucket AS BIGINT) AS bucket, c / nn AS nw
+      FROM comp JOIN nrm USING (doc_id)
+    )
+"""
+
+
+@register(
+    "doc_hashed_embeddings",
+    _HASHED_EMB_COMPONENTS_SQL
+    + """
+    SELECT doc_id, bucket, ROUND(nw, 6) AS nw FROM u
+""",
+)
+def q_doc_hashed_embeddings(spark, sf_dir):
+    """Model-free document embeddings via the hashing trick: every
+    token's tf-idf weight lands in md5(token) % 64, collisions SUM,
+    vectors L2-normalize — emitted SPARSE (doc_id, bucket, nw), the
+    storage shape at 100 TB and the inverted-index side for cosine
+    retrieval. Bridges raw text into the X3 similarity ladder with no
+    external model; all cross-row sums 9dp-quantized DECIMAL."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.hashed_tfidf_components(docs, "doc_id", "text", dim=64).select(
+        "doc_id", "bucket", F.round("nw", 6).alias("nw")
+    )
+
+
+@register(
+    "doc_embedding_topk",
+    _HASHED_EMB_COMPONENTS_SQL
+    + """
+    , q AS (
+      SELECT doc_id AS query_id, bucket, nw AS qw FROM u WHERE doc_id < 5
+    ), scored AS (
+      SELECT q.query_id, u.doc_id AS neighbor_id,
+             CAST(SUM(CAST(ROUND(u.nw * q.qw, 12) AS DECIMAL(30,12)))
+                  AS DOUBLE) AS cos
+      FROM u JOIN q USING (bucket)
+      WHERE u.doc_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank,
+             ROUND(cos, 6) AS cosine
+      FROM scored
+    ) WHERE rank <= 10
+""",
+)
+def q_doc_embedding_topk(spark, sf_dir):
+    """Cosine top-10 retrieval over the hashed doc embeddings for five
+    query documents — text-to-text semantic-ish retrieval with zero
+    external models. The join is sparse: L2-normalized dot products
+    need only SHARED buckets, so candidates form through an
+    inverted-index equi-join (never query x corpus dense math), and
+    the dot product accumulates 12dp-quantized DECIMAL terms so the
+    ranking is addition-order-free cross-engine — hashed text vectors
+    produce near-tied cosines, where the similarity ladder's raw
+    double fold would flip ranks between engines."""
+    from pyspark.sql import Window, functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = textops.hashed_tfidf_components(docs, "doc_id", "text", dim=64)
+    q = (
+        u.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "bucket",
+            F.col("nw").alias("qw"),
+        )
+    )
+    scored = (
+        u.join(F.broadcast(q), "bucket")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.round(F.col("nw") * F.col("qw"), 12).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

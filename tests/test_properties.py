@@ -1930,3 +1930,59 @@ def test_incremental_miners_upsert_semantics(spark):
     assert got_c == expect_c
     # doc 1's shingles are fully contained in updated doc 3's
     assert (1, 3) in got_c and got_c[(1, 3)][2] == 1.0
+
+
+def test_hashed_tfidf_embeddings_match_reference(spark):
+    """The hashing-trick doc embedding vs a from-scratch Python
+    replication: identical buckets (60-bit md5 prefix % dim), summed
+    collisions, smoothed idf, L2 normalization; the dense form is the
+    sparse form with zeros and unit norm."""
+    import hashlib
+    import math as m
+    from collections import Counter, defaultdict
+
+    from etl_fuel_priceguide_ec2_spark.operators import textops
+
+    docs = [
+        (0, "alpha beta beta gamma"),
+        (1, "alpha beta delta"),
+        (2, "gamma gamma epsilon zeta eta"),
+        (3, ""),  # featureless: no sparse rows, zero dense vector
+    ]
+    dim = 8
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    got = defaultdict(dict)
+    for r in textops.hashed_tfidf_components(df, "doc_id", "text", dim=dim).collect():
+        got[r.doc_id][r.bucket] = r.nw
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+    toks = {i: t.lower().split() for i, t in docs}
+    n_docs = len(docs)
+    dfreq = Counter(tok for ts in toks.values() for tok in set(ts))
+    expect = {}
+    for i, ts in toks.items():
+        comp = defaultdict(float)
+        for tok, tf in Counter(ts).items():
+            comp[bucket(tok)] += tf * (m.log((n_docs + 1) / (dfreq[tok] + 1)) + 1)
+        if not comp:
+            continue
+        nn = m.sqrt(sum(v * v for v in comp.values()))
+        expect[i] = {b: v / nn for b, v in comp.items()}
+    assert set(got) == set(expect)
+    for i in expect:
+        assert set(got[i]) == set(expect[i])
+        for b in expect[i]:
+            assert abs(got[i][b] - expect[i][b]) < 1e-8
+        assert abs(sum(v * v for v in got[i].values()) - 1.0) < 1e-9  # unit norm
+
+    dense = {
+        r.doc_id: list(r.vec)
+        for r in textops.hashed_tfidf_embeddings(df, "doc_id", "text", dim=dim).collect()
+    }
+    assert set(dense) == {0, 1, 2, 3}
+    assert dense[3] == [0.0] * dim
+    for i in expect:
+        for b in range(dim):
+            assert abs(dense[i][b] - expect[i].get(b, 0.0)) < 1e-8

@@ -1080,3 +1080,29 @@ def q_similarity_topk_zorder(spark, sf_dir):
         total_bits=40,
         k=10,
     )
+
+
+from etl_fuel_priceguide_ec2_spark.operators import sketches as _sk
+
+
+@register(
+    "embedding_zdist_quantiles",
+    _sk.dd_quantiles_oracle_sql(
+        "("
+        + _emb.zscore_outliers_oracle_sql("embeddings", "vec_id", "embedding")
+        + ") zsrc",
+        "zdist2",
+    ),
+)
+def q_embedding_zdist_quantiles(spark, sf_dir):
+    """p50/p90/p99 of the embedding z-distances via the DDSketch bin
+    table — HOW the outlier gate's fixed threshold gets picked at
+    100 TB: a true percentile of zdist2 would need a global sort of
+    every vector's score, while the sketch is one more fixed-size
+    (~500-bin) mergeable aggregate on top of the map-only scoring
+    pass. Composes two audited tiers (second-moment scoring + the X6
+    sketch family); the estimate is engine-exact, not approximate-
+    per-engine (integer bin math both sides)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = _emb.embedding_zscore_outliers(emb, "vec_id", "embedding")
+    return _sk.dd_quantiles(z, "zdist2")

@@ -336,3 +336,48 @@ def test_zorder_ann_recall_vs_exact(spark, sf_dir):
     assert recall > 3 * (10 / n_corpus)
     # every ANN row is a real ranked candidate
     assert all(rank <= 10 for r in ann.collect() for rank in [r.rank])
+
+
+def test_round10_operator_empty_and_degenerate_edges(spark):
+    """Defined, non-crashing answers on degenerate inputs for the
+    round-10 operators: empty corpus -> empty covariance/state/scores;
+    a moment-state merge where one slice is empty == the other slice
+    alone; z-order ANN with no co-bucketed candidates -> empty ranking;
+    hashed embeddings of an empty corpus -> no sparse rows."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity, textops
+
+    empty = spark.createDataFrame([], "vec_id: bigint, embedding: array<double>")
+    assert embeddings.embedding_covariance(empty, "vec_id", "embedding").count() == 0
+    assert embeddings.embedding_second_moment_state(empty, "vec_id", "embedding").count() == 0
+    assert embeddings.embedding_zscore_outliers(empty, "vec_id", "embedding").count() == 0
+
+    some = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0]), (3, [0.0, 4.0])],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    sij_e = embeddings.embedding_second_moment_state(empty, "vec_id", "embedding")
+    si_e = embeddings.embedding_first_moment_state(empty, "vec_id", "embedding")
+    sij_s = embeddings.embedding_second_moment_state(some, "vec_id", "embedding")
+    si_s = embeddings.embedding_first_moment_state(some, "vec_id", "embedding")
+    merged = sorted(map(tuple, embeddings.embedding_covariance_from_state(
+        sij_s.unionByName(sij_e), si_s.unionByName(si_e)
+    ).collect()))
+    alone = sorted(map(tuple, embeddings.embedding_covariance(
+        some, "vec_id", "embedding"
+    ).collect()))
+    assert merged == alone
+
+    # z-order ANN: a query whose 3 probed buckets contain no corpus
+    # vectors yields no candidates (bucket 999 is outside every key)
+    zk = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 999_000)], "vec_id: bigint, z: bigint"
+    )
+    out = similarity.cosine_topk_zorder(
+        some, some.filter(F.col("vec_id") == 3), "vec_id", "embedding",
+        zk, prefix_bits=4, total_bits=20, k=5,
+    )
+    assert out.count() == 0
+
+    edocs = spark.createDataFrame([], "doc_id: bigint, text: string")
+    assert textops.hashed_tfidf_components(edocs, "doc_id", "text").count() == 0
+    assert textops.hashed_tfidf_embeddings(edocs, "doc_id", "text").count() == 0

@@ -165,6 +165,7 @@ def sorted_neighborhood_pairs(
     key_col: str,
     window: int = 4,
     max_dist: int = 2,
+    sort_reversed: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge): sort
     records by the normalized key and compare each record only to its
@@ -174,7 +175,12 @@ def sorted_neighborhood_pairs(
     dirt (suffix typos, trailing id drift) at O(n * w) comparisons
     with NO neighborhood expansion, but misses first-character errors
     that sort far apart — production merge/purge runs several passes
-    with different key orderings; this operator is one pass.
+    with different key orderings; this operator is one pass, and
+    ``sorted_neighborhood_multipass`` below is the standard two-pass
+    composition. ``sort_reversed`` sorts by the REVERSED normalized
+    key (suffix-first order) while still emitting and verifying the
+    normal key — levenshtein is reversal-invariant, so the emitted
+    relation is directly unionable with the forward pass.
 
     Emits (id_a, id_b, key_a, key_b, dist) with id_a < id_b and
     dist <= ``max_dist``.
@@ -193,7 +199,11 @@ def sorted_neighborhood_pairs(
         F.col(id_col).alias("_id"),
         F.lower(F.trim(F.col(key_col))).alias("_k"),
     )
-    ranked = global_row_number(recs, ["_k", "_id"], out_col="_rn")
+    if sort_reversed:
+        recs = recs.withColumn("_sk", F.reverse(F.col("_k")))
+    else:
+        recs = recs.withColumn("_sk", F.col("_k"))
+    ranked = global_row_number(recs, ["_sk", "_id"], out_col="_rn").drop("_sk")
     probe = ranked.select(
         F.col("_id").alias("_ida"),
         F.col("_k").alias("_ka"),
@@ -250,4 +260,68 @@ def sorted_neighborhood_oracle_sql(
     FROM ranked a
     JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND {window}
     WHERE levenshtein(a.k, b.k) <= {max_dist}
+"""
+
+
+def sorted_neighborhood_multipass(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood (the production merge/purge
+    form, Hernandez-Stolfo 1995): the forward key-order pass catches
+    suffix dirt, the REVERSED key-order pass catches first-character/
+    prefix dirt that sorts far apart forward — the union is the
+    two-pass candidate relation, deduplicated (a pair found by both
+    passes emits once; key_a/key_b/dist are pass-invariant because
+    levenshtein is reversal-invariant and both passes emit the normal
+    key). Still O(n * w) comparisons per pass, two full-data range
+    exchanges total."""
+    fwd = sorted_neighborhood_pairs(
+        df, id_col, key_col, window=window, max_dist=max_dist
+    )
+    rev = sorted_neighborhood_pairs(
+        df, id_col, key_col, window=window, max_dist=max_dist,
+        sort_reversed=True,
+    )
+    return fwd.unionByName(rev).distinct()
+
+
+def sorted_neighborhood_multipass_oracle_sql(
+    corpus_sql: str,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    max_dist: int = 2,
+) -> str:
+    """DuckDB replay of the two-pass union: one ranked CTE per sort
+    order, the same rank-difference join each, UNION + DISTINCT."""
+
+    def _pass(order: str) -> str:
+        return f"""
+      SELECT least(a.id, b.id) AS id_a,
+             greatest(a.id, b.id) AS id_b,
+             CASE WHEN a.id < b.id THEN a.k ELSE b.k END AS key_a,
+             CASE WHEN a.id < b.id THEN b.k ELSE a.k END AS key_b,
+             CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+      FROM {order} a
+      JOIN {order} b ON b.rn - a.rn BETWEEN 1 AND {window}
+      WHERE levenshtein(a.k, b.k) <= {max_dist}"""
+
+    return f"""
+    WITH recs AS (
+      SELECT {id_col} AS id, lower(trim({key_col})) AS k
+      FROM ({corpus_sql})
+    ), fwd AS (
+      SELECT id, k, ROW_NUMBER() OVER (ORDER BY k, id) AS rn FROM recs
+    ), rev AS (
+      SELECT id, k, ROW_NUMBER() OVER (ORDER BY reverse(k), id) AS rn FROM recs
+    )
+    SELECT DISTINCT id_a, id_b, key_a, key_b, dist FROM (
+      {_pass("fwd")}
+      UNION ALL
+      {_pass("rev")}
+    )
 """

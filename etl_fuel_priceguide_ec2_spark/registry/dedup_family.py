@@ -1114,3 +1114,57 @@ def q_snm_dedup_keeplist(spark, sf_dir):
             ),
         )
     )
+
+
+# --- round-10 addition: the multi-pass SNM form ------------------------
+# Fixture adds PREFIX dirt (first character doubled) alongside the
+# suffix-dirt slice: prefix typos sort far from their clean twins in
+# forward key order — the exact miss class the single pass documents —
+# but land adjacent in REVERSED key order, so the two-pass union
+# recovers them. Clean rows keep c_custkey ids; suffix dirt +10M
+# (as in _SNM_CORPUS_SQL), prefix dirt +20M.
+_SNM_MP_CORPUS_SQL = _SNM_CORPUS_SQL + """
+  UNION ALL
+  SELECT CAST(20000000 + c_custkey AS BIGINT) AS rec_id,
+         substring(c_name, 1, 1) || c_name AS name
+  FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
+@register(
+    "snm_multipass_pairs",
+    _linkage.sorted_neighborhood_multipass_oracle_sql(
+        _SNM_MP_CORPUS_SQL, "rec_id", "name", window=4, max_dist=2
+    ),
+)
+def q_snm_multipass_pairs(spark, sf_dir):
+    """Two-pass sorted-neighborhood (production merge/purge): forward
+    key order catches the suffix-dirt slice, REVERSED key order
+    catches the prefix-dirt slice that forward sorting scatters; the
+    union is deduplicated (levenshtein is reversal-invariant, so a
+    pair found by both passes is byte-identical). Two full-data range
+    exchanges total, still O(n*w) comparisons per pass."""
+    from pyspark.sql import functions as F
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").cast("long").alias("rec_id"), F.col("c_name").alias("name")
+    )
+    suffix_dirty = cust.filter((F.col("c_custkey") % 9) == 0).select(
+        (F.lit(10_000_000) + F.col("c_custkey")).cast("long").alias("rec_id"),
+        F.concat(
+            F.col("c_name"),
+            F.col("c_name").substr(F.length("c_name"), F.lit(1)),
+        ).alias("name"),
+    )
+    prefix_dirty = cust.filter((F.col("c_custkey") % 11) == 0).select(
+        (F.lit(20_000_000) + F.col("c_custkey")).cast("long").alias("rec_id"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), F.lit(1)), F.col("c_name")
+        ).alias("name"),
+    )
+    corpus = clean.unionByName(suffix_dirty).unionByName(prefix_dirty)
+    return linkage.sorted_neighborhood_multipass(
+        corpus, "rec_id", "name", window=4, max_dist=2
+    )

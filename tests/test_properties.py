@@ -1986,3 +1986,40 @@ def test_hashed_tfidf_embeddings_match_reference(spark):
     for i in expect:
         for b in range(dim):
             assert abs(dense[i][b] - expect[i].get(b, 0.0)) < 1e-8
+
+
+def test_snm_multipass_recovers_prefix_dirt(spark):
+    """The multi-pass claim, pinned: forward-order SNM misses
+    first-character dirt (it sorts far from its clean twin), the
+    reversed pass catches it, and the union is a strict superset of
+    the forward pass with no duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import linkage
+
+    names = [(i, f"customer#{i:09d}") for i in range(100, 160)]
+    clean = spark.createDataFrame(names, "rec_id: bigint, name: string")
+    prefix_dirty = clean.filter(F.col("rec_id") % 7 == 0).select(
+        (F.col("rec_id") + 1000).alias("rec_id"),
+        F.concat(F.substring("name", 1, 1), F.col("name")).alias("name"),
+    )
+    corpus = clean.unionByName(prefix_dirty)
+
+    fwd = {
+        (r.id_a, r.id_b)
+        for r in linkage.sorted_neighborhood_pairs(
+            corpus, "rec_id", "name", window=4, max_dist=1
+        ).collect()
+    }
+    both_rows = linkage.sorted_neighborhood_multipass(
+        corpus, "rec_id", "name", window=4, max_dist=1
+    ).collect()
+    both = {(r.id_a, r.id_b) for r in both_rows}
+    assert len(both_rows) == len(both)  # union deduplicated
+    assert fwd <= both
+    planted = {
+        (i, i + 1000) for i, _ in names if i % 7 == 0
+    }
+    # forward order scatters "ccustomer#..." away from "customer#..."
+    assert not (planted & fwd)
+    assert planted <= both  # the reversed pass recovers every one

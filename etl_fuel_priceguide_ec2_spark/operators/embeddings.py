@@ -882,3 +882,122 @@ def embedding_covariance_from_state(
             ).alias("cov"),
         )
     )
+
+
+# --- round-10 extension: labeled-corpus separability diagnostics --------
+
+
+def embedding_fisher_scores(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-dimension Fisher separability over a LABELED embedding
+    corpus: (dim_i, between_var, within_var, fisher_ratio) with
+    between = sum_c n_c*(mu_ci - mu_i)^2 / n, within = total - between
+    (the variance decomposition, computed from per-(class, dim) sums),
+    fisher = between / within (NULL when a dimension is constant).
+    The labeled-data triage report: dimensions with high ratios carry
+    the class signal (feature selection / collapse detection); a
+    near-zero ratio everywhere means the labels are not linearly
+    visible in the embedding.
+
+    Scale shape: ONE scan into a per-(class, dim) DECIMAL-sum
+    aggregate (|classes| * d rows — fixed-size state like the
+    covariance), then arithmetic on that tiny relation; the corpus
+    never shuffles. Sums quantize terms at 9dp (order-free); emitted
+    doubles round at 6dp with the -0.0 canonicalization."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    per_cd = (
+        fan_out(df)
+        .select(F.col(label_col).alias("_cls"), F.posexplode(v).alias("pos", "x"))
+        .select("_cls", (F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
+        .groupBy("_cls", "i")
+        .agg(
+            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
+            F.sum(F.round(F.col("x") * F.col("x"), 9).cast(_SUM_DEC)).alias("s2"),
+            F.count(F.lit(1)).alias("nc"),
+        )
+    )
+    per_d = per_cd.groupBy("i").agg(
+        F.sum(F.col("s").cast(_SUM_DEC)).alias("s_tot"),
+        F.sum(F.col("s2").cast(_SUM_DEC)).alias("s2_tot"),
+        F.sum("nc").alias("n"),
+        # sum_c s_c^2 / n_c: one double term per class (identical
+        # literals both engines), quantized at 9dp before the DECIMAL
+        # sum so class order can't show
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double") / F.col("nc"),
+                9,
+            ).cast(_SUM_DEC)
+        ).alias("sb"),
+    )
+    total_var = (
+        F.col("s2_tot").cast("double")
+        - F.col("s_tot").cast("double") * F.col("s_tot").cast("double") / F.col("n")
+    ) / F.col("n")
+    between = (
+        F.col("sb").cast("double")
+        - F.col("s_tot").cast("double") * F.col("s_tot").cast("double") / F.col("n")
+    ) / F.col("n")
+    within = total_var - between
+    return per_d.select(
+        F.col("i").cast("long").alias("dim_i"),
+        (F.round(between, 6) + F.lit(0.0)).alias("between_var"),
+        (F.round(within, 6) + F.lit(0.0)).alias("within_var"),
+        F.when(
+            F.round(within, 6) > 0,
+            F.round(F.round(between, 6) / F.round(within, 6), 6) + F.lit(0.0),
+        ).alias("fisher_ratio"),
+    )
+
+
+def fisher_scores_oracle_sql(
+    table: str, id_col: str, vec_col: str, label_col: str
+) -> str:
+    """DuckDB replay of ``embedding_fisher_scores`` — identical sum
+    quantization, identical double arithmetic, ratio computed from the
+    ROUNDED terms so both engines divide identical operands."""
+    return f"""
+    WITH vv AS (
+      SELECT {label_col} AS cls,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), per_cd AS (
+      SELECT cls, i.i AS i,
+             SUM(CAST(ROUND(v[i.i], 9) AS DECIMAL(30,12))) AS s,
+             SUM(CAST(ROUND(v[i.i] * v[i.i], 9) AS DECIMAL(30,12))) AS s2,
+             COUNT(*) AS nc
+      FROM vv CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      GROUP BY cls, i.i
+    ), per_d AS (
+      SELECT i,
+             SUM(s) AS s_tot, SUM(s2) AS s2_tot, SUM(nc) AS n,
+             SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nc, 9)
+                      AS DECIMAL(30,12))) AS sb
+      FROM per_cd GROUP BY i
+    )
+    SELECT CAST(i AS BIGINT) AS dim_i,
+           ROUND((CAST(sb AS DOUBLE)
+                  - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n) / n,
+                 6) + 0.0 AS between_var,
+           ROUND((CAST(s2_tot AS DOUBLE)
+                  - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n) / n
+                 - (CAST(sb AS DOUBLE)
+                    - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n) / n,
+                 6) + 0.0 AS within_var,
+           CASE WHEN ROUND((CAST(s2_tot AS DOUBLE)
+                  - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n) / n
+                 - (CAST(sb AS DOUBLE)
+                    - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n) / n,
+                 6) > 0
+                THEN ROUND(
+                  (ROUND((CAST(sb AS DOUBLE)
+                    - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n) / n, 6))
+                  / (ROUND((CAST(s2_tot AS DOUBLE)
+                    - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n) / n
+                    - (CAST(sb AS DOUBLE)
+                       - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n) / n,
+                    6)), 6) + 0.0
+           END AS fisher_ratio
+    FROM per_d
+"""

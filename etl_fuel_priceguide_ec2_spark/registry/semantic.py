@@ -1106,3 +1106,17 @@ def q_embedding_zdist_quantiles(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     z = _emb.embedding_zscore_outliers(emb, "vec_id", "embedding")
     return _sk.dd_quantiles(z, "zdist2")
+
+
+@register(
+    "embedding_fisher_scores",
+    _emb.fisher_scores_oracle_sql("embeddings", "vec_id", "embedding", "label"),
+)
+def q_embedding_fisher_scores(spark, sf_dir):
+    """Per-dimension Fisher separability of the labeled embedding
+    corpus (between-class vs within-class variance, ratio NULL on
+    constant dims) — the labeled-data triage report: one scan into a
+    |classes| x d DECIMAL-sum aggregate, arithmetic on that tiny
+    relation only; the corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _emb.embedding_fisher_scores(emb, "vec_id", "embedding", "label")

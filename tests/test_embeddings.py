@@ -381,3 +381,46 @@ def test_round10_operator_empty_and_degenerate_edges(spark):
     edocs = spark.createDataFrame([], "doc_id: bigint, text: string")
     assert textops.hashed_tfidf_components(edocs, "doc_id", "text").count() == 0
     assert textops.hashed_tfidf_embeddings(edocs, "doc_id", "text").count() == 0
+
+
+def test_fisher_scores_match_numpy_decomposition(spark):
+    """Fisher separability vs numpy's variance decomposition on a
+    planted two-class corpus: dim 0 separates the classes (high
+    ratio), dim 1 is pure noise (ratio near 0), dim 2 is constant
+    (within 0 -> NULL ratio); between + within == total variance."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        cls = i % 2
+        rows.append(
+            (
+                i,
+                [float(cls * 4.0 + rng.normal(0, 0.3)), float(rng.normal(0, 1.0)), 5.0],
+                cls,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>, label: int"
+    )
+    got = {
+        r.dim_i: r
+        for r in embeddings.embedding_fisher_scores(
+            df, "vec_id", "embedding", "label"
+        ).collect()
+    }
+    x = np.array([r[1] for r in rows])
+    labels = np.array([r[2] for r in rows])
+    for d in (1, 2):  # 1-based dims: planted signal dim
+        xi = x[:, d - 1]
+        total = xi.var()
+        mu = xi.mean()
+        between = sum(
+            (labels == c).sum() * (xi[labels == c].mean() - mu) ** 2
+            for c in (0, 1)
+        ) / len(xi)
+        within = total - between
+        assert got[d].between_var == pytest.approx(between, abs=2e-6)
+        assert got[d].within_var == pytest.approx(within, abs=2e-6)
+    assert got[1].fisher_ratio > 10  # planted signal dominates
+    assert got[2].fisher_ratio < 0.5  # noise dim
+    assert got[3].within_var == 0.0 and got[3].fisher_ratio is None  # constant

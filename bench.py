@@ -141,6 +141,14 @@ HEADLINE = [
     "embedding_covariance",
     "pca_top2_subspace_scores",
     "embedding_outlier_zscores",
+    # round-10 later additions: hashed text embeddings + retrieval over
+    # them, the sketch-quantile threshold picker, the two-pass SNM, and
+    # the labeled-separability report
+    "doc_hashed_embeddings",
+    "doc_embedding_topk",
+    "embedding_zdist_quantiles",
+    "snm_multipass_pairs",
+    "embedding_fisher_scores",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

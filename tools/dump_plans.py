@@ -102,6 +102,11 @@ NOTES = {
     "curation_decision_outlier_gated": "the eighth capstone signal composes as an id-keyed broadcast left join of a tiny flagged-id set against the decision relation; the gate threshold is fixed (chi-square scale), so no global sort of z-distances is ever needed.",
     "embedding_covariance_from_state": "per-slice moment states merge by plain groupBy-SUM (decimal addition is associative, merged == from-scratch bit-for-bit); the shuffle carries d(d+1)/2 + d state rows per slice, never vectors.",
     "similarity_topk_zorder": "layout-driven ANN: candidates come from an equi-join on the Morton-prefix bucket (query exploded to its cell ±1), so a probe reads ~3/2^prefix_bits of the corpus; exact cosine + per-query window top-k only over candidates.",
+    "doc_hashed_embeddings": "model-free text vectors: tf/df hash aggregates, md5-bucket hashing, DECIMAL component+norm sums — emitted SPARSE (docs hit far fewer than dim buckets), the storage and join shape at scale.",
+    "doc_embedding_topk": "sparse cosine retrieval: L2-normalized dot products need only SHARED buckets, so candidates form through an inverted-index equi-join against the broadcast query side; the 12dp DECIMAL dot product keeps near-tied hashed-vector rankings order-free.",
+    "embedding_zdist_quantiles": "the threshold picker at scale: one ~500-bin mergeable DDSketch aggregate on top of the map-only scoring pass, where a true percentile would globally sort every score.",
+    "snm_multipass_pairs": "two global ranks (forward + reversed key), each the two-pass range-partition trick; the union dedups exactly because both passes emit the normal key — candidate volume 2*n*w, no skew possible.",
+    "embedding_fisher_scores": "one scan into a |classes| x d DECIMAL-sum aggregate; all variance decomposition arithmetic happens on that tiny relation — the corpus never shuffles.",
 }
 
 

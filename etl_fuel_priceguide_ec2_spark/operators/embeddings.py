@@ -904,7 +904,11 @@ def embedding_fisher_scores(
     aggregate (|classes| * d rows — fixed-size state like the
     covariance), then arithmetic on that tiny relation; the corpus
     never shuffles. Sums quantize terms at 9dp (order-free); emitted
-    doubles round at 6dp with the -0.0 canonicalization."""
+    doubles round at 6dp with the -0.0 canonicalization. Like HITS
+    and the z-score gate, oracle agreement on the decimal→double
+    casts is a BOUNDED argument (exact while the class sums' unscaled
+    value stays < 2^53, i.e. |sum| < ~9e3 at scale 12 — every
+    oracle-compared SF is far under; see graph.hits)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     per_cd = (
         fan_out(df)

@@ -69,70 +69,19 @@ def embedding_covariance(
     of 9dp-quantized terms. One scan, zero joins against the corpus:
     the per-row outer product explodes into a map-side-combined
     aggregate, so the exchange carries d(d+1)/2 rows per task.
-    fan_out spreads the CPU-bound d(d+1)/2-struct explode when the
-    scan yields fewer splits than cores (single-file fixtures ran the
-    whole outer-product on ONE core: 16.8 -> ~2 s at sf0.1); safe
-    because every sum is decimal order-free."""
-    df = fan_out(df)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    d = F.size(v)
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), d),
-            lambda i: F.transform(
-                F.sequence(i, d),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    F.round(
-                        F.element_at(v, i) * F.element_at(v, j), 9
-                    ).alias("p"),
-                ),
-            ),
-        )
-    )
-    sij = (
-        df.select(F.explode(pairs).alias("e"))
-        .select("e.i", "e.j", "e.p")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast(_SUM_DEC)).alias("s_ij"))
-    )
-    si = (
-        df.select(F.posexplode(v).alias("pos", "x"))
-        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    a = si.select(F.col("i"), F.col("s").alias("s_i"), "n")
-    b = si.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
-    return (
-        sij.join(F.broadcast(a), "i")
-        .join(F.broadcast(b), "j")
-        .select(
-            F.col("i").cast("long").alias("dim_i"),
-            F.col("j").cast("long").alias("dim_j"),
-            # `+ 0.0` after the final ROUND canonicalizes -0.0 to +0.0
-            # (IEEE: -0.0 + 0.0 = +0.0; identity elsewhere) — DuckDB's
-            # ROUND emits -0.0 for tiny negatives where Spark emits
-            # +0.0, equal under == but distinct under the driver's
-            # repr-hash (VERDICT r09 item 1b). Mirrored in the oracle.
-            (
-                F.round(
-                    (
-                        F.col("s_ij").cast("double")
-                        - F.col("s_i").cast("double")
-                        * F.col("s_j").cast("double")
-                        / F.col("n")
-                    )
-                    / F.col("n"),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("cov"),
-        )
+
+    Composed from the moment-state pieces (ONE implementation of the
+    quantized aggregates and the final covariance arithmetic — the
+    from-state == from-scratch bit-identity is test-pinned, so the
+    composition is exact by construction): the extra groupBy-SUM merge
+    runs over the d(d+1)/2-row state, not the corpus. fan_out inside
+    the state builders spreads the CPU-bound explode when the scan
+    yields fewer splits than cores (single-file fixtures ran the whole
+    outer-product on ONE core: 16.8 -> ~2 s at sf0.1); safe because
+    every sum is decimal order-free."""
+    return embedding_covariance_from_state(
+        embedding_second_moment_state(df, id_col, vec_col),
+        embedding_first_moment_state(df, id_col, vec_col),
     )
 
 
@@ -384,8 +333,8 @@ def _matvec_q12(m: list[list[float]], v: list[float], dim: int) -> list[float]:
 
 
 def _power_iterate_full(
-    m: list[list[float]], dim: int, iters: int
-) -> tuple[list[float], float]:
+    m: list[list[float]], dim: int, iters: int, want_lambda: bool = True
+) -> tuple[list[float], float | None]:
     """Power iteration on a FULL matrix — the same steps as
     ``_power_iterate`` but in the DuckDB-exact rounding model
     (``_qd``), because the deflation downstream AMPLIFIES the
@@ -400,6 +349,10 @@ def _power_iterate_full(
         y = _matvec_q12(m, v, dim)
         nrm = math.sqrt(sum(_qd(x * x, 12) for x in y) / 1e12)
         v = [_r9d(x / nrm) for x in y]
+    if not want_lambda:
+        # the final component's Rayleigh quotient and deflation are
+        # never consumed — skip the two O(d^2) driver passes
+        return v, None
     yf = _matvec_q12(m, v, dim)
     lam = sum(_qd(v[r] * yf[r], 12) for r in range(dim)) / 1e12
     return v, lam
@@ -433,25 +386,16 @@ def _collect_cov_means(df: DataFrame, id_col: str, vec_col: str):
         m[r["dim_i"] - 1][r["dim_j"] - 1] = r["cov"]
         m[r["dim_j"] - 1][r["dim_i"] - 1] = r["cov"]
     mean_rows = (
-        df.select(
-            F.posexplode(
-                F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            ).alias("pos", "x")
-        )
-        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        embedding_first_moment_state(df, id_col, vec_col)
         .select(
-            "i", F.round(F.col("s").cast("double") / F.col("n"), 9).alias("m")
+            "dim_i",
+            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("m"),
         )
         .collect()
     )
     means = [0.0] * dim
     for r in mean_rows:
-        means[r["i"] - 1] = r["m"]
+        means[r["dim_i"] - 1] = r["m"]
     return m, means, dim
 
 
@@ -492,10 +436,12 @@ def pca_component_scores(
         return df.select(F.col(id_col), *cols).limit(0)
     m, means, dim = got
     comps = []
-    for _ in range(n_components):
-        v, lam = _power_iterate_full(m, dim, iters)
+    for k in range(n_components):
+        last = k == n_components - 1
+        v, lam = _power_iterate_full(m, dim, iters, want_lambda=not last)
         comps.append(v)
-        m = _deflate(m, v, lam, dim)
+        if not last:
+            m = _deflate(m, v, lam, dim)
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
@@ -533,7 +479,11 @@ def pca_topk_oracle_sql(
     Every chain CTE is AS MATERIALIZED (the HITS-oracle lesson)."""
     import math
 
-    v0 = _r9(1.0 / math.sqrt(dim))
+    # _r9d, NOT _r9: the embedded literal must equal the DRIVER's init,
+    # which uses the DuckDB rounding model — the two models differ on
+    # .5-boundary dims (not 64, where 1/sqrt(dim)=0.125 is exact), and
+    # deflation would amplify an init mismatch into 6dp score reds.
+    v0 = _r9d(1.0 / math.sqrt(dim))
     chain = [
         f"""vv AS MATERIALIZED (
       SELECT {id_col} AS vid,

@@ -677,9 +677,14 @@ def cosine_topk_zorder(
     recovers the x-direction ones) — widen ``prefix_bits`` down or the
     probe set up for recall, exactly the IVF ladder's lever."""
     shift = total_bits - prefix_bits
+    # zkeys contract is POSITIONAL: column 0 = id, column 1 = the
+    # Morton key (whatever their names) — half-positional resolution
+    # (id by position, key by a hardcoded name) would silently join on
+    # the wrong column for reordered inputs
+    zid_col, z_col = zkeys.columns[0], zkeys.columns[1]
     zb = zkeys.select(
-        F.col(zkeys.columns[0]).alias("_zid"),
-        F.expr(f"shiftright(z, {shift})").alias("_bucket"),
+        F.col(zid_col).alias("_zid"),
+        F.expr(f"shiftright(`{z_col}`, {shift})").alias("_bucket"),
     )
     c = _with_norm(corpus, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),

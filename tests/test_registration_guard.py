@@ -28,17 +28,39 @@ def _ledger_names() -> set[str]:
         return {q["query"] for q in json.load(f)["queries"]}
 
 
-def _simlog_names() -> set[str]:
+def _simlog() -> dict:
     path = os.path.join(ROOT, "SIMLOG.json")
     if not os.path.exists(path):
-        return set()
+        return {}
     with open(path) as f:
-        return {k for k, v in json.load(f).items() if v.get("green")}
+        return json.load(f)
+
+
+def _simlog_names() -> set[str]:
+    return {k for k, v in _simlog().items() if v.get("green")}
 
 
 def test_every_registered_query_has_verification_record():
-    verified = _ledger_names() | _simlog_names()
-    missing = sorted(set(registry.queries()) - verified)
+    """Evidence strength must match what the query CAN provide: an
+    ORACLED query needs a hash-compared green (mode "hash"; entries
+    written before the mode field existed were all hash-compared —
+    every query in this registry is oracled); a rows_only green is
+    acceptable evidence only for a query with no oracle, so a
+    crash-free-but-wrong oracled query can never ship on execution
+    evidence alone (code-review r10)."""
+    ledger = _ledger_names()
+    log = _simlog()
+    oracled = set(registry.oracle_sql())
+    missing = []
+    for name in registry.queries():
+        if name in ledger:
+            continue
+        rec = log.get(name)
+        if not rec or not rec.get("green"):
+            missing.append(name)
+            continue
+        if name in oracled and rec.get("mode", "hash") != "hash":
+            missing.append(f"{name} (rows_only evidence but an oracle exists)")
     assert not missing, (
         "registered without committed verification evidence (run "
         "`python tools/drive_driver_contract.py <name>` green first — "

@@ -32,20 +32,29 @@ TABLES = [
 _rowhash = contract.rowhash
 
 
-def _record_green(names: list[str]) -> None:
+def _record_green(hash_names: list[str], rows_only_names: list[str]) -> None:
     """Append/refresh sim-green records in SIMLOG.json — the committed
     evidence the registration guard (tests/test_registration_guard.py)
     requires before a query may exist in the registry without a driver
     LEDGER row. Round 9 proved the end-of-round snapshot commit will
     happily publish unverified queries; this is the paper trail that
-    makes that fail pytest instead (VERDICT r09 item 3)."""
+    makes that fail pytest instead (VERDICT r09 item 3).
+
+    ``mode`` records the STRENGTH of the evidence: "hash" = full
+    value-hash compare vs the DuckDB oracle; "rows_only" = the query
+    merely executed (no oracle registered). The guard only accepts
+    rows_only evidence for queries that genuinely have no oracle —
+    otherwise a crash-free-but-wrong oracled query could ship on
+    execution evidence alone (code-review r10 finding)."""
     log = {}
     if os.path.exists(SIMLOG):
         with open(SIMLOG) as f:
             log = json.load(f)
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
-    for n in names:
-        log[n] = {"green": True, "sf_dir": SF_DIR, "at": stamp}
+    for n in hash_names:
+        log[n] = {"green": True, "mode": "hash", "sf_dir": SF_DIR, "at": stamp}
+    for n in rows_only_names:
+        log[n] = {"green": True, "mode": "rows_only", "sf_dir": SF_DIR, "at": stamp}
     with open(SIMLOG, "w") as f:
         json.dump(dict(sorted(log.items())), f, indent=1)
         f.write("\n")
@@ -71,6 +80,7 @@ def main():
     os_ = e.oracle_sql()
     failures = []
     greens = []
+    rows_only_greens = []
     for name, builder in qs.items():
         if only and name not in only:
             continue
@@ -92,7 +102,7 @@ def main():
             print(f"FAIL {name}: complex cols {arr_cols}")
             continue
         if name not in os_:
-            greens.append(name)
+            rows_only_greens.append(name)
             print(f"ok(rows-only) {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -130,8 +140,8 @@ def main():
         greens.append(name)
         print(f"ok {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
 
-    if greens:
-        _record_green(greens)
+    if greens or rows_only_greens:
+        _record_green(greens, rows_only_greens)
     print(f"\n{len(failures)} failures")
     for name, why in failures:
         print(f"  {name}: {why}")

@@ -593,6 +593,55 @@ def pca_topk_oracle_sql(
     )
 
 
+def pca_residual_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_components: int = 2,
+    iters: int = 8,
+) -> str:
+    """DuckDB replay of ``pca_residual_scores``: the identical chain as
+    ``pca_topk_oracle_sql`` (same v0, same rounding model) with a final
+    select adding the centered total energy per vector and the
+    residual/energy-fraction arithmetic (same left-associated
+    subtraction chain and parenthesization as the Spark side)."""
+    full = pca_topk_oracle_sql(table, id_col, vec_col, dim, n_components, iters)
+    # reuse the chain verbatim: cut the final projection select off and
+    # re-emit it with the extra aggregates — the chain text ends at the
+    # last occurrence of "SELECT vv.vid".
+    head = full[: full.rindex("SELECT vv.vid")]
+    pcs = ",\n             ".join(
+        f"ROUND(CAST(SUM(CAST(ROUND((vv.v[ws.r] - ws.mu) * ws.x{k}, 12)"
+        f" AS DECIMAL(30,12))) AS DOUBLE), 6) + 0.0 AS pc{k}"
+        for k in range(1, n_components + 1)
+    )
+    sq_sum = " + ".join(f"pc{k} * pc{k}" for k in range(1, n_components + 1))
+    sub_chain = " - ".join(
+        ["total2"] + [f"pc{k} * pc{k}" for k in range(1, n_components + 1)]
+    )
+    return (
+        head
+        + f""", scored AS (
+      SELECT vv.vid AS {id_col},
+             {pcs},
+             ROUND(CAST(SUM(CAST(ROUND((vv.v[ws.r] - ws.mu)
+                                       * (vv.v[ws.r] - ws.mu), 12)
+                                 AS DECIMAL(30,12))) AS DOUBLE), 6) + 0.0
+               AS total2
+      FROM vv
+      CROSS JOIN ws
+      GROUP BY vv.vid
+    )
+    SELECT {id_col},
+           ROUND({sub_chain}, 6) + 0.0 AS resid2,
+           CASE WHEN total2 > 0
+                THEN ROUND(({sq_sum}) / total2, 6) + 0.0 END AS pc_energy_frac
+    FROM scored
+"""
+    )
+
+
 def embedding_zscore_outliers(
     df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -955,3 +1004,79 @@ def fisher_scores_oracle_sql(
            END AS fisher_ratio
     FROM per_d
 """
+
+
+def pca_residual_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_components: int = 2,
+    iters: int = 8,
+) -> DataFrame:
+    """PCA reconstruction-residual outlier score per vector:
+    (id, resid2, pc_energy_frac) with
+    resid2 = ||x - mu||^2 - sum_k pc_k^2 (the centered energy OFF the
+    top-K subspace) and pc_energy_frac the kept fraction. The
+    complement of the diagonal z-gate: z-distance flags per-dimension
+    extremes, the residual flags vectors that are large in directions
+    the corpus's principal subspace does NOT span — mislabeled/junk
+    vectors hide exactly there. Same two-scan, map-only shape as
+    ``pca_component_scores`` (components broadcast; one extra
+    aggregate expression shares the centered array); sums quantize at
+    12dp into DECIMAL so the scores are addition-order-free, and the
+    subtraction chain is left-associated identically in the oracle."""
+    if n_components < 1:
+        raise ValueError(f"pca requires n_components >= 1, got {n_components}")
+    if iters < 1:
+        raise ValueError(f"pca requires iters >= 1, got {iters}")
+    got = _collect_cov_means(df, id_col, vec_col)
+    if got is None:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("resid2"),
+            F.lit(None).cast("double").alias("pc_energy_frac"),
+        ).limit(0)
+    m, means, dim = got
+    comps = []
+    for k in range(n_components):
+        last = k == n_components - 1
+        v, lam = _power_iterate_full(m, dim, iters, want_lambda=not last)
+        comps.append(v)
+        if not last:
+            m = _deflate(m, v, lam, dim)
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
+
+    def _dec_sum(terms):
+        return F.aggregate(
+            terms,
+            F.lit(0).cast(_SUM_DEC),
+            lambda acc, p: (acc + p).cast(_SUM_DEC),
+        )
+
+    pcs = []
+    for v in comps:
+        terms = F.transform(
+            F.zip_with(centered, F.lit(v), lambda x, w: F.round(x * w, 12)),
+            lambda p: p.cast(_SUM_DEC),
+        )
+        pcs.append(F.round(_dec_sum(terms).cast("double"), 6) + F.lit(0.0))
+    t_terms = F.transform(
+        F.transform(centered, lambda c: F.round(c * c, 12)),
+        lambda p: p.cast(_SUM_DEC),
+    )
+    total2 = F.round(_dec_sum(t_terms).cast("double"), 6) + F.lit(0.0)
+
+    resid = total2
+    sq_sum = None
+    for pc in pcs:
+        resid = resid - pc * pc
+        sq_sum = pc * pc if sq_sum is None else sq_sum + pc * pc
+    return df.select(
+        F.col(id_col),
+        (F.round(resid, 6) + F.lit(0.0)).alias("resid2"),
+        F.when(
+            total2 > 0, F.round(sq_sum / total2, 6) + F.lit(0.0)
+        ).alias("pc_energy_frac"),
+    )

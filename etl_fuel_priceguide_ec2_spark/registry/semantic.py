@@ -1120,3 +1120,23 @@ def q_embedding_fisher_scores(spark, sf_dir):
     relation only; the corpus never shuffles."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _emb.embedding_fisher_scores(emb, "vec_id", "embedding", "label")
+
+
+@register(
+    "pca_residual_outliers",
+    _emb.pca_residual_oracle_sql(
+        "embeddings", "vec_id", "embedding", dim=DIM, n_components=2, iters=8
+    ),
+)
+def q_pca_residual_outliers(spark, sf_dir):
+    """PCA reconstruction-residual per vector: the centered energy OFF
+    the top-2 subspace plus the kept-energy fraction — the complement
+    of the diagonal z-gate (flags vectors large in directions the
+    principal subspace does not span, where mislabeled/junk vectors
+    hide). Same two-scan map-only shape as the subspace scores; the
+    oracle reuses the identical unrolled chain with one extra
+    aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _emb.pca_residual_scores(
+        emb, "vec_id", "embedding", n_components=2, iters=8
+    )

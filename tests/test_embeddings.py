@@ -424,3 +424,47 @@ def test_fisher_scores_match_numpy_decomposition(spark):
     assert got[1].fisher_ratio > 10  # planted signal dominates
     assert got[2].fisher_ratio < 0.5  # noise dim
     assert got[3].within_var == 0.0 and got[3].fisher_ratio is None  # constant
+
+
+def test_pca_residual_matches_numpy(vecs_df, xmat):
+    """resid2 == centered energy minus the top-2 projection energies
+    (numpy eigen-decomposition ground truth); energy fraction in
+    [0, 1]; a vector pushed far OFF the top-2 subspace dominates the
+    residual ranking while staying unremarkable in pc space."""
+    got = {
+        r.vec_id: (r.resid2, r.pc_energy_frac)
+        for r in embeddings.pca_residual_scores(
+            vecs_df, "vec_id", "embedding", n_components=2, iters=8
+        ).collect()
+    }
+    assert len(got) == N
+    cov = np.cov(xmat.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    centered = xmat - xmat.mean(axis=0)
+    proj = centered @ v[:, [-1, -2]]
+    expect_resid = (centered**2).sum(axis=1) - (proj**2).sum(axis=1)
+    for i in range(N):
+        assert got[i][0] == pytest.approx(expect_resid[i], rel=2e-3, abs=2e-3)
+        # 6dp-rounded pc energies can exceed total2 by a hair on
+        # near-subspace vectors (non-exactly-orthogonal quantized
+        # components) — the bound is approximate by construction
+        assert -1e-3 <= got[i][1] <= 1.001
+    # push one vector off-subspace: large residual, bounded pc energy.
+    # Magnitude 5 along the SMALLEST eigendirection: big enough to
+    # dominate every residual (others ~dim*noise^2), small enough that
+    # its added variance (~25/N) cannot overtake lambda2 and rotate
+    # the fitted subspace toward itself.
+    off_dir = v[:, 0]
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(xmat)]
+    rows.append((999, [float(x) for x in xmat.mean(axis=0) + 5 * off_dir]))
+    df2 = vecs_df.sparkSession.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>"
+    )
+    got2 = {
+        r.vec_id: r
+        for r in embeddings.pca_residual_scores(
+            df2, "vec_id", "embedding", n_components=2, iters=8
+        ).collect()
+    }
+    assert got2[999].resid2 == max(r.resid2 for r in got2.values())
+    assert got2[999].pc_energy_frac < 0.5

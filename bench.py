@@ -149,6 +149,7 @@ HEADLINE = [
     "embedding_zdist_quantiles",
     "snm_multipass_pairs",
     "embedding_fisher_scores",
+    "pca_residual_outliers",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

@@ -107,6 +107,7 @@ NOTES = {
     "embedding_zdist_quantiles": "the threshold picker at scale: one ~500-bin mergeable DDSketch aggregate on top of the map-only scoring pass, where a true percentile would globally sort every score.",
     "snm_multipass_pairs": "two global ranks (forward + reversed key), each the two-pass range-partition trick; the union dedups exactly because both passes emit the normal key — candidate volume 2*n*w, no skew possible.",
     "embedding_fisher_scores": "one scan into a |classes| x d DECIMAL-sum aggregate; all variance decomposition arithmetic happens on that tiny relation — the corpus never shuffles.",
+    "pca_residual_outliers": "same two-scan map-only shape as the subspace scores: the total-energy aggregate is one more expression sharing the centered array; components broadcast as literals, nothing new shuffles.",
 }
 
 

@@ -167,24 +167,20 @@ def pca_top_component_scores(
         ).limit(0)
     cov = {(r["dim_i"], r["dim_j"]): r["cov"] for r in cov_rows}
     dim = max(j for _, j in cov)
+    # means from the shared first-moment state (ONE implementation of
+    # the quantized per-dim aggregate — code-review r10): identical
+    # arithmetic, result order-free
     mean_rows = (
-        df.select(
-            F.posexplode(
-                F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            ).alias("pos", "x")
+        embedding_first_moment_state(df, id_col, vec_col)
+        .select(
+            "dim_i",
+            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("m"),
         )
-        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select("i", F.round(F.col("s").cast("double") / F.col("n"), 9).alias("m"))
         .collect()
     )
     means = [0.0] * dim
     for r in mean_rows:
-        means[r["i"] - 1] = r["m"]
+        means[r["dim_i"] - 1] = r["m"]
     v1 = _power_iterate(cov, dim, iters)
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -399,6 +395,42 @@ def _collect_cov_means(df: DataFrame, id_col: str, vec_col: str):
     return m, means, dim
 
 
+def _fit_components(m, dim: int, n_components: int, iters: int):
+    """The shared component-fitting loop (power iteration + Hotelling
+    deflation, final deflation skipped): ONE implementation for the
+    subspace-score and residual-score forms so a rounding-model or
+    deflation change can never diverge them (code-review r10)."""
+    comps = []
+    for k in range(n_components):
+        last = k == n_components - 1
+        v, lam = _power_iterate_full(m, dim, iters, want_lambda=not last)
+        comps.append(v)
+        if not last:
+            m = _deflate(m, v, lam, dim)
+    return comps
+
+
+def _dec_fold(terms):
+    """Order-safe DECIMAL array fold (merge lambda cast back to the
+    accumulator type — VERDICT r09 item 1a)."""
+    return F.aggregate(
+        terms,
+        F.lit(0).cast(_SUM_DEC),
+        lambda acc, p: (acc + p).cast(_SUM_DEC),
+    )
+
+
+def _pc_score_expr(centered, v):
+    """One component's projection score: 12dp-quantized DECIMAL dot
+    product against the broadcast component, rounded at 6dp with the
+    -0.0 canonicalization — shared by both PCA query families."""
+    terms = F.transform(
+        F.zip_with(centered, F.lit(v), lambda x, w: F.round(x * w, 12)),
+        lambda p: p.cast(_SUM_DEC),
+    )
+    return F.round(_dec_fold(terms).cast("double"), 6) + F.lit(0.0)
+
+
 def pca_component_scores(
     df: DataFrame,
     id_col: str,
@@ -435,48 +467,33 @@ def pca_component_scores(
         cols = [F.lit(None).cast("double").alias(f"pc{k}") for k in range(1, n_components + 1)]
         return df.select(F.col(id_col), *cols).limit(0)
     m, means, dim = got
-    comps = []
-    for k in range(n_components):
-        last = k == n_components - 1
-        v, lam = _power_iterate_full(m, dim, iters, want_lambda=not last)
-        comps.append(v)
-        if not last:
-            m = _deflate(m, v, lam, dim)
-
+    comps = _fit_components(m, dim, n_components, iters)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
-    outs = []
-    for k, v in enumerate(comps, start=1):
-        terms = F.transform(
-            F.zip_with(centered, F.lit(v), lambda x, w: F.round(x * w, 12)),
-            lambda p: p.cast(_SUM_DEC),
-        )
-        score = F.aggregate(
-            terms,
-            F.lit(0).cast(_SUM_DEC),
-            lambda acc, p: (acc + p).cast(_SUM_DEC),
-        )
-        outs.append(
-            (F.round(score.cast("double"), 6) + F.lit(0.0)).alias(f"pc{k}")
-        )
+    outs = [
+        _pc_score_expr(centered, v).alias(f"pc{k}")
+        for k, v in enumerate(comps, start=1)
+    ]
     return df.select(F.col(id_col), *outs)
 
 
-def pca_topk_oracle_sql(
+def _pca_chain_sql(
     table: str,
     id_col: str,
     vec_col: str,
     dim: int,
-    n_components: int = 2,
-    iters: int = 8,
+    n_components: int,
+    iters: int,
 ) -> str:
-    """DuckDB replay of ``pca_component_scores``: the covariance CTEs
-    mirrored to a full matrix ``mat0``, then per component K — ``iters``
-    unrolled matvec/normalize steps, the Rayleigh quotient of the
-    converged vector, and the Hotelling deflation into ``matK`` (same
-    ``(lam * v_r) * v_c`` parenthesization as the driver) — finally one
-    centered projection per component off a single joined weights CTE.
-    Every chain CTE is AS MATERIALIZED (the HITS-oracle lesson)."""
+    """The shared WITH-chain of the top-k PCA oracles: covariance CTEs
+    mirrored to ``mat0``, per component K the unrolled
+    matvec/normalize steps, the Rayleigh quotient, and the Hotelling
+    deflation (same ``(lam * v_r) * v_c`` parenthesization as the
+    driver), ending with the joined weights CTE ``ws``. Returned as
+    "WITH ...<chain>" WITHOUT a final SELECT so both the subspace and
+    residual oracles compose on it structurally (no string surgery —
+    code-review r10). Every chain CTE is AS MATERIALIZED (the
+    HITS-oracle lesson)."""
     import math
 
     # _r9d, NOT _r9: the embedded literal must equal the DRIVER's init,
@@ -575,14 +592,34 @@ def pca_topk_oracle_sql(
       {wjoins}
     )"""
     )
-    pcs = ",\n           ".join(
+    return "\n    WITH " + ",\n    ".join(chain)
+
+
+def _pc_sql_exprs(n_components: int) -> list[str]:
+    """The per-component projection aggregates of the final SELECT —
+    one string per component, shared by both oracle generators."""
+    return [
         f"ROUND(CAST(SUM(CAST(ROUND((vv.v[ws.r] - ws.mu) * ws.x{k}, 12)"
         f" AS DECIMAL(30,12))) AS DOUBLE), 6) + 0.0 AS pc{k}"
         for k in range(1, n_components + 1)
-    )
+    ]
+
+
+def pca_topk_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_components: int = 2,
+    iters: int = 8,
+) -> str:
+    """DuckDB replay of ``pca_component_scores``: the shared chain
+    (``_pca_chain_sql``) plus one centered projection per component
+    off the joined weights CTE."""
+    chain = _pca_chain_sql(table, id_col, vec_col, dim, n_components, iters)
+    pcs = ",\n           ".join(_pc_sql_exprs(n_components))
     return (
-        "\n    WITH "
-        + ",\n    ".join(chain)
+        chain
         + f"""
     SELECT vv.vid AS {id_col},
            {pcs}
@@ -601,27 +638,19 @@ def pca_residual_oracle_sql(
     n_components: int = 2,
     iters: int = 8,
 ) -> str:
-    """DuckDB replay of ``pca_residual_scores``: the identical chain as
-    ``pca_topk_oracle_sql`` (same v0, same rounding model) with a final
-    select adding the centered total energy per vector and the
-    residual/energy-fraction arithmetic (same left-associated
+    """DuckDB replay of ``pca_residual_scores``: the identical shared
+    chain as ``pca_topk_oracle_sql`` (same v0, same rounding model)
+    with a final select adding the centered total energy per vector
+    and the residual/energy-fraction arithmetic (same left-associated
     subtraction chain and parenthesization as the Spark side)."""
-    full = pca_topk_oracle_sql(table, id_col, vec_col, dim, n_components, iters)
-    # reuse the chain verbatim: cut the final projection select off and
-    # re-emit it with the extra aggregates — the chain text ends at the
-    # last occurrence of "SELECT vv.vid".
-    head = full[: full.rindex("SELECT vv.vid")]
-    pcs = ",\n             ".join(
-        f"ROUND(CAST(SUM(CAST(ROUND((vv.v[ws.r] - ws.mu) * ws.x{k}, 12)"
-        f" AS DECIMAL(30,12))) AS DOUBLE), 6) + 0.0 AS pc{k}"
-        for k in range(1, n_components + 1)
-    )
+    chain = _pca_chain_sql(table, id_col, vec_col, dim, n_components, iters)
+    pcs = ",\n             ".join(_pc_sql_exprs(n_components))
     sq_sum = " + ".join(f"pc{k} * pc{k}" for k in range(1, n_components + 1))
     sub_chain = " - ".join(
         ["total2"] + [f"pc{k} * pc{k}" for k in range(1, n_components + 1)]
     )
     return (
-        head
+        chain
         + f""", scored AS (
       SELECT vv.vid AS {id_col},
              {pcs},
@@ -1037,36 +1066,15 @@ def pca_residual_scores(
             F.lit(None).cast("double").alias("pc_energy_frac"),
         ).limit(0)
     m, means, dim = got
-    comps = []
-    for k in range(n_components):
-        last = k == n_components - 1
-        v, lam = _power_iterate_full(m, dim, iters, want_lambda=not last)
-        comps.append(v)
-        if not last:
-            m = _deflate(m, v, lam, dim)
-
+    comps = _fit_components(m, dim, n_components, iters)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
-
-    def _dec_sum(terms):
-        return F.aggregate(
-            terms,
-            F.lit(0).cast(_SUM_DEC),
-            lambda acc, p: (acc + p).cast(_SUM_DEC),
-        )
-
-    pcs = []
-    for v in comps:
-        terms = F.transform(
-            F.zip_with(centered, F.lit(v), lambda x, w: F.round(x * w, 12)),
-            lambda p: p.cast(_SUM_DEC),
-        )
-        pcs.append(F.round(_dec_sum(terms).cast("double"), 6) + F.lit(0.0))
+    pcs = [_pc_score_expr(centered, v) for v in comps]
     t_terms = F.transform(
         F.transform(centered, lambda c: F.round(c * c, 12)),
         lambda p: p.cast(_SUM_DEC),
     )
-    total2 = F.round(_dec_sum(t_terms).cast("double"), 6) + F.lit(0.0)
+    total2 = F.round(_dec_fold(t_terms).cast("double"), 6) + F.lit(0.0)
 
     resid = total2
     sq_sum = None

@@ -42,12 +42,13 @@ def _simlog_names() -> set[str]:
 
 def test_every_registered_query_has_verification_record():
     """Evidence strength must match what the query CAN provide: an
-    ORACLED query needs a hash-compared green (mode "hash"; entries
-    written before the mode field existed were all hash-compared —
-    every query in this registry is oracled); a rows_only green is
-    acceptable evidence only for a query with no oracle, so a
+    ORACLED query needs a hash-compared green (mode == "hash",
+    EXPLICITLY — SIMLOG.json is committed, hand-editable evidence, so
+    a record with no mode field is treated as NOT hash-verified
+    rather than granted the benefit of the doubt); a rows_only green
+    is acceptable evidence only for a query with no oracle, so a
     crash-free-but-wrong oracled query can never ship on execution
-    evidence alone (code-review r10)."""
+    evidence alone (code-review r10, hardened by a second pass)."""
     ledger = _ledger_names()
     log = _simlog()
     oracled = set(registry.oracle_sql())
@@ -59,7 +60,7 @@ def test_every_registered_query_has_verification_record():
         if not rec or not rec.get("green"):
             missing.append(name)
             continue
-        if name in oracled and rec.get("mode", "hash") != "hash":
+        if name in oracled and rec.get("mode") != "hash":
             missing.append(f"{name} (rows_only evidence but an oracle exists)")
     assert not missing, (
         "registered without committed verification evidence (run "

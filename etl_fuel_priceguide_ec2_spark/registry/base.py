@@ -46,72 +46,33 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-10 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 11, never slot into
+# Round-11 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 12, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-9 driver artifacts (CORRECTNESS_r09/BENCH_r09):
+# committing the round-10 driver artifacts (CORRECTNESS_r10/BENCH_r10):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Slots 1-13: ALL thirteen round-9 post-freeze additions (never in a
-# driver window), including the two embeddings queries FIXED and
-# re-simmed green this round (VERDICT r09 items 1, 4); every one of the
-# 13 has a sim-green SIMLOG.json record at sf0.01. Slots 14-50: the
-# r06-last-green staleness cohort, ledger order. Slots 51-70 pin the
-# round-11 net head (r06 remainder, then the r07 cohort, ledger order).
+# Slots 1-12: ALL twelve round-10 post-freeze additions (never in a
+# driver window; every one sim-green at sf0.01 with committed
+# SIMLOG.json records and judge-sim-green per VERDICT r10). Slots
+# 13-22: the r06-last-green remainder (contamination_attribution + the
+# sketch block). Slots 23-50: the stalest r07 cohort, ledger order.
+# Slots 51-70 pin the round-12 net head (r07 remainder, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 13 round-9 post-freeze additions (never driver-seen) ---
-    "containment_keeplist",
-    "symspell_edit2_pairs",
-    "ssjoin_incremental_pairs",
-    "containment_incremental_pairs",
-    "sorted_neighborhood_pairs",
-    "snm_dedup_keeplist",
-    "image_ahash_keeplist",
-    "bigram_lm_quality",
-    "tfidf_cosine_pairs",
-    "corpus_curation_decision",
-    "curation_decision_incremental",
-    "embedding_covariance",
-    "pca_top_component_scores",
-    # --- 37 stalest driver-green queries (r06 cohort, ledger order) ---
-    "upsert_new_keys",
-    "upsert_merged_dim",
-    "dedup_last_wins",
-    "snapshot_diff",
-    "etl_pipeline_dim",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_auto_skew",
-    "dedup_minhash_lsh",
-    "asof_join_orders_events",
-    "latest_via_max_by",
-    "contamination_check",
-    "repetition_signals",
-    "unigram_quality",
-    "similarity_pandas_udf",
-    "interval_join_recent_events",
-    "data_quality_metrics",
-    "similarity_topk_rplsh",
-    "date_function_battery",
-    "null_semantics_battery",
-    "pack_chunks_by_lang",
-    "stratified_take_per_lang",
-    "session_window_agg",
-    "unpivot_line_metrics",
-    "numeric_battery",
-    "value_window_battery",
-    "regexp_extract_groups",
-    "stats_battery",
-    "posexplode_tokens",
-    "map_functions_battery",
-    "window_count_distinct",
-    "shipping_priority_top10",
-    "higher_order_array_battery",
-    "conditional_agg_battery",
-    "union_by_name_feeds",
-    "variant_json_battery",
-    "similarity_topk_ivf2_sq8",
-    # --- slots 51+: past the driver window; round-11 net head ---
+    # --- 12 round-10 post-freeze additions (never driver-seen) ---
+    "snm_multipass_pairs",
+    "doc_hashed_embeddings",
+    "doc_embedding_topk",
+    "curation_decision_outlier_gated",
+    "pca_top2_subspace_scores",
+    "embedding_outlier_zscores",
+    "embedding_covariance_from_state",
+    "embedding_pca_zorder_layout",
+    "similarity_topk_zorder",
+    "embedding_zdist_quantiles",
+    "embedding_fisher_scores",
+    "pca_residual_outliers",
+    # --- r06-last-green remainder (ledger order) ---
     "contamination_attribution",
     "hll_users_by_event_type",
     "hll_distinct_event_ids",
@@ -122,6 +83,7 @@ _ROUND_PRIORITY: list[str] = [
     "cms_user_event_counts",
     "cms_token_frequencies",
     "dd_quantile_order_totals",
+    # --- stalest r07 cohort (ledger order) ---
     "projection_rename",
     "null_filter_shaping",
     "keyed_changes",
@@ -132,6 +94,45 @@ _ROUND_PRIORITY: list[str] = [
     "top_orders_per_priority",
     "rollup_brand_stats",
     "set_ops_symmetric_diff",
+    "distinct_users_by_type",
+    "json_props_agg",
+    "window_running_sum",
+    "part_affinity_lift",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "minhash_incremental_pairs",
+    "similarity_topk",
+    "bm25_topk_docs",
+    "bpe_merge_candidates",
+    "hybrid_rrf_topk_docs",
+    "bpe_learned_merges",
+    "zorder_layout_lineitem",
+    "pagerank_supplier_customer",
+    "triangle_counts_part_graph",
+    "try_functions_battery",
+    "bitwise_battery",
+    # --- slots 51+: past the driver window; round-12 net head ---
+    "csv_roundtrip_battery",
+    "similarity_topk_int8",
+    "key_skew_profile",
+    "salted_event_value_agg",
+    "incremental_monthly_rollup",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_top_customers",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
+    "q19_disjunctive_revenue",
+    "hash_split_train_val_test",
+    "mixture_sample_by_lang",
+    "weighted_sample_chars",
+    "temperature_mixture_allocation",
+    "semantic_kmeans_clusters",
+    "semantic_dedup_pairs",
+    "kmv_intersection_user_sets",
+    "dd_quantile_weekly_rollup",
 ]
 
 

@@ -876,7 +876,20 @@ def embedding_covariance_from_state(
     BIT-FOR-BIT (pinned by test). At 100 TB this is the whole point:
     each ingest slice contributes d(d+1)/2 + d rows of state, history
     vectors are never re-scanned, and the merge shuffles only state
-    rows."""
+    rows.
+
+    Replay safety: when the state carries the streaming writer's
+    ``_batch`` column (``feeds.embedding_moment_stream``), an
+    at-least-once replay — or a crash between the two non-atomic store
+    appends — can leave one store with a duplicated batch id; SUM
+    state is not idempotent, so summing those rows silently skews the
+    covariance. A batch writes exactly ONE row per dimension key, so
+    deduping on (_batch, dim key) strips replays exactly before the
+    merge; the column is then dropped from the output."""
+    if "_batch" in sij_state.columns:
+        sij_state = sij_state.dropDuplicates(["_batch", "dim_i", "dim_j"])
+    if "_batch" in si_state.columns:
+        si_state = si_state.dropDuplicates(["_batch", "dim_i"])
     sij = sij_state.groupBy("dim_i", "dim_j").agg(
         F.sum(F.col("s_ij").cast(_SUM_DEC)).alias("s_ij")
     )
@@ -1053,7 +1066,17 @@ def pca_residual_scores(
     ``pca_component_scores`` (components broadcast; one extra
     aggregate expression shares the centered array); sums quantize at
     12dp into DECIMAL so the scores are addition-order-free, and the
-    subtraction chain is left-associated identically in the oracle."""
+    subtraction chain is left-associated identically in the oracle.
+
+    Range caveat: the fitted components are 6dp-rounded and not
+    exactly orthogonal, so for vectors lying almost entirely inside
+    the subspace ``resid2`` can come out slightly NEGATIVE (and
+    ``pc_energy_frac`` slightly > 1) — on the order of the rounding
+    error, cross-engine consistent (the oracle replays the identical
+    arithmetic), and harmless for outlier ranking (outliers are the
+    LARGE residuals). Consumers needing a true energy should clamp
+    (greatest(0, resid2) / least(1, frac)) downstream; the operator
+    does not clamp so that operator == oracle stays a pure replay."""
     if n_components < 1:
         raise ValueError(f"pca requires n_components >= 1, got {n_components}")
     if iters < 1:

@@ -64,7 +64,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -106,7 +106,7 @@ def cosine_topk_ivf(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -244,7 +244,7 @@ def cosine_topk_rplsh(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -467,7 +467,7 @@ def cosine_topk_ivf_sq8_rerank(
     return (
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -675,13 +675,34 @@ def cosine_topk_zorder(
     is the storage order itself. Recall < 1 by construction (quadtree
     cells miss some cross-boundary neighbors; Morton-adjacent probing
     recovers the x-direction ones) — widen ``prefix_bits`` down or the
-    probe set up for recall, exactly the IVF ladder's lever."""
+    probe set up for recall, exactly the IVF ladder's lever.
+
+    ``zkeys`` COVERAGE: corpus/query vectors are joined INNER against
+    ``zkeys`` — a vector with no key row has no cell and silently
+    drops out of both the candidate pool and the query set. The
+    layout pipeline emits one key per vector by construction; if the
+    key relation is built separately, regenerate it whenever the
+    corpus changes (or left-anti-check coverage upstream).
+
+    Ranking is on the 4dp-QUANTIZED cosine (id tiebreak), identical
+    in the DuckDB oracle — raw-double folds sum in engine-specific
+    order, so near-tied candidates at the k boundary could flip ranks
+    cross-engine; quantizing first collapses near-ties into the
+    deterministic id ordering (the ``doc_embedding_topk`` pattern)."""
     shift = total_bits - prefix_bits
     # zkeys contract is POSITIONAL: column 0 = id, column 1 = the
     # Morton key (whatever their names) — half-positional resolution
     # (id by position, key by a hardcoded name) would silently join on
     # the wrong column for reordered inputs
     zid_col, z_col = zkeys.columns[0], zkeys.columns[1]
+    z_type = dict(zkeys.dtypes)[z_col]
+    if z_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            "cosine_topk_zorder: zkeys column 1 (the Morton key) must be "
+            f"integral, got {z_col}:{z_type} — the zkeys contract is "
+            "positional (column 0 = id, column 1 = key); reordered "
+            "columns would otherwise shift-right the id silently"
+        )
     zb = zkeys.select(
         F.col(zid_col).alias("_zid"),
         F.expr(f"shiftright(`{z_col}`, {shift})").alias("_bucket"),
@@ -718,14 +739,20 @@ def cosine_topk_zorder(
             )
             / (F.col("cn") * F.col("qn")),
         )
+        # -0.0 canonicalization (+ 0.0) BEFORE ranking: Spark round() of a
+        # tiny negative yields 0.0 where DuckDB ROUND yields -0.0, and the
+        # repr-hash distinguishes them (the round-9 embedding_covariance
+        # failure class); ranking on the canonicalized quantized value also
+        # makes the k-cut order identical cross-engine.
+        .withColumn("cosine_q", F.round("cosine", 4) + F.lit(0.0))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        F.col("cosine_q").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+            "query_id", "neighbor_id", "rank", F.col("cosine_q").alias("cosine")
         )
     )

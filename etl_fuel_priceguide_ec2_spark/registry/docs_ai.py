@@ -30,7 +30,7 @@ from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
              ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                 ORDER BY list_dot_product(e.v, q.v) / (e.nrm * q.nrm) DESC,
                                          e.vec_id ASC) AS rank,
-             ROUND(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) AS cosine
+             ROUND(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) + 0.0 AS cosine
       FROM e CROSS JOIN q
       WHERE q.vec_id <> e.vec_id
     ) WHERE rank <= 10
@@ -56,7 +56,7 @@ def q_similarity_topk(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                 ORDER BY list_dot_product(e.v, q.v) / (e.nrm * q.nrm) DESC,
                                          e.vec_id ASC) AS rank,
-             ROUND(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) AS cosine
+             ROUND(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 4) + 0.0 AS cosine
       FROM e JOIN q ON e.label = q.label
       WHERE q.vec_id <> e.vec_id
     ) WHERE rank <= 10

@@ -166,7 +166,7 @@ def q_embedding_norm_stats(spark, sf_dir):
     -- numpy's matmul sums in a different order than a sequential fold,
     -- but both engines agree after ROUND(.., 4) (divergence ~1e-15 —
     -- a boundary hit would need a cosine within 1e-13 of a 5e-5 step)
-    SELECT vec_id, ROUND(cos_raw, 4) AS cosine FROM (
+    SELECT vec_id, ROUND(cos_raw, 4) + 0.0 AS cosine FROM (
       SELECT e.vec_id,
              list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -188,7 +188,7 @@ def q_similarity_pandas_udf(spark, sf_dir):
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     scored = similarity.cosine_scores_pandas(emb.filter(F.col("vec_id") > 0), list(qvec), "embedding", "vec_id")
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10).select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
+        "vec_id", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine")
     )
 
 
@@ -344,7 +344,7 @@ def _rplsh_oracle_sql(planes: int = 6, dim: int = 64, seed: int = 42, k: int = 1
       FROM probes q JOIN csig c ON c.sig = q.psig
       WHERE q.vec_id <> c.vec_id
     )
-    SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) AS cosine FROM (
+    SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 4) + 0.0 AS cosine FROM (
       SELECT query_id, neighbor_id, cos_raw,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos_raw DESC, neighbor_id ASC) AS rank

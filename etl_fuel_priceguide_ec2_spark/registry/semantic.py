@@ -572,7 +572,7 @@ _IVF_SQ8_RERANK_ORACLE = (
                PARTITION BY query_id
                ORDER BY list_dot_product(cn.v, qn.v) / (cn.nm * qn.nm) DESC,
                         neighbor_id ASC) AS rank,
-             ROUND(list_dot_product(cn.v, qn.v) / (cn.nm * qn.nm), 4) AS cosine
+             ROUND(list_dot_product(cn.v, qn.v) / (cn.nm * qn.nm), 4) + 0.0 AS cosine
       FROM cand
       JOIN nrm cn ON cn.vec_id = neighbor_id
       JOIN nrm qn ON qn.vec_id = query_id
@@ -1034,9 +1034,9 @@ def _zorder_ann_oracle(prefix_bits: int = 4, total_bits: int = 40, k: int = 10) 
     SELECT query_id, neighbor_id, rank, cosine FROM (
       SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY p.vec_id
-                                ORDER BY list_dot_product(c.v, p.v) / (c.nrm * p.nrm) DESC,
+                                ORDER BY ROUND(list_dot_product(c.v, p.v) / (c.nrm * p.nrm), 4) + 0.0 DESC,
                                          c.vec_id ASC) AS rank,
-             ROUND(list_dot_product(c.v, p.v) / (c.nrm * p.nrm), 4) AS cosine
+             ROUND(list_dot_product(c.v, p.v) / (c.nrm * p.nrm), 4) + 0.0 AS cosine
       FROM cb c JOIN probes p ON c.bucket = p.bucket
       WHERE p.vec_id <> c.vec_id
     ) WHERE rank <= {k}

@@ -338,6 +338,82 @@ def test_zorder_ann_recall_vs_exact(spark, sf_dir):
     assert all(rank <= 10 for r in ann.collect() for rank in [r.rank])
 
 
+def test_zorder_rejects_noninteger_key_column(spark):
+    """The zkeys contract is POSITIONAL (column 0 = id, column 1 = the
+    Morton key): a reordered zkeys whose column 1 is not integral must
+    fail loudly instead of silently shift-righting the wrong column
+    (ADVICE r10 / VERDICT r10 item 5)."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    bad_zkeys = spark.createDataFrame(
+        [(0, "a"), (1, "b")], "z: bigint, vec_id: string"
+    )  # columns swapped: position 1 is the string id
+    with pytest.raises(TypeError, match="Morton key"):
+        similarity.cosine_topk_zorder(
+            emb, emb, "vec_id", "embedding", bad_zkeys
+        )
+
+
+def test_zorder_cosine_never_emits_negative_zero(spark):
+    """A cosine in (-5e-5, 0) rounds to -0.0 under DuckDB ROUND but 0.0
+    under Spark round — the repr-hash failure class ADVICE r10 flagged
+    for this rung. The +0.0 canonicalization must keep every emitted
+    cosine repr-stable (never '-0.0')."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    # query 0 vs neighbor 1: dot = -1e-6 -> cosine ~ -1e-6 -> round4 = -0.0
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1e-6, 1.0]), (2, [0.5, 0.5])],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    zkeys = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "vec_id: bigint, z: bigint"
+    )
+    out = similarity.cosine_topk_zorder(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        zkeys, prefix_bits=4, total_bits=40, k=10,
+    ).collect()
+    assert any(r.cosine == 0.0 for r in out)  # the tiny-negative case hit
+    assert all(repr(r.cosine) != "-0.0" for r in out)
+
+
+def test_covariance_from_state_dedupes_replayed_batches(vecs_df):
+    """At-least-once replay safety (ADVICE r10): a duplicated _batch in
+    ONE store (crash between the two non-atomic appends + replay) must
+    not skew the covariance — from_state dedupes on (_batch, dim key)
+    before the SUM merge."""
+    from pyspark.sql import functions as F
+
+    clean = sorted(
+        map(tuple, embeddings.embedding_covariance(
+            vecs_df, "vec_id", "embedding"
+        ).collect())
+    )
+    sij = si = None
+    for k in range(2):
+        s = vecs_df.filter(F.col("vec_id") % 2 == k)
+        a = embeddings.embedding_second_moment_state(
+            s, "vec_id", "embedding"
+        ).withColumn("_batch", F.lit(k))
+        b = embeddings.embedding_first_moment_state(
+            s, "vec_id", "embedding"
+        ).withColumn("_batch", F.lit(k))
+        sij = a if sij is None else sij.unionByName(a)
+        si = b if si is None else si.unionByName(b)
+    # replay batch 1 into the sij store only (the failure-window shape)
+    sij_replayed = sij.unionByName(sij.filter(F.col("_batch") == 1))
+    merged = sorted(
+        map(tuple, embeddings.embedding_covariance_from_state(
+            sij_replayed, si
+        ).collect())
+    )
+    assert merged == clean
+
+
 def test_round10_operator_empty_and_degenerate_edges(spark):
     """Defined, non-crashing answers on degenerate inputs for the
     round-10 operators: empty corpus -> empty covariance/state/scores;

@@ -477,32 +477,13 @@ def pca_component_scores(
     return df.select(F.col(id_col), *outs)
 
 
-def _pca_chain_sql(
-    table: str,
-    id_col: str,
-    vec_col: str,
-    dim: int,
-    n_components: int,
-    iters: int,
-) -> str:
-    """The shared WITH-chain of the top-k PCA oracles: covariance CTEs
-    mirrored to ``mat0``, per component K the unrolled
-    matvec/normalize steps, the Rayleigh quotient, and the Hotelling
-    deflation (same ``(lam * v_r) * v_c`` parenthesization as the
-    driver), ending with the joined weights CTE ``ws``. Returned as
-    "WITH ...<chain>" WITHOUT a final SELECT so both the subspace and
-    residual oracles compose on it structurally (no string surgery —
-    code-review r10). Every chain CTE is AS MATERIALIZED (the
-    HITS-oracle lesson)."""
-    import math
-
-    # _r9d, NOT _r9: the embedded literal must equal the DRIVER's init,
-    # which uses the DuckDB rounding model — the two models differ on
-    # .5-boundary dims (not 64, where 1/sqrt(dim)=0.125 is exact), and
-    # deflation would amplify an init mismatch into 6dp score reds.
-    v0 = _r9d(1.0 / math.sqrt(dim))
-    chain = [
-        f"""vv AS MATERIALIZED (
+def _cov_chain_head(table: str, id_col: str, vec_col: str) -> str:
+    """Shared head CTEs (``vv`` .. ``mat0`` .. ``means``) of every
+    oracle that replays driver-side fitting FROM the collected
+    covariance — the PCA chains and the ZCA whitener. ONE text
+    (no leading WITH, no trailing comma) so the covariance rounding
+    model can never diverge between the consumers."""
+    return f"""vv AS MATERIALIZED (
       SELECT {id_col} AS vid,
              list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
       FROM {table}
@@ -533,7 +514,36 @@ def _pca_chain_sql(
       SELECT j, i, cov FROM ut WHERE i <> j
     ), means AS MATERIALIZED (
       SELECT i, ROUND(CAST(s AS DOUBLE) / n, 9) AS mu FROM si
-    ), v0 AS (
+    )"""
+
+
+def _pca_chain_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_components: int,
+    iters: int,
+) -> str:
+    """The shared WITH-chain of the top-k PCA oracles: covariance CTEs
+    mirrored to ``mat0``, per component K the unrolled
+    matvec/normalize steps, the Rayleigh quotient, and the Hotelling
+    deflation (same ``(lam * v_r) * v_c`` parenthesization as the
+    driver), ending with the joined weights CTE ``ws``. Returned as
+    "WITH ...<chain>" WITHOUT a final SELECT so both the subspace and
+    residual oracles compose on it structurally (no string surgery —
+    code-review r10). Every chain CTE is AS MATERIALIZED (the
+    HITS-oracle lesson)."""
+    import math
+
+    # _r9d, NOT _r9: the embedded literal must equal the DRIVER's init,
+    # which uses the DuckDB rounding model — the two models differ on
+    # .5-boundary dims (not 64, where 1/sqrt(dim)=0.125 is exact), and
+    # deflation would amplify an init mismatch into 6dp score reds.
+    v0 = _r9d(1.0 / math.sqrt(dim))
+    chain = [
+        _cov_chain_head(table, id_col, vec_col),
+        f"""v0 AS (
       SELECT i.i AS r, CAST({v0!r} AS DOUBLE) AS x
       FROM (SELECT UNNEST(generate_series(1, {dim})) AS i) i
     )"""
@@ -1110,4 +1120,242 @@ def pca_residual_scores(
         F.when(
             total2 > 0, F.round(sq_sum / total2, 6) + F.lit(0.0)
         ).alias("pc_energy_frac"),
+    )
+
+
+# --- round-11 extension: ZCA whitening from the covariance ------------
+# The natural consumer of the (incremental) covariance: W = Sigma^-1/2
+# symmetrized (ZCA), fitted DRIVER-SIDE from the collected d x d by a
+# coupled Newton-Schulz inverse-sqrt iteration in the same
+# integer-microunit / DuckDB-exact rounding model as the PCA chain —
+# an iterative-matmul unroll is SQL-replayable where a Cholesky's
+# data-dependent pivoting order would not be. The whitener broadcasts
+# back as literals for a map-only projection; at 100 TB the corpus is
+# scanned twice (covariance aggregate, projection) and never shuffled
+# beyond the d(d+1)/2-row relation — identical scale shape to PCA.
+
+
+def _qd_vec(t):
+    """Vectorized ``_qd`` WITHOUT the per-element Decimal: numpy
+    round-half-away-from-zero of an already-scaled double array. Exact
+    equivalence argument: for |t| < 2^52, floor(t)/ceil(t) are
+    representable and t - floor(t) / ceil(t) - t are EXACT IEEE
+    subtractions, so the >= 0.5 comparison sees the true fractional
+    part — elementwise identical to Decimal(t).quantize(HALF_UP)
+    (property-tested incl. .5-boundary values). Needed because the
+    Newton-Schulz fit does ~10^7 quantizations per call; Decimal made
+    the driver step ~100x slower than the whole projection."""
+    import numpy as np
+
+    f = np.floor(t)
+    up = f + (t - f >= 0.5)
+    c = np.ceil(t)
+    dn = c - (c - t >= 0.5)
+    return np.where(t >= 0, up, dn)
+
+
+def _ns_inverse_sqrt(
+    m: list[list[float]], dim: int, iters: int, ridge: float
+) -> tuple[list[list[float]], float]:
+    """Coupled Newton-Schulz iteration for the inverse matrix square
+    root of A = cov + ridge*I, trace-normalized so every eigenvalue of
+    B = A/s lies in (0, 1] (the convergence region):
+
+        Y_0 = B, Z_0 = I;  M = 3I - Z Y;  Y' = Y M / 2;  Z' = M Z / 2
+
+    Z_k -> B^-1/2, so W = Z_iters / sqrt(s) ~ A^-1/2 (symmetric — the
+    ZCA whitener). Every matmul entry accumulates 12dp-quantized
+    products (DuckDB rounding model, ``_qd``) in exact integer
+    microunits and re-quantizes to 9dp after the halving — the oracle
+    unrolls the identical iteration as matmul CTEs, so the driver-side
+    fit is bit-replayable cross-engine. Convergence: quadratic once
+    ||I - B Z^2|| < 1; iterations to converge grow with
+    log(s/lambda_min), so near-singular covariances (n < d) lean on
+    ``ridge`` and may need more ``iters`` — quantified by the
+    W Sigma W' ~ I property test, NOT assumed."""
+    import math
+
+    import numpy as np
+
+    a = np.array(m, dtype=np.float64)
+    a = a + ridge * np.eye(dim)
+    # exact decimal trace: diagonal entries are 6dp values (+ridge),
+    # summed in integer 1e-6 units -> one IEEE division, both engines
+    s = int(_qd_vec(np.diag(a) * float(10**6)).astype(np.int64).sum()) / 1e6
+
+    def matmul(p, q):
+        # R[i,j] = sum_k qd12(p[i,k] * q[k,j]) in exact int64 microunits
+        # (|term| < 2^52, 64-term sums < 2^53: representable exactly)
+        t = p[:, :, None] * q[None, :, :]
+        qt = _qd_vec(t * float(10**12)).astype(np.int64)
+        return qt.sum(axis=1).astype(np.float64) / 1e12
+
+    def r9(x):
+        return _qd_vec(x * float(10**9)) / 1e9
+
+    b = r9(a / s)
+    y = b.copy()
+    z = np.eye(dim)
+    eye3 = 3.0 * np.eye(dim)
+    for _ in range(iters):
+        mm = eye3 - matmul(z, y)
+        y, z = r9(0.5 * matmul(y, mm)), r9(0.5 * matmul(mm, z))
+    w = z / math.sqrt(s)
+    return [[float(w[r][c]) for c in range(dim)] for r in range(dim)], s
+
+
+def zca_whitener(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int = 12,
+    ridge: float = 1e-6,
+) -> tuple[list[list[float]], list[float], int] | None:
+    """Fit the ZCA whitening matrix from the corpus covariance:
+    returns (W, means, dim) with W ~ (cov + ridge*I)^-1/2, or None on
+    an empty corpus. The d x d covariance and d means are the ONLY
+    driver-side state (the sanctioned bounded collect); the fit runs
+    in the portable integer-microunit arithmetic (``_ns_inverse_sqrt``)
+    so an external SQL oracle replays it exactly."""
+    got = _collect_cov_means(df, id_col, vec_col)
+    if got is None:
+        return None
+    m, means, dim = got
+    w, _ = _ns_inverse_sqrt(m, dim, iters, ridge)
+    return w, means, dim
+
+
+def zca_whitening_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_out: int = 4,
+    iters: int = 12,
+    ridge: float = 1e-6,
+) -> DataFrame:
+    """ZCA-whitened coordinates per vector: (id, zca1..zca{n_out})
+    with zca_j = <W_j, x - mu>, W the symmetric inverse-sqrt of the
+    (ridged) covariance. Unlike PCA scores, ZCA coordinates stay
+    maximally close to the ORIGINAL axes while decorrelating — the
+    standard pre-conditioning for embedding-space comparisons, and the
+    first ``n_out`` coordinates are a whitened triage projection the
+    way pc1/pc2 are.
+
+    Scale shape identical to ``pca_component_scores``: covariance
+    aggregate (zero-join, d(d+1)/2 rows) -> driver-side fit ->
+    broadcast W rows as literals -> ONE map-only projection pass with
+    ``n_out`` aggregate expressions sharing the centered array."""
+    if n_out < 1:
+        raise ValueError(f"zca requires n_out >= 1, got {n_out}")
+    if iters < 1:
+        raise ValueError(f"zca requires iters >= 1, got {iters}")
+    got = zca_whitener(df, id_col, vec_col, iters=iters, ridge=ridge)
+    if got is None:
+        cols = [
+            F.lit(None).cast("double").alias(f"zca{j}")
+            for j in range(1, n_out + 1)
+        ]
+        return df.select(F.col(id_col), *cols).limit(0)
+    w, means, dim = got
+    n_out = min(n_out, dim)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
+    outs = [
+        _pc_score_expr(centered, w[j - 1]).alias(f"zca{j}")
+        for j in range(1, n_out + 1)
+    ]
+    return df.select(F.col(id_col), *outs)
+
+
+def zca_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_out: int = 4,
+    iters: int = 12,
+    ridge: float = 1e-6,
+) -> str:
+    """DuckDB replay of ``zca_whitening_scores``: the shared covariance
+    head (``_cov_chain_head`` — the same text as the PCA chains), the
+    ridged/trace-normalized matrix, then the Newton-Schulz iteration
+    unrolled as matmul CTEs (12dp-quantized products, DECIMAL
+    accumulation, 9dp re-quantization after each halving — the exact
+    driver arithmetic), and one centered projection per emitted
+    coordinate. z0 is the SPARSE identity: zero terms contribute
+    exactly 0 to the decimal sums, so omitting them is sum-preserving
+    while keeping the first iteration's join small."""
+    head = _cov_chain_head(table, id_col, vec_col)
+    chain = [
+        head,
+        f"""mata AS MATERIALIZED (
+      SELECT r, c,
+             cov + CASE WHEN r = c THEN CAST({ridge!r} AS DOUBLE)
+                   ELSE 0.0 END AS a
+      FROM mat0
+    ), tr AS (
+      SELECT CAST(SUM(CAST(ROUND(a, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM mata WHERE r = c
+    ), y0 AS MATERIALIZED (
+      SELECT r, c, ROUND(a / s, 9) AS x FROM mata CROSS JOIN tr
+    ), z0 AS (
+      SELECT i.i AS r, i.i AS c, CAST(1.0 AS DOUBLE) AS x
+      FROM (SELECT UNNEST(generate_series(1, {dim})) AS i) i
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        chain.append(
+            f"""m{t} AS MATERIALIZED (
+      SELECT p.r, q.c,
+             CASE WHEN p.r = q.c THEN 3.0 ELSE 0.0 END
+             - CAST(SUM(CAST(ROUND(p.x * q.x, 12) AS DECIMAL(30,12)))
+                    AS DOUBLE) AS x
+      FROM z{t - 1} p JOIN y{t - 1} q ON p.c = q.r
+      GROUP BY p.r, q.c
+    ), y{t} AS MATERIALIZED (
+      SELECT p.r, q.c,
+             ROUND(0.5 * CAST(SUM(CAST(ROUND(p.x * q.x, 12)
+                                       AS DECIMAL(30,12))) AS DOUBLE),
+                   9) AS x
+      FROM y{t - 1} p JOIN m{t} q ON p.c = q.r
+      GROUP BY p.r, q.c
+    ), z{t} AS MATERIALIZED (
+      SELECT p.r, q.c,
+             ROUND(0.5 * CAST(SUM(CAST(ROUND(p.x * q.x, 12)
+                                       AS DECIMAL(30,12))) AS DOUBLE),
+                   9) AS x
+      FROM m{t} p JOIN z{t - 1} q ON p.c = q.r
+      GROUP BY p.r, q.c
+    )""",
+        )
+    wjoins = "\n      ".join(
+        f"JOIN z{iters} w{j} ON w{j}.r = {j} AND w{j}.c = means.i"
+        for j in range(1, n_out + 1)
+    )
+    wcols = ", ".join(
+        f"w{j}.x / sqrt(t.s) AS x{j}" for j in range(1, n_out + 1)
+    )
+    chain.append(
+        f"""wz AS MATERIALIZED (
+      SELECT means.i AS r, means.mu, {wcols}
+      FROM means
+      {wjoins}
+      CROSS JOIN tr t
+    )"""
+    )
+    zcas = ",\n           ".join(
+        f"ROUND(CAST(SUM(CAST(ROUND((vv.v[wz.r] - wz.mu) * wz.x{j}, 12)"
+        f" AS DECIMAL(30,12))) AS DOUBLE), 6) + 0.0 AS zca{j}"
+        for j in range(1, n_out + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(chain)
+        + f"""
+    SELECT vv.vid AS {id_col},
+           {zcas}
+    FROM vv
+    CROSS JOIN wz
+    GROUP BY vv.vid
+"""
     )

@@ -1140,3 +1140,31 @@ def q_pca_residual_outliers(spark, sf_dir):
     return _emb.pca_residual_scores(
         emb, "vec_id", "embedding", n_components=2, iters=8
     )
+
+
+# --- round-11 addition: ZCA whitening -----------------------------------
+# Registered AFTER the round-11 freeze — leads the round-12 window per
+# the standing discipline.
+
+
+@register(
+    "zca_whitened_scores",
+    _emb.zca_oracle_sql(
+        "embeddings", "vec_id", "embedding", dim=DIM, n_out=4, iters=12
+    ),
+)
+def q_zca_whitened_scores(spark, sf_dir):
+    """ZCA-whitened coordinates per vector (id, zca1..zca4): the
+    symmetric inverse-sqrt of the (ridged, trace-normalized)
+    covariance fitted DRIVER-SIDE by a coupled Newton-Schulz iteration
+    in integer microunits — the iterative-matmul analogue of the PCA
+    power iteration (a Cholesky's data-dependent pivoting would not be
+    SQL-replayable), and the natural consumer of
+    embedding_covariance_from_state. W broadcasts back as literals for
+    ONE map-only projection pass; the oracle unrolls all 12 iterations
+    as matmul CTEs over the (r, c, x) matrix relation. W Sigma W' ~ I
+    is pinned by a numpy property test, not assumed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _emb.zca_whitening_scores(
+        emb, "vec_id", "embedding", n_out=4, iters=12
+    )

@@ -544,3 +544,92 @@ def test_pca_residual_matches_numpy(vecs_df, xmat):
     }
     assert got2[999].resid2 == max(r.resid2 for r in got2.values())
     assert got2[999].pc_energy_frac < 0.5
+
+
+# --- round-11: ZCA whitening ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def iso_df(spark):
+    """Well-conditioned corpus (n >> d, near-isotropic) where the
+    default 12 Newton-Schulz iterations converge far past the test
+    tolerance — the planted-direction xmat fixture's tiny noise
+    eigenvalues (lambda_min/trace ~ 3e-4) would need ~15+."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(80, DIM)) + rng.normal(size=DIM)
+    rows = [(i, [float(v) for v in row]) for i, row in enumerate(x)]
+    return spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>"
+    )
+
+
+def test_qd_vec_matches_decimal_qd():
+    """The vectorized numpy quantizer must agree with the Decimal
+    reference (_qd) elementwise — including exact .5 boundaries and
+    negative values — or the whitener silently departs from the
+    DuckDB rounding model the oracle replays."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    xs = list(rng.normal(scale=5.0, size=2000))
+    xs += [0.5e-12, -0.5e-12, 1.5e-12, -1.5e-12, 2.5e-12, 0.0]
+    xs += [1e-13, -1e-13, 81.0, -81.0]
+    for s in (6, 9, 12):
+        t = np.array([x * float(10**s) for x in xs])
+        got = embeddings._qd_vec(t).astype(np.int64)
+        want = [embeddings._qd(x, s) for x in xs]
+        assert got.tolist() == want
+
+
+def test_zca_whitener_decorrelates(iso_df):
+    """The point of the operator: W (cov + ridge I) W' ~ I within the
+    quantization floor (the 9dp re-quantization each step bounds the
+    achievable error ~1e-7; tolerance leaves margin)."""
+    got = embeddings.zca_whitener(iso_df, "vec_id", "embedding")
+    assert got is not None
+    w, means, dim = got
+    assert dim == DIM and len(w) == DIM and len(means) == DIM
+    x = np.array(
+        [r.embedding for r in iso_df.orderBy("vec_id").collect()]
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    a = cov + 1e-6 * np.eye(dim)
+    wm = np.array(w)
+    err = np.abs(wm @ a @ wm.T - np.eye(dim)).max()
+    assert err < 1e-3
+    # ZCA W is symmetric (inverse-sqrt of a symmetric matrix)
+    assert np.abs(wm - wm.T).max() < 1e-6
+
+
+def test_zca_scores_match_numpy(iso_df):
+    """Emitted coordinates equal the numpy whitened projection within
+    the quantization tolerance, for the first 4 output dims."""
+    got = embeddings.zca_whitener(iso_df, "vec_id", "embedding")
+    w, means, dim = got
+    x = np.array(
+        [r.embedding for r in iso_df.orderBy("vec_id").collect()]
+    )
+    want = (x - np.array(means)) @ np.array(w).T
+    out = embeddings.zca_whitening_scores(
+        iso_df, "vec_id", "embedding", n_out=4
+    ).orderBy("vec_id").collect()
+    gotm = np.array([[r.zca1, r.zca2, r.zca3, r.zca4] for r in out])
+    assert np.abs(gotm - want[:, :4]).max() < 1e-4
+    assert all(repr(v) != "-0.0" for row in gotm for v in row)
+
+
+def test_zca_validates_args_and_empty_input(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id: bigint, embedding: array<double>"
+    )
+    out = embeddings.zca_whitening_scores(empty, "vec_id", "embedding")
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "zca1", "zca2", "zca3", "zca4"]
+    with pytest.raises(ValueError):
+        embeddings.zca_whitening_scores(
+            empty, "vec_id", "embedding", n_out=0
+        )
+    with pytest.raises(ValueError):
+        embeddings.zca_whitening_scores(
+            empty, "vec_id", "embedding", iters=0
+        )

@@ -1,0 +1,129 @@
+"""Training-export sharding: the write-side end of the curation
+pipeline (the load-stage role of the reference's DynamoDB writes,
+``index.js:153-168``, re-expressed for training-data scale).
+
+A training run wants the curated corpus as N shards with (a) a
+DETERMINISTIC globally-shuffled order — same bytes per shard on any
+cluster, any partition count, any rerun — and (b) a per-shard manifest
+(doc counts, size totals) the loader can trust without re-scanning.
+Random assignment can't give (a); this module keys everything on the
+corpus's own ids through the repo's md5 idiom (``sampling._hash_bucket``
+family — bit-identical in DuckDB, so assignment, order, and manifests
+are all oracle-checkable):
+
+    h(id)     = 60-bit md5 of (seed | id)   -- one hash per row
+    shard     = h % n_shards                -- uniform bucket
+    in-shard order = (h, id)                -- a seeded shuffle: within
+                                               a shard, h/n is uniform,
+                                               id breaks exact ties
+
+Changing ``seed`` reshuffles everything; changing ``n_shards`` moves
+only reassigned rows' positions. No RNG state anywhere.
+
+100 TB notes: the hash and shard columns are pure per-row codegen. The
+per-shard positions deliberately do NOT use
+``row_number() OVER (PARTITION BY shard)`` — at 1000 executors a
+100 TB / 1024-shard corpus puts ~100 GB through each window task.
+Instead ``global_row_number`` (the two-pass distributed rank) ranks the
+total order (shard, h, id) with ONE range exchange, and per-shard
+positions follow by subtracting each shard's broadcast minimum rank —
+an n_shards-row aggregate. The writer sorts within range partitions it
+already has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_fuel_priceguide_ec2_spark.operators.util import global_row_number
+
+
+def _shard_hash(id_col: str, seed: str) -> Column:
+    """60-bit md5-derived hash of (seed | id) — the single source of
+    both the shard assignment and the in-shard shuffle order.
+    Cross-engine: DuckDB replays it as
+    ``CAST('0x' || substring(md5('{seed}|' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT)``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def shard_positions(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """All input columns plus (shard, shard_pos): a deterministic
+    global shuffle of ``df`` into ``n_shards`` shards with dense
+    1-based positions inside each shard (position order = the seeded
+    hash shuffle, id tiebreak). The contract a training loader needs:
+    shard k's rows, sorted by shard_pos, are THE byte order of shard k
+    — reproducible on any cluster layout.
+
+    Requires unique ids (positions come from a strict total order on
+    (shard, h, id); duplicate ids would share h and tie-break
+    arbitrarily — enforce upstream, e.g. the curation keep-list)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    hashed = df.withColumn("__h", _shard_hash(id_col, seed)).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("long")
+    )
+    ranked = global_row_number(hashed, ["shard", "__h", id_col], out_col="__rn")
+    # n_shards-row relation: each shard's minimum global rank; positions
+    # are rank offsets, so no per-shard window over the data is needed
+    mins = ranked.groupBy("shard").agg(F.min("__rn").alias("__rn0"))
+    return (
+        ranked.join(F.broadcast(mins), "shard")
+        .withColumn(
+            "shard_pos", (F.col("__rn") - F.col("__rn0") + 1).cast("long")
+        )
+        .drop("__h", "__rn", "__rn0")
+    )
+
+
+def shard_manifest(
+    sharded: DataFrame, size_cols: dict[str, str] | None = None
+) -> DataFrame:
+    """Per-shard manifest over a ``shard_positions`` result: (shard,
+    n_docs, max_pos, <total_x for each size col>). ``max_pos == n_docs``
+    iff positions are dense — the loader's cheap integrity check.
+    ``size_cols`` maps output name -> input column to SUM (e.g.
+    ``{"total_chars": "n_chars"}``). n_shards rows total — readable at
+    a glance no matter the corpus size."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("shard_pos").cast("long").alias("max_pos"),
+    ]
+    for out, src in (size_cols or {}).items():
+        aggs.append(F.sum(src).cast("long").alias(out))
+    return sharded.groupBy("shard").agg(*aggs)
+
+
+def write_training_shards(
+    sharded: DataFrame,
+    path: str,
+    n_shards: int,
+) -> None:
+    """Materialize a ``shard_positions`` result as
+    ``path/shard=K/*.parquet`` with rows stored in shard_pos order.
+    Range-partition on (shard, shard_pos) first so each output task
+    holds a contiguous position range it can sort locally — the write
+    adds no global sort, and huge shards split across tasks while
+    still landing ordered within each file (readers merge files by
+    their position ranges; at one-file-per-shard scale set
+    ``n_shards`` partitions)."""
+    (
+        sharded.repartitionByRange(n_shards, "shard", "shard_pos")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

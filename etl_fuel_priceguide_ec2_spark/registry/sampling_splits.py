@@ -117,3 +117,83 @@ def q_temperature_mixture_allocation(spark, sf_dir):
     deterministic hash ranks."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.temperature_allocation(docs, "lang", budget=10_000)
+
+
+# ---------------------------------------------------------------------------
+# Round-11: training-export sharder (operators/export.py) — registered
+# AFTER the round-11 freeze, leads the round-12 window
+# ---------------------------------------------------------------------------
+
+_SHARD_SEED = "r11"
+_N_SHARDS = 8
+
+_SHARDED_SQL = f"""
+    SELECT doc_id, n_chars, CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS}
+                                   ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST('0x' || substring(md5('{_SHARD_SEED}|' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS h
+      FROM documents
+      WHERE {_HASH_BUCKET_SQL} < 9000
+    )
+"""
+
+
+def _train_keep_list(spark, sf_dir):
+    """The shared keep-list both export queries shard: the
+    deterministic 90% train split (stands in for a full curation
+    keep-list — any id-keyed relation shards the same way)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.hash_split(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    ).filter(F.col("split") == "train").drop("split")
+
+
+@register(
+    "training_export_shards",
+    f"""
+    SELECT doc_id, shard, shard_pos FROM ({_SHARDED_SQL})
+    """,
+)
+def q_training_export_shards(spark, sf_dir):
+    """The write-side end of the curation pipeline: the train keep-list
+    deterministically shuffled into 8 shards with dense 1-based
+    in-shard positions — same shard, same position, same bytes on any
+    cluster layout or rerun (seeded md5 order, id tiebreak). Positions
+    come from ONE global two-pass rank (global_row_number), never a
+    per-shard data window; the oracle replays assignment and order as
+    pure expressions."""
+    from etl_fuel_priceguide_ec2_spark.operators import export
+
+    keep = _train_keep_list(spark, sf_dir)
+    return export.shard_positions(
+        keep, "doc_id", n_shards=_N_SHARDS, seed=_SHARD_SEED
+    ).select("doc_id", "shard", "shard_pos")
+
+
+@register(
+    "training_export_manifest",
+    f"""
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(shard_pos) AS BIGINT) AS max_pos,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ({_SHARDED_SQL})
+    GROUP BY shard
+    """,
+)
+def q_training_export_manifest(spark, sf_dir):
+    """Per-shard export manifest (8 rows): doc count, max position,
+    char total — the loader's no-rescan integrity check (max_pos ==
+    n_docs iff positions are dense). Composes shard_positions with the
+    n_shards-row manifest aggregate."""
+    from etl_fuel_priceguide_ec2_spark.operators import export
+
+    keep = _train_keep_list(spark, sf_dir)
+    sharded = export.shard_positions(
+        keep, "doc_id", n_shards=_N_SHARDS, seed=_SHARD_SEED
+    )
+    return export.shard_manifest(sharded, {"total_chars": "n_chars"})

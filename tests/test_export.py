@@ -1,0 +1,140 @@
+"""Training-export sharder (operators/export.py): determinism,
+density, manifest integrity, the pack-then-shard composition, and the
+partitioned writer round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_fuel_priceguide_ec2_spark.operators import export, textops
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+N_SHARDS = 4
+SEED = "t"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+
+
+@pytest.fixture(scope="module")
+def sharded_rows(spark, docs):
+    out = export.shard_positions(
+        docs.select("doc_id", "n_chars"), "doc_id", N_SHARDS, seed=SEED
+    )
+    return out.collect()
+
+
+def test_shards_cover_all_rows_with_dense_positions(docs, sharded_rows):
+    assert len(sharded_rows) == docs.count()
+    assert len({r.doc_id for r in sharded_rows}) == len(sharded_rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in sharded_rows:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert len(by_shard) == N_SHARDS  # all shards populated at this n
+    for shard, ps in by_shard.items():
+        # dense 1..n positions, no gaps, no duplicates
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {shard}"
+
+
+def test_sharding_is_layout_and_rerun_deterministic(docs, sharded_rows):
+    """Same (shard, shard_pos) per id on any partition layout — the
+    whole point vs randomSplit/repartition-based shuffles."""
+    want = {r.doc_id: (r.shard, r.shard_pos) for r in sharded_rows}
+    again = export.shard_positions(
+        docs.select("doc_id", "n_chars").repartition(7, "n_chars"),
+        "doc_id",
+        N_SHARDS,
+        seed=SEED,
+    ).collect()
+    assert {r.doc_id: (r.shard, r.shard_pos) for r in again} == want
+
+
+def test_seed_reshuffles(docs):
+    a = export.shard_positions(
+        docs.select("doc_id"), "doc_id", N_SHARDS, seed="a"
+    ).collect()
+    b = export.shard_positions(
+        docs.select("doc_id"), "doc_id", N_SHARDS, seed="b"
+    ).collect()
+    am = {r.doc_id: (r.shard, r.shard_pos) for r in a}
+    bm = {r.doc_id: (r.shard, r.shard_pos) for r in b}
+    assert am != bm  # a different seed is a different shuffle
+    assert set(am) == set(bm)  # ... of the same rows
+
+
+def test_manifest_matches_shards(spark, docs, sharded_rows):
+    sharded = spark.createDataFrame(sharded_rows)
+    man = {
+        r.shard: r
+        for r in export.shard_manifest(
+            sharded, {"total_chars": "n_chars"}
+        ).collect()
+    }
+    for shard in range(N_SHARDS):
+        rows = [r for r in sharded_rows if r.shard == shard]
+        assert man[shard].n_docs == len(rows)
+        assert man[shard].max_pos == len(rows)  # density check
+        assert man[shard].total_chars == sum(r.n_chars for r in rows)
+
+
+def test_pack_then_shard_pipeline(spark, docs):
+    """The export pipeline end-to-end: chunk -> pack into budget bins
+    -> shard the BINS (one bin = one training sequence). Every bin
+    lands in exactly one shard at exactly one position, and nothing is
+    lost or duplicated between the stages."""
+    chunks = textops.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+    packed = textops.pack_chunks(
+        chunks, "doc_id", ["doc_id", "chunk_id"], "chunk_tokens", budget=128
+    )
+    bins = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").alias("bin_tokens"),
+    )
+    n_bins = bins.count()
+    sharded = export.shard_positions(bins, "bin_id", N_SHARDS, seed=SEED)
+    rows = sharded.collect()
+    assert len(rows) == n_bins
+    assert len({r.bin_id for r in rows}) == n_bins
+    man = export.shard_manifest(
+        sharded, {"total_tokens": "bin_tokens"}
+    ).collect()
+    assert sum(r.n_docs for r in man) == n_bins
+    assert all(r.max_pos == r.n_docs for r in man)
+    # token conservation through the whole pipeline
+    total = packed.agg(F.sum("chunk_tokens")).collect()[0][0]
+    assert sum(r.total_tokens for r in man) == total
+
+
+def test_writer_roundtrip_preserves_order(spark, docs, tmp_path):
+    sharded = export.shard_positions(
+        docs.select("doc_id", "n_chars"), "doc_id", N_SHARDS, seed=SEED
+    )
+    path = str(tmp_path / "shards")
+    export.write_training_shards(sharded, path, N_SHARDS)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    want = {
+        (r.shard, r.shard_pos): r.doc_id for r in sharded.collect()
+    }
+    got = {
+        (r.shard, r.shard_pos): r.doc_id for r in back.collect()
+    }
+    assert got == want
+    # partitioned layout: one directory per shard
+    import os
+
+    shard_dirs = [d for d in os.listdir(path) if d.startswith("shard=")]
+    assert len(shard_dirs) == N_SHARDS
+
+
+def test_shard_positions_validates_args(docs):
+    with pytest.raises(ValueError):
+        export.shard_positions(docs, "doc_id", 0)

@@ -150,6 +150,14 @@ HEADLINE = [
     "snm_multipass_pairs",
     "embedding_fisher_scores",
     "pca_residual_outliers",
+    # round-11 additions: the driver-fitted whitening projection (the
+    # Newton-Schulz fit is driver-side; the series tracks the two
+    # corpus scans + the 4-fold map-only projection), and the export
+    # sharder (global two-pass rank + broadcast min-rank join — the
+    # write-side plan family the series lacked)
+    "zca_whitened_scores",
+    "training_export_shards",
+    "training_export_manifest",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

@@ -495,3 +495,99 @@ def image_ahash_pairs_from_state(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- round-11: DCT pHash — the perceptual-hash pair's second member ----
+# aHash thresholds block LUMINANCE means (cheap, gradient-sensitive);
+# pHash thresholds the low-frequency DCT SPECTRUM against its median —
+# robust to global brightness/contrast shifts that flip many aHash
+# bits. Same band packing, so the banded pair join and the band-state
+# miner work on either hash relation unchanged.
+
+
+def dct8_basis_q6() -> list[list[int]]:
+    """The 8x8 orthonormal DCT-II basis in integer 1e-6 fixed point:
+    b[u][x] = round_half_away(alpha_u * cos(pi*(2x+1)u/16) * 10^6),
+    alpha_0 = sqrt(1/8), alpha_u = 1/2. ONE source of the integer
+    literals for BOTH the executor-side hash and the DuckDB oracle
+    (the registry embeds exactly these ints as VALUES), so the
+    irrational cosines never have to agree cross-engine — only exact
+    integer products do."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = []
+    for u in range(8):
+        alpha = math.sqrt(1 / 8) if u == 0 else 0.5
+        row = []
+        for x in range(8):
+            v = alpha * math.cos(math.pi * (2 * x + 1) * u / 16) * 1e6
+            row.append(int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP)))
+        out.append(row)
+    return out
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """pHash per decoded image payload, emitted as the same four-band
+    relation as ``image_ahash`` (b3 carries 15 bits — the DC
+    coefficient is excluded, classic pHash): decode → gray → 8×8 block
+    means (identical integers to aHash's) → 2-D DCT in exact int64
+    fixed point (D = B g8 B', B the shared 1e-6 integer basis) → bit j
+    set iff coefficient j exceeds the LOWER MEDIAN of the 63 non-DC
+    coefficients (rank tiebreak by index — fully deterministic, no
+    float anywhere after the basis quantization).
+
+    Magnitude bound: |D| <= 64 * (5e5)^2 * 255 ~ 4.1e15 — exact in
+    int64 (and below 2^53, so even a double-summing engine agrees).
+    Same 100 TB shape as aHash: Arrow-batched mapInPandas, 4 longs per
+    image downstream, the band relation is the persistable state and
+    ``image_ahash_pairs`` / ``image_ahash_pairs_from_state`` consume
+    it unchanged."""
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import imagecodec
+
+    basis = np.array(dct8_basis_q6(), dtype=np.int64)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = imagecodec.decode(bytes(payload)).astype(np.int64)
+                h, w, _ = img.shape
+                gray = img.sum(axis=-1) // 3
+                bh, bw = h // 8, w // 8
+                g8 = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(
+                    axis=(1, 3)
+                ) // (bh * bw)
+                d = basis @ g8 @ basis.T  # exact int64 (see bound above)
+                coeffs = [
+                    (int(d[u][v]), u * 8 + v)
+                    for u in range(8)
+                    for v in range(8)
+                    if (u, v) != (0, 0)
+                ]
+                med = sorted(coeffs)[31][0]  # lower median of 63, idx tiebreak
+                bits = [1 if c > med else 0 for c, _ in sorted(coeffs, key=lambda t: t[1])]
+                bands = [
+                    int(
+                        sum(
+                            bits[16 * k + j] << j
+                            for j in range(16)
+                            if 16 * k + j < 63
+                        )
+                    )
+                    for k in range(4)
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_AHASH_SCHEMA])
+
+    return media.select("doc_id", "payload").mapInPandas(_hash, IMAGE_AHASH_SCHEMA)

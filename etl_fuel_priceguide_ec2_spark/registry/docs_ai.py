@@ -388,3 +388,95 @@ def q_image_ahash_keeplist(spark, sf_dir):
         .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
         .withColumn("kept", F.col("component_id") == F.col("doc_id"))
     )
+
+
+# --- round-11 addition (post-freeze -> leads the round-12 window) ------
+# X5b completion: the DCT pHash — perceptual-hash pair member #2.
+# Same four-band relation contract as aHash (the pair join and the
+# band-state miner consume either), but bits threshold the low-
+# frequency DCT spectrum against its median instead of the luminance
+# mean — robust to global brightness/contrast shifts. The integer DCT
+# basis is generated ONCE (multimodal.dct8_basis_q6) and embedded in
+# the oracle as literal VALUES, so no irrational cosine ever has to
+# agree cross-engine — only exact int64 products do.
+
+def _phash_bands_ctes() -> str:
+    basis = multimodal.dct8_basis_q6()
+    vals = ", ".join(
+        f"({u}, {x}, {b})" for u, row in enumerate(basis) for x, b in enumerate(row)
+    )
+    return f"""px AS (
+      SELECT d.doc_id, d.doc_id % 100 AS cls,
+             p.p % 16 AS x, p.p // 16 AS y
+      FROM documents d CROSS JOIN unnest(generate_series(0, 255)) AS p(p)
+    ), gray AS (
+      SELECT doc_id, x, y,
+        ((CASE WHEN x = doc_id % 16 AND y = (doc_id // 16) % 16
+              THEN LEAST(255, ((cls * 37 + x * 11 + y * 5) % 256) + (doc_id % 5))
+              ELSE (cls * 37 + x * 11 + y * 5) % 256 END)
+         + ((cls * 59 + x * 3 + y * 17) % 256)
+         + ((cls * 83 + x * 7 + y * 13) % 256)) // 3 AS g
+      FROM px
+    ), cells AS (
+      SELECT doc_id, (y // 2) AS i, (x // 2) AS j, SUM(g) // 4 AS g8
+      FROM gray GROUP BY doc_id, (y // 2), (x // 2)
+    ), dctb AS (
+      -- CAST to BIGINT: bare VALUES ints infer INT32 and the basis
+      -- products overflow it (the sim's dtype-trap gotcha)
+      SELECT u, x, CAST(b AS BIGINT) AS b FROM (VALUES {vals}) t(u, x, b)
+    ), coeff AS MATERIALIZED (
+      SELECT c.doc_id, bu.u AS u, bv.u AS v,
+             CAST(SUM(bu.b * bv.b * c.g8) AS BIGINT) AS d
+      FROM cells c
+      JOIN dctb bu ON bu.x = c.i
+      JOIN dctb bv ON bv.x = c.j
+      GROUP BY c.doc_id, bu.u, bv.u
+    ), nondc AS (
+      SELECT doc_id, (u * 8 + v) AS idx, d
+      FROM coeff WHERE NOT (u = 0 AND v = 0)
+    ), med AS (
+      SELECT doc_id, d AS m FROM (
+        SELECT doc_id, d,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, idx) AS rn
+        FROM nondc
+      ) WHERE rn = 32
+    ), pbits AS (
+      SELECT n.doc_id, n.idx - 1 AS bidx,
+             CASE WHEN n.d > m.m THEN 1 ELSE 0 END AS bit
+      FROM nondc n JOIN med m USING (doc_id)
+    ), bands AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN bidx // 16 = 0 THEN (bit << (bidx % 16)) ELSE 0 END) AS BIGINT) AS b0,
+        CAST(SUM(CASE WHEN bidx // 16 = 1 THEN (bit << (bidx % 16)) ELSE 0 END) AS BIGINT) AS b1,
+        CAST(SUM(CASE WHEN bidx // 16 = 2 THEN (bit << (bidx % 16)) ELSE 0 END) AS BIGINT) AS b2,
+        CAST(SUM(CASE WHEN bidx // 16 = 3 THEN (bit << (bidx % 16)) ELSE 0 END) AS BIGINT) AS b3
+      FROM pbits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "image_phash_near_pairs",
+    f"""
+    WITH {_phash_bands_ctes()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def q_image_phash_near_pairs(spark, sf_dir):
+    """X5b: image near-dup pairs by DCT pHash over REAL decoded PPM
+    payloads — decode → gray → 8×8 block means → exact-int64 2-D DCT
+    (shared fixed-point basis) → median-threshold bits → the SAME
+    banded pair join as aHash (exact recall at Hamming <= 3 by
+    pigeonhole over the 4 bands). Completes the perceptual-hash pair:
+    aHash flags luminance-mean dups, pHash holds under global
+    brightness/contrast shifts. The oracle regenerates the pixels and
+    replays the identical integer spectrum math in SQL; the Spark side
+    earns its pixels through the real codec round trip."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
+    hashes = multimodal.image_phash(media)
+    return multimodal.image_ahash_pairs(hashes, max_hamming=3)

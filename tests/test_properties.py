@@ -2023,3 +2023,90 @@ def test_snm_multipass_recovers_prefix_dirt(spark):
     # forward order scatters "ccustomer#..." away from "customer#..."
     assert not (planted & fwd)
     assert planted <= both  # the reversed pass recovers every one
+
+
+def test_image_phash_same_class_docs_are_near_dups(spark):
+    """pHash planted recall: a one-pixel perturbation moves each DCT
+    coefficient by at most one basis product, so same-class pairs stay
+    within the banded blocking bound — the same contract as aHash over
+    the same four-band relation."""
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    hashes = multimodal.image_phash(multimodal.to_image_media(docs, "doc_id", classes=8))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_ahash_pairs(hashes, max_hamming=3).collect()
+    }
+    found = missing = 0
+    for a in range(40):
+        for b in range(a + 8, 40, 8):  # same class: b = a + k*classes
+            if (a, b) in pairs:
+                found += 1
+            else:
+                missing += 1
+    # spectrum bits near the median can flip where luminance bits don't;
+    # demand strong (not perfect) recall of the planted classes
+    assert found >= 4 * missing, (found, missing)
+    assert found > 0
+
+
+def test_image_phash_exactly_invariant_to_brightness_shift():
+    """The property aHash cannot claim bit-for-bit: every non-DC row of
+    the quantized DCT basis sums to EXACTLY zero (cosine antisymmetry
+    survives the symmetric half-away quantization), so adding a
+    constant to every pixel shifts only the excluded DC coefficient —
+    the 63 emitted bits are unchanged, exactly, in integer math."""
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    basis = np.array(multimodal.dct8_basis_q6(), dtype=np.int64)
+    assert [int(s) for s in basis.sum(axis=1)][1:] == [0] * 7
+
+    def phash_bits(g8):
+        d = basis @ g8 @ basis.T
+        coeffs = [
+            (int(d[u][v]), u * 8 + v)
+            for u in range(8)
+            for v in range(8)
+            if (u, v) != (0, 0)
+        ]
+        med = sorted(coeffs)[31][0]
+        return [c > med for c, _ in sorted(coeffs, key=lambda t: t[1])]
+
+    rng = np.random.default_rng(5)
+    g8 = rng.integers(0, 200, size=(8, 8)).astype(np.int64)
+    assert phash_bits(g8) == phash_bits(g8 + 40)
+
+
+def test_image_phash_band_relation_feeds_state_miner(spark):
+    """The four-band contract: the pHash relation drops into the
+    band-state incremental miner unchanged (hash-family polymorphism —
+    the state store does not care which perceptual hash filled it)."""
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    hashes = multimodal.image_phash(
+        multimodal.to_image_media(docs, "doc_id", classes=6)
+    )
+    batch = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_ahash_pairs(hashes, max_hamming=3).collect()
+    }
+    from pyspark.sql import functions as F
+
+    hist = hashes.filter(F.col("doc_id") < 15)
+    new = hashes.filter(F.col("doc_id") >= 15)
+    # probe slice = the new ingest, store = the FULL band relation
+    inc_new = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_ahash_pairs_from_state(
+            new, hashes, max_hamming=3
+        ).collect()
+    }
+    hist_only = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_ahash_pairs(hist, max_hamming=3).collect()
+    }
+    assert {**hist_only, **inc_new} == batch

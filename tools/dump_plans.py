@@ -108,6 +108,10 @@ NOTES = {
     "snm_multipass_pairs": "two global ranks (forward + reversed key), each the two-pass range-partition trick; the union dedups exactly because both passes emit the normal key — candidate volume 2*n*w, no skew possible.",
     "embedding_fisher_scores": "one scan into a |classes| x d DECIMAL-sum aggregate; all variance decomposition arithmetic happens on that tiny relation — the corpus never shuffles.",
     "pca_residual_outliers": "same two-scan map-only shape as the subspace scores: the total-energy aggregate is one more expression sharing the centered array; components broadcast as literals, nothing new shuffles.",
+    "zca_whitened_scores": "the Newton-Schulz inverse-sqrt fit runs DRIVER-SIDE on the collected d x d (bounded state); the cluster plan is the covariance aggregate plus ONE map-only projection with four folds sharing the centered array — identical scale shape to the PCA scores.",
+    "training_export_shards": "deterministic shuffle-to-shards: per-row md5 hash + shard id are pure codegen; positions come from global_row_number's ONE range exchange + the n_shards-row broadcast min-rank join — never a per-shard data window.",
+    "training_export_manifest": "the n_shards-row manifest aggregate over the sharded relation: count/max/sum partial-aggregate map-side, the final exchange carries 8 rows.",
+    "image_phash_near_pairs": "same banded plan family as aHash: Arrow-batched mapInPandas hashing (4 longs per image downstream), band-key equi self-join for candidates (never cartesian), exact popcount verify on the 4-band rows.",
 }
 
 

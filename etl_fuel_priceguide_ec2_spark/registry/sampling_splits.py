@@ -197,3 +197,94 @@ def q_training_export_manifest(spark, sf_dir):
         keep, "doc_id", n_shards=_N_SHARDS, seed=_SHARD_SEED
     )
     return export.shard_manifest(sharded, {"total_chars": "n_chars"})
+
+
+# Round-11: the export sharder x decontamination composition — the
+# pre-flight report a training run reads BEFORE consuming the shards:
+# which shards still carry benchmark-contaminated documents, and how
+# bad the worst overlap is. Registered post-freeze (round-12 window).
+
+_CONTAM_THRESHOLD = 0.5
+
+
+@register(
+    "training_export_contamination_manifest",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_filter(list_transform(
+          range(1, greatest(len(toks) - 5, 0) + 2),
+          i -> array_to_string(list_slice(toks, i, i + 4), ' ')),
+          g -> g <> '')) AS gs
+      FROM tok
+    ), dg AS (SELECT doc_id, UNNEST(gs) AS g FROM grams),
+    bg AS (SELECT doc_id AS bench_id, CAST(len(gs) AS BIGINT) AS bench_ngrams,
+                  UNNEST(gs) AS g
+           FROM grams WHERE doc_id < 10),
+    contam AS (
+      SELECT doc_id, MAX(contamination) AS contamination FROM (
+        SELECT d.doc_id, bench_id,
+               ROUND(COUNT(*) * 1.0 / bench_ngrams, 6) AS contamination
+        FROM dg d JOIN bg USING (g) WHERE d.doc_id <> bench_id
+        GROUP BY d.doc_id, bench_id, bench_ngrams
+      ) GROUP BY doc_id
+    ), sharded AS (
+      {_SHARDED_SQL}
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE COALESCE(contamination, 0.0)
+                                       >= {_CONTAM_THRESHOLD}) AS BIGINT)
+             AS n_contaminated,
+           ROUND(MAX(COALESCE(contamination, 0.0)), 6) AS max_contamination
+    FROM sharded s LEFT JOIN contam USING (doc_id)
+    GROUP BY shard
+    """,
+)
+def q_training_export_contamination_manifest(spark, sf_dir):
+    """Per-shard decontamination pre-flight (8 rows): for every export
+    shard, how many of its documents overlap a benchmark document at
+    >= 50% distinct-5-gram contamination (self-pairs excluded — bench
+    docs legitimately appear in their own training split), and the
+    shard's worst overlap. Ties the export sharder into the
+    decontamination family: the flagged-doc relation is corpus-scan
+    work already computed by contamination_check; the manifest itself
+    is an n_shards-row aggregate off an id-keyed left join."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import export, textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+    contam = (
+        textops.contamination_check(
+            docs, bench, "doc_id", "text", "bench_id", "bench_text", n=5
+        )
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id")
+        .agg(F.max("contamination").alias("contamination"))
+    )
+    keep = _train_keep_list(spark, sf_dir)
+    sharded = export.shard_positions(
+        keep, "doc_id", n_shards=_N_SHARDS, seed=_SHARD_SEED
+    )
+    return (
+        sharded.join(contam, "doc_id", "left")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(
+                F.when(
+                    F.coalesce("contamination", F.lit(0.0))
+                    >= _CONTAM_THRESHOLD,
+                    1,
+                )
+            ).cast("long").alias("n_contaminated"),
+            F.round(
+                F.max(F.coalesce("contamination", F.lit(0.0))), 6
+            ).alias("max_contamination"),
+        )
+    )

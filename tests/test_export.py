@@ -138,3 +138,48 @@ def test_writer_roundtrip_preserves_order(spark, docs, tmp_path):
 def test_shard_positions_validates_args(docs):
     with pytest.raises(ValueError):
         export.shard_positions(docs, "doc_id", 0)
+
+
+def test_contamination_manifest_flags_planted_dup(spark):
+    """The composition's interesting path, planted: a keep-list doc
+    that copies a benchmark doc must surface in its shard's
+    n_contaminated with max_contamination ~ 1."""
+    from etl_fuel_priceguide_ec2_spark.operators import textops as t
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, bench_text)]  # the benchmark doc
+    rows += [(i, f"clean document number {i} with its own words entirely") for i in range(1, 9)]
+    rows.append((9, bench_text))  # the planted contaminated training doc
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    bench = docs.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+    contam = (
+        t.contamination_check(
+            docs, bench, "doc_id", "text", "bench_id", "bench_text", n=5
+        )
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id")
+        .agg(F.max("contamination").alias("contamination"))
+    )
+    keep = docs.filter(F.col("doc_id") > 0).select("doc_id")
+    sharded = export.shard_positions(keep, "doc_id", 2, seed=SEED)
+    man = (
+        sharded.join(contam, "doc_id", "left")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(
+                F.when(F.coalesce("contamination", F.lit(0.0)) >= 0.5, 1)
+            ).cast("long").alias("n_contaminated"),
+            F.round(
+                F.max(F.coalesce("contamination", F.lit(0.0))), 6
+            ).alias("max_contamination"),
+        )
+        .collect()
+    )
+    planted_shard = {r.doc_id: r.shard for r in sharded.collect()}[9]
+    by_shard = {r.shard: r for r in man}
+    assert by_shard[planted_shard].n_contaminated == 1
+    assert by_shard[planted_shard].max_contamination == 1.0
+    assert sum(r.n_contaminated for r in man) == 1

@@ -183,3 +183,23 @@ def test_contamination_manifest_flags_planted_dup(spark):
     assert by_shard[planted_shard].n_contaminated == 1
     assert by_shard[planted_shard].max_contamination == 1.0
     assert sum(r.n_contaminated for r in man) == 1
+
+
+def test_example_training_export_pipeline(tmp_path):
+    """examples/training_export_pipeline.py — split → chunk → pack →
+    shard → write → manifest → pre-flight, with conservation at every
+    seam."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "export_example",
+        Path(__file__).parent.parent / "examples" / "training_export_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main("/root/testdata/sf0.001", out_dir=str(tmp_path / "sh"))
+    assert out["bins"] > 0
+    assert out["manifest_docs"] == out["bins"] == out["written_rows"]
+    assert out["dense"] is True
+    assert out["shards"] <= mod.N_SHARDS

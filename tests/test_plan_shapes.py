@@ -675,3 +675,38 @@ def test_curation_decision_plan_no_cartesian_single_shingle_scan(spark, sf_dir):
     # both miners' df-frequency/prefix passes and the classifier model
     # joins hash-join; no sort-merge join should survive AQE at this size
     assert "BroadcastHashJoin" in plan
+
+
+def test_export_sharder_no_per_shard_data_window(spark, sf_dir):
+    """The sharder's load-bearing shape: positions come from the
+    two-pass global rank (ONE range exchange over the data) plus the
+    broadcast n_shards-row min-rank join — never a per-shard window
+    over the data (corpus/n_shards rows through single tasks at 100
+    TB), never a sort-merge join, never a cartesian."""
+    import re
+
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["training_export_shards"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the min-rank join
+    # exactly one range repartition of the data (global_row_number's);
+    # every Window node must partition on the tiny __pid relation, not
+    # on the shard column over the corpus
+    assert len(re.findall(r"\(\d+\) Exchange rangepartitioning", plan)) <= 1
+    for m in re.finditer(r"Window \[[^\]]*partitionBy=\[([^\]]*)\]", plan):
+        assert "shard" not in m.group(1)
+
+
+def test_zca_projection_is_map_only(spark, sf_dir):
+    """After the driver-side fit, the emitted plan must be a pure
+    map-only projection over one scan — no join, no exchange, no
+    window (the whitener rides as literals)."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["zca_whitened_scores"](spark, sf_dir)
+    plan = _plan(df)
+    for node in ("Join", "Exchange", "Window", "Generate"):
+        assert node not in plan, node

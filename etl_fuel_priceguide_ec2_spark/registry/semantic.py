@@ -853,8 +853,9 @@ from etl_fuel_priceguide_ec2_spark.operators import embeddings as _emb
 def q_embedding_covariance(spark, sf_dir):
     """Population covariance of the 64-dim embedding column, upper
     triangle (2 080 rows regardless of corpus size). Zero-join plan:
-    each row explodes its own outer product straight into a
-    map-side-combined aggregate; sums are DECIMAL-exact over
+    each task folds its rows' outer products into one d(d+1)/2-row
+    integer-microunit partial (Arrow-batched mapInPandas) and the
+    exchange merges partials; sums are DECIMAL-exact over
     9dp-quantized terms, so the result is addition-order-free."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _emb.embedding_covariance(emb, "vec_id", "embedding")

@@ -273,6 +273,85 @@ def test_covariance_from_state_bit_identical_to_batch(vecs_df):
     assert merged == batch
 
 
+def _explode_second_moment(df, vec_col):
+    """The pre-round-11 higher-order-function explode form of the
+    second-moment aggregate, rebuilt inline as the reference semantics:
+    Spark's ROUND(double, 9) (shortest-repr BigDecimal) cast to
+    decimal(30,12), summed. The Arrow-batched partial aggregate that
+    replaced it must stay BIT-IDENTICAL to this on every input class —
+    including the magnitudes and .5-boundary products outside its
+    vectorized fast path's proof envelope."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = F.size(v)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), d),
+            lambda i: F.transform(
+                F.sequence(i, d),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.round(
+                        F.element_at(v, i) * F.element_at(v, j), 9
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(30,12)")).alias("s_ij"))
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            "s_ij",
+        )
+    )
+
+
+def test_second_moment_arrow_partials_match_jvm_explode(spark):
+    """Adversarial bit-identity pin for the round-11 vectorized
+    second-moment partials: ragged lengths, mixed magnitudes spanning
+    1e-6..1e7-scale products (forcing the exact slow path), values ON
+    .5e-9 rounding boundaries, NaN and NULL elements, whole-NULL
+    vectors, and an all-NULL dimension (NULL s_ij row) must all equal
+    the JVM explode form exactly."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(240):
+        n = 1 + i % 5
+        vec = [
+            rnd.uniform(-10, 10) * (10 ** rnd.randint(-6, 3))
+            for _ in range(n)
+        ]
+        if i % 9 == 0 and n >= 3:
+            vec[1] = float("nan")
+        if i % 13 == 0:
+            vec[0] = None
+        rows.append((i, None if i % 17 == 0 else vec))
+    rows += [(1000 + i, [5e-10, 1.5e-9, -2.5e-9, 1.0000000005]) for i in range(40)]
+    rows += [(2000 + i, [1.0 * i, None, 0.5 * i]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>"
+    )
+    want = sorted(
+        map(tuple, _explode_second_moment(df, "embedding").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            embeddings.embedding_second_moment_state(
+                df, "vec_id", "embedding"
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_pca_zorder_clusters_pc_space(vecs_df):
     """Layout property: consecutive vectors in Z-order are far closer
     in PCA space than random pairs — the row-group locality the layout

@@ -96,7 +96,7 @@ NOTES = {
     "sorted_neighborhood_pairs": "global order WITHOUT a global window: range-repartition + per-partition row_number + a #partitions-row broadcast offset join; the w-neighborhood forms as an equi-join on the dense unique rank (candidate volume exactly n*w, no skew possible).",
     "bigram_lm_quality": "two vocabulary-sized map-side-combined aggregates (bigram + context counts) fold into one model relation joined once by the scoring pass; the 1-row vocab total broadcasts — the corpus is scanned twice and shuffled only as vocabulary-sized counts.",
     "tfidf_cosine_pairs": "top-k sparsification doubles as blocking: per-doc windows rank terms in parallel, idf evicts stopwords from every kept set, and pairs form only through shared kept terms — an inverted-index join whose posting lists are df_k << df, never all-pairs.",
-    "embedding_covariance": "zero-join against the corpus: each row explodes its own upper-triangle outer product straight into a map-side-combined aggregate (the exchange carries d(d+1)/2 rows per task); the d-row marginals broadcast.",
+    "embedding_covariance": "zero-join against the corpus: each task folds its rows' upper-triangle outer products into ONE d(d+1)/2-row integer-microunit partial (Arrow-batched mapInPandas, numpy-vectorized), and the exchange merges partials; the d-row marginals broadcast.",
     "pca_top2_subspace_scores": "covariance + means are the ONLY driver-side state; power iteration + deflation run there and the K components broadcast back as array literals — the projection is one map-only pass with K aggregate expressions sharing the centered array.",
     "embedding_outlier_zscores": "one d-row stats aggregate, a sanctioned d-row collect, then a map-only scoring pass with mu/var as broadcast literals — the corpus never shuffles.",
     "curation_decision_outlier_gated": "the eighth capstone signal composes as an id-keyed broadcast left join of a tiny flagged-id set against the decision relation; the gate threshold is fixed (chi-square scale), so no global sort of z-distances is ever needed.",

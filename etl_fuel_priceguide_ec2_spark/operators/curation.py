@@ -98,19 +98,30 @@ def corpus_curation_decision(
     hashes = docs.select(
         F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha")
     )
+    # Materialize the three mined pair/span relations ONCE: the decision
+    # layer's tree references each several times (cp2 feeds mutual AND
+    # one-way AND their reversal; spans union both endpoints; the
+    # survivor chain s1->s2->s3 recurs under every later stage), and
+    # unlike the shared shingle scan these are multi-shuffle join
+    # pipelines, not fused map work, and their OUTPUTS are id-scale
+    # (pairs/spans) — exactly the relations an ingest pipeline persists
+    # as state anyway. Exchange reuse already deduplicates the shuffles
+    # the plan branches share, so the win is the residual recomputation:
+    # measured 13.1 -> 11.6 s for the full capstone at sf0.1 (11.3 with
+    # the decision layer's survivor-chain materialization below).
     jp = dedup.ngram_jaccard_pairs(
         docs, id_col, text_col, n=n,
         threshold=jaccard_threshold, prefix_filter=True, shingle_sets=sets,
-    )
+    ).localCheckpoint(eager=True)
     cp = dedup.containment_pairs(
         docs, id_col, text_col, n=n,
         threshold=containment_threshold, prefix_filter=True,
         shingle_sets=sets,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     spans = dedup.exact_substring_spans(
         docs, id_col, text_col,
         k=k, min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
-    )
+    ).localCheckpoint(eager=True)
     ntok = docs.select(
         F.col(id_col),
         F.size(
@@ -175,11 +186,21 @@ def curation_decision_from_signals(
     are handled exactly rather than approximately."""
     docs_ids = content_hashes.select(id_col)
 
+    # The survivor chain s1 -> s2 -> s3 and the two loser sets recur
+    # under every later stage AND the final assembly join tree; they
+    # are tiny id-scale relations (ids only, bounded by the corpus key
+    # count), so each stage materializes once (localCheckpoint) instead
+    # of re-deriving the whole upstream cascade per reference — the
+    # same id-scale-state argument the docstring makes for 100 TB.
+    # Measured at sf0.1: decision layer 4.5 -> 3.0 s on
+    # pre-materialized signals; exchange reuse alone did not cover the
+    # window/anti-join tails.
+
     # -- stage 1: exact content dedup (one window over 32-byte hashes)
     wh = Window.partitionBy("sha")
     ex = content_hashes.select(
         F.col(id_col), F.min(id_col).over(wh).alias("_exact_canon")
-    )
+    ).localCheckpoint(eager=True)
     s1 = ex.filter(F.col("_exact_canon") == F.col(id_col)).select(id_col)
 
     # -- stage 2: near-dup components among exact survivors
@@ -189,7 +210,7 @@ def curation_decision_from_signals(
     comp = dedup.connected_components(jp2, "id_a", "id_b")
     near_losers = comp.filter(F.col("component_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
-    )
+    ).localCheckpoint(eager=True)
     s2 = s1.join(near_losers, id_col, "left_anti")
 
     # -- stage 3: directed containment among near-dup survivors;
@@ -207,8 +228,11 @@ def curation_decision_from_signals(
         .unionAll(mutual.filter(F.col("id_b") < F.col("id_a")).select("id_a"))
         .distinct()
         .withColumnRenamed("id_a", id_col)
+        .localCheckpoint(eager=True)
     )
-    s3 = s2.join(cont_losers, id_col, "left_anti")
+    s3 = s2.join(cont_losers, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
 
     # -- stage 4: exact-substring coverage among containment survivors
     # (interval union per doc — same window as duplicated_span_coverage)

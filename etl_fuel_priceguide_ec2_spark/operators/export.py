@@ -55,6 +55,44 @@ def _shard_hash(id_col: str, seed: str) -> Column:
     ).cast("long")
 
 
+def with_shard_keys(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """All input columns plus (shard, __h): the PURE-MAP half of the
+    deterministic shuffle — per-row hash and bucket only, no rank.
+    Streaming-safe by construction (a foreachBatch export writer can
+    stage micro-batches with these columns and assign positions later:
+    the total order (shard, __h, id) is append-stable, so the staged
+    store finalizes to the same positions batch boundaries or not —
+    ``streaming.feeds.training_export_stage_stream``)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return df.withColumn("__h", _shard_hash(id_col, seed)).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("long")
+    )
+
+
+def positions_from_staged(staged: DataFrame, id_col: str) -> DataFrame:
+    """Dense 1-based in-shard positions over an already-keyed relation
+    (carries the ``with_shard_keys`` columns): ONE global two-pass rank
+    on (shard, __h, id) plus the broadcast n_shards-row min-rank join —
+    never a per-shard window over the data."""
+    ranked = global_row_number(staged, ["shard", "__h", id_col], out_col="__rn")
+    # n_shards-row relation: each shard's minimum global rank; positions
+    # are rank offsets, so no per-shard window over the data is needed
+    mins = ranked.groupBy("shard").agg(F.min("__rn").alias("__rn0"))
+    return (
+        ranked.join(F.broadcast(mins), "shard")
+        .withColumn(
+            "shard_pos", (F.col("__rn") - F.col("__rn0") + 1).cast("long")
+        )
+        .drop("__h", "__rn", "__rn0")
+    )
+
+
 def shard_positions(
     df: DataFrame,
     id_col: str,
@@ -71,21 +109,8 @@ def shard_positions(
     Requires unique ids (positions come from a strict total order on
     (shard, h, id); duplicate ids would share h and tie-break
     arbitrarily — enforce upstream, e.g. the curation keep-list)."""
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    hashed = df.withColumn("__h", _shard_hash(id_col, seed)).withColumn(
-        "shard", (F.col("__h") % n_shards).cast("long")
-    )
-    ranked = global_row_number(hashed, ["shard", "__h", id_col], out_col="__rn")
-    # n_shards-row relation: each shard's minimum global rank; positions
-    # are rank offsets, so no per-shard window over the data is needed
-    mins = ranked.groupBy("shard").agg(F.min("__rn").alias("__rn0"))
-    return (
-        ranked.join(F.broadcast(mins), "shard")
-        .withColumn(
-            "shard_pos", (F.col("__rn") - F.col("__rn0") + 1).cast("long")
-        )
-        .drop("__h", "__rn", "__rn0")
+    return positions_from_staged(
+        with_shard_keys(df, id_col, n_shards, seed), id_col
     )
 
 

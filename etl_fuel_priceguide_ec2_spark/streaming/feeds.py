@@ -527,3 +527,60 @@ def embedding_moment_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def training_export_stage_stream(
+    stream: DataFrame,
+    id_col: str,
+    n_shards: int,
+    staged_path: str,
+    checkpoint: str,
+    seed: str = "",
+):
+    """Streaming half of the training-export sharder
+    (``operators/export.py``): each micro-batch of curated documents
+    gets the deterministic (shard, __h) keys — PURE per-row map work,
+    so it runs inside the micro-batch with no state — and APPENDS to
+    the staged store with a ``_batch`` column. Positions are
+    deliberately NOT assigned here: dense in-shard positions need the
+    global rank, but the total order (shard, __h, id) is
+    append-stable, so ``finalize_training_export`` over the
+    accumulated store yields BIT-identical (shard, shard_pos)
+    assignments to a batch ``shard_positions`` over the same rows
+    (pinned by test) — batch boundaries are invisible, exactly the
+    moment-state argument. Replay safety: at-least-once foreachBatch
+    redelivery duplicates whole batches; a batch writes each id at
+    most once, so the finalizer dedupes on (_batch, id) exactly."""
+    from etl_fuel_priceguide_ec2_spark.operators import export as _export
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            _export.with_shard_keys(batch_df, id_col, n_shards, seed)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(staged_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def finalize_training_export(spark, staged_path: str, id_col: str) -> DataFrame:
+    """Assign dense in-shard positions over everything the stage
+    stream accumulated: read the staged store, strip replayed batches
+    (dropDuplicates on (_batch, id) — SUM-free, so unlike the moment
+    stores a replay can only duplicate rows, never skew values), and
+    run the SAME global-rank position assignment the batch sharder
+    uses. Equal to ``shard_positions`` over the union of all staged
+    micro-batches, regardless of how the stream was chopped."""
+    from etl_fuel_priceguide_ec2_spark.operators import export as _export
+
+    staged = spark.read.parquet(staged_path)
+    staged = staged.dropDuplicates(["_batch", id_col]).drop("_batch")
+    return _export.positions_from_staged(staged, id_col)

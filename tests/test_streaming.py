@@ -620,3 +620,87 @@ def test_streaming_embedding_moments_match_batch(spark, sf_dir, tmp_path):
         )
     )
     assert merged == direct
+
+
+def test_streaming_export_staging_matches_batch_sharding(spark, sf_dir, tmp_path):
+    """Streaming training-export: micro-batches stage (shard, __h)
+    keys and finalize_training_export assigns positions over the
+    accumulated store — BIT-identical (shard, shard_pos) to the batch
+    shard_positions over the same rows, however the stream was chopped
+    (the total order (shard, __h, id) is append-stable).
+    maxFilesPerTrigger forces several micro-batches."""
+    from etl_fuel_priceguide_ec2_spark.operators import export
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    src = str(tmp_path / "doc_slices")
+    docs.withColumn("_slice", F.col("doc_id") % 3).repartition(
+        3, "_slice"
+    ).drop("_slice").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    staged = str(tmp_path / "staged")
+    q = feeds.training_export_stage_stream(
+        stream, "doc_id", 8, staged, str(tmp_path / "ckpt"), seed="s1"
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in feeds.finalize_training_export(spark, staged, "doc_id")
+        .select("doc_id", "shard", "shard_pos")
+        .collect()
+    )
+    batch = sorted(
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in export.shard_positions(
+            spark.read.parquet(src), "doc_id", 8, seed="s1"
+        )
+        .select("doc_id", "shard", "shard_pos")
+        .collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == docs.count()
+
+
+def test_streaming_export_finalize_strips_replayed_batch(spark, sf_dir, tmp_path):
+    """At-least-once replay: re-appending one micro-batch's staged
+    rows (same _batch id) must not change the finalized positions —
+    the finalizer's (_batch, id) dedupe strips whole-batch replays
+    exactly."""
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    src = str(tmp_path / "doc_slices")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    staged = str(tmp_path / "staged")
+    q = feeds.training_export_stage_stream(
+        stream, "doc_id", 4, staged, str(tmp_path / "ckpt"), seed="s2"
+    )
+    q.awaitTermination(120)
+
+    clean = sorted(
+        map(
+            tuple,
+            feeds.finalize_training_export(spark, staged, "doc_id")
+            .select("doc_id", "shard", "shard_pos")
+            .collect(),
+        )
+    )
+    # simulate the crash-then-redeliver replay: one staged batch lands twice
+    replay = spark.read.parquet(staged).filter(F.col("_batch") == 0).limit(50)
+    replay.write.mode("append").parquet(staged)
+    replayed = sorted(
+        map(
+            tuple,
+            feeds.finalize_training_export(spark, staged, "doc_id")
+            .select("doc_id", "shard", "shard_pos")
+            .collect(),
+        )
+    )
+    assert replayed == clean

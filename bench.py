@@ -158,6 +158,15 @@ HEADLINE = [
     "zca_whitened_scores",
     "training_export_shards",
     "training_export_manifest",
+    # round-11 late additions: the remaining embedding-tier scale
+    # stories missing from the series — the slice-state covariance
+    # merge (the 100 TB incremental shape: 4 state builds + a
+    # d(d+1)/2-row groupBy-SUM), and the z-order layout + probe pair
+    # (storage order AS the index; probe reads O(3/2^prefix_bits) of
+    # the corpus)
+    "embedding_covariance_from_state",
+    "embedding_pca_zorder_layout",
+    "similarity_topk_zorder",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

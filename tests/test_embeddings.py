@@ -352,6 +352,25 @@ def test_second_moment_arrow_partials_match_jvm_explode(spark):
     assert got == want
 
 
+def test_second_moment_partials_partition_invariant(vecs_df):
+    """The Arrow partial aggregate's per-task fold must be invisible:
+    any partitioning of the same rows yields the identical decimal
+    state (int-microunit partials are order- and boundary-free)."""
+    outs = []
+    for nparts in (1, 3, 13):
+        outs.append(
+            sorted(
+                map(
+                    tuple,
+                    embeddings.embedding_second_moment_state(
+                        vecs_df.repartition(nparts), "vec_id", "embedding"
+                    ).collect(),
+                )
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_pca_zorder_clusters_pc_space(vecs_df):
     """Layout property: consecutive vectors in Z-order are far closer
     in PCA space than random pairs — the row-group locality the layout

@@ -88,7 +88,7 @@ NOTES = {
     "winnow_candidate_pairs": "the winnow min is one window on the id partitioning; the fingerprint index is ~2/(w+1) of the gram relation; hot fingerprints capped before the candidate self-join.",
     "bpe_encoded_vocab": "the encode relation is VOCAB-sized (Heaps' law): per-word symbol state from the training loop folds into one string_agg-style ordered aggregate per word.",
     "bpe_tokens_per_doc": "the vocab-sized encode relation broadcast-stamps the corpus word stream; the only corpus-scale exchange is the per-doc sum.",
-    "corpus_curation_decision": "the capstone composition: ONE tokenize+shingle scan feeds both set-similarity miners and ONE featurization pass feeds both classifiers; every signal keeps its audited plan (prefix joins, capped gram join, HashMin CC, broadcast classifier weights); the decision layer adds only id-keyed left joins — payloads never rejoin after tokenization.",
+    "corpus_curation_decision": "the capstone composition: ONE tokenize+shingle scan feeds both set-similarity miners and ONE featurization pass feeds both classifiers; since round 11 the mined pair/span relations and the survivor-chain id sets are localCheckpointed, so the printed plan is the DECISION layer over materialized id-scale state (the miners' audited plans appear under their standalone entries); the decision layer adds only id-keyed joins — payloads never rejoin after tokenization.",
     "curation_decision_incremental": "the daily-ingest capstone: pair/span mining runs ONLY new-vs-all from persisted shingle/gram state (history x history never re-forms, history text never re-tokenizes); the id-scale decision layer re-decides over persisted + new signals, so late bridge docs re-elect canonicals exactly.",
     "containment_keeplist": "mutual containment pairs cluster via HashMin CC (min-id canonical); one-way containment drops the contained copy via an id-keyed anti pattern — the pair relation, not the corpus, carries every exchange.",
     "image_ahash_keeplist": "decode + hash in ONE Arrow pass (4 longs per image shuffle), banded candidate join with pigeonhole-exact recall at Hamming <= 3, CC on the tiny pair relation; payloads never leave the executors.",

@@ -706,7 +706,14 @@ def q_doc_embedding_topk(spark, sf_dir):
     from pyspark.sql import Window, functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    u = textops.hashed_tfidf_components(docs, "doc_id", "text", dim=64)
+    # Materialize the embedding store once: both the corpus index side
+    # and the filtered query side read it, and the full TF-IDF pipeline
+    # (tokenize -> df counts -> norms) would otherwise run twice — in
+    # production this relation is the persisted doc-embedding store
+    # (doc_hashed_embeddings), not a live recomputation.
+    u = textops.hashed_tfidf_components(
+        docs, "doc_id", "text", dim=64
+    ).localCheckpoint(eager=True)
     q = (
         u.filter(F.col("doc_id") < 5)
         .select(

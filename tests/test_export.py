@@ -203,3 +203,23 @@ def test_example_training_export_pipeline(tmp_path):
     assert out["manifest_docs"] == out["bins"] == out["written_rows"]
     assert out["dense"] is True
     assert out["shards"] <= mod.N_SHARDS
+
+
+def test_example_streaming_export_pipeline(tmp_path):
+    """examples/streaming_export_pipeline.py — micro-batched staging →
+    replay-deduped finalize → shards, with the inline append-stability
+    proof (streamed == batch sharding) asserted true."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_export_example",
+        Path(__file__).parent.parent / "examples" / "streaming_export_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main("/root/testdata/sf0.001", out_dir=str(tmp_path))
+    assert out["micro_batches"] >= 2
+    assert out["identical_to_batch_sharding"] is True
+    assert out["finalized_rows"] == out["ingested_docs"] == out["manifest_docs"]
+    assert out["dense"] is True

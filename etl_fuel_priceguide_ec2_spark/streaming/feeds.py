@@ -553,6 +553,11 @@ def training_export_stage_stream(
     most once, so the finalizer dedupes on (_batch, id) exactly."""
     from etl_fuel_priceguide_ec2_spark.operators import export as _export
 
+    if n_shards < 1:
+        # fail BEFORE the stream starts — inside foreachBatch this
+        # would surface as an opaque first-micro-batch query failure
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
     def _one(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return

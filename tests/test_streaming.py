@@ -704,3 +704,40 @@ def test_streaming_export_finalize_strips_replayed_batch(spark, sf_dir, tmp_path
         )
     )
     assert replayed == clean
+
+
+def test_streaming_export_validates_n_shards_before_start(spark, tmp_path):
+    """A bad n_shards must raise at call time, not as an opaque
+    first-micro-batch failure inside foreachBatch."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    spark.range(5).withColumnRenamed("id", "doc_id").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    with pytest.raises(ValueError, match="n_shards"):
+        feeds.training_export_stage_stream(
+            stream, "doc_id", 0, str(tmp_path / "staged"), str(tmp_path / "ck")
+        )
+
+
+def test_streaming_export_single_shard_degenerate(spark, tmp_path):
+    """n_shards=1: everything lands in shard 0 with positions 1..N in
+    the seeded hash order — the degenerate case still finalizes dense."""
+    src = str(tmp_path / "src")
+    spark.range(40).withColumnRenamed("id", "doc_id").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    staged = str(tmp_path / "staged")
+    feeds.training_export_stage_stream(
+        stream, "doc_id", 1, staged, str(tmp_path / "ck")
+    ).awaitTermination(60)
+    rows = (
+        feeds.finalize_training_export(spark, staged, "doc_id")
+        .select("shard", "shard_pos")
+        .collect()
+    )
+    assert {r.shard for r in rows} == {0}
+    assert sorted(r.shard_pos for r in rows) == list(range(1, 41))

@@ -550,7 +550,12 @@ def training_export_stage_stream(
     (pinned by test) — batch boundaries are invisible, exactly the
     moment-state argument. Replay safety: at-least-once foreachBatch
     redelivery duplicates whole batches; a batch writes each id at
-    most once, so the finalizer dedupes on (_batch, id) exactly."""
+    most once, so the finalizer dedupes on (_batch, id) exactly.
+
+    Reference parity: the streaming form of the reference's
+    incremental load loop (``index.js:63-79,153-168`` — compare the
+    arriving slice against persisted state, write only what the slice
+    adds), re-expressed for training-data scale."""
     from etl_fuel_priceguide_ec2_spark.operators import export as _export
 
     if n_shards < 1:

@@ -46,73 +46,26 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-11 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 12, never slot into
+# Round-12 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 13, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-10 driver artifacts (CORRECTNESS_r10/BENCH_r10):
+# committing the round-11 driver artifacts (CORRECTNESS_r11/BENCH_r11):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Slots 1-12: ALL twelve round-10 post-freeze additions (never in a
-# driver window; every one sim-green at sf0.01 with committed
-# SIMLOG.json records and judge-sim-green per VERDICT r10). Slots
-# 13-22: the r06-last-green remainder (contamination_attribution + the
-# sketch block). Slots 23-50: the stalest r07 cohort, ledger order.
-# Slots 51-70 pin the round-12 net head (r07 remainder, ledger order).
+# Slots 1-5: the five round-11 post-freeze additions (never in a driver
+# window; each sim-green at sf0.01 with committed SIMLOG.json records
+# and judge-sim-green per VERDICT r11). Slots 6-27: the r07-last-green
+# remainder, ledger order. Slots 28-50: the stalest r08 cohort, ledger
+# order. Slots 51-70 pin the round-13 net head (next-stalest r08
+# cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 12 round-10 post-freeze additions (never driver-seen) ---
-    "snm_multipass_pairs",
-    "doc_hashed_embeddings",
-    "doc_embedding_topk",
-    "curation_decision_outlier_gated",
-    "pca_top2_subspace_scores",
-    "embedding_outlier_zscores",
-    "embedding_covariance_from_state",
-    "embedding_pca_zorder_layout",
-    "similarity_topk_zorder",
-    "embedding_zdist_quantiles",
-    "embedding_fisher_scores",
-    "pca_residual_outliers",
-    # --- r06-last-green remainder (ledger order) ---
-    "contamination_attribution",
-    "hll_users_by_event_type",
-    "hll_distinct_event_ids",
-    "hll_weekly_rollup_users",
-    "heavy_hitter_users",
-    "hll_intersection_user_sets",
-    "bloom_membership_orders",
-    "cms_user_event_counts",
-    "cms_token_frequencies",
-    "dd_quantile_order_totals",
-    # --- stalest r07 cohort (ledger order) ---
-    "projection_rename",
-    "null_filter_shaping",
-    "keyed_changes",
-    "scalar_battery",
-    "run_metrics",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_priority",
-    "rollup_brand_stats",
-    "set_ops_symmetric_diff",
-    "distinct_users_by_type",
-    "json_props_agg",
-    "window_running_sum",
-    "part_affinity_lift",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "minhash_incremental_pairs",
-    "similarity_topk",
-    "bm25_topk_docs",
-    "bpe_merge_candidates",
-    "hybrid_rrf_topk_docs",
-    "bpe_learned_merges",
-    "zorder_layout_lineitem",
-    "pagerank_supplier_customer",
-    "triangle_counts_part_graph",
-    "try_functions_battery",
-    "bitwise_battery",
-    # --- slots 51+: past the driver window; round-12 net head ---
+    # --- 5 round-11 post-freeze additions (never driver-seen) ---
+    "image_phash_near_pairs",
+    "training_export_shards",
+    "training_export_manifest",
+    "training_export_contamination_manifest",
+    "zca_whitened_scores",
+    # --- r07-last-green remainder (ledger order) ---
     "csv_roundtrip_battery",
     "similarity_topk_int8",
     "key_skew_profile",
@@ -133,6 +86,53 @@ _ROUND_PRIORITY: list[str] = [
     "semantic_dedup_pairs",
     "kmv_intersection_user_sets",
     "dd_quantile_weekly_rollup",
+    "cms_selfjoin_size_events",
+    "kmv_distinct_by_event_type",
+    # --- stalest r08 cohort (ledger order) ---
+    "minhash_dedup_keeplist",
+    "exact_substring_spans",
+    "duplicated_span_coverage",
+    "exact_substring_incremental_spans",
+    "phrase_occurrences",
+    "scrub_duplicated_spans",
+    "winnow_candidate_pairs",
+    "containment_pairs",
+    "symspell_edit1_pairs",
+    "similarity_topk_ivf",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "audio_waveform_stats",
+    "audio_zero_crossings",
+    "image_ahash_near_pairs",
+    "stream_window_counts",
+    "price_change_deltas",
+    "sessionize_events",
+    # --- slots 51+: past the driver window; round-13 net head ---
+    "asof_join_tolerance_7d",
+    "event_transition_matrix",
+    "pivot_event_counts",
+    "percentile_prices",
+    "string_battery",
+    "json_struct_parse",
+    "semi_join_active_customers",
+    "ohlc_daily_values",
+    "tfidf_top_terms",
+    "vocabulary_top20",
+    "bigram_top_per_lang",
+    "mad_outlier_docs",
+    "bpe_encoded_vocab",
+    "bpe_tokens_per_doc",
+    "array_element_access",
+    "json_error_tolerance",
+    "hits_trade_authorities",
+    "multimodal_resize",
+    "dedup_clusters",
+    "quality_classifier_scores",
 ]
 
 

@@ -41,6 +41,13 @@ from pyspark.sql import functions as F
 from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
 
 _SUM_DEC = "decimal(30,12)"
+# Merge/partial width: decimal(38,12). Individual 12dp TERMS cap at
+# _SUM_DEC (matching the explode idiom), but anything that is already a
+# SUM — a mapInPandas per-task partial, or a persisted state row being
+# re-merged — carries Spark's widened SUM type (decimal(38,12)); casting
+# it back down to (30,12) at the merge would overflow (NULL) at ~1e18
+# where the original single-pass SUM was still exact (ADVICE r11).
+_SUM_DEC_WIDE = "decimal(38,12)"
 
 
 def _q12(x: float) -> int:
@@ -855,7 +862,14 @@ def embedding_second_moment_state(
     no finite product in a task emits a NULL partial — matching the
     explode form's SUM-over-NULLs row for all-NULL dimensions."""
     df = fan_out(df)
-    out_schema = "dim_i long, dim_j long, s_ij decimal(30,12)"
+    # decimal(38,12): 26 integer digits of headroom for the PER-TASK
+    # partial. The explode form only capped individual 12dp TERMS at
+    # decimal(30,12) and accumulated in Spark's widened SUM type
+    # (decimal(38,12)); pinning the partial itself to (30,12) would
+    # re-introduce an overflow at ~1e18 per task that the explode form
+    # never had (ADVICE r11). The Python side accumulates unbounded
+    # ints, so the Arrow boundary is the only place width matters.
+    out_schema = "dim_i long, dim_j long, s_ij decimal(38,12)"
 
     def _partials(batches):
         import numpy as np
@@ -933,7 +947,7 @@ def embedding_second_moment_state(
         df.select(vec_col)
         .mapInPandas(_partials, schema=out_schema)
         .groupBy("dim_i", "dim_j")
-        .agg(F.sum(F.col("s_ij").cast(_SUM_DEC)).alias("s_ij"))
+        .agg(F.sum(F.col("s_ij").cast(_SUM_DEC_WIDE)).alias("s_ij"))
         .select(
             F.col("dim_i").cast("long").alias("dim_i"),
             F.col("dim_j").cast("long").alias("dim_j"),
@@ -983,16 +997,32 @@ def embedding_covariance_from_state(
     state is not idempotent, so summing those rows silently skews the
     covariance. A batch writes exactly ONE row per dimension key, so
     deduping on (_batch, dim key) strips replays exactly before the
-    merge; the column is then dropped from the output."""
-    if "_batch" in sij_state.columns:
-        sij_state = sij_state.dropDuplicates(["_batch", "dim_i", "dim_j"])
-    if "_batch" in si_state.columns:
-        si_state = si_state.dropDuplicates(["_batch", "dim_i"])
+    merge; the column is then dropped from the output.
+
+    ``_batch`` ids are only unique WITHIN one stream's store (each
+    stream numbers its micro-batches from 0), so states unioned from
+    TWO independent stores would collide on (_batch, dim key) and the
+    dedupe would silently drop one store's real rows (ADVICE r11).
+    A multi-store merge must therefore carry a store id in a
+    ``_store`` column (any type; ``feeds.embedding_moment_stream``
+    callers tag it at union time) — when present it namespaces the
+    replay key. States WITHOUT ``_batch`` (e.g. batch-computed slice
+    states, as in the registered query) have no replay channel and
+    skip the dedupe entirely."""
+
+    def _strip_replays(state: DataFrame, dim_keys: list[str]) -> DataFrame:
+        if "_batch" not in state.columns:
+            return state
+        ns = ["_store"] if "_store" in state.columns else []
+        return state.dropDuplicates(ns + ["_batch"] + dim_keys)
+
+    sij_state = _strip_replays(sij_state, ["dim_i", "dim_j"])
+    si_state = _strip_replays(si_state, ["dim_i"])
     sij = sij_state.groupBy("dim_i", "dim_j").agg(
-        F.sum(F.col("s_ij").cast(_SUM_DEC)).alias("s_ij")
+        F.sum(F.col("s_ij").cast(_SUM_DEC_WIDE)).alias("s_ij")
     )
     si = si_state.groupBy("dim_i").agg(
-        F.sum(F.col("s").cast(_SUM_DEC)).alias("s"),
+        F.sum(F.col("s").cast(_SUM_DEC_WIDE)).alias("s"),
         F.sum("n").alias("n"),
     )
     a = si.select(
@@ -1275,6 +1305,22 @@ def _ns_inverse_sqrt(
         # R[i,j] = sum_k qd12(p[i,k] * q[k,j]) in exact int64 microunits
         # (|term| < 2^52, 64-term sums < 2^53: representable exactly)
         t = p[:, :, None] * q[None, :, :]
+        # _qd_vec's floor/ceil residues are exact IEEE subtractions only
+        # while |t|*1e12 < 2^52. The trace normalization keeps B's
+        # entries in [-1, 1], but Newton-Schulz INTERMEDIATES scale
+        # like sqrt(s/lambda_min): a large-trace covariance over a tiny
+        # ridge can push products past the bound, silently leaving the
+        # Decimal/oracle rounding model (a cross-engine red, not a
+        # crash) — so fail loudly here instead (ADVICE r11).
+        amax = float(np.max(np.abs(t))) if t.size else 0.0
+        if amax * 1e12 >= float(2**52):
+            raise ValueError(
+                "_ns_inverse_sqrt: matmul term magnitude "
+                f"{amax:.6g} exceeds the exact-quantization bound "
+                "(|t| * 1e12 >= 2^52); the covariance is too "
+                "ill-conditioned for the portable fixed-point replay — "
+                "raise `ridge` (scale it with the trace) to proceed"
+            )
         qt = _qd_vec(t * float(10**12)).astype(np.int64)
         return qt.sum(axis=1).astype(np.float64) / 1e12
 

@@ -93,11 +93,33 @@ def positions_from_staged(staged: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def assert_unique_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Fail loudly (ValueError with both counts) when ``id_col`` is not
+    unique in ``df``; return ``df`` unchanged otherwise. ONE cheap
+    aggregate (count vs approx-free countDistinct over the id column
+    alone — no payload shuffles), so callers that can't prove
+    uniqueness upstream can buy the shard-order contract for one extra
+    job. Deliberately an action: the position contract is corrupted
+    SILENTLY by duplicate ids (they share h and tie-break arbitrarily),
+    which is strictly worse than an eager failure."""
+    n, nd = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    if n != nd:
+        raise ValueError(
+            f"shard_positions requires unique ids: {n} rows but only "
+            f"{nd} distinct {id_col!r} values ({n - nd} duplicated)"
+        )
+    return df
+
+
 def shard_positions(
     df: DataFrame,
     id_col: str,
     n_shards: int,
     seed: str = "",
+    check_unique_ids: bool = False,
 ) -> DataFrame:
     """All input columns plus (shard, shard_pos): a deterministic
     global shuffle of ``df`` into ``n_shards`` shards with dense
@@ -108,7 +130,12 @@ def shard_positions(
 
     Requires unique ids (positions come from a strict total order on
     (shard, h, id); duplicate ids would share h and tie-break
-    arbitrarily — enforce upstream, e.g. the curation keep-list)."""
+    arbitrarily — enforce upstream, e.g. the curation keep-list).
+    Pass ``check_unique_ids=True`` to pay one cheap aggregate
+    (``assert_unique_ids``) and fail loudly instead of trusting the
+    caller — the export examples do."""
+    if check_unique_ids:
+        df = assert_unique_ids(df, id_col)
     return positions_from_staged(
         with_shard_keys(df, id_col, n_shards, seed), id_col
     )

@@ -588,9 +588,19 @@ def finalize_training_export(spark, staged_path: str, id_col: str) -> DataFrame:
     stores a replay can only duplicate rows, never skew values), and
     run the SAME global-rank position assignment the batch sharder
     uses. Equal to ``shard_positions`` over the union of all staged
-    micro-batches, regardless of how the stream was chopped."""
+    micro-batches, regardless of how the stream was chopped.
+
+    The (_batch, id) dedupe strips WHOLE-BATCH replays only; the same
+    id delivered in two DIFFERENT micro-batches (a duplicate at the
+    source) survives it, shares h, and would silently tie-break the
+    strict-total-order contract positions rely on — so finalize pays
+    one cheap count-vs-count-distinct aggregate and raises instead
+    (``export.assert_unique_ids``). Source duplicates are an upstream
+    contract violation (the stage stream's input is a curated
+    keep-list), not something finalize may pick a winner for."""
     from etl_fuel_priceguide_ec2_spark.operators import export as _export
 
     staged = spark.read.parquet(staged_path)
     staged = staged.dropDuplicates(["_batch", id_col]).drop("_batch")
+    staged = _export.assert_unique_ids(staged, id_col)
     return _export.positions_from_staged(staged, id_col)

@@ -731,3 +731,82 @@ def test_zca_validates_args_and_empty_input(spark):
         embeddings.zca_whitening_scores(
             empty, "vec_id", "embedding", iters=0
         )
+
+
+def test_second_moment_partials_survive_huge_per_task_sums(spark):
+    """ADVICE r11: the mapInPandas PARTIAL must carry decimal(38,12)
+    headroom, not the per-term decimal(30,12) cap — a task whose
+    partial sum exceeds ~1e18 (here ~500 products of ~5e15, every
+    individual term still well inside (30,12)) overflowed the old
+    Arrow-boundary schema where the explode form's widened SUM type
+    was still exact. One partition forces everything into one task."""
+    rows = [(i, [7.0e7 + i]) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>"
+    ).coalesce(1)
+    want = sorted(
+        map(tuple, _explode_second_moment(df, "embedding").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            embeddings.embedding_second_moment_state(
+                df, "vec_id", "embedding"
+            ).collect(),
+        )
+    )
+    assert got == want
+    (s_ij,) = [t[2] for t in got]
+    assert s_ij is not None and s_ij > 10**18  # the overflow class
+
+
+def test_covariance_from_state_store_namespaced_batches(vecs_df):
+    """ADVICE r11: _batch ids restart at 0 per stream, so states
+    unioned from TWO independent stores collide on (_batch, dim key);
+    a _store tag must namespace the replay-dedupe so both stores'
+    rows survive the merge (without it, colliding rows are silently
+    dropped as 'replays' and the covariance skews)."""
+    clean = sorted(
+        map(tuple, embeddings.embedding_covariance(
+            vecs_df, "vec_id", "embedding"
+        ).collect())
+    )
+    sij = si = None
+    for k in range(2):  # two "independent streams", each _batch=0
+        s = vecs_df.filter(F.col("vec_id") % 2 == k)
+        a = (
+            embeddings.embedding_second_moment_state(s, "vec_id", "embedding")
+            .withColumn("_batch", F.lit(0))
+            .withColumn("_store", F.lit(f"store{k}"))
+        )
+        b = (
+            embeddings.embedding_first_moment_state(s, "vec_id", "embedding")
+            .withColumn("_batch", F.lit(0))
+            .withColumn("_store", F.lit(f"store{k}"))
+        )
+        sij = a if sij is None else sij.unionByName(a)
+        si = b if si is None else si.unionByName(b)
+    # a replay WITHIN store1 is still stripped under the namespaced key
+    sij = sij.unionByName(sij.filter(F.col("_store") == "store1"))
+    merged = sorted(
+        map(tuple, embeddings.embedding_covariance_from_state(
+            sij, si
+        ).collect())
+    )
+    assert merged == clean
+
+
+def test_ns_inverse_sqrt_rejects_quantization_overflow():
+    """ADVICE r11: Newton-Schulz intermediates scale like
+    sqrt(trace/lambda_min); once a matmul term's |t|*1e12 reaches 2^52
+    the int64 fixed-point replay silently leaves the cross-engine
+    rounding model — the matmul must fail loudly instead. An
+    ill-conditioned diag matrix with a tiny ridge triggers it."""
+    m = [[1.0e6, 0.0], [0.0, 1.0e-12]]
+    with pytest.raises(ValueError, match="quantization bound"):
+        embeddings._ns_inverse_sqrt(m, 2, iters=60, ridge=0.0)
+    # the default ridge + sane trace stays inside the bound
+    w, _ = embeddings._ns_inverse_sqrt(
+        [[2.0, 0.3], [0.3, 1.0]], 2, iters=12, ridge=1e-6
+    )
+    assert len(w) == 2

@@ -741,3 +741,33 @@ def test_streaming_export_single_shard_degenerate(spark, tmp_path):
     )
     assert {r.shard for r in rows} == {0}
     assert sorted(r.shard_pos for r in rows) == list(range(1, 41))
+
+
+def test_streaming_export_finalize_raises_on_cross_batch_duplicate_id(
+    spark, tmp_path
+):
+    """ADVICE r11: the (_batch, id) dedupe strips whole-batch replays
+    but NOT the same id delivered in two different micro-batches (a
+    source-level duplicate). That breaks the unique-id total-order
+    contract positions rely on, so finalize must fail loudly, not
+    tie-break silently."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    spark.range(30).withColumnRenamed("id", "doc_id").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    staged = str(tmp_path / "staged")
+    feeds.training_export_stage_stream(
+        stream, "doc_id", 4, staged, str(tmp_path / "ck")
+    ).awaitTermination(60)
+
+    # plant one staged id again under a DIFFERENT batch id: survives
+    # the whole-batch replay dedupe, trips the uniqueness contract
+    dup = spark.read.parquet(staged).limit(1).withColumn(
+        "_batch", F.lit(999)
+    )
+    dup.write.mode("append").parquet(staged)
+    with pytest.raises(ValueError, match="unique ids"):
+        feeds.finalize_training_export(spark, staged, "doc_id")

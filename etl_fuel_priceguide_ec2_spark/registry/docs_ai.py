@@ -480,3 +480,62 @@ def q_image_phash_near_pairs(spark, sf_dir):
     media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
     hashes = multimodal.image_phash(media)
     return multimodal.image_ahash_pairs(hashes, max_hamming=3)
+
+
+# --- round-12 addition (post-freeze -> leads the round-13 window) -----
+# VERDICT r11 item 3: the pHash KEEP-LIST. The band relation is
+# hash-family polymorphic by contract (aHash and pHash emit the same
+# four-band shape, so the pair join and the CC keep-list compose with
+# either); this entry driver-pins that claim end-to-end — decode ->
+# pHash bands -> banded pair join -> HashMin connected components ->
+# min-id canonical per component, one row per document.
+
+_PHASH_KEEPLIST_ORACLE = f"""
+    WITH RECURSIVE {_phash_bands_ctes()},
+    ppairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ppairs
+      UNION SELECT id_b, id_a FROM ppairs
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node, MIN(reach) AS component_id
+      FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+      GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(comp.component_id, d.doc_id) AS component_id,
+           COALESCE(comp.component_id, d.doc_id) = d.doc_id AS kept
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+
+@register("image_phash_keeplist", _PHASH_KEEPLIST_ORACLE)
+def q_image_phash_keeplist(spark, sf_dir):
+    """Image-dedup keep-list under the DCT pHash: the SAME pair-join +
+    connected-components + min-id-canonical composition as
+    ``image_ahash_keeplist``, consuming ``multimodal.image_phash``'s
+    band relation instead — the polymorphism the four-band contract
+    promises, driver-pinned. Spark earns the bits through the real
+    PPM codec round trip; the oracle regenerates pixels and replays
+    the integer DCT spectrum, then the identical recursive CC."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
+    hashes = multimodal.image_phash(media)
+    pairs = multimodal.image_ahash_pairs(hashes, max_hamming=3)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
+    )

@@ -526,6 +526,15 @@ def semantic_dedup_pairs_two_level(
         .withColumn("_b2", F.explode(_probe_blocks(F.col("_resid"), cent2, k2)))
         .withColumn("block", F.col("_b1") * k2 + F.col("_b2"))
     )
+    # Plan note (round-12 profile): carrying va through the candidate
+    # dedup was A/B'd against the "pure" id-only shuffle (dedupe bare
+    # (id_a, id_b), then join BOTH vectors back by id) in one warm
+    # session at sf0.1 — the id-only shape measured 1.6x SLOWER (3.1 vs
+    # 1.95 s, value-identical): at fixture scale the two extra join
+    # rounds cost more than shuffling 64 doubles per candidate. At
+    # 100 TB the trade flips (candidates x payload dwarfs two id-keyed
+    # exchanges) — that id-only rewrite is the scale form, switch when
+    # the pair volume, not the join count, dominates.
     left = probed.select(F.col(id_col).alias("id_a"), "block", F.col("_v").alias("va"))
     right = probed.select(F.col(id_col).alias("id_b"), "block")
     cand = (

@@ -206,6 +206,49 @@ ITERATIVE = [
 ]
 
 
+# Third series (VERDICT r11 item 7): the perceptual-hash tier over a
+# PRE-MATERIALIZED media fixture. The registered image_* queries
+# synthesize their PPM payloads in the same mapInPandas pass that
+# decodes them, so a registry-entry timing would measure image
+# synthesis, not the operator. Setup writes the synthesized payloads
+# to parquet ONCE per (sf, size) — the production shape, where media
+# bytes arrive from storage — and these entries time decode → hash →
+# banded pair join over that store. Keys are bench-local (not registry
+# names) on purpose.
+def _perceptual_series(spark, sf_dir: str):
+    import tempfile
+
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.strip("/"))
+    media_path = os.path.join(
+        tempfile.gettempdir(), f"bench_media_{tag}_s16c100.parquet"
+    )
+    if not os.path.exists(media_path):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        multimodal.to_image_media(
+            docs, "doc_id", size=16, classes=100
+        ).write.mode("overwrite").parquet(media_path)
+
+    def _ahash(spark, _):
+        media = spark.read.parquet(media_path)
+        return multimodal.image_ahash_pairs(
+            multimodal.image_ahash(media), max_hamming=3
+        )
+
+    def _phash(spark, _):
+        media = spark.read.parquet(media_path)
+        return multimodal.image_ahash_pairs(
+            multimodal.image_phash(media), max_hamming=3
+        )
+
+    return {
+        "image_ahash_pairs_prebaked_media": _ahash,
+        "image_phash_pairs_prebaked_media": _phash,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -252,6 +295,16 @@ def main() -> None:
         it_reps[name] = [round(r, 3) for r in reps]
         it_timings[name] = round(min(reps), 3)
 
+    perceptual = _perceptual_series(spark, sf_dir)
+    pc_timings: dict[str, float] = {}
+    for name, builder in perceptual.items():
+        reps = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        pc_timings[name] = round(min(reps), 3)
+
     print(
         json.dumps(
             {
@@ -260,6 +313,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "rep_totals": rep_totals,
+                "perceptual_queries": pc_timings,
                 "iterative_queries": it_timings,
                 "iterative_total": round(sum(it_timings.values()), 3),
                 "iterative_rep_totals": [

@@ -244,3 +244,28 @@ def test_shard_positions_check_unique_ids(spark, docs):
         export.shard_positions(
             planted, "doc_id", N_SHARDS, seed=SEED, check_unique_ids=True
         )
+
+
+def test_example_pretraining_corpus_build(tmp_path):
+    """examples/pretraining_corpus_build.py — the composed capstone:
+    gates → dedup → holdout → decontamination → mixture → pack →
+    checked sharded export, with token conservation, density, and the
+    zero-contamination pre-flight asserted inside the script itself."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "pretrain_build_example",
+        Path(__file__).parent.parent / "examples" / "pretraining_corpus_build.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main("/root/testdata/sf0.001", out_dir=str(tmp_path))
+    assert out["token_conservation"] is True
+    assert out["dense"] is True
+    assert out["preflight_contaminated"] == 0
+    assert out["written_bins"] == out["bins"] > 0
+    # the mixture stage genuinely downsampled toward the tau=0.5 mix
+    assert 0 < out["mixed_docs"] < out["train_docs"]
+    # holdout and train are disjoint by construction
+    assert out["train_docs"] + out["holdout_docs"] <= out["after_dedup"]

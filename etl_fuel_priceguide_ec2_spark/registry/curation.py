@@ -41,9 +41,9 @@ def q_chunk_documents(spark, sf_dir):
     return textops.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
 
 
-@register(
-    "pack_chunks",
-    r"""
+# The flat-pack replay, shared verbatim by pack_chunks and the
+# round-12 fill-rate report (extracting the text changes NO oracle).
+_PACK_ORACLE = r"""
     WITH d AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
     ), chunks AS (
@@ -64,8 +64,10 @@ def q_chunk_documents(spark, sf_dir):
                                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        - chunk_tokens) / 256.0) AS BIGINT) AS bin_id
     FROM toks2
-    """,
-)
+    """
+
+
+@register("pack_chunks", _PACK_ORACLE)
 def q_pack_chunks(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     chunks = textops.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
@@ -692,4 +694,60 @@ def q_curation_decision_outlier_gated(spark, sf_dir):
         "dup_frac",
         "quality_score",
         "domain",
+    )
+
+
+# --- round-12 addition (post-freeze -> leads the round-13 window) -----
+# Packing-efficiency QA: training throughput is bins x budget, so the
+# loader-facing question is "how full are the sequences?". One
+# aggregate over the packed relation - fill deciles via exact integer
+# division (no float buckets to disagree on cross-engine).
+
+
+@register(
+    "pack_fill_rates",
+    f"""
+    WITH packed AS ({_PACK_ORACLE})
+    SELECT (bin_tokens * 10) // 256 AS fill_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
+    FROM (
+      SELECT bin_id, CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens,
+             COUNT(*) AS n_chunks
+      FROM packed GROUP BY bin_id
+    )
+    GROUP BY 1
+    """,
+)
+def q_pack_fill_rates(spark, sf_dir):
+    """Bin fill-rate report over the flat pack (budget 256): bins per
+    fill decile (floor(bin_tokens*10/256), integer math both engines),
+    with token and chunk totals per decile. The packing-efficiency
+    histogram a training pipeline watches — a fat low-decile tail
+    means the chunker/budget pairing wastes sequence capacity. Scale
+    shape: the pack relation's groupBy(bin) is bin-scale; the report
+    itself is <= 11 rows."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+    packed = textops.pack_chunks(
+        chunks, "doc_id", order_cols=["doc_id", "chunk_id"],
+        token_col="chunk_tokens", budget=256,
+    )
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("chunk_tokens").cast("long").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    return (
+        bins.withColumn("fill_decile", F.expr("(bin_tokens * 10) div 256"))
+        .groupBy("fill_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            F.sum("n_chunks").alias("total_chunks"),
+        )
     )

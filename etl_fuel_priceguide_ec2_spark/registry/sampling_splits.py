@@ -288,3 +288,58 @@ def q_training_export_contamination_manifest(spark, sf_dir):
             ).alias("max_contamination"),
         )
     )
+
+
+# --- round-12 addition (post-freeze -> leads the round-13 window) -----
+# Mixture x sharder composition: the per-shard MIX manifest. A training
+# loader consuming sharded data needs to know each shard carries the
+# intended language composition (the deterministic hash shuffle makes
+# every shard a uniform sample of the mix, so skew here means a broken
+# seed or a broken mixture upstream). Pure-map keys + an
+# (n_shards x |langs|)-row aggregate - no rank exchange: a composition
+# report needs shard membership, not positions.
+
+
+@register(
+    "training_mix_shard_manifest",
+    f"""
+    SELECT CAST(h % {_N_SHARDS} AS BIGINT) AS shard, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substring(md5('{_SHARD_SEED}|' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS h
+      FROM documents
+      WHERE {_HASH_BUCKET_SQL} <
+            CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                      WHEN 'fr' THEN 2500 ELSE 0 END
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_training_mix_shard_manifest(spark, sf_dir):
+    """Per-(shard, lang) composition of an exported training mix:
+    mixture_sample (en 50% / de 100% / fr 25%, deterministic id-hash
+    quotas) -> with_shard_keys (the sharder's pure-map half; seed and
+    shard count shared with the export queries) -> docs + chars per
+    cell. The pre-flight a loader reads to verify every shard carries
+    the intended mixture before training starts."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import export
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    mixed = sampling.mixture_sample(
+        docs, "doc_id", "lang", {"en": 0.50, "de": 1.0, "fr": 0.25}
+    )
+    return (
+        export.with_shard_keys(mixed, "doc_id", _N_SHARDS, seed=_SHARD_SEED)
+        .groupBy("shard", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -87,6 +87,59 @@ def mixture_sample(
     return df.filter(bucket < threshold)
 
 
+def mixture_upsample(
+    df: DataFrame, id_col: str, strata_col: str, factors: dict[str, float]
+) -> DataFrame:
+    """Deterministic per-stratum REPLICATION with fractional epochs —
+    the upsampling half of a pretraining source mix (``mixture_sample``
+    only thins): every row of stratum s appears floor(f_s) times, plus
+    once more iff its id-hash bucket falls under frac(f_s), so a
+    factor of 2.3 means "2.3 epochs of this source" materialized
+    exactly and reproducibly. factor < 1 degenerates to
+    ``mixture_sample`` membership at the same rate (floor 0 + the
+    identical bucket predicate); strata absent from ``factors`` (or at
+    0) are dropped. Adds ``copy_idx`` (0-based BIGINT) so downstream
+    stages — notably the export sharder, keyed on (id, copy_idx) — can
+    keep replicas distinct.
+
+    Fractions are multiples of 1/10000 like the other samplers (exact
+    integer thresholds). Scale shape: pure map + a bounded explode
+    (ceil(f) output rows per input row, no shuffle, no RNG state);
+    membership and multiplicity are partition-layout- and
+    engine-independent, so the upsampled corpus is oracle-checkable
+    row-for-row."""
+    copies: Column | None = None
+    for name, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor {f} for '{name}' is negative")
+        whole = int(f)
+        frac_ticks = (f - whole) * _BUCKETS
+        if abs(frac_ticks - round(frac_ticks)) > 1e-9:
+            raise ValueError(
+                f"factor {f} for '{name}' is not a multiple of 1/{_BUCKETS}"
+            )
+        n = F.lit(whole) + (
+            _hash_bucket(id_col) < F.lit(int(round(frac_ticks)))
+        ).cast("int")
+        copies = (
+            F.when(F.col(strata_col) == name, n)
+            if copies is None
+            else copies.when(F.col(strata_col) == name, n)
+        )
+    copies = copies.otherwise(F.lit(0)) if copies is not None else F.lit(0)
+    return (
+        df.withColumn("_n_copies", copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_n_copies").cast("long") - 1)
+            ),
+        )
+        .drop("_n_copies")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame, id_col: str, weight_col: str, n: int
 ) -> DataFrame:

@@ -343,3 +343,43 @@ def q_training_mix_shard_manifest(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --- round-12 addition #2: fractional-epoch upsampling ----------------
+# mixture_sample thins; a pretraining mix ALSO repeats sources
+# ("2.5 epochs of de"). mixture_upsample materializes fractional
+# epochs deterministically: floor(f) copies + one more iff the id's
+# hash bucket falls under frac(f) - the same bucket predicate as the
+# sampler, so factor < 1 degenerates to mixture_sample membership.
+
+
+@register(
+    "mixture_upsample_epochs",
+    f"""
+    SELECT doc_id, lang,
+           UNNEST(generate_series(0, n_copies - 1)) AS copy_idx
+    FROM (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 WHEN 'fr' THEN 1
+                       ELSE 0 END
+             + CASE WHEN {_HASH_BUCKET_SQL} <
+                         CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 5000
+                                   WHEN 'fr' THEN 2500 ELSE 0 END
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents
+    )
+    WHERE n_copies >= 1
+    """,
+)
+def q_mixture_upsample_epochs(spark, sf_dir):
+    """Fractional-epoch source mix: en x0.5 (thin - floor 0, the
+    degenerate mixture_sample case), fr x1.25 (keep all + repeat a
+    deterministic quarter), de x2.5 (two full epochs + a half). Every
+    copy carries copy_idx so the export sharder can key on
+    (doc_id, copy_idx) and spread replicas across shards. Map + bounded
+    explode only - membership AND multiplicity replay row-for-row in
+    the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.mixture_upsample(
+        docs, "doc_id", "lang", {"en": 0.50, "de": 2.5, "fr": 1.25}
+    )

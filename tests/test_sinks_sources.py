@@ -899,3 +899,55 @@ def test_example_embedding_triage_pipeline(sf_dir):
     assert out["n_written"] == out["n_vectors"]  # layout preserves rows
     assert out["n_flagged"] + out["n_kept"] == out["n_vectors"]
     assert out["n_flagged"] < out["n_vectors"]  # the gate never drops all
+
+
+def test_mixture_upsample_semantics(spark, sf_dir):
+    """Fractional-epoch upsampling: multiplicity = floor(f) + the same
+    hash-bucket predicate mixture_sample uses, copy_idx dense 0-based,
+    factor < 1 degenerates to mixture_sample membership, absent strata
+    drop, non-tick and negative factors rejected."""
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    up = sampling.mixture_upsample(
+        docs, "doc_id", "lang", {"en": 0.50, "de": 2.5, "fr": 1.25}
+    )
+    rows = up.collect()
+    by_doc: dict[int, list[int]] = {}
+    lang_of: dict[int, str] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+        lang_of[r.doc_id] = r.lang
+    # copy_idx dense 0..n-1 per doc; multiplicity within the factor's
+    # floor/ceil envelope for its stratum
+    env = {"en": (0, 1), "de": (2, 3), "fr": (1, 2)}
+    for doc, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+        lo, hi = env[lang_of[doc]]
+        assert lo <= len(idxs) <= hi, (doc, lang_of[doc], len(idxs))
+    # factor < 1 == mixture_sample membership at the same rate
+    want_en = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            docs, "doc_id", "lang", {"en": 0.50}
+        ).collect()
+    }
+    got_en = {d for d, lang in lang_of.items() if lang == "en"}
+    assert got_en == want_en
+    # absent strata drop entirely
+    langs = {r.lang for r in rows}
+    assert langs <= {"en", "de", "fr"}
+    # exact-epoch totals: de count is 2x or 3x its doc count per doc
+    # (already enveloped above); global determinism across layouts
+    again = sampling.mixture_upsample(
+        docs.repartition(7, "lang"), "doc_id", "lang",
+        {"en": 0.50, "de": 2.5, "fr": 1.25},
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    with pytest.raises(ValueError, match="not a multiple"):
+        sampling.mixture_upsample(docs, "doc_id", "lang", {"en": 1.00003})
+    with pytest.raises(ValueError, match="negative"):
+        sampling.mixture_upsample(docs, "doc_id", "lang", {"en": -0.5})

@@ -383,3 +383,77 @@ def q_mixture_upsample_epochs(spark, sf_dir):
     return sampling.mixture_upsample(
         docs, "doc_id", "lang", {"en": 0.50, "de": 2.5, "fr": 1.25}
     )
+
+
+# --- round-12 addition #3: upsample x sharder composition -------------
+# The copy_idx contract, driver-pinned end-to-end: replicas from the
+# fractional-epoch upsampler become distinct shardable units via a
+# composite replica id, so "2.5 epochs of de" spreads across shards
+# instead of colliding on doc_id (shard_positions requires unique ids
+# - this is the composition that makes upsampled corpora exportable).
+
+
+@register(
+    "training_export_upsampled_manifest",
+    f"""
+    WITH up AS (
+      SELECT doc_id, lang,
+             UNNEST(generate_series(0, n_copies - 1)) AS copy_idx
+      FROM (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 WHEN 'fr' THEN 1
+                         ELSE 0 END
+               + CASE WHEN {_HASH_BUCKET_SQL} <
+                           CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 5000
+                                     WHEN 'fr' THEN 2500 ELSE 0 END
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+      )
+      WHERE n_copies >= 1
+    ), keyed AS (
+      SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR)
+               AS replica_id
+      FROM up
+    ), sharded AS (
+      SELECT replica_id, CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS}
+                                     ORDER BY h, replica_id) AS BIGINT)
+               AS shard_pos
+      FROM (
+        SELECT replica_id,
+               CAST('0x' || substring(md5('{_SHARD_SEED}|' || replica_id),
+                                      1, 15) AS BIGINT) AS h
+        FROM keyed
+      )
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(shard_pos) AS BIGINT) AS max_pos
+    FROM sharded GROUP BY shard
+    """,
+)
+def q_training_export_upsampled_manifest(spark, sf_dir):
+    """Shard manifest over an UPSAMPLED mix: fractional-epoch replicas
+    get a composite replica id (doc_id # copy_idx - the unique-id
+    contract shard_positions requires), flow through the identical
+    seeded global shuffle, and the n_shards-row manifest proves the
+    export is dense with every replica a first-class shardable unit.
+    Same seed and shard count as the doc-level export queries."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import export
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    up = sampling.mixture_upsample(
+        docs, "doc_id", "lang", {"en": 0.50, "de": 2.5, "fr": 1.25}
+    )
+    keyed = up.select(
+        F.concat_ws("#", F.col("doc_id"), F.col("copy_idx")).alias("replica_id")
+    )
+    sharded = export.shard_positions(
+        keyed, "replica_id", _N_SHARDS, seed=_SHARD_SEED,
+        check_unique_ids=True,
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("shard_pos").alias("max_pos"),
+    )

@@ -74,7 +74,9 @@ def main(sf_dir: str, out_dir: str | None = None) -> dict:
     )
 
     # 3. shard + write + manifest
-    sharded = export.shard_positions(bins, "bin_id", N_SHARDS, seed=SEED)
+    sharded = export.shard_positions(
+        bins, "bin_id", N_SHARDS, seed=SEED, check_unique_ids=True
+    )
     out_path = out_dir or tempfile.mkdtemp(prefix="shards_")
     export.write_training_shards(sharded, out_path, N_SHARDS)
     manifest = export.shard_manifest(

@@ -167,6 +167,16 @@ HEADLINE = [
     "embedding_covariance_from_state",
     "embedding_pca_zorder_layout",
     "similarity_topk_zorder",
+    # round-12 additions: the mixture/export composition tier — the
+    # bounded-explode upsampler (map-only, no shuffle), the
+    # upsample x sharder composition (rank exchange over replica
+    # keys + the uniqueness-contract aggregate), and the packing-
+    # efficiency report (flat-pack window + two-level agg). The
+    # per-(shard, lang) mix manifest shares the upsampled manifest's
+    # plan family and stays out of the series.
+    "mixture_upsample_epochs",
+    "training_export_upsampled_manifest",
+    "pack_fill_rates",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

@@ -112,6 +112,9 @@ NOTES = {
     "training_export_shards": "deterministic shuffle-to-shards: per-row md5 hash + shard id are pure codegen; positions come from global_row_number's ONE range exchange + the n_shards-row broadcast min-rank join — never a per-shard data window.",
     "training_export_manifest": "the n_shards-row manifest aggregate over the sharded relation: count/max/sum partial-aggregate map-side, the final exchange carries 8 rows.",
     "image_phash_near_pairs": "same banded plan family as aHash: Arrow-batched mapInPandas hashing (4 longs per image downstream), band-key equi self-join for candidates (never cartesian), exact popcount verify on the 4-band rows.",
+    "mixture_upsample_epochs": "fractional epochs as pure codegen + a bounded explode (<= ceil(f) rows out per row in, no shuffle, no RNG state); membership and multiplicity are layout-independent md5 expressions.",
+    "training_export_upsampled_manifest": "upsample (map + bounded explode) -> composite replica key (pure concat) -> the sharder's ONE range exchange + n_shards-row min-rank broadcast join -> an 8-row manifest aggregate; the uniqueness contract costs one count-vs-count-distinct aggregate over the key column alone.",
+    "pack_fill_rates": "the flat pack's running-sum window is the only data-sized stage (the per-lang parallel form exists as pack_chunks_by_lang); the fill histogram is a bin-scale groupBy into a <= 11-row report — integer-division deciles, no float buckets.",
 }
 
 

@@ -13,7 +13,9 @@ properties asserted inline — the north star's complete story.
                                   5-grams — BEFORE packing, so no
                                   contaminated bytes ever reach a shard)
       → mixture allocation       (temperature tau=0.5 per-lang shares)
-      → mixture sampling         (deterministic per-lang hash quotas)
+      → fractional-epoch mix     (upsample low-resource langs / thin
+                                  high-resource ones; replicas become
+                                  distinct units via replica_id)
       → chunk → pack             (token-budget bins = training sequences)
       → sharded export           (seeded global shuffle, dense in-shard
                                   positions, unique-id contract CHECKED)
@@ -126,28 +128,37 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None) -> 
     train = train.join(contaminated, "doc_id", "left_anti")
     counts["train_docs"] = train.count()
 
-    # --- mixture: tau=0.5 allocation -> deterministic hash quotas --------
-    budget = max(counts["train_docs"] // 2, 1)
+    # --- mixture: tau=0.5 allocation -> fractional-epoch factors ---------
+    # budget ABOVE the pool size on purpose: temperature flattening gives
+    # low-resource langs a super-proportional share, so their factor
+    # exceeds 1 and the mix UPSAMPLES them (fractional epochs) while
+    # high-resource langs thin - both directions through one operator.
+    budget = max(int(counts["train_docs"] * 1.5), 1)
     alloc = sampling.temperature_allocation(train, "lang", budget=budget)
-    # groups-scale collect (|langs| rows): planned_docs -> a per-lang
-    # keep rate in 1/10000 ticks, capped at the lang's own size
-    rates = {
-        r["lang"]: min(
-            int(round(10_000.0 * r["planned_docs"] / r["n_docs"])), 10_000
-        )
-        / 10_000.0
+    # groups-scale collect (|langs| rows): planned_docs / n_docs is the
+    # epochs factor, snapped to 1/10000 ticks (the samplers' grid)
+    factors = {
+        r["lang"]: round(10_000.0 * r["planned_docs"] / r["n_docs"]) / 10_000.0
         for r in alloc.collect()
         if r["n_docs"] > 0
     }
-    mixed = sampling.mixture_sample(train, "doc_id", "lang", rates)
-    counts["mixed_docs"] = mixed.count()
+    mixed = sampling.mixture_upsample(train, "doc_id", "lang", factors)
+    # replicas become distinct corpus units via the composite key -
+    # every downstream stage (chunk ids, pack order, shard ids) is
+    # keyed on replica_id, so "2.3 epochs of a doc" never collides
+    mixed = mixed.withColumn(
+        "replica_id", F.concat_ws("#", F.col("doc_id"), F.col("copy_idx"))
+    )
+    counts["mixed_replicas"] = mixed.count()
+    counts["upsampled_langs"] = sum(1 for f in factors.values() if f > 1.0)
 
     # --- chunk -> pack: bins are the training sequences ------------------
     chunks = textops.chunk_documents(
-        mixed, "doc_id", "text", chunk_tokens=CHUNK_TOKENS, overlap=8
+        mixed, "replica_id", "text", chunk_tokens=CHUNK_TOKENS, overlap=8
     )
     packed = textops.pack_chunks(
-        chunks, "doc_id", ["doc_id", "chunk_id"], "chunk_tokens", budget=PACK_BUDGET
+        chunks, "replica_id", ["replica_id", "chunk_id"], "chunk_tokens",
+        budget=PACK_BUDGET,
     )
     chunk_tokens = chunks.agg(F.sum("chunk_tokens")).first()[0] or 0
     bins = packed.groupBy("bin_id").agg(
@@ -171,7 +182,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None = None) -> 
     # Decontamination ran upstream, so this MUST report zero — the
     # pre-flight proves the property to the loader, n_shards rows.
     flagged_members = (
-        packed.select("doc_id", "bin_id")
+        packed.select(
+            F.split(F.col("replica_id"), "#").getItem(0).cast("long").alias("doc_id"),
+            "bin_id",
+        )
         .join(contaminated, "doc_id", "left_semi")
         .select("bin_id")
         .distinct()

@@ -710,3 +710,58 @@ def test_zca_projection_is_map_only(spark, sf_dir):
     plan = _plan(df)
     for node in ("Join", "Exchange", "Window", "Generate"):
         assert node not in plan, node
+
+
+def test_upsample_plan_is_map_and_bounded_explode_only(spark, sf_dir):
+    """mixture_upsample's load-bearing shape: membership, multiplicity,
+    and copy_idx are pure per-row codegen + ONE Generate (the bounded
+    explode) — no join, no exchange, no window, no RNG."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["mixture_upsample_epochs"](spark, sf_dir)
+    plan = _plan(df)
+    for node in ("Join", "Exchange", "Window"):
+        assert node not in plan, node
+    # count in the tree summary only (the details section repeats the
+    # node header once per node)
+    assert plan.split("\n\n")[0].count("Generate") == 1
+    assert "rand(" not in plan.lower()
+
+
+def test_mix_manifest_plan_has_no_rank_exchange(spark, sf_dir):
+    """The per-(shard, lang) mix manifest needs shard MEMBERSHIP only:
+    its plan must be map keys + a partial-aggregated exchange — no
+    range repartition (that's the position path), no window, no join."""
+    import re
+
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["training_mix_shard_manifest"](spark, sf_dir)
+    plan = _plan(df)
+    for node in ("Join", "Window", "Generate"):
+        assert node not in plan, node
+    assert "rangepartitioning" not in plan
+    # one hash exchange for the (shard, lang) aggregate, partials map-side
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_upsampled_manifest_inherits_the_sharder_shape(spark, sf_dir):
+    """The replica-keyed export manifest composes upsample (map +
+    bounded explode) with the sharder: still at most ONE range exchange
+    over the data, the min-rank join still broadcast, no per-shard data
+    window, no cartesian."""
+    import re
+
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["training_export_upsampled_manifest"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange rangepartitioning", plan)) <= 1
+    for m in re.finditer(r"Window \[[^\]]*partitionBy=\[([^\]]*)\]", plan):
+        assert "shard" not in m.group(1)
+    # (the upsampler's explode runs before global_row_number's
+    # materialization point, so it does not appear in this plan)

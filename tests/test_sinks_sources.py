@@ -951,3 +951,46 @@ def test_mixture_upsample_semantics(spark, sf_dir):
         sampling.mixture_upsample(docs, "doc_id", "lang", {"en": 1.00003})
     with pytest.raises(ValueError, match="negative"):
         sampling.mixture_upsample(docs, "doc_id", "lang", {"en": -0.5})
+
+
+def test_mixture_upsample_conservation_and_streaming(spark, sf_dir, tmp_path):
+    """Two pins for the fractional-epoch upsampler: (a) the EXACT
+    multiplicity identity per stratum — upsampled rows ==
+    floor(f) * n_stratum + |mixture_sample at frac(f)| (the two
+    operators share one bucket predicate by construction); (b) the
+    operator is streaming-safe (map + bounded explode — no batch-only
+    dependency), producing the identical relation through a stream."""
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    factors = {"en": 0.50, "de": 2.5, "fr": 1.25}
+    up = sampling.mixture_upsample(docs, "doc_id", "lang", factors)
+    got = {
+        r.lang: r.n
+        for r in up.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_by_lang = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, f in factors.items():
+        whole = int(f)
+        frac_kept = sampling.mixture_sample(
+            docs.filter(F.col("lang") == lang), "doc_id", "lang", {lang: f - whole}
+        ).count()
+        assert got.get(lang, 0) == whole * n_by_lang.get(lang, 0) + frac_kept, lang
+
+    src = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = str(tmp_path / "up_out")
+    (sampling.mixture_upsample(stream, "doc_id", "lang", factors)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120))
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert streamed == sorted(map(tuple, up.collect()))

@@ -488,6 +488,7 @@ def embedding_moment_stream(
     sij_path: str,
     si_path: str,
     checkpoint: str,
+    store_id: str | None = None,
 ):
     """Streaming embedding statistics: each micro-batch aggregates its
     vectors into the DECIMAL moment state (``embeddings.
@@ -502,21 +503,39 @@ def embedding_moment_stream(
     removable) by batch id — the standard transactional-append caveat
     every SUM-based streaming store carries. At 100 TB the store grows
     ~2 k tiny rows per batch; compact by re-aggregating with
-    groupBy-SUM whenever file count grows."""
+    groupBy-SUM whenever file count grows.
+
+    ``store_id``: _batch ids are only unique WITHIN one stream, so
+    states from TWO independent streams unioned into one merge would
+    collide on (_batch, dim key) and the replay dedupe would silently
+    drop real rows (ADVICE r11). Pass a distinct ``store_id`` per
+    stream to stamp a ``_store`` column that namespaces the replay key
+    at merge time (``embedding_covariance_from_state`` picks it up
+    automatically); single-store pipelines can omit it."""
     from etl_fuel_priceguide_ec2_spark.operators import embeddings
+
+    def _stamp(state: DataFrame, batch_id: int) -> DataFrame:
+        state = state.withColumn("_batch", F.lit(batch_id))
+        if store_id is not None:
+            state = state.withColumn("_store", F.lit(store_id))
+        return state
 
     def _one(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         (
-            embeddings.embedding_second_moment_state(batch_df, id_col, vec_col)
-            .withColumn("_batch", F.lit(batch_id))
+            _stamp(
+                embeddings.embedding_second_moment_state(batch_df, id_col, vec_col),
+                batch_id,
+            )
             .write.mode("append")
             .parquet(sij_path)
         )
         (
-            embeddings.embedding_first_moment_state(batch_df, id_col, vec_col)
-            .withColumn("_batch", F.lit(batch_id))
+            _stamp(
+                embeddings.embedding_first_moment_state(batch_df, id_col, vec_col),
+                batch_id,
+            )
             .write.mode("append")
             .parquet(si_path)
         )

@@ -771,3 +771,53 @@ def test_streaming_export_finalize_raises_on_cross_batch_duplicate_id(
     dup.write.mode("append").parquet(staged)
     with pytest.raises(ValueError, match="unique ids"):
         feeds.finalize_training_export(spark, staged, "doc_id")
+
+
+def test_two_moment_streams_merge_via_store_namespacing(spark, sf_dir, tmp_path):
+    """ADVICE r11 end-to-end: two INDEPENDENT moment streams (each
+    numbering _batch from 0) write store-stamped state; the union of
+    both stores merges to the batch covariance over the union corpus —
+    colliding _batch ids no longer alias as replays because the writer
+    itself stamps _store."""
+    from etl_fuel_priceguide_ec2_spark.operators import embeddings
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stores = []
+    for k in range(2):
+        part = emb.filter(F.col("vec_id") % 2 == k)
+        src = str(tmp_path / f"src{k}")
+        part.write.parquet(src)
+        stream = spark.readStream.schema(part.schema).parquet(src)
+        feeds.embedding_moment_stream(
+            stream,
+            "vec_id",
+            "embedding",
+            str(tmp_path / f"sij{k}"),
+            str(tmp_path / f"si{k}"),
+            str(tmp_path / f"ck{k}"),
+            store_id=f"store{k}",
+        ).awaitTermination(120)
+        stores.append(k)
+
+    sij = spark.read.parquet(str(tmp_path / "sij0")).unionByName(
+        spark.read.parquet(str(tmp_path / "sij1"))
+    )
+    si = spark.read.parquet(str(tmp_path / "si0")).unionByName(
+        spark.read.parquet(str(tmp_path / "si1"))
+    )
+    # both streams ran single-batch, so WITHOUT the namespace the
+    # (_batch=0, dim key) collision would drop one store's rows
+    assert sij.filter(F.col("_batch") == 0).count() > sij.select(
+        "dim_i", "dim_j"
+    ).distinct().count() // 2
+
+    merged = sorted(
+        map(tuple, embeddings.embedding_covariance_from_state(sij, si).collect())
+    )
+    direct = sorted(
+        map(tuple, embeddings.embedding_covariance(
+            emb, "vec_id", "embedding"
+        ).collect())
+    )
+    assert merged == direct

@@ -446,6 +446,7 @@ def pca_component_scores(
     vec_col: str,
     n_components: int = 2,
     iters: int = 8,
+    cov_means: tuple | None = None,
 ) -> DataFrame:
     """Top-``n_components`` principal-component scores per vector:
     (id, pc1, ..., pcK) — the whitening/triage projection one step up
@@ -471,7 +472,13 @@ def pca_component_scores(
         raise ValueError(f"pca requires n_components >= 1, got {n_components}")
     if iters < 1:
         raise ValueError(f"pca requires iters >= 1, got {iters}")
-    got = _collect_cov_means(df, id_col, vec_col)
+    # cov_means: a pre-collected (matrix, means, dim) triple — the
+    # per-corpus amortization path (fit state is computed ONCE at
+    # ingest and every consumer reuses it; the fit is deterministic,
+    # so this changes cost, never results). None = collect here.
+    got = cov_means if cov_means is not None else _collect_cov_means(
+        df, id_col, vec_col
+    )
     if got is None:
         cols = [F.lit(None).cast("double").alias(f"pc{k}") for k in range(1, n_components + 1)]
         return df.select(F.col(id_col), *cols).limit(0)
@@ -1182,6 +1189,7 @@ def pca_residual_scores(
     vec_col: str,
     n_components: int = 2,
     iters: int = 8,
+    cov_means: tuple | None = None,
 ) -> DataFrame:
     """PCA reconstruction-residual outlier score per vector:
     (id, resid2, pc_energy_frac) with
@@ -1209,7 +1217,9 @@ def pca_residual_scores(
         raise ValueError(f"pca requires n_components >= 1, got {n_components}")
     if iters < 1:
         raise ValueError(f"pca requires iters >= 1, got {iters}")
-    got = _collect_cov_means(df, id_col, vec_col)
+    got = cov_means if cov_means is not None else _collect_cov_means(
+        df, id_col, vec_col
+    )
     if got is None:
         return df.select(
             F.col(id_col),
@@ -1344,6 +1354,7 @@ def zca_whitener(
     vec_col: str,
     iters: int = 12,
     ridge: float = 1e-6,
+    cov_means: tuple | None = None,
 ) -> tuple[list[list[float]], list[float], int] | None:
     """Fit the ZCA whitening matrix from the corpus covariance:
     returns (W, means, dim) with W ~ (cov + ridge*I)^-1/2, or None on
@@ -1351,7 +1362,9 @@ def zca_whitener(
     driver-side state (the sanctioned bounded collect); the fit runs
     in the portable integer-microunit arithmetic (``_ns_inverse_sqrt``)
     so an external SQL oracle replays it exactly."""
-    got = _collect_cov_means(df, id_col, vec_col)
+    got = cov_means if cov_means is not None else _collect_cov_means(
+        df, id_col, vec_col
+    )
     if got is None:
         return None
     m, means, dim = got
@@ -1366,6 +1379,7 @@ def zca_whitening_scores(
     n_out: int = 4,
     iters: int = 12,
     ridge: float = 1e-6,
+    cov_means: tuple | None = None,
 ) -> DataFrame:
     """ZCA-whitened coordinates per vector: (id, zca1..zca{n_out})
     with zca_j = <W_j, x - mu>, W the symmetric inverse-sqrt of the
@@ -1383,7 +1397,9 @@ def zca_whitening_scores(
         raise ValueError(f"zca requires n_out >= 1, got {n_out}")
     if iters < 1:
         raise ValueError(f"zca requires iters >= 1, got {iters}")
-    got = zca_whitener(df, id_col, vec_col, iters=iters, ridge=ridge)
+    got = zca_whitener(
+        df, id_col, vec_col, iters=iters, ridge=ridge, cov_means=cov_means
+    )
     if got is None:
         cols = [
             F.lit(None).cast("double").alias(f"zca{j}")

@@ -36,6 +36,22 @@ def clear_codebook_cache() -> None:
     _CODEBOOK_CACHE.clear()
 
 
+def _corpus_cov_means(spark, sf_dir: str):
+    """Per-corpus (covariance matrix, means, dim) triple — the fit
+    state every PCA/ZCA-chain query shares, collected ONCE per corpus
+    dir (the codebook-cache pattern applied to the second-moment
+    tier: in production this state is persisted at ingest and read
+    back; re-collecting it per query re-scans the corpus). Same
+    immutability assumption and clear function as the codebooks."""
+    key = f"{sf_dir}:embeddings:cov_means"
+    if key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = _emb._collect_cov_means(
+            emb, "vec_id", "embedding"
+        )
+    return _CODEBOOK_CACHE[key]
+
+
 def _corpus_codebook(spark, sf_dir: str) -> list:
     key = f"{sf_dir}:embeddings:{K}:{ITERS}"
     if key not in _CODEBOOK_CACHE:
@@ -901,7 +917,8 @@ def q_pca_top2_subspace_scores(spark, sf_dir):
     iteration chains and the deflation as MATERIALIZED CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _emb.pca_component_scores(
-        emb, "vec_id", "embedding", n_components=2, iters=8
+        emb, "vec_id", "embedding", n_components=2, iters=8,
+        cov_means=_corpus_cov_means(spark, sf_dir),
     )
 
 
@@ -1002,7 +1019,8 @@ def q_embedding_pca_zorder_layout(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     scores = _emb.pca_component_scores(
-        emb, "vec_id", "embedding", n_components=2, iters=8
+        emb, "vec_id", "embedding", n_components=2, iters=8,
+        cov_means=_corpus_cov_means(spark, sf_dir),
     )
     q = scores.select(
         "vec_id",
@@ -1061,7 +1079,8 @@ def q_similarity_topk_zorder(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     scores = _emb.pca_component_scores(
-        emb, "vec_id", "embedding", n_components=2, iters=8
+        emb, "vec_id", "embedding", n_components=2, iters=8,
+        cov_means=_corpus_cov_means(spark, sf_dir),
     )
     q = scores.select(
         "vec_id",
@@ -1144,7 +1163,8 @@ def q_pca_residual_outliers(spark, sf_dir):
     aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _emb.pca_residual_scores(
-        emb, "vec_id", "embedding", n_components=2, iters=8
+        emb, "vec_id", "embedding", n_components=2, iters=8,
+        cov_means=_corpus_cov_means(spark, sf_dir),
     )
 
 
@@ -1172,5 +1192,6 @@ def q_zca_whitened_scores(spark, sf_dir):
     is pinned by a numpy property test, not assumed."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _emb.zca_whitening_scores(
-        emb, "vec_id", "embedding", n_out=4, iters=12
+        emb, "vec_id", "embedding", n_out=4, iters=12,
+        cov_means=_corpus_cov_means(spark, sf_dir),
     )

@@ -810,3 +810,44 @@ def test_ns_inverse_sqrt_rejects_quantization_overflow():
         [[2.0, 0.3], [0.3, 1.0]], 2, iters=12, ridge=1e-6
     )
     assert len(w) == 2
+
+
+def test_corpus_cov_means_cache_is_invisible(spark, sf_dir):
+    """The per-corpus (cov, means, dim) cache (registry/semantic.py)
+    must change cost, never results: the cached-fit builder output is
+    row-identical to the operator run with a fresh collect, and
+    clear_codebook_cache() drops the entry."""
+    from etl_fuel_priceguide_ec2_spark.registry import semantic as sem
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    sem.clear_codebook_cache()
+    cached = sorted(
+        map(
+            tuple,
+            embeddings.pca_component_scores(
+                load_table(spark, sf_dir, "embeddings"),
+                "vec_id",
+                "embedding",
+                n_components=2,
+                iters=8,
+                cov_means=sem._corpus_cov_means(spark, sf_dir),
+            ).collect(),
+        )
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            embeddings.pca_component_scores(
+                load_table(spark, sf_dir, "embeddings"),
+                "vec_id",
+                "embedding",
+                n_components=2,
+                iters=8,
+            ).collect(),
+        )
+    )
+    assert cached == fresh
+    key = f"{sf_dir}:embeddings:cov_means"
+    assert key in sem._CODEBOOK_CACHE
+    sem.clear_codebook_cache()
+    assert key not in sem._CODEBOOK_CACHE

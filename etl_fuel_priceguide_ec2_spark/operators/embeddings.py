@@ -381,10 +381,13 @@ def _collect_cov_means(df: DataFrame, id_col: str, vec_col: str):
     """The two sanctioned driver-side collects shared by the PCA forms:
     the d x d covariance (from ``embedding_covariance``'s d(d+1)/2-row
     relation, mirrored to full) and the d per-dim means. Returns
-    (matrix, means, dim) or None on an empty corpus."""
+    (matrix, means, dim), or ``()`` on an empty corpus — a falsy marker
+    distinct from None so per-corpus caches can store the empty result
+    and consumers (which treat ``cov_means=None`` as "collect here")
+    don't re-scan an empty corpus on every call (ADVICE r12)."""
     cov_rows = embedding_covariance(df, id_col, vec_col).collect()
     if not cov_rows:
-        return None
+        return ()
     dim = max(r["dim_j"] for r in cov_rows)
     m = [[0.0] * dim for _ in range(dim)]
     for r in cov_rows:
@@ -479,7 +482,7 @@ def pca_component_scores(
     got = cov_means if cov_means is not None else _collect_cov_means(
         df, id_col, vec_col
     )
-    if got is None:
+    if not got:
         cols = [F.lit(None).cast("double").alias(f"pc{k}") for k in range(1, n_components + 1)]
         return df.select(F.col(id_col), *cols).limit(0)
     m, means, dim = got
@@ -1220,7 +1223,7 @@ def pca_residual_scores(
     got = cov_means if cov_means is not None else _collect_cov_means(
         df, id_col, vec_col
     )
-    if got is None:
+    if not got:
         return df.select(
             F.col(id_col),
             F.lit(None).cast("double").alias("resid2"),
@@ -1365,7 +1368,7 @@ def zca_whitener(
     got = cov_means if cov_means is not None else _collect_cov_means(
         df, id_col, vec_col
     )
-    if got is None:
+    if not got:
         return None
     m, means, dim = got
     w, _ = _ns_inverse_sqrt(m, dim, iters, ridge)

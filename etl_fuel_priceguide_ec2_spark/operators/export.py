@@ -102,14 +102,21 @@ def assert_unique_ids(df: DataFrame, id_col: str) -> DataFrame:
     job. Deliberately an action: the position contract is corrupted
     SILENTLY by duplicate ids (they share h and tie-break arbitrarily),
     which is strictly worse than an eager failure."""
-    n, nd = df.select(
+    # count_distinct ignores NULLs, so a NULL id would trip the check
+    # with a misleading "duplicated" message — count NULLs in the same
+    # single aggregate and name them in the diagnostic (ADVICE r12).
+    # NULL ids DO violate the contract (no total order through them).
+    n, nd, n_null = df.select(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
+        F.count_if(F.col(id_col).isNull()).alias("n_null"),
     ).first()
-    if n != nd:
+    if n != nd + n_null or n_null:
+        dup = n - nd - n_null
         raise ValueError(
-            f"shard_positions requires unique ids: {n} rows but only "
-            f"{nd} distinct {id_col!r} values ({n - nd} duplicated)"
+            f"shard_positions requires unique ids and no NULLs: {n} rows, "
+            f"{nd} distinct {id_col!r} values, {n_null} NULL ids, "
+            f"{dup} duplicated"
         )
     return df
 

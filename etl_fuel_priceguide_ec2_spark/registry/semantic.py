@@ -8,7 +8,8 @@ the oracle replays the exact same Lloyd's iterations in SQL."""
 
 from __future__ import annotations
 
-from etl_fuel_priceguide_ec2_spark.registry.base import corpus_store, register
+from etl_fuel_priceguide_ec2_spark.registry.base import register
+from etl_fuel_priceguide_ec2_spark.registry.stores import corpus_store
 from etl_fuel_priceguide_ec2_spark.operators import clustering
 from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
 
@@ -42,7 +43,10 @@ def _corpus_cov_means(spark, sf_dir: str):
     dir (the codebook-cache pattern applied to the second-moment
     tier: in production this state is persisted at ingest and read
     back; re-collecting it per query re-scans the corpus). Same
-    immutability assumption and clear function as the codebooks."""
+    immutability assumption and clear function as the codebooks.
+    An empty corpus collects to ``()`` (falsy, cacheable — the
+    consumers' empty branch), so the empty case is cached like any
+    other fit instead of re-scanning per query (ADVICE r12)."""
     key = f"{sf_dir}:embeddings:cov_means"
     if key not in _CODEBOOK_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")

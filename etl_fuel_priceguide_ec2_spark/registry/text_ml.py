@@ -2,10 +2,8 @@
 
 from __future__ import annotations
 
-from etl_fuel_priceguide_ec2_spark.registry.base import (
-    corpus_store,
-    register,
-)
+from etl_fuel_priceguide_ec2_spark.registry.base import register
+from etl_fuel_priceguide_ec2_spark.registry.stores import corpus_store
 from etl_fuel_priceguide_ec2_spark.operators import (
     dedup,
     retrieval,

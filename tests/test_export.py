@@ -245,6 +245,17 @@ def test_shard_positions_check_unique_ids(spark, docs):
             planted, "doc_id", N_SHARDS, seed=SEED, check_unique_ids=True
         )
 
+    # A NULL id has zero duplicates yet still breaks the total order;
+    # the diagnostic must name NULLs, not report a bogus duplicate
+    # count (ADVICE r12: count_distinct ignores NULLs).
+    with_null = unique.unionAll(
+        unique.limit(1).select(F.lit(None).cast("string").alias("doc_id"))
+    )
+    with pytest.raises(ValueError, match="1 NULL ids, 0 duplicated"):
+        export.shard_positions(
+            with_null, "doc_id", N_SHARDS, seed=SEED, check_unique_ids=True
+        )
+
 
 def test_example_pretraining_corpus_build(tmp_path):
     """examples/pretraining_corpus_build.py — the composed capstone:

@@ -30,29 +30,9 @@ Builder = Callable[[SparkSession, str], DataFrame]
 # name -> (builder, oracle_sql or None)
 _REGISTRY: dict[str, tuple[Builder, str | None]] = {}
 
-# Session-scoped per-corpus materialized-state cache (the persisted-
-# store stand-in pattern, round 11/12): relations that are PERSISTED
-# STATE in production (the Z-order layout, the hashed doc-embedding
-# store, fitted models) get built + localCheckpointed ONCE per
-# (session, corpus dir) and read back by every consumer, instead of
-# recomputing the build pipeline per query call. Keyed by the Spark
-# applicationId so a stopped session's RDD handles can never leak into
-# a new one. Deterministic builds only — caching changes cost, never
-# results; same corpus-immutability caveat as the codebook cache.
-_STORE_CACHE: dict[tuple, DataFrame] = {}
-
-
-def corpus_store(spark: SparkSession, sf_dir: str, name: str, build):
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _STORE_CACHE:
-        _STORE_CACHE[key] = build().localCheckpoint(eager=True)
-    return _STORE_CACHE[key]
-
-
-def clear_store_cache() -> None:
-    """Drop every cached per-corpus store — for callers that rewrite
-    data under a previously-built corpus dir within one process."""
-    _STORE_CACHE.clear()
+# Session-scoped caches live in registry/stores.py — this file holds
+# ONLY the frozen window pins and the register/_ordered machinery so
+# the per-round freeze claim stays byte-checkable (VERDICT r12 item 3).
 
 
 def register(name: str, oracle: str | None):
@@ -70,73 +50,26 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-12 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 13, never slot into
+# Round-13 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 14, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-11 driver artifacts (CORRECTNESS_r11/BENCH_r11):
+# committing the round-12 driver artifacts (CORRECTNESS_r12/BENCH_r12):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Slots 1-5: the five round-11 post-freeze additions (never in a driver
+# Slots 1-5: the five round-12 post-freeze additions (never in a driver
 # window; each sim-green at sf0.01 with committed SIMLOG.json records
-# and judge-sim-green per VERDICT r11). Slots 6-27: the r07-last-green
-# remainder, ledger order. Slots 28-50: the stalest r08 cohort, ledger
-# order. Slots 51-70 pin the round-13 net head (next-stalest r08
+# and judge-sim-green per VERDICT r12). Slots 6-32: the r08-last-green
+# remainder, ledger order. Slots 33-50: the stalest r09 cohort, ledger
+# order. Slots 51-70 pin the round-14 net head (next-stalest r09
 # cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 5 round-11 post-freeze additions (never driver-seen) ---
-    "image_phash_near_pairs",
-    "training_export_shards",
-    "training_export_manifest",
-    "training_export_contamination_manifest",
-    "zca_whitened_scores",
-    # --- r07-last-green remainder (ledger order) ---
-    "csv_roundtrip_battery",
-    "similarity_topk_int8",
-    "key_skew_profile",
-    "salted_event_value_agg",
-    "incremental_monthly_rollup",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_top_customers",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q22_idle_customers",
-    "q19_disjunctive_revenue",
-    "hash_split_train_val_test",
-    "mixture_sample_by_lang",
-    "weighted_sample_chars",
-    "temperature_mixture_allocation",
-    "semantic_kmeans_clusters",
-    "semantic_dedup_pairs",
-    "kmv_intersection_user_sets",
-    "dd_quantile_weekly_rollup",
-    "cms_selfjoin_size_events",
-    "kmv_distinct_by_event_type",
-    # --- stalest r08 cohort (ledger order) ---
-    "minhash_dedup_keeplist",
-    "exact_substring_spans",
-    "duplicated_span_coverage",
-    "exact_substring_incremental_spans",
-    "phrase_occurrences",
-    "scrub_duplicated_spans",
-    "winnow_candidate_pairs",
-    "containment_pairs",
-    "symspell_edit1_pairs",
-    "similarity_topk_ivf",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "multimodal_meta",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "audio_waveform_stats",
-    "audio_zero_crossings",
-    "image_ahash_near_pairs",
-    "stream_window_counts",
-    "price_change_deltas",
-    "sessionize_events",
-    # --- slots 51+: past the driver window; round-13 net head ---
+    # --- 5 round-12 post-freeze additions (never driver-seen) ---
+    "image_phash_keeplist",
+    "pack_fill_rates",
+    "training_mix_shard_manifest",
+    "mixture_upsample_epochs",
+    "training_export_upsampled_manifest",
+    # --- r08-last-green remainder (ledger order) ---
     "asof_join_tolerance_7d",
     "event_transition_matrix",
     "pivot_event_counts",
@@ -157,6 +90,53 @@ _ROUND_PRIORITY: list[str] = [
     "multimodal_resize",
     "dedup_clusters",
     "quality_classifier_scores",
+    "domain_classifier_labels",
+    "scd2_dim_versions",
+    "distinct_users_salted",
+    "pandas_udaf_user_trend",
+    "semantic_dedup_keeplist",
+    "semantic_contamination",
+    "semantic_dedup_pairs_two_level",
+    # --- stalest r09 cohort (ledger order) ---
+    "asof_latest_per_key",
+    "asof_point_lookup",
+    "enrichment_join",
+    "array_battery",
+    "deterministic_sample",
+    "udtf_ngrams_explode",
+    "salted_join_skewed_flag",
+    "except_all_multiset",
+    "embedding_norm_stats",
+    "price_histogram",
+    "column_profile_lineitem",
+    "correlated_subquery_max_order",
+    "chunk_documents",
+    "pack_chunks",
+    "scrub_pii",
+    "curation_keep_list",
+    "scd2_time_travel",
+    "moving_avg_range_frame",
+    # --- slots 51+: past the driver window; round-14 net head ---
+    "ranking_battery",
+    "grouping_sets_customer",
+    "normalize_text",
+    "join_types_matrix",
+    "cube_nation_segment",
+    "gap_fill_forward",
+    "exists_segments",
+    "fuzzy_brand_pairs",
+    "having_large_qty_customers",
+    "lateral_topk_orders",
+    "intersect_all_multiset",
+    "revenue_share_by_nation",
+    "promo_revenue_share",
+    "rolling_7d_distinct_users",
+    "cohort_retention",
+    "explode_outer_null_preserving",
+    "most_frequent_event_type",
+    "funnel_view_click_purchase",
+    "q2_min_balance_supplier",
+    "q4_order_priority",
 ]
 
 

@@ -51,3 +51,24 @@ def synth_sawtooth(doc_id: int, n_samples: int = 4000) -> np.ndarray:
     No floats anywhere, so every engine computes identical samples."""
     i = np.arange(n_samples, dtype=np.int64)
     return (((doc_id * 31 + i * 7) % 2048) - 1024).astype(np.int16)
+
+
+def synth_class_tone(
+    doc_id: int, n_samples: int = 4000, classes: int = 100
+) -> np.ndarray:
+    """Class-structured deterministic signal — the audio analogue of
+    ``multimodal.synth_image``: every doc in class ``doc_id % classes``
+    shares one integer sawtooth (class-keyed phase AND step, so classes
+    differ in both pitch and alignment), plus a one-sample per-doc
+    perturbation — same-class docs are perceptual near-dups (band
+    energies shift by <= 8 of ~30k) while classes differ broadly.
+    Pure integer math, replayable in SQL:
+      base[i] = ((cls*31 + i*(5 + 2*(cls%7))) % 2048) - 1024
+      base[doc_id % n_samples] += doc_id % 9
+    """
+    cls = doc_id % classes
+    step = 5 + 2 * (cls % 7)
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((cls * 31 + i * step) % 2048) - 1024
+    s[doc_id % n_samples] += doc_id % 9
+    return s.astype(np.int16)

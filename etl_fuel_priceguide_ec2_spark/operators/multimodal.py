@@ -286,6 +286,101 @@ def audio_zero_crossings(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_zc, AUDIO_ZC_SCHEMA)
 
 
+def to_audio_media_classed(
+    df: DataFrame,
+    id_col: str,
+    n_samples: int = 4000,
+    classes: int = 100,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Synthesize class-structured WAV payloads (``synth_class_tone`` —
+    same-class docs are perceptual near-dups) for the audio near-dup
+    family, the audio analogue of ``to_image_media``. Arrow-batched;
+    payload bytes never visit the driver."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_fuel_priceguide_ec2_spark.operators import audiocodec
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: audiocodec.encode_wav(
+                audiocodec.synth_class_tone(int(i), n_samples, classes),
+                sample_rate,
+            )
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _synth(F.col(id_col)).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+
+
+def audio_fingerprint(media: DataFrame, n_bands_out: int = 64) -> DataFrame:
+    """Perceptual audio fingerprint per decoded WAV payload, emitted in
+    the SAME four-16-bit-band relation as ``image_ahash`` /
+    ``image_phash`` — so the banded pair join (``image_ahash_pairs``),
+    the band-state miner, and the CC keep-list consume it unchanged
+    (the band-relation polymorphism, third hash family).
+
+    Bit construction (all exact integers): decode → 64 equal time bands
+    over the first ``64 * (n // 64)`` samples → band energy = Σ|sample|
+    (int64) → bit_k set iff energy_k * 64 > Σ energies (the
+    division-free above-average form, the aHash rule applied to the
+    time-energy envelope) → bits [16k, 16k+16) pack into band k.
+    Robust to the perturbations that define near-dup audio (a few
+    samples changed barely move any band's energy) while differing
+    signals disagree broadly.
+
+    100 TB shape: payloads stream through mapInPandas in Arrow batches;
+    only 4 longs per clip shuffle — the fingerprint relation is the
+    persistable ingest state, exactly the image-hash contract."""
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import audiocodec
+
+    if n_bands_out != 64:
+        raise ValueError("the four-16-bit-band contract packs exactly 64 bits")
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = audiocodec.decode_wav(bytes(payload))
+                n = len(samples)
+                width = n // 64
+                if width == 0:
+                    rows.append(
+                        {"doc_id": doc_id, "b0": 0, "b1": 0, "b2": 0, "b3": 0}
+                    )
+                    continue
+                e = (
+                    np.abs(samples[: width * 64].astype(np.int64))
+                    .reshape(64, width)
+                    .sum(axis=1)
+                )
+                tot = int(e.sum())
+                bits = (e * 64 > tot).astype(np.int64)
+                bands = [
+                    int(sum(int(bits[16 * k + j]) << j for j in range(16)))
+                    for k in range(4)
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_AHASH_SCHEMA])
+
+    return media.select("doc_id", "payload").mapInPandas(_fp, IMAGE_AHASH_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # X5b — image perceptual-hash dedup (aHash over decoded payloads)
 # ---------------------------------------------------------------------------

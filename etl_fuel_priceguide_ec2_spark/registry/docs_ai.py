@@ -539,3 +539,121 @@ def q_image_phash_keeplist(spark, sf_dir):
         .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
         .withColumn("kept", F.col("component_id") == F.col("doc_id"))
     )
+
+
+# --- round-13 additions (post-freeze -> lead the round-14 window) -----
+# VERDICT r12 item 4: the AUDIO perceptual near-dup family — images
+# have both hash families end-to-end (pairs -> CC -> keep-list); audio
+# had codecs + waveform stats only. The fingerprint thresholds the
+# 64-band time-energy envelope of the decoded WAV against its mean
+# (exact int64 energy sums, the aHash rule in audio space) and emits
+# the SAME four-16-bit-band relation, so the banded pair join and the
+# CC keep-list are reused UNCHANGED — the band-relation polymorphism's
+# third hash family. Payloads are class-structured WAVs
+# (audiocodec.synth_class_tone: same-class docs share a sawtooth up to
+# a one-sample perturbation => near-dups; classes differ in phase AND
+# step => far apart).
+
+_AUDIO_FP_BANDS_CTES = """samp AS (
+      SELECT d.doc_id, t.i,
+        ((((d.doc_id % 100) * 31 + t.i * (5 + 2 * ((d.doc_id % 100) % 7))) % 2048) - 1024)
+        + (CASE WHEN t.i = d.doc_id % 4000 THEN d.doc_id % 9 ELSE 0 END) AS s
+      FROM documents d CROSS JOIN unnest(generate_series(0, 3967)) AS t(i)
+    ), benergy AS (
+      SELECT doc_id, i // 62 AS idx, SUM(ABS(s)) AS e
+      FROM samp GROUP BY doc_id, i // 62
+    ), tot AS (
+      SELECT doc_id, SUM(e) AS te FROM benergy GROUP BY doc_id
+    ), bits AS (
+      SELECT b.doc_id, b.idx,
+             CASE WHEN b.e * 64 > t.te THEN 1 ELSE 0 END AS bit
+      FROM benergy b JOIN tot t USING (doc_id)
+    ), bands AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN idx // 16 = 0 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b0,
+        CAST(SUM(CASE WHEN idx // 16 = 1 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b1,
+        CAST(SUM(CASE WHEN idx // 16 = 2 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
+        CAST(SUM(CASE WHEN idx // 16 = 3 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "audio_fingerprint_near_pairs",
+    f"""
+    WITH {_AUDIO_FP_BANDS_CTES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def q_audio_fingerprint_near_pairs(spark, sf_dir):
+    """X5 audio near-dup pairs: REAL WAV encode -> decode -> 64-band
+    time-energy fingerprint (exact int64 sums) -> the SAME banded pair
+    join as the image hashes (share >= 1 of 4 bands => exact recall at
+    Hamming <= 3 by pigeonhole, then exact popcount verify). The
+    oracle regenerates the class-tone samples in SQL and replays the
+    identical integer band math; Spark earns the bits through the
+    stdlib-wave codec round trip, so the decode path is what's
+    verified. Only 4 longs per clip ever shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_audio_media_classed(
+        docs, "doc_id", n_samples=4000, classes=100
+    )
+    fp = multimodal.audio_fingerprint(media)
+    return multimodal.image_ahash_pairs(fp, max_hamming=3)
+
+
+_AUDIO_FP_KEEPLIST_ORACLE = f"""
+    WITH RECURSIVE {_AUDIO_FP_BANDS_CTES},
+    apairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM apairs
+      UNION SELECT id_b, id_a FROM apairs
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node, MIN(reach) AS component_id
+      FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+      GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(comp.component_id, d.doc_id) AS component_id,
+           COALESCE(comp.component_id, d.doc_id) = d.doc_id AS kept
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+
+@register("audio_fingerprint_keeplist", _AUDIO_FP_KEEPLIST_ORACLE)
+def q_audio_fingerprint_keeplist(spark, sf_dir):
+    """Audio-dedup keep-list: fingerprint bands -> banded pair join ->
+    HashMin connected components -> min-id canonical per component,
+    one row per document — the identical composition the image hash
+    families use (``image_ahash_keeplist`` / ``image_phash_keeplist``),
+    completing the multimodal dedup symmetry. The fingerprint relation
+    is the persistable ingest state; payloads decode once."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_audio_media_classed(
+        docs, "doc_id", n_samples=4000, classes=100
+    )
+    fp = multimodal.audio_fingerprint(media)
+    pairs = multimodal.image_ahash_pairs(fp, max_hamming=3)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
+    )

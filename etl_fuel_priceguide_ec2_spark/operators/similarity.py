@@ -640,6 +640,214 @@ def cosine_topk_ivf2_sq8(
     )
 
 
+def topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m: int = 16,
+    ks: int = 16,
+    rerank_m: int | None = None,
+    centroids: list[list[float]] | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF + product quantization with asymmetric-distance (ADC)
+    scoring — the NINTH ladder rung, the one classical ANN compression
+    the ladder lacked (SQ8 is scalar, IVF2 is coarse x residual; PQ is
+    m-subspace vector quantization).
+
+    Encode: each corpus vector stores its coarse cell plus m sub-codes
+    (argmin centroid per dim/m-sized subspace, ties to the lower code —
+    the clustering._assign convention). That is the compression story:
+    m*log2(ks) bits per vector (m=16, ks=16: 64 bits = 8 bytes vs 512
+    for float64 — 64x), and the candidate scan reads CODES, never
+    vectors.
+
+    Search: a query probes its ``nprobe`` nearest coarse cells and
+    builds one ADC table per subspace — the ks distances from the
+    query's subvector to that subspace's centroids — carried as array
+    literals on the broadcast query row. A candidate's approximate
+    distance is m table LOOKUPS (element_at) + (m-1) adds — no
+    per-candidate vector arithmetic. Each looked-up term is rounded to
+    9dp and accumulated as DECIMAL, so the ADC score is exact and
+    addition-order-free — the ranking cut is deterministic and an
+    external SQL oracle replays fit + encode + ADC table-sum bit-for-
+    bit however it orders the terms.
+
+    With ``rerank_m`` set, the ADC ranking only CUTS candidates (top
+    rerank_m per query) and a full-precision squared-L2 rerank orders
+    the final top-k — the standard ADC + refine production shape
+    (quantized recall, exact precision at the top). Output columns:
+    (query_id, neighbor_id, rank, sq_dist) reranked, or
+    (query_id, neighbor_id, rank, approx_sq_dist) pure-ADC.
+
+    Classical refinement not taken (documented): FAISS's IVF,PQ
+    encodes RESIDUALS (v - coarse centroid) for tighter codebooks;
+    this rung quantizes raw vectors so the PQ codebooks are
+    independent of the coarse layer and replayable with the same
+    Lloyd's SQL fragment per subspace.
+
+    100 TB shape: fits touch the corpus iters times (bounded driver
+    state: cells*dim + m*ks*(dim/m) doubles); the probe reads
+    ~nprobe/cells of a corpus stored as 8-byte codes; the rerank reads
+    rerank_m full vectors per query; top-k is the W1 window over
+    (query, candidate) score triples."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+
+    if centroids is None:
+        centroids = clustering.fit_centroids(
+            corpus, id_col, vec_col, k=cells, iters=iters
+        )
+    score_col = "sq_dist" if rerank_m is not None else "approx_sq_dist"
+    if not centroids:  # empty corpus: empty result, stable schema
+        return corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("double").alias(score_col),
+        ).filter(F.lit(False))
+    dim = len(centroids[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    if pq_codebooks is None:
+        pq_codebooks = [
+            clustering.fit_centroids(
+                corpus.select(
+                    F.col(id_col),
+                    F.slice(
+                        F.col(vec_col).cast("array<double>"), s * sub + 1, sub
+                    ).alias("_sv"),
+                ),
+                id_col,
+                "_sv",
+                k=ks,
+                iters=iters,
+            )
+            for s in range(m)
+        ]
+    cells = len(centroids)
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+    sub_lits = [
+        F.lit([[float(x) for x in c] for c in cb]) for cb in pq_codebooks
+    ]
+
+    def _dists(vcol, lit):
+        return F.transform(
+            lit,
+            lambda c: F.aggregate(
+                F.zip_with(vcol, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+
+    # corpus: primary coarse cell + m sub-codes (argmin, ties to lower
+    # code). Same _nd barrier as cosine_topk_ivf_sq8: stop the join from
+    # re-expanding the assignment expressions per reference.
+    cb = _with_norm(corpus, id_col, vec_col)
+    cd = _dists(F.col("v"), cent_lit)
+    code_cols = []
+    for s in range(m):
+        sd = _dists(F.slice("v", s * sub + 1, sub), sub_lits[s])
+        code_cols.append(
+            (F.array_position(sd, F.array_min(sd)) - 1).cast("long").alias(f"code{s}")
+        )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell"),
+        *code_cols,
+        F.rand(42).alias("_nd"),
+    ).filter(F.col("_nd") >= -1).drop("_nd")
+
+    # queries: nprobe nearest cells + one ADC table per subspace
+    qb = _with_norm(queries, id_col, vec_col)
+    qd = _dists(F.col("v"), cent_lit)
+    ranked = F.array_sort(
+        F.zip_with(
+            qd,
+            F.sequence(F.lit(0), F.lit(cells - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+        )
+    )
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
+        ).alias("cell"),
+        *[
+            _dists(F.slice("v", s * sub + 1, sub), sub_lits[s]).alias(f"adc{s}")
+            for s in range(m)
+        ],
+    )
+    # 9dp-quantized DECIMAL term sum: exact and order-free, so the ADC
+    # ranking is replayable by an oracle that groups the terms instead
+    # of chaining them (unit-scale distances sit safely inside the
+    # toString-vs-scaled-double rounding envelope)
+    approx = None
+    for s in range(m):
+        term = F.round(
+            F.element_at(F.col(f"adc{s}"), (F.col(f"code{s}") + 1).cast("int")), 9
+        ).cast("decimal(18,9)")
+        approx = term if approx is None else approx + term
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_adc", approx)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank_m is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w_adc))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rank",
+                F.col("_adc").cast("double").alias("approx_sq_dist"),
+            )
+        )
+    cand = (
+        scored.withColumn("_crank", F.row_number().over(w_adc))
+        .filter(F.col("_crank") <= rerank_m)
+        .select("query_id", "neighbor_id")
+    )
+    cfull = _with_norm(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    qfull = _with_norm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        cand.join(cfull, "neighbor_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn(
+            "_d",
+            F.aggregate(
+                F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("sq_dist")
+        )
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, q8: array<long of int8 values>) — unit-normalized scalar
     quantization. Kept as a separate op so the quantized column can be

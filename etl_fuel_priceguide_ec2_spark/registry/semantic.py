@@ -1204,3 +1204,151 @@ def q_zca_whitened_scores(spark, sf_dir):
         emb, "vec_id", "embedding", n_out=4, iters=12,
         cov_means=_corpus_cov_means(spark, sf_dir),
     )
+
+
+# --- round-13 addition: IVF-PQ ADC ANN (post-freeze -> leads round 14) --
+# VERDICT r12 item 5: m-subspace product quantization with asymmetric-
+# distance tables — the one classical ANN compression the nine-rung
+# ladder lacked (SQ8 is scalar, IVF2 is coarse x residual). The oracle
+# replays the coarse Lloyd's fit, SIXTEEN per-subspace Lloyd's fits
+# (the same fragment at dim 4 over list slices), the corpus encode,
+# the per-query ADC tables as 9dp-DECIMAL terms (exact + order-free,
+# so SQL may GROUP the terms the Spark side chains), the ADC candidate
+# cut, and the full-precision rerank.
+
+_PQ_M = 16
+_PQ_KS = 16
+_PQ_SUB = DIM // _PQ_M
+_PQ_NPROBE = 6
+_PQ_RERANK = 100
+_PQ_TOPK = 5
+
+
+def _pq_oracle_sql() -> str:
+    dist_sub = _DIST.format(a="b", b="c", dim1=_PQ_SUB + 1)
+    parts = [
+        "WITH base AS (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "  FROM embeddings\n)",
+        _lloyds_frag("base", K, ITERS, DIM, "s"),
+        _probe_frag("base", f"sc{ITERS}", 1, DIM, "cellassign"),
+        f"""
+    , qprobe AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, c.cid, {_DIST.format(a="b", b="c", dim1=DIM + 1)} AS d
+              FROM base b CROSS JOIN sc{ITERS} c WHERE b.vec_id < 10) x
+      ) y WHERE rn <= {_PQ_NPROBE}
+    )""",
+    ]
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(
+            f", pqb{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM base)"
+        )
+        parts.append(_lloyds_frag(f"pqb{s}", _PQ_KS, ITERS, _PQ_SUB, f"p{s}"))
+        parts.append(_probe_frag(f"pqb{s}", f"p{s}c{ITERS}", 1, _PQ_SUB, f"code{s}"))
+        parts.append(
+            f"""
+    , qd{s} AS (
+      SELECT b.vec_id AS query_id, c.cid,
+             CAST(ROUND({dist_sub}, 9) AS DECIMAL(18,9)) AS t
+      FROM pqb{s} b CROSS JOIN p{s}c{ITERS} c WHERE b.vec_id < 10
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT q.query_id, c.vec_id AS neighbor_id, q.t"
+        f" FROM code{s} c JOIN qd{s} q ON q.cid = c.cid"
+        for s in range(_PQ_M)
+    )
+    pair = _DIST.format(a="cb", b="qb2", dim1=DIM + 1)
+    parts.append(
+        f"""
+    , adcparts AS (
+      {union}
+    ), adcsum AS (
+      SELECT query_id, neighbor_id, SUM(t) AS adc
+      FROM adcparts GROUP BY query_id, neighbor_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qp.vec_id
+                 ORDER BY a.adc ASC, ca.vec_id ASC) AS crank
+        FROM qprobe qp
+        JOIN cellassign ca ON qp.cid = ca.cid
+        JOIN adcsum a ON a.query_id = qp.vec_id AND a.neighbor_id = ca.vec_id
+        WHERE qp.vec_id <> ca.vec_id
+      ) WHERE crank <= {_PQ_RERANK}
+    )
+    SELECT query_id, neighbor_id, rank, sq_dist FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {pair} ASC, neighbor_id ASC) AS rank,
+             ROUND({pair}, 6) AS sq_dist
+      FROM cand
+      JOIN base cb ON cb.vec_id = neighbor_id
+      JOIN base qb2 ON qb2.vec_id = query_id
+    ) WHERE rank <= {_PQ_TOPK}
+"""
+    )
+    return "".join(parts)
+
+
+def _corpus_pq_codebooks(spark, sf_dir: str) -> list:
+    """Per-corpus cached per-subspace PQ codebooks (fitted once, like
+    the coarse codebook and the two-level pair — persisted-at-ingest
+    state in production)."""
+    key = f"{sf_dir}:embeddings:pq:{_PQ_M}:{_PQ_KS}:{ITERS}"
+    if key not in _CODEBOOK_CACHE:
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = [
+            clustering.fit_centroids(
+                emb.select(
+                    F.col("vec_id"),
+                    F.slice(
+                        F.col("embedding").cast("array<double>"),
+                        s * _PQ_SUB + 1,
+                        _PQ_SUB,
+                    ).alias("_sv"),
+                ),
+                "vec_id",
+                "_sv",
+                k=_PQ_KS,
+                iters=ITERS,
+            )
+            for s in range(_PQ_M)
+        ]
+    return _CODEBOOK_CACHE[key]
+
+
+@register("similarity_topk_ivf_pq", _pq_oracle_sql())
+def q_similarity_topk_ivf_pq(spark, sf_dir):
+    """IVF-PQ ANN with ADC scoring + exact rerank — the ninth ladder
+    rung: corpus vectors stored as a coarse cell + 16 sub-codes (64
+    bits ~ 64x smaller than float64), queries probe their 6 nearest
+    cells, candidates score by 16 ADC table LOOKUPS (9dp-DECIMAL term
+    sums: exact, order-free, deterministic cut), and the top-100 per
+    query rerank at full precision. Recall >= 0.9 vs the exact
+    brute-force top-5 on this fixture is test-pinned — note the
+    fixture's embeddings are uniform random unit vectors, the
+    recall-hostile case for IVF (true neighbors spread evenly over
+    cells, so nprobe/cells bounds recall); clustered production
+    embeddings need far smaller probe fractions for the same recall."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.topk_ivf_pq(
+        emb, queries, "vec_id", "embedding",
+        k=_PQ_TOPK, cells=K, iters=ITERS, nprobe=_PQ_NPROBE,
+        m=_PQ_M, ks=_PQ_KS, rerank_m=_PQ_RERANK,
+        centroids=_corpus_codebook(spark, sf_dir),
+        pq_codebooks=_corpus_pq_codebooks(spark, sf_dir),
+    )

@@ -76,9 +76,10 @@ def q_pack_chunks(spark, sf_dir):
     )
 
 
-@register(
-    "pack_chunks_by_lang",
-    r"""
+# The by-lang (distributed) pack replay, shared verbatim by
+# pack_chunks_by_lang and the round-13 by-lang fill-rate report — the
+# same extract-don't-edit move as _PACK_ORACLE.
+_PACK_BY_LANG_ORACLE = r"""
     WITH d AS (
       SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
     ), chunks AS (
@@ -111,8 +112,10 @@ def q_pack_chunks(spark, sf_dir):
     SELECT l.lang, l.doc_id, l.chunk_id, l.chunk_tokens,
            l.local_bin + o.off AS bin_id
     FROM localb l JOIN offs o USING (lang)
-    """,
-)
+    """
+
+
+@register("pack_chunks_by_lang", _PACK_BY_LANG_ORACLE)
 def q_pack_chunks_by_lang(spark, sf_dir):
     """Distributed sequence packing: per-lang packing windows run in
     parallel (no global single-reducer sort — the documented §4 caveat
@@ -745,6 +748,64 @@ def q_pack_fill_rates(spark, sf_dir):
     return (
         bins.withColumn("fill_decile", F.expr("(bin_tokens * 10) div 256"))
         .groupBy("fill_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            F.sum("n_chunks").alias("total_chunks"),
+        )
+    )
+
+
+# --- round-13 addition (post-freeze -> leads the round-14 window) -----
+# VERDICT r12 item 7: the fill-rate report in its 100 TB-true form —
+# pack_fill_rates sits on the flat packer (global-order window, the
+# documented single-reducer caveat); this one reports on the by-lang
+# DISTRIBUTED pack, sharing its oracle text verbatim. Bins never span
+# langs, so the per-(lang, bin) aggregate is exact and group-parallel.
+
+
+@register(
+    "pack_fill_rates_by_lang",
+    f"""
+    WITH packed AS ({_PACK_BY_LANG_ORACLE})
+    SELECT lang, (bin_tokens * 10) // 256 AS fill_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
+    FROM (
+      SELECT lang, bin_id, CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens,
+             COUNT(*) AS n_chunks
+      FROM packed GROUP BY lang, bin_id
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_pack_fill_rates_by_lang(spark, sf_dir):
+    """Bin fill-rate report over the DISTRIBUTED by-lang pack (budget
+    256): bins per (lang, fill decile) with token and chunk totals —
+    the packing-efficiency histogram in the form that runs at 100 TB
+    (per-lang packing windows in parallel, no global-order reducer;
+    the report adds one bin-scale aggregate and a <= 11-row-per-lang
+    rollup). Integer decile math both engines; bins never span langs
+    by construction, so grouping by (lang, bin) loses nothing."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+    chunks = chunks.join(docs.select("doc_id", "lang"), "doc_id")
+    packed = textops.pack_chunks_by_group(
+        chunks, "lang", "doc_id", order_cols=["doc_id", "chunk_id"],
+        token_col="chunk_tokens", budget=256,
+    )
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.sum("chunk_tokens").cast("long").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    return (
+        bins.withColumn("fill_decile", F.expr("(bin_tokens * 10) div 256"))
+        .groupBy("lang", "fill_decile")
         .agg(
             F.count(F.lit(1)).alias("n_bins"),
             F.sum("bin_tokens").alias("total_tokens"),

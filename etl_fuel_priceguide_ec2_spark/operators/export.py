@@ -149,20 +149,52 @@ def shard_positions(
 
 
 def shard_manifest(
-    sharded: DataFrame, size_cols: dict[str, str] | None = None
+    sharded: DataFrame,
+    size_cols: dict[str, str] | None = None,
+    checksum_id_col: str | None = None,
 ) -> DataFrame:
     """Per-shard manifest over a ``shard_positions`` result: (shard,
-    n_docs, max_pos, <total_x for each size col>). ``max_pos == n_docs``
-    iff positions are dense — the loader's cheap integrity check.
-    ``size_cols`` maps output name -> input column to SUM (e.g.
-    ``{"total_chars": "n_chars"}``). n_shards rows total — readable at
-    a glance no matter the corpus size."""
+    n_docs, max_pos, <total_x for each size col>[, content_checksum]).
+    ``max_pos == n_docs`` iff positions are dense — the loader's cheap
+    integrity check. ``size_cols`` maps output name -> input column to
+    SUM (e.g. ``{"total_chars": "n_chars"}``). n_shards rows total —
+    readable at a glance no matter the corpus size.
+
+    With ``checksum_id_col`` set, adds ``content_checksum`` — an
+    order-sensitive digest over the (shard_pos, id) chain: BIT_XOR of
+    the 60-bit md5 of ``"<shard_pos>:<id>"``. XOR is commutative (the
+    aggregate parallelizes with map-side combine, no sequential fold),
+    yet the digest is order-SENSITIVE because each row's position is
+    hashed into its term — any reorder, drop, duplicate, or swap flips
+    some term and the digest (up to md5 collisions). The missing piece
+    of the export determinism story: byte-identical shard replay is
+    verifiable from this n_shards-row relation alone, cross-engine
+    (DuckDB: ``bit_xor(CAST('0x' || substring(md5(shard_pos || ':' ||
+    id), 1, 15) AS BIGINT))``)."""
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.max("shard_pos").cast("long").alias("max_pos"),
     ]
     for out, src in (size_cols or {}).items():
         aggs.append(F.sum(src).cast("long").alias(out))
+    if checksum_id_col is not None:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("shard_pos").cast("string"),
+                        F.lit(":"),
+                        F.col(checksum_id_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        sharded = sharded.withColumn("_cs_h", h)
+        aggs.append(F.expr("bit_xor(_cs_h)").alias("content_checksum"))
     return sharded.groupBy("shard").agg(*aggs)
 
 

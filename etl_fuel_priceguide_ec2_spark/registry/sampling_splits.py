@@ -457,3 +457,43 @@ def q_training_export_upsampled_manifest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.max("shard_pos").alias("max_pos"),
     )
+
+
+# --- round-13 addition (post-freeze -> leads the round-14 window) -----
+# VERDICT r12 item 6: the per-shard CONTENT CHECKSUM — the manifest
+# grows an order-sensitive digest over the (position, id) chain, so
+# byte-identical export replay is verifiable from the n_shards-row
+# manifest alone, cross-engine (a loader can re-derive the digest from
+# the shards it read and compare; a writer round-trip test pins it).
+
+
+@register(
+    "training_export_checksum_manifest",
+    f"""
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(shard_pos) AS BIGINT) AS max_pos,
+           bit_xor(CAST('0x' || substring(md5(CAST(shard_pos AS VARCHAR)
+                      || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT))
+             AS content_checksum
+    FROM ({_SHARDED_SQL})
+    GROUP BY shard
+    """,
+)
+def q_training_export_checksum_manifest(spark, sf_dir):
+    """Per-shard export manifest with the content checksum (8 rows):
+    doc count, max position, and the order-sensitive BIT_XOR digest of
+    60-bit md5("<shard_pos>:<id>") terms. XOR commutes, so the digest
+    is one map-side-combining aggregate (no sequential fold), yet any
+    reorder/drop/duplicate/swap inside a shard flips it — the export
+    determinism claim becomes checkable from the manifest alone.
+    Composes the shared train keep-list sharding with
+    shard_manifest(checksum_id_col=...)."""
+    from etl_fuel_priceguide_ec2_spark.operators import export
+
+    keep = _train_keep_list(spark, sf_dir)
+    sharded = export.shard_positions(
+        keep, "doc_id", n_shards=_N_SHARDS, seed=_SHARD_SEED
+    )
+    return export.shard_manifest(
+        sharded, checksum_id_col="doc_id"
+    ).select("shard", "n_docs", "max_pos", "content_checksum")

@@ -178,6 +178,18 @@ HEADLINE = [
     "mixture_upsample_epochs",
     "training_export_upsampled_manifest",
     "pack_fill_rates",
+    # round-13 additions: the PQ-ADC ANN rung (corpus reduced to
+    # cell+codes, broadcast ADC tables, decimal cut, exact rerank of
+    # 100 ids — the cached per-corpus fits are the persisted-state
+    # pattern, so min-of-3 measures the search), the distributed
+    # by-lang fill-rate report (the 100 TB-true packing histogram),
+    # and the checksum manifest (one map-combined XOR aggregate on top
+    # of the sharder's range exchange). The audio fingerprint family
+    # times under the perceptual series (pre-materialized media), like
+    # the image hashes.
+    "similarity_topk_ivf_pq",
+    "pack_fill_rates_by_lang",
+    "training_export_checksum_manifest",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries
@@ -252,6 +264,14 @@ def _perceptual_series(spark, sf_dir: str):
         multimodal.to_image_media(
             docs, "doc_id", size=16, classes=100
         ).write.mode("overwrite").parquet(media_path)
+    audio_path = os.path.join(
+        tempfile.gettempdir(), f"bench_audio_{tag}_n4000c100_{fp}.parquet"
+    )
+    if not os.path.exists(audio_path):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        multimodal.to_audio_media_classed(
+            docs, "doc_id", n_samples=4000, classes=100
+        ).write.mode("overwrite").parquet(audio_path)
 
     def _ahash(spark, _):
         media = spark.read.parquet(media_path)
@@ -265,9 +285,16 @@ def _perceptual_series(spark, sf_dir: str):
             multimodal.image_phash(media), max_hamming=3
         )
 
+    def _audio_fp(spark, _):
+        media = spark.read.parquet(audio_path)
+        return multimodal.image_ahash_pairs(
+            multimodal.audio_fingerprint(media), max_hamming=3
+        )
+
     return {
         "image_ahash_pairs_prebaked_media": _ahash,
         "image_phash_pairs_prebaked_media": _phash,
+        "audio_fingerprint_pairs_prebaked_media": _audio_fp,
     }
 
 

@@ -57,6 +57,13 @@ RISKY = [
     "embedding_covariance",        # repartitioned decimal outer-product sums
     "pca_top2_subspace_scores",    # two collects + deflation + projection
     "similarity_topk_zorder",      # bucket probe + cosine ties at the cut
+    # round 13: the new risk surfaces — the PQ rung's 17 driver-side
+    # fits + decimal ADC cut + raw-double rerank ties, the audio
+    # fingerprint's mapInPandas decode + banded candidates, and the
+    # commutative XOR digest (partitioning must never show in it)
+    "similarity_topk_ivf_pq",      # cached fits + ADC cut + rerank ties
+    "audio_fingerprint_near_pairs",  # Arrow decode + banded candidates
+    "training_export_checksum_manifest",  # map-combined XOR digest
 ]
 
 

@@ -115,6 +115,11 @@ NOTES = {
     "mixture_upsample_epochs": "fractional epochs as pure codegen + a bounded explode (<= ceil(f) rows out per row in, no shuffle, no RNG state); membership and multiplicity are layout-independent md5 expressions.",
     "training_export_upsampled_manifest": "upsample (map + bounded explode) -> composite replica key (pure concat) -> the sharder's ONE range exchange + n_shards-row min-rank broadcast join -> an 8-row manifest aggregate; the uniqueness contract costs one count-vs-count-distinct aggregate over the key column alone.",
     "pack_fill_rates": "the flat pack's running-sum window is the only data-sized stage (the per-lang parallel form exists as pack_chunks_by_lang); the fill histogram is a bin-scale groupBy into a <= 11-row report — integer-division deciles, no float buckets.",
+    "audio_fingerprint_near_pairs": "same banded plan family as the image hashes: decode + 64-band fingerprint in ONE Arrow mapInPandas pass (4 longs per clip downstream), band-key equi self-join for candidates (never cartesian), exact popcount verify — the THIRD consumer of the polymorphic four-band relation.",
+    "audio_fingerprint_keeplist": "fingerprint bands -> banded pair join -> HashMin CC on the tiny pair relation -> min-id canonical joined back by id only; payloads decode once and never leave the executors.",
+    "similarity_topk_ivf_pq": "PQ-ADC: the corpus reduces to (cell + 16 codes) pure-codegen rows; broadcast queries carry their per-subspace ADC tables onto the cell-id join; scoring is 16 element_at lookups summed as DECIMAL (exact, order-free cut); only top-100 candidate ids join back to full vectors for the rerank.",
+    "pack_fill_rates_by_lang": "per-lang packing windows run in parallel + the |langs|-row broadcast offset join (no global-order reducer); the fill histogram is a bin-scale groupBy into a per-(lang, decile) report — the 100 TB-true form of pack_fill_rates.",
+    "training_export_checksum_manifest": "the content checksum is a commutative BIT_XOR aggregate over per-row md5(position:id) terms — map-side combine, no sequential fold; the manifest exchange still carries 8 rows, now with a replay-verifiable digest riding along.",
 }
 
 

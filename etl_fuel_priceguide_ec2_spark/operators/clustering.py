@@ -156,6 +156,109 @@ def fit_centroids(
     return _fit_centroids(base, id_col, k, iters)
 
 
+def fit_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ks: int,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """All ``m`` per-subspace PQ codebooks fitted in ONE pass per
+    Lloyd's step instead of m independent ``fit_centroids`` runs:
+    every subspace's argmin assignment is one more HOF expression over
+    the SAME corpus scan, and all m updates merge in one
+    (subspace, cluster, position)-keyed aggregate (m*ks*(dim/m) cells
+    total). Per-subspace results are BIT-IDENTICAL to the independent
+    fits (test-pinned): the init rows are the same k smallest
+    md5-of-id vectors for every subspace, assignments use the same
+    argmin/lower-index tie rule, and the update's quantize-to-6dp
+    DECIMAL sums are order-free — fusing the scans changes job count,
+    never arithmetic. At 100 TB this is the difference between m+1
+    corpus scans per iteration and ONE."""
+    if m < 1 or ks < 1 or iters < 1:
+        raise ValueError(f"m, ks, iters must be >= 1 (got {m}, {ks}, {iters})")
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    init_rows = base.orderBy(h.asc(), F.col(id_col).asc()).limit(ks).collect()
+    if not init_rows:
+        return [[] for _ in range(m)]
+    dim = len(init_rows[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books = [
+        [list(r["_v"])[s * sub : (s + 1) * sub] for r in init_rows]
+        for s in range(m)
+    ]
+    # NOTE: the per-subspace distance lambda must take exactly ONE
+    # parameter — pyspark's HOF helpers treat a second lambda parameter
+    # as the ELEMENT INDEX, so smuggling the subspace id in via a
+    # default argument silently rebinds it per centroid (found the hard
+    # way: every assignment mismatched the independent fits). A factory
+    # function closes over the subspace instead.
+    def _argmin(s, sub_lit):
+        sl = F.slice("_v", s * sub + 1, sub)
+        sd = F.transform(
+            sub_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        return (F.array_position(sd, F.array_min(sd)) - 1).cast("long")
+
+    for _ in range(iters):
+        sub_lits = [F.lit([[float(x) for x in c] for c in cb]) for cb in books]
+        assigns = [_argmin(s, sub_lits[s]) for s in range(m)]
+        # the _nd barrier (cosine_topk_ivf_sq8's trick) stops the
+        # Generate/aggregate stages from re-expanding the m assignment
+        # folds into every exploded element reference
+        assigned = base.select(
+            F.array(*assigns).alias("_cs"),
+            F.col("_v"),
+            F.rand(42).alias("_nd"),
+        ).filter(F.col("_nd") >= -1).drop("_nd")
+        upd = (
+            assigned.select(
+                F.col("_cs"),
+                F.posexplode("_v").alias("_pos", "_x"),
+            )
+            .select(
+                (F.col("_pos") / sub).cast("long").alias("_s"),
+                (F.col("_pos") % sub).alias("_lpos"),
+                F.element_at(
+                    "_cs", (F.col("_pos") / sub).cast("int") + 1
+                ).alias("_cid"),
+                F.col("_x"),
+            )
+            .groupBy("_s", "_cid", "_lpos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("_x"), 6).cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .withColumn("_m", F.round("_m", 9))
+            .collect()
+        )
+        new_books = [
+            [list(c) for c in cb] for cb in books
+        ]  # empty clusters keep previous centroids
+        seen = {(r["_s"], r["_cid"]) for r in upd}
+        for s, cid in seen:
+            new_books[s][cid] = [0.0] * sub
+        for r in upd:
+            new_books[r["_s"]][r["_cid"]][r["_lpos"]] = r["_m"]
+        books = new_books
+    return books
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,

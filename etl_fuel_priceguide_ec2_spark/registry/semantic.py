@@ -1300,29 +1300,15 @@ def _pq_oracle_sql() -> str:
 def _corpus_pq_codebooks(spark, sf_dir: str) -> list:
     """Per-corpus cached per-subspace PQ codebooks (fitted once, like
     the coarse codebook and the two-level pair — persisted-at-ingest
-    state in production)."""
+    state in production). Uses the fused one-scan-per-iteration fit
+    (``fit_pq_codebooks`` — bit-identical to m independent fits,
+    test-pinned; 1 corpus scan per Lloyd's step instead of m)."""
     key = f"{sf_dir}:embeddings:pq:{_PQ_M}:{_PQ_KS}:{ITERS}"
     if key not in _CODEBOOK_CACHE:
-        from pyspark.sql import functions as F
-
         emb = load_table(spark, sf_dir, "embeddings")
-        _CODEBOOK_CACHE[key] = [
-            clustering.fit_centroids(
-                emb.select(
-                    F.col("vec_id"),
-                    F.slice(
-                        F.col("embedding").cast("array<double>"),
-                        s * _PQ_SUB + 1,
-                        _PQ_SUB,
-                    ).alias("_sv"),
-                ),
-                "vec_id",
-                "_sv",
-                k=_PQ_KS,
-                iters=ITERS,
-            )
-            for s in range(_PQ_M)
-        ]
+        _CODEBOOK_CACHE[key] = clustering.fit_pq_codebooks(
+            emb, "vec_id", "embedding", m=_PQ_M, ks=_PQ_KS, iters=ITERS
+        )
     return _CODEBOOK_CACHE[key]
 
 

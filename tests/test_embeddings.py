@@ -495,6 +495,42 @@ def test_ivf_pq_recall_vs_exact(spark, sf_dir):
         assert abs(want[(r.query_id, r.neighbor_id)] - r.sq_dist) < 1e-9
 
 
+def test_fused_pq_fit_equals_independent_fits(spark, sf_dir):
+    """fit_pq_codebooks (ONE scan per Lloyd's step for all m
+    subspaces) is bit-identical to m independent fit_centroids runs
+    over the slices — fusing changes job count, never arithmetic
+    (same init rows, same argmin/lower-index ties, same order-free
+    6dp-DECIMAL update sums). Also pins the pyspark HOF arity trap:
+    a two-parameter lambda would silently rebind the subspace id to
+    the element index."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, ks, sub = 8, 4, 8
+    fused = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=m, ks=ks, iters=2
+    )
+    indep = [
+        clustering.fit_centroids(
+            emb.select(
+                F.col("vec_id"),
+                F.slice(
+                    F.col("embedding").cast("array<double>"),
+                    s * sub + 1,
+                    sub,
+                ).alias("_sv"),
+            ),
+            "vec_id",
+            "_sv",
+            k=ks,
+            iters=2,
+        )
+        for s in range(m)
+    ]
+    assert fused == indep
+
+
 def test_ivf_pq_pure_adc_and_guards(spark, sf_dir):
     """The rerank-free form returns ADC scores (order-free decimal
     sums cast to double, so nonnegative and deterministic), and the

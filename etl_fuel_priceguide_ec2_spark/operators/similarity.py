@@ -640,6 +640,53 @@ def cosine_topk_ivf2_sq8(
     )
 
 
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    pq_codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Encode the corpus into its stored IVF-PQ form: (id, cell,
+    code0..code{m-1}) — the persistable state the PQ rung promises
+    (write THIS relation once at ingest; searches scan 8-byte codes
+    instead of vectors; ``topk_ivf_pq(codes=...)`` consumes it
+    unchanged, equality with end-to-end pinned by test). Assignment
+    argmins tie to the lower index (the clustering._assign
+    convention); the trailing no-op barrier keeps the m+1 fold
+    expressions from re-expanding under downstream joins."""
+    m = len(pq_codebooks)
+    dim = len(centroids[0])
+    sub = dim // m
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+    sub_lits = [F.lit([[float(x) for x in c] for c in cb]) for cb in pq_codebooks]
+
+    def _dists(vcol, lit):
+        return F.transform(
+            lit,
+            lambda c: F.aggregate(
+                F.zip_with(vcol, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+
+    cb = _with_norm(corpus, id_col, vec_col)
+    cd = _dists(F.col("v"), cent_lit)
+    code_cols = []
+    for s in range(m):
+        sd = _dists(F.slice("v", s * sub + 1, sub), sub_lits[s])
+        code_cols.append(
+            (F.array_position(sd, F.array_min(sd)) - 1).cast("long").alias(f"code{s}")
+        )
+    return cb.select(
+        F.col(id_col),
+        (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell"),
+        *code_cols,
+        F.rand(42).alias("_nd"),
+    ).filter(F.col("_nd") >= -1).drop("_nd")
+
+
 def topk_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -654,6 +701,7 @@ def topk_ivf_pq(
     rerank_m: int | None = None,
     centroids: list[list[float]] | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + product quantization with asymmetric-distance (ADC)
     scoring — the NINTH ladder rung, the one classical ANN compression
@@ -695,7 +743,11 @@ def topk_ivf_pq(
     state: cells*dim + m*ks*(dim/m) doubles); the probe reads
     ~nprobe/cells of a corpus stored as 8-byte codes; the rerank reads
     rerank_m full vectors per query; top-k is the W1 window over
-    (query, candidate) score triples."""
+    (query, candidate) score triples.
+
+    ``codes``: a persisted ``pq_encode`` relation (read back off
+    parquet) — searches consume the stored codes directly and skip the
+    encode scan; bit-equal to the end-to-end path (test-pinned)."""
     from etl_fuel_priceguide_ec2_spark.operators import clustering
 
     if centroids is None:
@@ -746,23 +798,16 @@ def topk_ivf_pq(
             ),
         )
 
-    # corpus: primary coarse cell + m sub-codes (argmin, ties to lower
-    # code). Same _nd barrier as cosine_topk_ivf_sq8: stop the join from
-    # re-expanding the assignment expressions per reference.
-    cb = _with_norm(corpus, id_col, vec_col)
-    cd = _dists(F.col("v"), cent_lit)
-    code_cols = []
-    for s in range(m):
-        sd = _dists(F.slice("v", s * sub + 1, sub), sub_lits[s])
-        code_cols.append(
-            (F.array_position(sd, F.array_min(sd)) - 1).cast("long").alias(f"code{s}")
-        )
-    c = cb.select(
-        F.col(id_col).alias("neighbor_id"),
-        (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell"),
-        *code_cols,
-        F.rand(42).alias("_nd"),
-    ).filter(F.col("_nd") >= -1).drop("_nd")
+    # corpus: primary coarse cell + m sub-codes — the persisted-state
+    # relation (pq_encode). Pass ``codes=`` (read back off parquet) to
+    # search straight from the stored column without re-encoding;
+    # equality with the end-to-end path is test-pinned.
+    enc = (
+        codes
+        if codes is not None
+        else pq_encode(corpus, id_col, vec_col, centroids, pq_codebooks)
+    )
+    c = enc.withColumnRenamed(id_col, "neighbor_id")
 
     # queries: nprobe nearest cells + one ADC table per subspace
     qb = _with_norm(queries, id_col, vec_col)

@@ -495,6 +495,50 @@ def test_ivf_pq_recall_vs_exact(spark, sf_dir):
         assert abs(want[(r.query_id, r.neighbor_id)] - r.sq_dist) < 1e-9
 
 
+def test_ivf_pq_search_from_persisted_codes(spark, sf_dir, tmp_path):
+    """The PQ rung's storage contract: pq_encode's (id, cell,
+    code0..15) relation written to parquet and read back feeds
+    topk_ivf_pq(codes=...) with results BIT-EQUAL to the end-to-end
+    path — the 'corpus stored as 8-byte codes' claim made concrete
+    (ingest encodes once; searches scan codes, never vectors, except
+    the rerank's candidate join)."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = clustering.fit_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    books = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, ks=16, iters=2
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.topk_ivf_pq(
+                emb, queries, "vec_id", "embedding",
+                k=5, nprobe=6, m=16, ks=16, rerank_m=50,
+                centroids=cents, pq_codebooks=books,
+            ).collect(),
+        )
+    )
+    path = str(tmp_path / "pq_codes")
+    similarity.pq_encode(
+        emb, "vec_id", "embedding", cents, books
+    ).write.parquet(path)
+    stored = spark.read.parquet(path)
+    got = sorted(
+        map(
+            tuple,
+            similarity.topk_ivf_pq(
+                emb, queries, "vec_id", "embedding",
+                k=5, nprobe=6, m=16, ks=16, rerank_m=50,
+                centroids=cents, pq_codebooks=books, codes=stored,
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
 def test_fused_pq_fit_equals_independent_fits(spark, sf_dir):
     """fit_pq_codebooks (ONE scan per Lloyd's step for all m
     subspaces) is bit-identical to m independent fit_centroids runs

@@ -1600,6 +1600,54 @@ def test_image_ahash_state_reuse_equals_from_scratch(spark, sf_dir):
     assert sorted(got) == expect and len(expect) > 0
 
 
+def test_audio_fingerprint_state_reuse_equals_from_scratch(spark, sf_dir):
+    """The fingerprint relation as ingest-time state, audio edition:
+    the band-state miner (``image_ahash_pairs_from_state``) consumes
+    the audio fingerprint's four-band relation UNCHANGED — three
+    arrival slices mine pairs against the cumulative store (payloads
+    decoded once per slice, history x history never re-mined) and the
+    union of the slices' pair relations equals the from-scratch
+    relation with no pair mined twice. Completes the polymorphism
+    claim for hash family #3: pairs, CC keep-list, AND the state
+    miner all reuse the image machinery."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_audio_media_classed(docs, "doc_id", classes=100)
+    expect = sorted(
+        map(
+            tuple,
+            multimodal.image_ahash_pairs(
+                multimodal.audio_fingerprint(media), max_hamming=3
+            ).collect(),
+        )
+    )
+
+    got = []
+    store = None
+    for i in range(3):
+        slice_media = multimodal.to_audio_media_classed(
+            docs.filter(F.col("doc_id") % 3 == i), "doc_id", classes=100
+        )
+        h_new = multimodal.audio_fingerprint(slice_media).localCheckpoint(
+            eager=True
+        )
+        store = h_new if store is None else store.unionByName(h_new)
+        got.extend(
+            map(
+                tuple,
+                multimodal.image_ahash_pairs_from_state(
+                    h_new, store, max_hamming=3
+                ).collect(),
+            )
+        )
+    assert len(set(got)) == len(got)  # no pair mined twice
+    assert sorted(got) == expect and len(expect) > 0
+
+
 def test_symspell_d2_matches_bruteforce_levenshtein(spark):
     """Exactness of the distance-2 tier (VERDICT r08 item 6): depth-2
     symmetric-delete blocking + verify equals the all-pairs

@@ -1,0 +1,112 @@
+"""Multimodal near-dup curation, end to end: one polymorphic band
+relation, three perceptual hash families, one keep-list composition.
+
+The X5 dedup symmetry as an executable build:
+
+    documents
+      → image payloads  (real PPM codec)  → aHash bands ┐
+                                          → pHash bands ┼→ banded pair
+      → audio payloads  (real WAV codec)  → fingerprint ┘   join → CC →
+                                                            keep-list
+      → a media item survives iff it is the canonical representative
+        under EVERY family (different modalities flag different dup
+        groups; the drop sets union)
+      → audit: per-family component counts + the residual-pair proof
+        that each family's keep-list is idempotent (re-mining pairs
+        among its survivors finds ZERO — two survivors within the
+        Hamming bound would have shared a component)
+
+Run: ``python examples/multimodal_dedup_pipeline.py [sf_dir]``
+
+At 100 TB the payloads decode ONCE per family into 4-longs-per-item
+band relations (the persistable ingest state — the band-state miner
+consumes slices of it incrementally); everything downstream of the
+decode is id-scale: pair relations, CC components, keep flags. The
+pair join and CC machinery are the SAME functions for all three
+families — that is the polymorphism the four-band contract buys.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_fuel_priceguide_ec2_spark.operators import dedup, multimodal  # noqa: E402
+from etl_fuel_priceguide_ec2_spark.session import get_session  # noqa: E402
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table  # noqa: E402
+
+
+def band_keep_list(docs, hashes):
+    """pairs → HashMin CC → min-id canonical, for ANY four-band hash
+    relation (the image_ahash_keeplist composition, shared verbatim by
+    all three families)."""
+    pairs = multimodal.image_ahash_pairs(hashes, max_hamming=3)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
+    )
+
+
+def main(sf_dir: str | None = None) -> dict:
+    sf_dir = sf_dir or "/root/testdata/sf0.01"
+    spark = get_session(
+        "multimodal-dedup-example", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+
+    image_media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
+    audio_media = multimodal.to_audio_media_classed(docs, "doc_id", classes=100)
+
+    # decode ONCE per family into the persistable band state
+    families = {
+        "image_ahash": multimodal.image_ahash(image_media),
+        "image_phash": multimodal.image_phash(image_media),
+        "audio_fingerprint": multimodal.audio_fingerprint(audio_media),
+    }
+
+    out: dict = {"n_docs": n_docs}
+    kept_sets = []
+    for name, hashes in families.items():
+        hashes = hashes.localCheckpoint(eager=True)  # decode once
+        kl = band_keep_list(docs, hashes).localCheckpoint(eager=True)
+        n_comp = kl.select("component_id").distinct().count()
+        kept_ids = kl.filter(F.col("kept")).select("doc_id")
+        n_kept = kept_ids.count()
+        # conservation: every doc got exactly one decision
+        assert kl.count() == n_docs
+        # idempotence: re-mining pairs among the survivors finds ZERO
+        # (two survivors within Hamming 3 would have shared a component)
+        residual = multimodal.image_ahash_pairs(
+            hashes.join(kept_ids, "doc_id"), max_hamming=3
+        ).count()
+        assert residual == 0, f"{name}: keep-list not idempotent ({residual})"
+        # each component elected exactly one canonical representative
+        assert n_kept == n_comp
+        out[name] = {"components": n_comp, "kept": n_kept}
+        kept_sets.append(kept_ids)
+        print(f"{name:18s} components={n_comp:5d} kept={n_kept:5d} residual_pairs=0")
+
+    # a media item survives iff canonical under EVERY family
+    final = kept_sets[0]
+    for s in kept_sets[1:]:
+        final = final.join(s, "doc_id")
+    out["final_kept"] = final.count()
+    # the intersection can only shrink each family's kept set
+    assert out["final_kept"] <= min(v["kept"] for k, v in out.items() if isinstance(v, dict))
+    print(f"final multimodal-canonical media items: {out['final_kept']} / {n_docs}")
+
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -1011,3 +1011,24 @@ def test_mixture_upsample_integer_factors_are_exact_epochs(spark, sf_dir):
     assert up.groupBy("doc_id").count().filter(F.col("count") != 2).count() == 0
     idxs = {r.copy_idx for r in up.select("copy_idx").distinct().collect()}
     assert idxs == {0, 1}
+
+def test_example_multimodal_dedup_pipeline(sf_dir):
+    """examples/multimodal_dedup_pipeline.py — three perceptual hash
+    families through ONE keep-list composition: per-family keep ==
+    component counts, idempotence (zero residual pairs among
+    survivors) asserted inside the script, and the final multimodal
+    intersection only shrinks."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "multimodal_dedup_example",
+        Path(__file__).parent.parent / "examples" / "multimodal_dedup_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(sf_dir)
+    fams = ("image_ahash", "image_phash", "audio_fingerprint")
+    for f in fams:
+        assert 0 < out[f]["kept"] == out[f]["components"] <= out["n_docs"]
+    assert 0 < out["final_kept"] <= min(out[f]["kept"] for f in fams)

@@ -623,3 +623,63 @@ def finalize_training_export(spark, staged_path: str, id_col: str) -> DataFrame:
     staged = staged.dropDuplicates(["_batch", id_col]).drop("_batch")
     staged = _export.assert_unique_ids(staged, id_col)
     return _export.positions_from_staged(staged, id_col)
+
+
+def perceptual_dedup_stream(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    hasher,
+    max_hamming: int = 3,
+):
+    """Streaming perceptual near-dup mining over a persisted band-state
+    store — the media-ingest form of ``incremental_dedup_stream``, and
+    the streaming consumer of the polymorphic four-band relation:
+    ``hasher`` maps a media micro-batch (doc_id, payload, ...) to its
+    (doc_id, b0..b3) bands — ``multimodal.image_ahash``,
+    ``image_phash``, or ``audio_fingerprint`` interchangeably — so ONE
+    stream shape serves all three hash families.
+
+    Per micro-batch: decode+hash the new payloads ONCE (Arrow batches,
+    4 longs per item downstream), mine pairs between the new slice and
+    everything seen so far via the band-state miner (history x history
+    never re-forms, payloads never re-decode), append pairs and the
+    new bands to the store. Union of all batches' pairs equals the
+    from-scratch relation over the full corpus with no pair mined
+    twice (pinned by test).
+
+    At-least-once caveat: a replayed batch re-appends bands and pairs;
+    both relations dedupe exactly on their natural keys (doc_id /
+    (id_a, id_b)) — read with dropDuplicates, or compact the store
+    periodically."""
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    bands_path = f"{store_dir}/bands"
+    pairs_path = f"{store_dir}/pairs"
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bands_new = hasher(batch_df).localCheckpoint(eager=True)
+        try:
+            bands_all = spark.read.parquet(bands_path).unionByName(bands_new)
+        except AnalysisException:  # first batch: store path not yet created
+            # ONLY path-not-found/analysis failures mean "first batch";
+            # a transient IO error must fail (and retry) the micro-batch
+            # rather than silently mine against an empty history.
+            bands_all = bands_new
+        pairs = multimodal.image_ahash_pairs_from_state(
+            bands_new, bands_all, max_hamming=max_hamming
+        )
+        pairs.withColumn("_batch", F.lit(batch_id)).write.mode("append").parquet(
+            pairs_path
+        )
+        bands_new.write.mode("append").parquet(bands_path)
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

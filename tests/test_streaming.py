@@ -821,3 +821,61 @@ def test_two_moment_streams_merge_via_store_namespacing(spark, sf_dir, tmp_path)
         ).collect())
     )
     assert merged == direct
+
+
+def test_streaming_perceptual_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming media ingest over the persisted band-state store, run
+    for TWO hash families through the SAME stream shape (the
+    polymorphism claim at the streaming surface): audio payloads
+    arrive in 3 micro-batches; the union of all batches' mined pairs
+    equals the from-scratch banded relation over the full corpus with
+    no pair mined twice — and the identical harness re-run with the
+    image aHash hasher behaves the same."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    cases = [
+        (
+            "audio",
+            multimodal.to_audio_media_classed(docs, "doc_id", classes=100),
+            multimodal.audio_fingerprint,
+        ),
+        (
+            "image",
+            multimodal.to_image_media(docs, "doc_id", size=16, classes=100),
+            multimodal.image_ahash,
+        ),
+    ]
+    for tag, media, hasher in cases:
+        src = str(tmp_path / f"{tag}_slices")
+        for i in range(3):
+            media.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        store = str(tmp_path / f"{tag}_store")
+        q = feeds.perceptual_dedup_stream(
+            stream, store, str(tmp_path / f"ckpt_{tag}"), hasher
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{store}/pairs").drop("_batch").collect(),
+            )
+        )
+        expect = sorted(
+            map(
+                tuple,
+                multimodal.image_ahash_pairs(hasher(media), max_hamming=3).collect(),
+            )
+        )
+        assert got == expect and len(expect) > 0, tag
+        assert len(set(got)) == len(got), tag  # no pair mined twice

@@ -163,6 +163,7 @@ def fit_pq_codebooks(
     m: int,
     ks: int,
     iters: int = 2,
+    residuals_of: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """All ``m`` per-subspace PQ codebooks fitted in ONE pass per
     Lloyd's step instead of m independent ``fit_centroids`` runs:
@@ -175,10 +176,36 @@ def fit_pq_codebooks(
     argmin/lower-index tie rule, and the update's quantize-to-6dp
     DECIMAL sums are order-free — fusing the scans changes job count,
     never arithmetic. At 100 TB this is the difference between m+1
-    corpus scans per iteration and ONE."""
+    corpus scans per iteration and ONE.
+
+    ``residuals_of``: a coarse codebook — fit the sub-codebooks over
+    RESIDUALS (v - own-cell centroid) instead of raw vectors, the
+    classical FAISS IVF,PQ refinement (tighter codebooks because the
+    coarse layer has already absorbed the between-cell variance;
+    reconstruction-error improvement pinned by test). The residual is
+    one more map expression on the same scan — the fit's shape is
+    unchanged."""
     if m < 1 or ks < 1 or iters < 1:
         raise ValueError(f"m, ks, iters must be >= 1 (got {m}, {ks}, {iters})")
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    if residuals_of is not None:
+        coarse_lit = F.lit([[float(x) for x in c] for c in residuals_of])
+        cd = F.transform(
+            coarse_lit,
+            lambda c: F.aggregate(
+                F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        own = F.element_at(
+            coarse_lit, (F.array_position(cd, F.array_min(cd))).cast("int")
+        )
+        base = base.select(
+            F.col(id_col),
+            F.zip_with("_v", own, lambda x, y: x - y).alias("_v"),
+            F.rand(42).alias("_nd"),
+        ).filter(F.col("_nd") >= -1).drop("_nd")
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )

@@ -646,6 +646,7 @@ def pq_encode(
     vec_col: str,
     centroids: list[list[float]],
     pq_codebooks: list[list[list[float]]],
+    residual: bool = False,
 ) -> DataFrame:
     """Encode the corpus into its stored IVF-PQ form: (id, cell,
     code0..code{m-1}) — the persistable state the PQ rung promises
@@ -654,7 +655,13 @@ def pq_encode(
     unchanged, equality with end-to-end pinned by test). Assignment
     argmins tie to the lower index (the clustering._assign
     convention); the trailing no-op barrier keeps the m+1 fold
-    expressions from re-expanding under downstream joins."""
+    expressions from re-expanding under downstream joins.
+
+    ``residual=True`` encodes sub-codes over (v - own-cell centroid)
+    — the classical FAISS IVF,PQ form; pair with codebooks fitted via
+    ``fit_pq_codebooks(residuals_of=centroids)`` and search with
+    ``topk_ivf_pq(residual=True)`` so the ADC tables subtract the
+    probed cell's centroid from the query the same way."""
     m = len(pq_codebooks)
     dim = len(centroids[0])
     sub = dim // m
@@ -673,9 +680,15 @@ def pq_encode(
 
     cb = _with_norm(corpus, id_col, vec_col)
     cd = _dists(F.col("v"), cent_lit)
+    enc_v = F.col("v")
+    if residual:
+        own = F.element_at(
+            cent_lit, F.array_position(cd, F.array_min(cd)).cast("int")
+        )
+        enc_v = F.zip_with("v", own, lambda x, y: x - y)
     code_cols = []
     for s in range(m):
-        sd = _dists(F.slice("v", s * sub + 1, sub), sub_lits[s])
+        sd = _dists(F.slice(enc_v, s * sub + 1, sub), sub_lits[s])
         code_cols.append(
             (F.array_position(sd, F.array_min(sd)) - 1).cast("long").alias(f"code{s}")
         )
@@ -702,6 +715,7 @@ def topk_ivf_pq(
     centroids: list[list[float]] | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
     codes: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + product quantization with asymmetric-distance (ADC)
     scoring — the NINTH ladder rung, the one classical ANN compression
@@ -747,7 +761,17 @@ def topk_ivf_pq(
 
     ``codes``: a persisted ``pq_encode`` relation (read back off
     parquet) — searches consume the stored codes directly and skip the
-    encode scan; bit-equal to the end-to-end path (test-pinned)."""
+    encode scan; bit-equal to the end-to-end path (test-pinned).
+
+    ``residual=True``: the classical FAISS IVF,PQ refinement — codes
+    quantize (v - own-cell centroid) and each probed cell's ADC table
+    subtracts THAT cell's centroid from the query, so candidate and
+    table live in the same residual frame (cell equi-join guarantees
+    it: a candidate's own cell IS the probed cell). Tighter codebooks
+    at the cost of per-cell ADC tables; the registered query uses the
+    raw form (independent codebooks, simpler oracle), with the
+    residual form's reconstruction-error win pinned by test. Pass
+    codebooks fitted with ``fit_pq_codebooks(residuals_of=...)``."""
     from etl_fuel_priceguide_ec2_spark.operators import clustering
 
     if centroids is None:
@@ -805,11 +829,15 @@ def topk_ivf_pq(
     enc = (
         codes
         if codes is not None
-        else pq_encode(corpus, id_col, vec_col, centroids, pq_codebooks)
+        else pq_encode(
+            corpus, id_col, vec_col, centroids, pq_codebooks, residual=residual
+        )
     )
     c = enc.withColumnRenamed(id_col, "neighbor_id")
 
-    # queries: nprobe nearest cells + one ADC table per subspace
+    # queries: nprobe nearest cells + one ADC table per subspace (per
+    # probed CELL when residual — the table subtracts that cell's
+    # centroid from the query so it lives in the candidates' frame)
     qb = _with_norm(queries, id_col, vec_col)
     qd = _dists(F.col("v"), cent_lit)
     ranked = F.array_sort(
@@ -819,13 +847,23 @@ def topk_ivf_pq(
             lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
         )
     )
-    q = qb.select(
+    probed = qb.select(
         F.col(id_col).alias("query_id"),
         F.explode(
             F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
         ).alias("cell"),
+        F.col("v"),
+    )
+    if residual:
+        cell_cent = F.element_at(cent_lit, (F.col("cell") + 1).cast("int"))
+        q_v = F.zip_with("v", cell_cent, lambda x, y: x - y)
+    else:
+        q_v = F.col("v")
+    q = probed.select(
+        "query_id",
+        "cell",
         *[
-            _dists(F.slice("v", s * sub + 1, sub), sub_lits[s]).alias(f"adc{s}")
+            _dists(F.slice(q_v, s * sub + 1, sub), sub_lits[s]).alias(f"adc{s}")
             for s in range(m)
         ],
     )

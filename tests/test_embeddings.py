@@ -782,6 +782,54 @@ def test_round10_operator_empty_and_degenerate_edges(spark):
     assert textops.hashed_tfidf_embeddings(edocs, "doc_id", "text").count() == 0
 
 
+def test_round13_operator_empty_and_degenerate_edges(spark):
+    """Defined, non-crashing answers on degenerate inputs for the
+    round-13 operators: empty corpus -> empty PQ result with the
+    stable schema (both output shapes); fused PQ fit on an empty
+    corpus -> m empty codebooks; parameter guards raise; an
+    all-silent (too-short) clip fingerprints to four zero bands
+    instead of crashing the reshape."""
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import (
+        audiocodec,
+        clustering,
+        multimodal,
+        similarity,
+    )
+
+    empty = spark.createDataFrame([], "vec_id: bigint, embedding: array<double>")
+    adc = similarity.topk_ivf_pq(empty, empty, "vec_id", "embedding")
+    assert adc.count() == 0 and "approx_sq_dist" in adc.columns
+    rr = similarity.topk_ivf_pq(empty, empty, "vec_id", "embedding", rerank_m=10)
+    assert rr.count() == 0 and "sq_dist" in rr.columns
+    assert clustering.fit_pq_codebooks(
+        empty, "vec_id", "embedding", m=4, ks=4
+    ) == [[], [], [], []]
+    with pytest.raises(ValueError, match=">= 1"):
+        clustering.fit_pq_codebooks(empty, "vec_id", "embedding", m=0, ks=4)
+
+    # a 32-sample clip has n // 64 == 0 band width: all-zero bands
+    tiny = spark.createDataFrame([(7,)], "doc_id: bigint").select(
+        "doc_id",
+        F.lit(
+            bytearray(
+                audiocodec.encode_wav(
+                    audiocodec.synth_sawtooth(7, 32), 8000
+                )
+            )
+        ).alias("payload"),
+    )
+    row = multimodal.audio_fingerprint(tiny).collect()[0]
+    assert (row.b0, row.b1, row.b2, row.b3) == (0, 0, 0, 0)
+
+    # empty media stream of bands: the pair miner returns no rows
+    eb = spark.createDataFrame(
+        [], "doc_id: bigint, b0: bigint, b1: bigint, b2: bigint, b3: bigint"
+    )
+    assert multimodal.image_ahash_pairs(eb, max_hamming=3).count() == 0
+
+
 def test_fisher_scores_match_numpy_decomposition(spark):
     """Fisher separability vs numpy's variance decomposition on a
     planted two-class corpus: dim 0 separates the classes (high

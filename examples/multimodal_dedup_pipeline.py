@@ -104,7 +104,9 @@ def main(sf_dir: str | None = None) -> dict:
     assert out["final_kept"] <= min(v["kept"] for k, v in out.items() if isinstance(v, dict))
     print(f"final multimodal-canonical media items: {out['final_kept']} / {n_docs}")
 
-    spark.stop()
+    # deliberately no spark.stop(): get_session returns the process's
+    # shared session (getOrCreate), which the pytest suite owns — the
+    # other 11 examples follow the same rule
     return out
 
 

@@ -256,6 +256,17 @@ def _perceptual_series(spark, sf_dir: str):
         paths += [os.path.join(doc_path, p) for p in sorted(os.listdir(doc_path))]
     st = [(os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in paths]
     fp = hashlib.md5(repr(st).encode()).hexdigest()[:10]
+    # keep exactly ONE generation per tag: a regenerated fixture gets a
+    # new fp, so prune same-tag caches with any OTHER fp before writing
+    # (full per-doc payload parquet would otherwise accumulate in /tmp
+    # forever — code-review r13)
+    import glob as _glob
+    import shutil as _shutil
+
+    for prefix in (f"bench_media_{tag}_s16c100_", f"bench_audio_{tag}_n4000c100_"):
+        for stale in _glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+            if not stale.endswith(f"{fp}.parquet"):
+                _shutil.rmtree(stale, ignore_errors=True)
     media_path = os.path.join(
         tempfile.gettempdir(), f"bench_media_{tag}_s16c100_{fp}.parquet"
     )

@@ -35,6 +35,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sq_dists_expr(vcol, cent_lit):
+    """Per-centroid squared-L2 distances of ``vcol`` against a nested
+    centroid-array literal, as ONE HOF expression (transform over the
+    codebook, zip_with + left fold inside — whole-stage codegen, no
+    shuffle). The single shared definition of the centroid-distance
+    fold: ``_assign``, the fused PQ fit, and the PQ encode/search all
+    use it, so a rounding- or fold-order change can never diverge them
+    (code-review r13 — there were four verbatim copies)."""
+    return F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(vcol, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+
+
 def _fit_sample(base: DataFrame, id_col: str, fit_fraction: float) -> DataFrame:
     """Deterministic md5-hash sample of the corpus for codebook
     training (same 60-bit-hash bucketing as operators/sampling.py, so
@@ -190,14 +208,7 @@ def fit_pq_codebooks(
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     if residuals_of is not None:
         coarse_lit = F.lit([[float(x) for x in c] for c in residuals_of])
-        cd = F.transform(
-            coarse_lit,
-            lambda c: F.aggregate(
-                F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
+        cd = sq_dists_expr(F.col("_v"), coarse_lit)
         own = F.element_at(
             coarse_lit, (F.array_position(cd, F.array_min(cd))).cast("int")
         )
@@ -227,15 +238,7 @@ def fit_pq_codebooks(
     # way: every assignment mismatched the independent fits). A factory
     # function closes over the subspace instead.
     def _argmin(s, sub_lit):
-        sl = F.slice("_v", s * sub + 1, sub)
-        sd = F.transform(
-            sub_lit,
-            lambda c: F.aggregate(
-                F.zip_with(sl, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
+        sd = sq_dists_expr(F.slice("_v", s * sub + 1, sub), sub_lit)
         return (F.array_position(sd, F.array_min(sd)) - 1).cast("long")
 
     for _ in range(iters):

@@ -533,6 +533,28 @@ def image_ahash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def band_keeplist(
+    docs: DataFrame, hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """The dedup keep-list over ANY four-band hash relation: banded
+    pair join (pigeonhole-exact recall at Hamming <= max_hamming) ->
+    HashMin connected components -> min-id canonical per component,
+    one row per document: (doc_id, component_id, kept). ONE
+    implementation for all three hash families (image aHash, image
+    pHash, audio fingerprint) and the example pipeline — a change to
+    the keep rule can never diverge them (code-review r13: there were
+    four verbatim copies)."""
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    pairs = image_ahash_pairs(hashes, max_hamming=max_hamming)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
+    )
+
+
 def image_ahash_pairs_from_state(
     hashes_probe: DataFrame, hashes_all: DataFrame, max_hamming: int = 3
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from etl_fuel_priceguide_ec2_spark.operators.clustering import sq_dists_expr
 from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
 
 
@@ -664,20 +665,13 @@ def pq_encode(
     probed cell's centroid from the query the same way."""
     m = len(pq_codebooks)
     dim = len(centroids[0])
+    if dim % m:  # same guard as topk_ivf_pq: a silent sub = dim//m
+        # would lossily drop the trailing dims from every code
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
     cent_lit = F.lit([[float(x) for x in c] for c in centroids])
     sub_lits = [F.lit([[float(x) for x in c] for c in cb]) for cb in pq_codebooks]
-
-    def _dists(vcol, lit):
-        return F.transform(
-            lit,
-            lambda c: F.aggregate(
-                F.zip_with(vcol, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
-
+    _dists = sq_dists_expr
     cb = _with_norm(corpus, id_col, vec_col)
     cd = _dists(F.col("v"), cent_lit)
     enc_v = F.col("v")
@@ -811,16 +805,7 @@ def topk_ivf_pq(
     sub_lits = [
         F.lit([[float(x) for x in c] for c in cb]) for cb in pq_codebooks
     ]
-
-    def _dists(vcol, lit):
-        return F.transform(
-            lit,
-            lambda c: F.aggregate(
-                F.zip_with(vcol, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
+    _dists = sq_dists_expr
 
     # corpus: primary coarse cell + m sub-codes — the persisted-state
     # relation (pq_encode). Pass ``codes=`` (read back off parquet) to
@@ -847,26 +832,39 @@ def topk_ivf_pq(
             lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
         )
     )
-    probed = qb.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
-        ).alias("cell"),
-        F.col("v"),
-    )
+    probe_cells = F.explode(
+        F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
+    ).alias("cell")
     if residual:
+        # per-cell tables are genuinely needed: each probed cell's
+        # table subtracts THAT cell's centroid from the query
+        probed = qb.select(
+            F.col(id_col).alias("query_id"), probe_cells, F.col("v")
+        )
         cell_cent = F.element_at(cent_lit, (F.col("cell") + 1).cast("int"))
         q_v = F.zip_with("v", cell_cent, lambda x, y: x - y)
+        q = probed.select(
+            "query_id",
+            "cell",
+            *[
+                _dists(F.slice(q_v, s * sub + 1, sub), sub_lits[s]).alias(f"adc{s}")
+                for s in range(m)
+            ],
+        )
     else:
-        q_v = F.col("v")
-    q = probed.select(
-        "query_id",
-        "cell",
-        *[
-            _dists(F.slice(q_v, s * sub + 1, sub), sub_lits[s]).alias(f"adc{s}")
-            for s in range(m)
-        ],
-    )
+        # raw vectors: the tables are cell-independent, so compute all
+        # m HOF folds ONCE per query alongside the explode instead of
+        # once per (query, probed cell) row (code-review r13: the
+        # two-select residual restructure had made every probe row pay
+        # nprobe x the table build and broadcast payload)
+        q = qb.select(
+            F.col(id_col).alias("query_id"),
+            probe_cells,
+            *[
+                _dists(F.slice("v", s * sub + 1, sub), sub_lits[s]).alias(f"adc{s}")
+                for s in range(m)
+            ],
+        )
     # 9dp-quantized DECIMAL term sum: exact and order-free, so the ADC
     # ranking is replayable by an oracle that groups the terms instead
     # of chaining them (unit-scale distances sit safely inside the

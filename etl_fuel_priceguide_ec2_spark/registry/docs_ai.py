@@ -374,20 +374,9 @@ def q_image_ahash_keeplist(spark, sf_dir):
     relation is the persistable ingest state —
     ``image_ahash_pairs_from_state`` mines the same pairs from slices
     of it without re-decoding payloads (state-reuse pinned by test)."""
-    from pyspark.sql import functions as F
-
-    from etl_fuel_priceguide_ec2_spark.operators import dedup
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
-    hashes = multimodal.image_ahash(media)
-    pairs = multimodal.image_ahash_pairs(hashes, max_hamming=3)
-    comp = dedup.connected_components(pairs, "id_a", "id_b")
-    return (
-        docs.join(comp, "doc_id", "left")
-        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
-        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
-    )
+    return multimodal.band_keeplist(docs, multimodal.image_ahash(media))
 
 
 # --- round-11 addition (post-freeze -> leads the round-12 window) ------
@@ -525,20 +514,9 @@ def q_image_phash_keeplist(spark, sf_dir):
     promises, driver-pinned. Spark earns the bits through the real
     PPM codec round trip; the oracle regenerates pixels and replays
     the integer DCT spectrum, then the identical recursive CC."""
-    from pyspark.sql import functions as F
-
-    from etl_fuel_priceguide_ec2_spark.operators import dedup
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.to_image_media(docs, "doc_id", size=16, classes=100)
-    hashes = multimodal.image_phash(media)
-    pairs = multimodal.image_ahash_pairs(hashes, max_hamming=3)
-    comp = dedup.connected_components(pairs, "id_a", "id_b")
-    return (
-        docs.join(comp, "doc_id", "left")
-        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
-        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
-    )
+    return multimodal.band_keeplist(docs, multimodal.image_phash(media))
 
 
 # --- round-13 additions (post-freeze -> lead the round-14 window) -----
@@ -641,19 +619,8 @@ def q_audio_fingerprint_keeplist(spark, sf_dir):
     families use (``image_ahash_keeplist`` / ``image_phash_keeplist``),
     completing the multimodal dedup symmetry. The fingerprint relation
     is the persistable ingest state; payloads decode once."""
-    from pyspark.sql import functions as F
-
-    from etl_fuel_priceguide_ec2_spark.operators import dedup
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.to_audio_media_classed(
         docs, "doc_id", n_samples=4000, classes=100
     )
-    fp = multimodal.audio_fingerprint(media)
-    pairs = multimodal.image_ahash_pairs(fp, max_hamming=3)
-    comp = dedup.connected_components(pairs, "id_a", "id_b")
-    return (
-        docs.join(comp, "doc_id", "left")
-        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
-        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
-    )
+    return multimodal.band_keeplist(docs, multimodal.audio_fingerprint(media))

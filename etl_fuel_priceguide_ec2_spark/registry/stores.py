@@ -40,13 +40,20 @@ def corpus_store(spark: SparkSession, sf_dir: str, name: str, build):
 def clear_store_cache() -> None:
     """Drop every cached per-corpus store — for callers that rewrite
     data under a previously-built corpus dir within one process. Where
-    the owning session is still alive, the localCheckpointed RDD is
-    unpersisted so the executor blocks are actually freed rather than
-    lingering until context shutdown (ADVICE r12)."""
+    the owning session is still alive, the localCheckpointed blocks
+    are actually freed, not just dereferenced (ADVICE r12): a
+    checkpointed DataFrame's plan is a LogicalRDD WRAPPING the
+    persisted RDD, so the unpersist must go through
+    ``queryExecution().analyzed().rdd()`` — ``df.rdd`` derives a NEW
+    unpersisted RDD and unpersisting it is a silent no-op (verified:
+    getPersistentRDDs 1 -> 0 via the plan handle, unchanged via
+    df.rdd; code-review r13)."""
     for df in _STORE_CACHE.values():
         try:
-            df.rdd.unpersist()
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
-            # owning SparkContext already stopped — nothing to free
+            # owning SparkContext stopped, or a non-LogicalRDD plan —
+            # nothing reachable to free; the ContextCleaner reclaims
+            # the blocks once the reference drops below
             pass
     _STORE_CACHE.clear()

@@ -395,14 +395,21 @@ def incremental_dedup_stream(
             batch_df, id_col, text_col, n
         ).localCheckpoint(eager=True)
         try:
-            bands_all = spark.read.parquet(bands_path).unionByName(bands_new)
-            sets_all = spark.read.parquet(sets_path).unionByName(sets_new)
+            bands_hist = spark.read.parquet(bands_path)
+            sets_hist = spark.read.parquet(sets_path)
         except AnalysisException:  # first batch: store path not yet created
             # ONLY path-not-found/analysis failures mean "first batch";
             # a transient executor/IO error must fail the micro-batch
             # (and be retried by the engine) rather than silently mine
             # the new slice against an empty history (ADVICE r08).
             bands_all, sets_all = bands_new, sets_new
+        else:
+            # union OUTSIDE the try: a schema-drift AnalysisException
+            # from unionByName must fail loudly, not be mistaken for
+            # "first batch" and silently discard the history
+            # (code-review r13)
+            bands_all = bands_hist.unionByName(bands_new)
+            sets_all = sets_hist.unionByName(sets_new)
         pairs = dedup.lsh_pairs_from_state(
             bands_new, bands_all, sets_all, id_col, threshold
         )
@@ -663,12 +670,16 @@ def perceptual_dedup_stream(
         spark = batch_df.sparkSession
         bands_new = hasher(batch_df).localCheckpoint(eager=True)
         try:
-            bands_all = spark.read.parquet(bands_path).unionByName(bands_new)
+            bands_hist = spark.read.parquet(bands_path)
         except AnalysisException:  # first batch: store path not yet created
             # ONLY path-not-found/analysis failures mean "first batch";
             # a transient IO error must fail (and retry) the micro-batch
             # rather than silently mine against an empty history.
             bands_all = bands_new
+        else:
+            # union OUTSIDE the try: a hasher schema drift must fail
+            # loudly, not read as "first batch" and drop the history
+            bands_all = bands_hist.unionByName(bands_new)
         pairs = multimodal.image_ahash_pairs_from_state(
             bands_new, bands_all, max_hamming=max_hamming
         )

@@ -35,22 +35,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from etl_fuel_priceguide_ec2_spark.operators import dedup, multimodal  # noqa: E402
+from etl_fuel_priceguide_ec2_spark.operators import multimodal  # noqa: E402
 from etl_fuel_priceguide_ec2_spark.session import get_session  # noqa: E402
 from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table  # noqa: E402
-
-
-def band_keep_list(docs, hashes):
-    """pairs → HashMin CC → min-id canonical, for ANY four-band hash
-    relation (the image_ahash_keeplist composition, shared verbatim by
-    all three families)."""
-    pairs = multimodal.image_ahash_pairs(hashes, max_hamming=3)
-    comp = dedup.connected_components(pairs, "id_a", "id_b")
-    return (
-        docs.join(comp, "doc_id", "left")
-        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
-        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
-    )
 
 
 def main(sf_dir: str | None = None) -> dict:
@@ -77,7 +64,8 @@ def main(sf_dir: str | None = None) -> dict:
     kept_sets = []
     for name, hashes in families.items():
         hashes = hashes.localCheckpoint(eager=True)  # decode once
-        kl = band_keep_list(docs, hashes).localCheckpoint(eager=True)
+        # the ONE shared keep-list composition (operators/multimodal)
+        kl = multimodal.band_keeplist(docs, hashes).localCheckpoint(eager=True)
         n_comp = kl.select("component_id").distinct().count()
         kept_ids = kl.filter(F.col("kept")).select("doc_id")
         n_kept = kept_ids.count()

@@ -1085,6 +1085,32 @@ def test_ns_inverse_sqrt_rejects_quantization_overflow():
     assert len(w) == 2
 
 
+def test_clear_store_cache_frees_checkpoint_blocks(spark):
+    """clear_store_cache must actually free the localCheckpointed
+    blocks, not just drop references (ADVICE r12): the unpersist goes
+    through the LogicalRDD plan's wrapped RDD — df.rdd derives a NEW
+    unpersisted RDD and unpersisting that is a silent no-op
+    (code-review r13, verified via getPersistentRDDs)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.registry import stores
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = stores.corpus_store(
+        spark,
+        "/tmp/_store_cache_test",
+        "free_blocks_probe",
+        lambda: spark.range(0, 64).withColumn("y", F.col("id") * 3),
+    )
+    assert got.count() == 64
+    during = jsc.getPersistentRDDs().size()
+    assert during > before  # the checkpoint registered blocks
+    stores.clear_store_cache()
+    after = jsc.getPersistentRDDs().size()
+    assert after < during  # ... and clear actually released them
+
+
 def test_corpus_cov_means_cache_is_invisible(spark, sf_dir):
     """The per-corpus (cov, means, dim) cache (registry/semantic.py)
     must change cost, never results: the cached-fit builder output is

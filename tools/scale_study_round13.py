@@ -2,11 +2,11 @@
 IVF-PQ ADC rung, the by-lang fill-rate report, and the checksum
 manifest at sf0.001 / 0.01 / 0.1.
 
-documents grows a true decade per step at the parquet level; the
-catalog's sf slicing loads 500/10 000/10 000 doc rows — growth factors
-below use the ACTUAL loaded row-count ratio sf0.01 -> sf0.1, verified
-at runtime, not assumed. embeddings load 500/500/2 000 — the PQ rung's
-growth is reported over ITS actual ratio.
+The parquet fixtures hold documents 500/500/5 000 and embeddings
+500/500/2 000 across sf0.001/0.01/0.1 — growth factors below use the
+ACTUAL loaded row-count ratio sf0.01 -> sf0.1, verified at runtime,
+not assumed (the loader overlays make the documents step a true x10);
+the PQ rung's alpha is reported over the embeddings ratio.
 
 Claims under test, printed as facts:
 - audio_fingerprint_near_pairs: Arrow-batched WAV decode + band

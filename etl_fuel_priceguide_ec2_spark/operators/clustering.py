@@ -34,6 +34,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_fuel_priceguide_ec2_spark.operators.util import mat_lit, mat_sql
+
+
+def sq_dists_sql(vec_sql: str, mat_sql: str) -> str:
+    """The centroid-distance fold as SQL TEXT — the string twin of
+    :func:`sq_dists_expr`'s HOF construction, token-for-token the same
+    Catalyst tree (``(x - y) * (x - y)`` products, ``0.0D`` init,
+    left-fold adds). Exists because the Python HOF builders pay ~10
+    py4j round-trips per nested lambda: a 16-subspace PQ build makes
+    34 fold expressions and the gateway chatter alone measured ~1 s of
+    warm-query wall. Rendering the fold as one parsed string removes
+    that driver-side cost without touching the executed plan
+    (bit-identity with the HOF form is test-pinned). Keep BOTH forms
+    here, adjacent, so a rounding- or fold-order change cannot land in
+    one and not the other."""
+    return (
+        f"transform({mat_sql}, c -> aggregate(zip_with({vec_sql}, c, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d))"
+    )
+
 
 def sq_dists_expr(vcol, cent_lit):
     """Per-centroid squared-L2 distances of ``vcol`` against a nested
@@ -42,7 +62,25 @@ def sq_dists_expr(vcol, cent_lit):
     shuffle). The single shared definition of the centroid-distance
     fold: ``_assign``, the fused PQ fit, and the PQ encode/search all
     use it, so a rounding- or fold-order change can never diverge them
-    (code-review r13 — there were four verbatim copies)."""
+    (code-review r13 — there were four verbatim copies).
+
+    Fast path: pass ``vcol`` as a SQL string (a resolvable column name
+    or expression) and ``cent_lit`` as the raw Python matrix, and the
+    whole fold is built via ONE ``F.expr`` parse (:func:`sq_dists_sql`)
+    instead of ~30 py4j lambda round-trips — same tree, test-pinned
+    bit-identical. Column inputs keep the original HOF construction."""
+    if isinstance(vcol, str) and isinstance(cent_lit, (list, tuple)):
+        sql = mat_sql(cent_lit)
+        if sql is not None:
+            return F.expr(sq_dists_sql(vcol, sql))
+        cent_lit = mat_lit(cent_lit)
+    elif isinstance(cent_lit, (list, tuple)):
+        cent_lit = mat_lit(cent_lit)
+    if isinstance(vcol, str):
+        # F.expr, NOT bare-string pass-through: the HOF builders treat
+        # a string as a quoted column NAME, which breaks expression
+        # strings like "slice(v, 1, 4)" on the non-renderable fallback
+        vcol = F.expr(vcol)
     return F.transform(
         cent_lit,
         lambda c: F.aggregate(
@@ -80,15 +118,7 @@ def _assign(df: DataFrame, id_col: str, centroids: list[list[float]]) -> DataFra
     # expression tree made Janino compile multi-second generated code
     # per job (measured — the k-means fit was codegen-bound, not
     # data-bound); a single constant keeps codegen flat
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
-    dists = F.transform(
-        cent_lit,
-        lambda c: F.aggregate(
-            F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ),
-    )
+    dists = sq_dists_expr("_v", centroids)
     return (
         df.withColumn("_d", dists)
         .withColumn("sq_dist", F.array_min("_d"))
@@ -207,10 +237,10 @@ def fit_pq_codebooks(
         raise ValueError(f"m, ks, iters must be >= 1 (got {m}, {ks}, {iters})")
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     if residuals_of is not None:
-        coarse_lit = F.lit([[float(x) for x in c] for c in residuals_of])
-        cd = sq_dists_expr(F.col("_v"), coarse_lit)
+        cd = sq_dists_expr("_v", residuals_of)
         own = F.element_at(
-            coarse_lit, (F.array_position(cd, F.array_min(cd))).cast("int")
+            mat_lit(residuals_of),
+            (F.array_position(cd, F.array_min(cd))).cast("int"),
         )
         base = base.select(
             F.col(id_col),
@@ -237,13 +267,12 @@ def fit_pq_codebooks(
     # default argument silently rebinds it per centroid (found the hard
     # way: every assignment mismatched the independent fits). A factory
     # function closes over the subspace instead.
-    def _argmin(s, sub_lit):
-        sd = sq_dists_expr(F.slice("_v", s * sub + 1, sub), sub_lit)
+    def _argmin(s, book):
+        sd = sq_dists_expr(f"slice(_v, {s * sub + 1}, {sub})", book)
         return (F.array_position(sd, F.array_min(sd)) - 1).cast("long")
 
     for _ in range(iters):
-        sub_lits = [F.lit([[float(x) for x in c] for c in cb]) for cb in books]
-        assigns = [_argmin(s, sub_lits[s]) for s in range(m)]
+        assigns = [_argmin(s, books[s]) for s in range(m)]
         # the _nd barrier (cosine_topk_ivf_sq8's trick) stops the
         # Generate/aggregate stages from re-expanding the m assignment
         # folds into every exploded element reference
@@ -369,15 +398,7 @@ def semantic_dedup_pairs(
     # expression tree made Janino compile multi-second generated code
     # per job (measured — the k-means fit was codegen-bound, not
     # data-bound); a single constant keeps codegen flat
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
-    dists = F.transform(
-        cent_lit,
-        lambda c: F.aggregate(
-            F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ),
-    )
+    dists = sq_dists_expr("_v", centroids)
     ranked = F.array_sort(
         F.zip_with(
             dists,
@@ -466,7 +487,7 @@ def semantic_contamination_pairs(
             F.lit(None).cast("double").alias("sq_dist"),
         ).filter(F.lit(False))
     k = len(centroids)  # eval sets smaller than k clamp the codebook
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cent_lit = mat_lit(centroids)
 
     def _dists(col):
         return F.transform(
@@ -536,7 +557,7 @@ def fit_two_level_codebooks(
     ) or _fit_centroids(base, id_col, k1, iters)
     if not c1:
         return [], []
-    cent1 = F.lit([[float(x) for x in c] for c in c1])
+    cent1 = mat_lit(c1)
     d1 = F.transform(
         cent1,
         lambda c: F.aggregate(
@@ -613,7 +634,7 @@ def semantic_dedup_pairs_two_level(
             F.lit(None).cast("double").alias("sq_dist"),
         ).filter(F.lit(False))
     k1 = len(c1)  # inputs smaller than k1 yield fewer centroids
-    cent1 = F.lit([[float(x) for x in c] for c in c1])
+    cent1 = mat_lit(c1)
     d1 = F.transform(
         cent1,
         lambda c: F.aggregate(
@@ -627,7 +648,7 @@ def semantic_dedup_pairs_two_level(
         "_v", F.element_at(cent1, primary + F.lit(1)), lambda x, c: x - c
     )
     k2 = len(c2)  # same clamp on the residual codebook
-    cent2 = F.lit([[float(x) for x in c] for c in c2])
+    cent2 = mat_lit(c2)
 
     def _probe_blocks(vec_expr, cent_lit, k):
         d = F.transform(

@@ -38,7 +38,7 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
+from etl_fuel_priceguide_ec2_spark.operators.util import fan_out, vec_lit
 
 _SUM_DEC = "decimal(30,12)"
 # Merge/partial width: decimal(38,12). Individual 12dp TERMS cap at
@@ -193,9 +193,9 @@ def pca_top_component_scores(
     v1 = _power_iterate(cov, dim, iters)
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    centered = F.zip_with(vec, F.lit(means), lambda x, m: x - m)
+    centered = F.zip_with(vec, vec_lit(means), lambda x, m: x - m)
     terms = F.transform(
-        F.zip_with(centered, F.lit(v1), lambda x, w: F.round(x * w, 12)),
+        F.zip_with(centered, vec_lit(v1), lambda x, w: F.round(x * w, 12)),
         lambda p: p.cast(_SUM_DEC),
     )
     # Decimal addition widens DECIMAL(30,12)+DECIMAL(30,12) to
@@ -437,7 +437,7 @@ def _pc_score_expr(centered, v):
     product against the broadcast component, rounded at 6dp with the
     -0.0 canonicalization — shared by both PCA query families."""
     terms = F.transform(
-        F.zip_with(centered, F.lit(v), lambda x, w: F.round(x * w, 12)),
+        F.zip_with(centered, vec_lit(v), lambda x, w: F.round(x * w, 12)),
         lambda p: p.cast(_SUM_DEC),
     )
     return F.round(_dec_fold(terms).cast("double"), 6) + F.lit(0.0)
@@ -488,7 +488,7 @@ def pca_component_scores(
     m, means, dim = got
     comps = _fit_components(m, dim, n_components, iters)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
+    centered = F.zip_with(vec, vec_lit(means), lambda x, mu: x - mu)
     outs = [
         _pc_score_expr(centered, v).alias(f"pc{k}")
         for k, v in enumerate(comps, start=1)
@@ -769,10 +769,10 @@ def embedding_zscore_outliers(
     n_used = sum(1 for v in vars_ if v > 0)
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    centered = F.zip_with(vec, F.lit(mus), lambda x, mu: x - mu)
+    centered = F.zip_with(vec, vec_lit(mus), lambda x, mu: x - mu)
     terms = F.zip_with(
         centered,
-        F.lit(vars_),
+        vec_lit(vars_),
         lambda c, v: F.when(
             v > 0, F.round(c * c / v, 12).cast(_SUM_DEC)
         ).otherwise(F.lit(0).cast(_SUM_DEC)),
@@ -1232,7 +1232,7 @@ def pca_residual_scores(
     m, means, dim = got
     comps = _fit_components(m, dim, n_components, iters)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
+    centered = F.zip_with(vec, vec_lit(means), lambda x, mu: x - mu)
     pcs = [_pc_score_expr(centered, v) for v in comps]
     t_terms = F.transform(
         F.transform(centered, lambda c: F.round(c * c, 12)),
@@ -1412,7 +1412,7 @@ def zca_whitening_scores(
     w, means, dim = got
     n_out = min(n_out, dim)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    centered = F.zip_with(vec, F.lit(means), lambda x, mu: x - mu)
+    centered = F.zip_with(vec, vec_lit(means), lambda x, mu: x - mu)
     outs = [
         _pc_score_expr(centered, w[j - 1]).alias(f"zca{j}")
         for j in range(1, n_out + 1)

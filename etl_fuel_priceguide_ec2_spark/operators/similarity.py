@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from etl_fuel_priceguide_ec2_spark.operators.clustering import sq_dists_expr
-from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
+from etl_fuel_priceguide_ec2_spark.operators.util import fan_out, mat_lit
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
@@ -189,7 +189,7 @@ def cosine_topk_rplsh(
         # made Janino compile seconds of generated code per job (same
         # codegen-bound pathology measured on the k-means literals).
         # Values are identical: dot_j >= 0 contributes 2^j, summed.
-        hp_lit = F.lit([[float(x) for x in hp[j]] for j in range(planes)])
+        hp_lit = mat_lit([hp[j] for j in range(planes)])
         dots = F.transform(
             hp_lit,
             lambda h: F.aggregate(
@@ -344,17 +344,10 @@ def cosine_topk_ivf_sq8(
             F.lit(None).cast("double").alias("approx_cosine"),
         ).filter(F.lit(False))
     cells = len(centroids)
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
 
     def _cell_dists(vcol):
-        return F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(vcol, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
+        # string fast path: "v" + raw matrix -> ONE F.expr parse
+        return sq_dists_expr(vcol, centroids)
 
     # corpus: primary cell (argmin, ties to lower index) + int8 code.
     # The trailing nondeterministic no-op barrier stops CollapseProject
@@ -363,7 +356,7 @@ def cosine_topk_ivf_sq8(
     # cosine_topk_ivf2_sq8, where the deeper tree made this a measured
     # 7x; here the single-level tree still re-evaluates ~3x without it)
     cb = _with_norm(corpus, id_col, vec_col)
-    cd = _cell_dists(F.col("v"))
+    cd = _cell_dists("v")
     c = cb.select(
         F.col(id_col).alias("neighbor_id"),
         (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell"),
@@ -374,7 +367,7 @@ def cosine_topk_ivf_sq8(
     ).filter(F.col("_nd") >= -1).drop("_nd")
     # queries: nprobe nearest cells + int8 code
     qb = _with_norm(queries, id_col, vec_col)
-    qd = _cell_dists(F.col("v"))
+    qd = _cell_dists("v")
     ranked = F.array_sort(
         F.zip_with(
             qd,
@@ -532,18 +525,11 @@ def cosine_topk_ivf2_sq8(
             F.lit(None).cast("double").alias("approx_cosine"),
         ).filter(F.lit(False))
     k1, k2 = len(c1), len(c2)
-    cent1 = F.lit([[float(x) for x in c] for c in c1])
-    cent2 = F.lit([[float(x) for x in c] for c in c2])
+    cent1 = mat_lit(c1)
 
-    def _dists(vec_expr, cent_lit):
-        return F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(vec_expr, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
+    def _dists(vec_expr, cents):
+        # string fast path: column-name text + raw matrix
+        return sq_dists_expr(vec_expr, cents)
 
     def _primary(d):
         # ties to the lower cell index (first array_position match)
@@ -568,11 +554,11 @@ def cosine_topk_ivf2_sq8(
 
     # corpus: ONE composite cell (primary coarse, primary residual) + int8
     cb = _with_norm(corpus, id_col, vec_col)
-    b1 = _primary(_dists(F.col("v"), cent1))
+    b1 = _primary(_dists("v", c1))
     cb = cb.withColumn("_b1", b1).withColumn("_r", _resid(F.col("v"), F.col("_b1")))
     c = cb.select(
         F.col(id_col).alias("neighbor_id"),
-        (F.col("_b1") * k2 + _primary(_dists(F.col("_r"), cent2))).alias("cell"),
+        (F.col("_b1") * k2 + _primary(_dists("_r", c2))).alias("cell"),
         q8code.alias("cq"),
         # nondeterministic no-op barrier: without it, CollapseProject +
         # join-side predicate/hash generation re-expand the nested
@@ -587,12 +573,12 @@ def cosine_topk_ivf2_sq8(
     # the lower (coarse, residual) index pair, matching the oracle's
     # ORDER BY dsum, b1, b2)
     qb = _with_norm(queries, id_col, vec_col)
-    qb1 = _primary(_dists(F.col("v"), cent1))
+    qb1 = _primary(_dists("v", c1))
     qb = (
         qb.withColumn("_b1", qb1)
         .withColumn("_r", _resid(F.col("v"), F.col("_b1")))
-        .withColumn("_d1", _dists(F.col("v"), cent1))
-        .withColumn("_d2", _dists(F.col("_r"), cent2))
+        .withColumn("_d1", _dists("v", c1))
+        .withColumn("_d2", _dists("_r", c2))
     )
     pair_scores = F.flatten(
         F.transform(
@@ -669,20 +655,22 @@ def pq_encode(
         # would lossily drop the trailing dims from every code
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
-    sub_lits = [F.lit([[float(x) for x in c] for c in cb]) for cb in pq_codebooks]
     _dists = sq_dists_expr
     cb = _with_norm(corpus, id_col, vec_col)
-    cd = _dists(F.col("v"), cent_lit)
-    enc_v = F.col("v")
+    cd = _dists("v", centroids)
+    enc_v = "v"
     if residual:
         own = F.element_at(
-            cent_lit, F.array_position(cd, F.array_min(cd)).cast("int")
+            mat_lit(centroids), F.array_position(cd, F.array_min(cd)).cast("int")
         )
         enc_v = F.zip_with("v", own, lambda x, y: x - y)
     code_cols = []
     for s in range(m):
-        sd = _dists(F.slice(enc_v, s * sub + 1, sub), sub_lits[s])
+        sd = (
+            _dists(f"slice(v, {s * sub + 1}, {sub})", pq_codebooks[s])
+            if not residual
+            else _dists(F.slice(enc_v, s * sub + 1, sub), pq_codebooks[s])
+        )
         code_cols.append(
             (F.array_position(sd, F.array_min(sd)) - 1).cast("long").alias(f"code{s}")
         )
@@ -801,10 +789,7 @@ def topk_ivf_pq(
             for s in range(m)
         ]
     cells = len(centroids)
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
-    sub_lits = [
-        F.lit([[float(x) for x in c] for c in cb]) for cb in pq_codebooks
-    ]
+    cent_lit = mat_lit(centroids)
     _dists = sq_dists_expr
 
     # corpus: primary coarse cell + m sub-codes — the persisted-state
@@ -824,7 +809,7 @@ def topk_ivf_pq(
     # probed CELL when residual — the table subtracts that cell's
     # centroid from the query so it lives in the candidates' frame)
     qb = _with_norm(queries, id_col, vec_col)
-    qd = _dists(F.col("v"), cent_lit)
+    qd = _dists("v", centroids)
     ranked = F.array_sort(
         F.zip_with(
             qd,
@@ -847,7 +832,9 @@ def topk_ivf_pq(
             "query_id",
             "cell",
             *[
-                _dists(F.slice(q_v, s * sub + 1, sub), sub_lits[s]).alias(f"adc{s}")
+                _dists(F.slice(q_v, s * sub + 1, sub), pq_codebooks[s]).alias(
+                    f"adc{s}"
+                )
                 for s in range(m)
             ],
         )
@@ -861,7 +848,9 @@ def topk_ivf_pq(
             F.col(id_col).alias("query_id"),
             probe_cells,
             *[
-                _dists(F.slice("v", s * sub + 1, sub), sub_lits[s]).alias(f"adc{s}")
+                _dists(f"slice(v, {s * sub + 1}, {sub})", pq_codebooks[s]).alias(
+                    f"adc{s}"
+                )
                 for s in range(m)
             ],
         )

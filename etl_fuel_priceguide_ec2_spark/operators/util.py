@@ -2,9 +2,76 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _double_sql(x: float) -> str:
+    # repr() is the shortest round-trip form; Spark's parser reads it
+    # back to the bit-identical double. 'D' marks a DOUBLE literal
+    # (a bare '1.5' parses as DECIMAL(2,1) in Spark SQL).
+    return repr(float(x)) + "D"
+
+
+def vec_sql(values) -> str | None:
+    """``array<double>`` literal as SQL TEXT, or None when the values
+    can't be rendered (empty, or non-finite — SQL has no nan/inf
+    double literals)."""
+    vals = [float(x) for x in values]
+    if not vals or not all(map(math.isfinite, vals)):
+        return None
+    return "array(" + ",".join(map(_double_sql, vals)) + ")"
+
+
+def mat_sql(rows) -> str | None:
+    """``array<array<double>>`` literal as SQL TEXT, or None when not
+    renderable (empty matrix / empty or non-finite rows)."""
+    parts = []
+    for r in rows:
+        s = vec_sql(r)
+        if s is None:
+            return None
+        parts.append(s)
+    if not parts:
+        return None
+    return "array(" + ",".join(parts) + ")"
+
+
+def vec_lit(values) -> Column:
+    """``array<double>`` literal built in ONE py4j call.
+
+    ``F.lit(list)`` constructs nested literals element-by-element —
+    one gateway round-trip per element (a 64-dim means vector ~ 65
+    calls, a 16x16x4 PQ codebook ~ 1 000+). For the driver-fit
+    broadcast state this engine carries (centroids, codebooks, means,
+    eigvecs) that made *Python-side plan construction* the dominant
+    cost of warm ANN queries — measured 3.4 s of the 5.5 s
+    ``similarity_topk_ivf_pq`` wall at sf0.1, 2.6 s of it inside
+    ``F.lit``. Emitting the whole literal as one SQL string is a
+    single round-trip and parses to the bit-identical Catalyst
+    ``Literal`` (test-pinned). Falls back to ``F.lit`` for empty or
+    non-finite input."""
+    from pyspark.sql import functions as F
+
+    s = vec_sql(values)
+    if s is None:
+        return F.lit([float(x) for x in values])
+    return F.expr(s)
+
+
+def mat_lit(rows) -> Column:
+    """``array<array<double>>`` literal in ONE py4j call — the
+    codebook/centroid-matrix form of :func:`vec_lit` (same rationale,
+    same bit-identical guarantee, same non-finite fallback)."""
+    from pyspark.sql import functions as F
+
+    s = mat_sql(rows)
+    if s is None:
+        return F.lit([[float(x) for x in r] for r in rows])
+    return F.expr(s)
 
 
 def _max_partition_bytes(df: DataFrame) -> int:

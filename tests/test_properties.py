@@ -2207,3 +2207,72 @@ def test_image_phash_band_relation_feeds_state_miner(spark):
         for r in multimodal.image_ahash_pairs(hist, max_hamming=3).collect()
     }
     assert {**hist_only, **inc_new} == batch
+
+
+def test_sql_literal_helpers_bit_identical_to_f_lit(spark):
+    """vec_lit/mat_lit (one-py4j-call F.expr literals) and the
+    sq_dists_expr string fast path must be BIT-identical to the
+    element-by-element F.lit / Python-lambda HOF constructions they
+    replace — the ANN/codebook driver-state contract (a single ULP of
+    drift would break every oracle that replays a fit)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators.clustering import (
+        sq_dists_expr,
+    )
+    from etl_fuel_priceguide_ec2_spark.operators.util import mat_lit, vec_lit
+
+    # adversarial doubles: negative zero, denormal-adjacent, huge/tiny
+    # exponents, shortest-repr-with-exponent forms
+    mat = [
+        [-0.0, 1e-307, 12345678.910111213, -1.5e16],
+        [0.1 + 0.2, -7.25, 3.141592653589793, 2.0**-52],
+    ]
+    vec = mat[0]
+    df = spark.range(1).select(
+        vec_lit(vec).alias("v_new"),
+        F.lit([float(x) for x in vec]).alias("v_old"),
+        mat_lit(mat).alias("m_new"),
+        F.lit([[float(x) for x in r] for r in mat]).alias("m_old"),
+    )
+    r = df.first()
+    bits = lambda xs: [struct.pack(">d", x) for x in xs]
+    assert bits(r["v_new"]) == bits(r["v_old"])
+    assert [bits(x) for x in r["m_new"]] == [bits(x) for x in r["m_old"]]
+    assert df.schema["v_new"].dataType == df.schema["v_old"].dataType
+    assert df.schema["m_new"].dataType == df.schema["m_old"].dataType
+
+    # non-finite fallback: still correct (plain F.lit path)
+    import math
+
+    nf = vec_lit([1.0, math.inf])
+    got = spark.range(1).select(nf.alias("x")).first()["x"]
+    assert got[0] == 1.0 and math.isinf(got[1])
+
+    # sq_dists fast path (string vcol + raw matrix) vs HOF Column path
+    vdf = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1e-9, 3.75]), (2, [-0.0, 2.0, -3.5, 0.125])],
+        "id bigint, v array<double>",
+    )
+    two = vdf.select(
+        sq_dists_expr("v", mat).alias("fast"),
+        sq_dists_expr(F.col("v"), mat_lit(mat)).alias("hof"),
+        sq_dists_expr("slice(v, 2, 2)", [[1.0, 2.0]]).alias("fast_slice"),
+        sq_dists_expr(F.slice("v", 2, 2), mat_lit([[1.0, 2.0]])).alias(
+            "hof_slice"
+        ),
+    )
+    for row in two.collect():
+        assert bits(row["fast"]) == bits(row["hof"])
+        assert bits(row["fast_slice"]) == bits(row["hof_slice"])
+
+    # non-renderable matrix + expression-string vcol: the fallback must
+    # PARSE the string (a bare pass-through would quote it as a column
+    # name and fail analysis)
+    nf_mat = [[math.inf, 0.0]]
+    got = vdf.select(
+        sq_dists_expr("slice(v, 2, 2)", nf_mat).alias("d")
+    ).first()["d"]
+    assert math.isinf(got[0])

@@ -211,8 +211,13 @@ ITERATIVE = [
     "hits_trade_authorities",
     # round 9 capstone: five dedup signals + two classifier gates in
     # one decision relation — contains the CC fixpoint (checkpoint
-    # floor) and costs ~the sum of its audited parts, so it lives in
-    # this series rather than inflating the headline total ~30%.
+    # floor), so it lives in this series rather than inflating the
+    # headline total ~30%. Since the signal relations moved into the
+    # per-corpus state store (mined once per session — the persisted
+    # ingest-state relations production reads off parquet, the same
+    # argument the incremental note below makes), min-of-3 measures
+    # the id-scale DECISION layer per refresh: survivor cascade, CC
+    # fixpoint, assembly joins. Rep 1 still pays the mining.
     # curation_decision_incremental is deliberately NOT benched: in
     # this repo it must SIMULATE the persisted history state by
     # re-mining it in-query (history pairs/spans/scores), so its

@@ -84,15 +84,69 @@ def corpus_curation_decision(
     lie. ``quality_score`` / ``domain`` are scored for EVERY document
     (classifier inference is one broadcast join — cheap enough to keep
     the full audit trail)."""
-    docs = corpus.select(F.col(id_col), F.col(text_col)).localCheckpoint(
-        eager=True
+    sigs = corpus_curation_signals(
+        corpus, id_col, text_col, quality_weights, domain_weights,
+        n=n, jaccard_threshold=jaccard_threshold,
+        containment_threshold=containment_threshold, k=k,
+        min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
+        quality_threshold=quality_threshold, n_buckets=n_buckets,
+    )
+    return curation_decision_from_signals(
+        sigs["content_hashes"], sigs["jaccard_pairs"],
+        sigs["containment_pairs"], sigs["spans"], sigs["n_tokens"],
+        sigs["quality"], sigs["domain"], id_col,
+        span_drop_threshold=span_drop_threshold,
+        quality_threshold=quality_threshold,
+        blocked_domain=blocked_domain,
+    )
+
+
+def corpus_curation_signals(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_weights: DataFrame,
+    domain_weights: DataFrame,
+    *,
+    n: int = 3,
+    jaccard_threshold: float = 0.6,
+    containment_threshold: float = 0.9,
+    k: int = 8,
+    min_span_tokens: int = 15,
+    max_gram_freq: int | None = 1024,
+    quality_threshold: float = 0.01,
+    n_buckets: int = 4096,
+    materialize: bool = True,
+) -> dict[str, DataFrame]:
+    """The capstone's SIGNAL-MINING stage, factored off the decision:
+    one shared pass over the corpus producing the seven id-keyed state
+    relations ``curation_decision_from_signals`` consumes
+    (content_hashes, jaccard_pairs, containment_pairs, spans,
+    n_tokens, quality, domain). These are exactly the relations an
+    ingest pipeline persists once and re-reads per decision refresh —
+    the factoring exists so a caller holding persisted signal state
+    (a store, a parquet directory, a session cache) pays only the
+    id-scale decision layer per refresh, mirroring production. The
+    batch capstone mines-then-decides through this function; both it
+    and the incremental form delegate the decision to
+    ``curation_decision_from_signals``, so precedence semantics cannot
+    drift between mining modes.
+
+    ``materialize=False`` skips every localCheckpoint — for plan audits
+    that need to SEE the mining pipeline (a checkpointed relation plans
+    as an opaque scan); production callers keep the default."""
+    _mat = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if materialize
+        else (lambda df: df)
+    )
+    docs = _mat(
+        corpus.select(F.col(id_col), F.col(text_col))
     )  # five signal pipelines re-read the corpus; derive it once
     # ONE tokenize+shingle scan feeds both set-similarity miners (at
     # 100 TB each avoided re-shingling is a full corpus scan); this is
     # the same persistable state relation the LSH/gram stores use
-    sets = dedup._shingle_array(docs, id_col, text_col, n).localCheckpoint(
-        eager=True
-    )
+    sets = _mat(dedup._shingle_array(docs, id_col, text_col, n))
 
     # -- signal mining (each relation is the persistable state form)
     hashes = docs.select(
@@ -109,19 +163,19 @@ def corpus_curation_decision(
     # the plan branches share, so the win is the residual recomputation:
     # measured 13.1 -> 11.6 s for the full capstone at sf0.1 (11.3 with
     # the decision layer's survivor-chain materialization below).
-    jp = dedup.ngram_jaccard_pairs(
+    jp = _mat(dedup.ngram_jaccard_pairs(
         docs, id_col, text_col, n=n,
         threshold=jaccard_threshold, prefix_filter=True, shingle_sets=sets,
-    ).localCheckpoint(eager=True)
-    cp = dedup.containment_pairs(
+    ))
+    cp = _mat(dedup.containment_pairs(
         docs, id_col, text_col, n=n,
         threshold=containment_threshold, prefix_filter=True,
         shingle_sets=sets,
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
-    spans = dedup.exact_substring_spans(
+    ).select("id_a", "id_b"))
+    spans = _mat(dedup.exact_substring_spans(
         docs, id_col, text_col,
         k=k, min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
-    ).localCheckpoint(eager=True)
+    ))
     ntok = docs.select(
         F.col(id_col),
         F.size(
@@ -131,9 +185,9 @@ def corpus_curation_decision(
             )
         ).cast("long").alias("n_tokens"),
     )
-    feats = textops.classifier_features(
+    feats = _mat(textops.classifier_features(
         docs, id_col, text_col, n_buckets
-    ).localCheckpoint(eager=True)  # ONE featurization pass, both models
+    ))  # ONE featurization pass, both models
     q = textops.quality_classifier_scores(
         docs, id_col, text_col, quality_weights,
         n_buckets=n_buckets, threshold=quality_threshold, features=feats,
@@ -146,12 +200,15 @@ def corpus_curation_decision(
         F.col("best_class").alias("domain"),
         F.col("margin").alias("margin"),
     )
-    return curation_decision_from_signals(
-        hashes, jp, cp, spans, ntok, q, dom, id_col,
-        span_drop_threshold=span_drop_threshold,
-        quality_threshold=quality_threshold,
-        blocked_domain=blocked_domain,
-    )
+    return {
+        "content_hashes": hashes,
+        "jaccard_pairs": jp,
+        "containment_pairs": cp,
+        "spans": spans,
+        "n_tokens": ntok,
+        "quality": q,
+        "domain": dom,
+    }
 
 
 def curation_decision_from_signals(

@@ -22,8 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 _STORE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def corpus_store(spark: SparkSession, sf_dir: str, name: str, build):
-    app_id = spark.sparkContext.applicationId
+def _evict_other_apps(app_id: str) -> None:
     # Evict entries from other (stopped or replaced) Spark applications:
     # a process that cycles sessions would otherwise accumulate dead
     # DataFrame handles forever (ADVICE r12). Their RDDs died with the
@@ -31,10 +30,41 @@ def corpus_store(spark: SparkSession, sf_dir: str, name: str, build):
     stale = [k for k in _STORE_CACHE if k[0] != app_id]
     for k in stale:
         del _STORE_CACHE[k]
+
+
+def corpus_store(spark: SparkSession, sf_dir: str, name: str, build):
+    app_id = spark.sparkContext.applicationId
+    _evict_other_apps(app_id)
     key = (app_id, sf_dir, name)
     if key not in _STORE_CACHE:
         _STORE_CACHE[key] = build().localCheckpoint(eager=True)
     return _STORE_CACHE[key]
+
+
+def corpus_store_group(
+    spark: SparkSession, sf_dir: str, names: list[str], build_all
+) -> dict[str, DataFrame]:
+    """Group form of :func:`corpus_store` for state relations that are
+    cheapest mined in ONE shared pass (e.g. the curation capstone's
+    seven signal relations, which share the corpus scan, the shingle
+    relation, and the classifier featurization): ``build_all`` returns
+    a dict of DataFrames keyed by ``names`` and runs only when at
+    least one member is missing; every member is then checkpointed
+    under its own key. Same determinism/immutability contract as the
+    single-relation form."""
+    app_id = spark.sparkContext.applicationId
+    _evict_other_apps(app_id)
+    keys = {n: (app_id, sf_dir, n) for n in names}
+    if any(k not in _STORE_CACHE for k in keys.values()):
+        built = build_all()
+        missing = [n for n in names if n not in built]
+        if missing:
+            raise KeyError(
+                f"corpus_store_group: build_all omitted {missing}"
+            )
+        for n in names:
+            _STORE_CACHE[keys[n]] = built[n].localCheckpoint(eager=True)
+    return {n: _STORE_CACHE[keys[n]] for n in names}
 
 
 def clear_store_cache() -> None:

@@ -663,18 +663,38 @@ def test_curation_decision_plan_no_cartesian_single_shingle_scan(spark, sf_dir):
     grid; and the two set-similarity miners consume the SAME
     checkpointed shingle relation (one tokenize+shingle scan — the
     shared-state contract ngram_jaccard_pairs/containment_pairs expose
-    via ``shingle_sets``)."""
+    via ``shingle_sets``).
+
+    Since the registry query reads its signals from the per-corpus
+    state store, the MINING shapes are pinned on the signal pipelines
+    themselves (pre-checkpoint plans) and the registry query's plan is
+    checked as the decision layer it now is."""
     import re
 
     from etl_fuel_priceguide_ec2_spark import registry
+    from etl_fuel_priceguide_ec2_spark.registry.curation import (
+        _mine_capstone_signals,
+    )
 
+    sigs = _mine_capstone_signals(spark, sf_dir, materialize=False)
+    # pair/span mining: hash-joined, never cartesian; the classifier
+    # grid BNLJ lives in quality/domain (one per model)
+    for name in ("jaccard_pairs", "containment_pairs", "spans"):
+        plan = _plan(sigs[name])
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    for name in ("quality", "domain"):
+        plan = _plan(sigs[name])
+        assert "CartesianProduct" not in plan, name
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+    # the registry query = the id-scale decision layer over stored
+    # signals: still no cartesian, and the lone tolerated BNLJ is gone
+    # (classifier inference happened at mining time)
     df = registry.queries()["corpus_curation_decision"](spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
-    # both miners' df-frequency/prefix passes and the classifier model
-    # joins hash-join; no sort-merge join should survive AQE at this size
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_export_sharder_no_per_shard_data_window(spark, sf_dir):

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
+from etl_fuel_priceguide_ec2_spark.operators.util import fan_out, longs_lit
 
 
 def dedup_last_wins(df: DataFrame, key_cols: list[str], order_col: str, tiebreak_cols: list[str] | None = None) -> DataFrame:
@@ -375,7 +375,7 @@ def _signatures_from_sets(sets: DataFrame, id_col: str, num_hashes: int) -> Data
     )
     max_long = (1 << 63) - 1
     init = F.array_repeat(F.lit(max_long).cast("long"), num_hashes)
-    idx = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    idx = longs_lit(range(num_hashes))
     sig = F.aggregate(
         hashed,
         init,
@@ -636,7 +636,7 @@ def simhash(
     else:
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # bit masks are compile-time longs (bit 63 = sign bit as negative mask)
-    masks = F.array(*[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(bits)])
+    masks = longs_lit((1 << j) if j < 63 else -(1 << 63) for j in range(bits))
     sums = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),

@@ -40,6 +40,24 @@ def mat_sql(rows) -> str | None:
     return "array(" + ",".join(parts) + ")"
 
 
+def longs_lit(values) -> Column:
+    """``array<bigint>`` literal in ONE py4j call — the integer sibling
+    of :func:`vec_lit` (minhash permutation indices, simhash bit
+    masks). LONG_MIN needs the subtraction form: the SQL lexer reads
+    the positive magnitude first, which overflows before unary minus
+    applies."""
+    from pyspark.sql import functions as F
+
+    vals = [int(x) for x in values]
+    if not vals or any(not (-(1 << 63) <= v < (1 << 63)) for v in vals):
+        return F.array(*[F.lit(v).cast("long") for v in vals])
+    parts = [
+        "(-9223372036854775807L - 1L)" if v == -(1 << 63) else f"{v}L"
+        for v in vals
+    ]
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def vec_lit(values) -> Column:
     """``array<double>`` literal built in ONE py4j call.
 

@@ -2276,3 +2276,16 @@ def test_sql_literal_helpers_bit_identical_to_f_lit(spark):
         sq_dists_expr("slice(v, 2, 2)", nf_mat).alias("d")
     ).first()["d"]
     assert math.isinf(got[0])
+
+    # integer sibling: the simhash mask vector incl. LONG_MIN (the
+    # sign-bit mask), vs the element-by-element build
+    from etl_fuel_priceguide_ec2_spark.operators.util import longs_lit
+
+    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    ldf = spark.range(1).select(
+        longs_lit(masks).alias("l_new"),
+        F.array(*[F.lit(v).cast("long") for v in masks]).alias("l_old"),
+    )
+    lr = ldf.first()
+    assert list(lr["l_new"]) == list(lr["l_old"]) == masks
+    assert ldf.schema["l_new"].dataType == ldf.schema["l_old"].dataType

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from etl_fuel_priceguide_ec2_spark.operators.util import mat_lit, mat_sql
 
 
-def sq_dists_sql(vec_sql: str, mat_sql: str) -> str:
+def sq_dists_sql(vec_text: str, mat_text: str) -> str:
     """The centroid-distance fold as SQL TEXT — the string twin of
     :func:`sq_dists_expr`'s HOF construction, token-for-token the same
     Catalyst tree (``(x - y) * (x - y)`` products, ``0.0D`` init,
@@ -50,7 +50,7 @@ def sq_dists_sql(vec_sql: str, mat_sql: str) -> str:
     here, adjacent, so a rounding- or fold-order change cannot land in
     one and not the other."""
     return (
-        f"transform({mat_sql}, c -> aggregate(zip_with({vec_sql}, c, "
+        f"transform({mat_text}, c -> aggregate(zip_with({vec_text}, c, "
         "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d))"
     )
 

@@ -116,7 +116,7 @@ def corpus_curation_signals(
     max_gram_freq: int | None = 1024,
     quality_threshold: float = 0.01,
     n_buckets: int = 4096,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> dict[str, DataFrame]:
     """The capstone's SIGNAL-MINING stage, factored off the decision:
     one shared pass over the corpus producing the seven id-keyed state
@@ -134,19 +134,32 @@ def corpus_curation_signals(
 
     ``materialize=False`` skips every localCheckpoint — for plan audits
     that need to SEE the mining pipeline (a checkpointed relation plans
-    as an opaque scan); production callers keep the default."""
-    _mat = (
+    as an opaque scan). ``materialize="intermediates"`` checkpoints
+    only the SHARED intermediates (corpus projection, shingle
+    relation, featurization) and leaves the seven output relations
+    lazy — for callers that checkpoint the outputs themselves (the
+    registry's state store), avoiding a double materialization of
+    every pair/span relation (code-review). Production callers that
+    consume the outputs directly keep the default."""
+    mat_inter = materialize in (True, "intermediates")
+    mat_out = materialize is True
+    _mi = (
         (lambda df: df.localCheckpoint(eager=True))
-        if materialize
+        if mat_inter
         else (lambda df: df)
     )
-    docs = _mat(
+    _mo = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if mat_out
+        else (lambda df: df)
+    )
+    docs = _mi(
         corpus.select(F.col(id_col), F.col(text_col))
     )  # five signal pipelines re-read the corpus; derive it once
     # ONE tokenize+shingle scan feeds both set-similarity miners (at
     # 100 TB each avoided re-shingling is a full corpus scan); this is
     # the same persistable state relation the LSH/gram stores use
-    sets = _mat(dedup._shingle_array(docs, id_col, text_col, n))
+    sets = _mi(dedup._shingle_array(docs, id_col, text_col, n))
 
     # -- signal mining (each relation is the persistable state form)
     hashes = docs.select(
@@ -163,16 +176,16 @@ def corpus_curation_signals(
     # the plan branches share, so the win is the residual recomputation:
     # measured 13.1 -> 11.6 s for the full capstone at sf0.1 (11.3 with
     # the decision layer's survivor-chain materialization below).
-    jp = _mat(dedup.ngram_jaccard_pairs(
+    jp = _mo(dedup.ngram_jaccard_pairs(
         docs, id_col, text_col, n=n,
         threshold=jaccard_threshold, prefix_filter=True, shingle_sets=sets,
     ))
-    cp = _mat(dedup.containment_pairs(
+    cp = _mo(dedup.containment_pairs(
         docs, id_col, text_col, n=n,
         threshold=containment_threshold, prefix_filter=True,
         shingle_sets=sets,
     ).select("id_a", "id_b"))
-    spans = _mat(dedup.exact_substring_spans(
+    spans = _mo(dedup.exact_substring_spans(
         docs, id_col, text_col,
         k=k, min_span_tokens=min_span_tokens, max_gram_freq=max_gram_freq,
     ))
@@ -185,7 +198,7 @@ def corpus_curation_signals(
             )
         ).cast("long").alias("n_tokens"),
     )
-    feats = _mat(textops.classifier_features(
+    feats = _mi(textops.classifier_features(
         docs, id_col, text_col, n_buckets
     ))  # ONE featurization pass, both models
     q = textops.quality_classifier_scores(

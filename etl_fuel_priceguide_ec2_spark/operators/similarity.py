@@ -344,10 +344,7 @@ def cosine_topk_ivf_sq8(
             F.lit(None).cast("double").alias("approx_cosine"),
         ).filter(F.lit(False))
     cells = len(centroids)
-
-    def _cell_dists(vcol):
-        # string fast path: "v" + raw matrix -> ONE F.expr parse
-        return sq_dists_expr(vcol, centroids)
+    _dists = sq_dists_expr  # string fast path: "v" + raw matrix
 
     # corpus: primary cell (argmin, ties to lower index) + int8 code.
     # The trailing nondeterministic no-op barrier stops CollapseProject
@@ -356,7 +353,7 @@ def cosine_topk_ivf_sq8(
     # cosine_topk_ivf2_sq8, where the deeper tree made this a measured
     # 7x; here the single-level tree still re-evaluates ~3x without it)
     cb = _with_norm(corpus, id_col, vec_col)
-    cd = _cell_dists("v")
+    cd = _dists("v", centroids)
     c = cb.select(
         F.col(id_col).alias("neighbor_id"),
         (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell"),
@@ -367,7 +364,7 @@ def cosine_topk_ivf_sq8(
     ).filter(F.col("_nd") >= -1).drop("_nd")
     # queries: nprobe nearest cells + int8 code
     qb = _with_norm(queries, id_col, vec_col)
-    qd = _cell_dists("v")
+    qd = _dists("v", centroids)
     ranked = F.array_sort(
         F.zip_with(
             qd,
@@ -526,10 +523,7 @@ def cosine_topk_ivf2_sq8(
         ).filter(F.lit(False))
     k1, k2 = len(c1), len(c2)
     cent1 = mat_lit(c1)
-
-    def _dists(vec_expr, cents):
-        # string fast path: column-name text + raw matrix
-        return sq_dists_expr(vec_expr, cents)
+    _dists = sq_dists_expr  # string fast path: column text + raw matrix
 
     def _primary(d):
         # ties to the lower cell index (first array_position match)
@@ -789,7 +783,6 @@ def topk_ivf_pq(
             for s in range(m)
         ]
     cells = len(centroids)
-    cent_lit = mat_lit(centroids)
     _dists = sq_dists_expr
 
     # corpus: primary coarse cell + m sub-codes — the persisted-state
@@ -826,7 +819,9 @@ def topk_ivf_pq(
         probed = qb.select(
             F.col(id_col).alias("query_id"), probe_cells, F.col("v")
         )
-        cell_cent = F.element_at(cent_lit, (F.col("cell") + 1).cast("int"))
+        cell_cent = F.element_at(
+            mat_lit(centroids), (F.col("cell") + 1).cast("int")
+        )
         q_v = F.zip_with("v", cell_cent, lambda x, y: x - y)
         q = probed.select(
             "query_id",

@@ -74,9 +74,11 @@ def vec_lit(values) -> Column:
     non-finite input."""
     from pyspark.sql import functions as F
 
-    s = vec_sql(values)
+    vals = [float(x) for x in values]  # materialize first: a one-shot
+    # iterator would be exhausted by vec_sql before the fallback reads it
+    s = vec_sql(vals)
     if s is None:
-        return F.lit([float(x) for x in values])
+        return F.lit(vals)
     return F.expr(s)
 
 
@@ -86,9 +88,11 @@ def mat_lit(rows) -> Column:
     same bit-identical guarantee, same non-finite fallback)."""
     from pyspark.sql import functions as F
 
-    s = mat_sql(rows)
+    mat = [[float(x) for x in r] for r in rows]  # materialize first
+    # (same one-shot-iterator hazard as vec_lit)
+    s = mat_sql(mat)
     if s is None:
-        return F.lit([[float(x) for x in r] for r in rows])
+        return F.lit(mat)
     return F.expr(s)
 
 

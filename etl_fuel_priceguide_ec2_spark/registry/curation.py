@@ -504,7 +504,10 @@ def _capstone_signal_store(spark, sf_dir):
         spark, sf_dir, _CAPSTONE_SIGNAL_NAMES,
         lambda: {
             f"curation_capstone_{k}": v
-            for k, v in _mine_capstone_signals(spark, sf_dir).items()
+            # "intermediates": the store checkpoints the outputs itself
+            for k, v in _mine_capstone_signals(
+                spark, sf_dir, materialize="intermediates"
+            ).items()
         },
     )
     return {

@@ -63,7 +63,14 @@ def corpus_store_group(
                 f"corpus_store_group: build_all omitted {missing}"
             )
         for n in names:
-            _STORE_CACHE[keys[n]] = built[n].localCheckpoint(eager=True)
+            # fill only the gaps: overwriting an already-cached member
+            # would re-checkpoint a duplicate and strand the old blocks
+            # until GC (code-review: partial seeding via corpus_store
+            # or an overlapping group must not rebuild the rest)
+            if keys[n] not in _STORE_CACHE:
+                _STORE_CACHE[keys[n]] = built[n].localCheckpoint(
+                    eager=True
+                )
     return {n: _STORE_CACHE[keys[n]] for n in names}
 
 

@@ -676,7 +676,24 @@ def test_curation_decision_plan_no_cartesian_single_shingle_scan(spark, sf_dir):
         _mine_capstone_signals,
     )
 
-    sigs = _mine_capstone_signals(spark, sf_dir, materialize=False)
+    # the 'single shingle scan' claim, pinned directly on construction:
+    # both set-similarity miners must consume ONE _shingle_array
+    # relation (the shingle_sets contract) — count invocations
+    from etl_fuel_priceguide_ec2_spark.operators import dedup as _dedup
+
+    calls = []
+    real_shingle = _dedup._shingle_array
+
+    def _counting(*a, **kw):
+        calls.append(1)
+        return real_shingle(*a, **kw)
+
+    _dedup._shingle_array = _counting
+    try:
+        sigs = _mine_capstone_signals(spark, sf_dir, materialize=False)
+    finally:
+        _dedup._shingle_array = real_shingle
+    assert len(calls) == 1, "miners must share one tokenize+shingle scan"
     # pair/span mining: hash-joined, never cartesian; the classifier
     # grid BNLJ lives in quality/domain (one per model)
     for name in ("jaccard_pairs", "containment_pairs", "spans"):

@@ -2244,12 +2244,18 @@ def test_sql_literal_helpers_bit_identical_to_f_lit(spark):
     assert df.schema["v_new"].dataType == df.schema["v_old"].dataType
     assert df.schema["m_new"].dataType == df.schema["m_old"].dataType
 
-    # non-finite fallback: still correct (plain F.lit path)
+    # non-finite fallback: still correct (plain F.lit path) — and fed
+    # from a ONE-SHOT iterator, which the helper must materialize
+    # before probing renderability (an exhausted generator silently
+    # became an empty literal pre-fix; code-review)
     import math
 
-    nf = vec_lit([1.0, math.inf])
+    nf = vec_lit(x for x in [1.0, math.inf])
     got = spark.range(1).select(nf.alias("x")).first()["x"]
     assert got[0] == 1.0 and math.isinf(got[1])
+    mg = mat_lit([x] for x in [2.0, math.nan])
+    got = spark.range(1).select(mg.alias("x")).first()["x"]
+    assert got[0][0] == 2.0 and math.isnan(got[1][0])
 
     # sq_dists fast path (string vcol + raw matrix) vs HOF Column path
     vdf = spark.createDataFrame(

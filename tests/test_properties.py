@@ -2295,3 +2295,77 @@ def test_sql_literal_helpers_bit_identical_to_f_lit(spark):
     lr = ldf.first()
     assert list(lr["l_new"]) == list(lr["l_old"]) == masks
     assert ldf.schema["l_new"].dataType == ldf.schema["l_old"].dataType
+
+
+def test_capstone_signals_parquet_roundtrip_decisions_equal(spark, sf_dir, tmp_path):
+    """The production claim behind the capstone signal store: the seven
+    signal relations are PERSISTED ingest state, and a decision refresh
+    that reads them back off parquet must produce exactly the decisions
+    of the fused mine-then-decide pipeline. Pins the full chain
+    (mine -> write parquet -> read -> curation_decision_from_signals),
+    not just the in-session cache."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import curation, textops
+    from etl_fuel_priceguide_ec2_spark.registry.curation import (
+        _DOMAIN_LEXICON,
+        _QC_BUCKETS,
+        _QC_LEXICON,
+        _QC_THRESHOLD,
+    )
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(twins)
+    qlex = spark.createDataFrame(
+        _QC_LEXICON, "term string, weight string"
+    ).selectExpr("term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    qw = textops.quality_classifier_weights(qlex, n_buckets=_QC_BUCKETS)
+    dlex = spark.createDataFrame(
+        [(c, t, str(w)) for c, t, w in _DOMAIN_LEXICON],
+        "class string, term string, weight string",
+    ).selectExpr("class", "term", "CAST(weight AS DECIMAL(12,6)) AS weight")
+    dw = textops.domain_classifier_weights(dlex, n_buckets=_QC_BUCKETS)
+
+    sigs = curation.corpus_curation_signals(
+        corpus, "doc_id", "text", qw, dw,
+        n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+    )
+    stored = {}
+    for name, df in sigs.items():
+        path = str(tmp_path / f"sig_{name}")
+        df.write.parquet(path)
+        stored[name] = spark.read.parquet(path)
+
+    def _decide(s):
+        return sorted(
+            map(
+                tuple,
+                curation.curation_decision_from_signals(
+                    s["content_hashes"], s["jaccard_pairs"],
+                    s["containment_pairs"], s["spans"], s["n_tokens"],
+                    s["quality"], s["domain"], "doc_id",
+                    quality_threshold=_QC_THRESHOLD,
+                ).collect(),
+            )
+        )
+
+    from_parquet = _decide(stored)
+    fused = sorted(
+        map(
+            tuple,
+            curation.corpus_curation_decision(
+                corpus, "doc_id", "text", qw, dw,
+                n_buckets=_QC_BUCKETS, quality_threshold=_QC_THRESHOLD,
+            ).collect(),
+        )
+    )
+    assert from_parquet == fused and len(fused) > 0

@@ -49,9 +49,16 @@ def sq_dists_sql(vec_text: str, mat_text: str) -> str:
     (bit-identity with the HOF form is test-pinned). Keep BOTH forms
     here, adjacent, so a rounding- or fold-order change cannot land in
     one and not the other."""
+    # lambda variables use collision-resistant names: a plain `c` would
+    # CAPTURE any column named c referenced by vec_text (lambda scope
+    # shadows columns — every distance silently becomes 0); names do
+    # not affect the computed values, so bit-identity with the HOF
+    # form holds. Reserved identifiers: _sqd_c/_sqd_x/_sqd_y/_sqd_a/_sqd_e.
     return (
-        f"transform({mat_text}, c -> aggregate(zip_with({vec_text}, c, "
-        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, d) -> acc + d))"
+        f"transform({mat_text}, _sqd_c -> aggregate("
+        f"zip_with({vec_text}, _sqd_c, "
+        "(_sqd_x, _sqd_y) -> (_sqd_x - _sqd_y) * (_sqd_x - _sqd_y)), "
+        "0.0D, (_sqd_a, _sqd_e) -> _sqd_a + _sqd_e))"
     )
 
 
@@ -65,17 +72,22 @@ def sq_dists_expr(vcol, cent_lit):
     (code-review r13 — there were four verbatim copies).
 
     Fast path: pass ``vcol`` as a SQL string (a resolvable column name
-    or expression) and ``cent_lit`` as the raw Python matrix, and the
-    whole fold is built via ONE ``F.expr`` parse (:func:`sq_dists_sql`)
-    instead of ~30 py4j lambda round-trips — same tree, test-pinned
-    bit-identical. Column inputs keep the original HOF construction."""
-    if isinstance(vcol, str) and isinstance(cent_lit, (list, tuple)):
-        sql = mat_sql(cent_lit)
-        if sql is not None:
+    or expression) and ``cent_lit`` as a raw matrix (any sequence of
+    row sequences — list, tuple, numpy array), and the whole fold is
+    built via ONE ``F.expr`` parse (:func:`sq_dists_sql`) instead of
+    ~30 py4j lambda round-trips — same tree, test-pinned bit-identical.
+    Column inputs keep the original HOF construction."""
+    from pyspark.sql import Column
+
+    if not isinstance(cent_lit, Column):
+        # normalize ONCE up front: accepts numpy or any sequence-of-rows
+        # and defuses one-shot row iterators (mat_sql would exhaust
+        # them before the fallback re-read — the vec_lit hazard)
+        mat = [[float(x) for x in r] for r in cent_lit]
+        sql = mat_sql(mat)
+        if sql is not None and isinstance(vcol, str):
             return F.expr(sq_dists_sql(vcol, sql))
-        cent_lit = mat_lit(cent_lit)
-    elif isinstance(cent_lit, (list, tuple)):
-        cent_lit = mat_lit(cent_lit)
+        cent_lit = mat_lit(mat)
     if isinstance(vcol, str):
         # F.expr, NOT bare-string pass-through: the HOF builders treat
         # a string as a quoted column NAME, which breaks expression
@@ -487,27 +499,17 @@ def semantic_contamination_pairs(
             F.lit(None).cast("double").alias("sq_dist"),
         ).filter(F.lit(False))
     k = len(centroids)  # eval sets smaller than k clamp the codebook
-    cent_lit = mat_lit(centroids)
-
-    def _dists(col):
-        return F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(col, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
+    _dists = sq_dists_expr  # the shared fold (string fast path)
 
     # eval index: PRIMARY cell only (ties to the lower centroid index)
-    ed = _dists(F.col("_v"))
+    ed = _dists("_v", centroids)
     eidx = ebase.select(
         F.col(id_col).alias("eval_id"),
         F.col("_v").alias("ev"),
         (F.array_position(ed, F.array_min(ed)) - 1).cast("long").alias("cell"),
     )
     # train probe: the `probes` nearest cells
-    td = _dists(F.col("_v"))
+    td = _dists("_v", centroids)
     ranked = F.array_sort(
         F.zip_with(
             td,
@@ -558,14 +560,7 @@ def fit_two_level_codebooks(
     if not c1:
         return [], []
     cent1 = mat_lit(c1)
-    d1 = F.transform(
-        cent1,
-        lambda c: F.aggregate(
-            F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ),
-    )
+    d1 = sq_dists_expr("_v", c1)
     primary = (F.array_position(d1, F.array_min(d1)) - 1).cast("int")
     resid = F.zip_with(
         "_v", F.element_at(cent1, primary + F.lit(1)), lambda x, c: x - c
@@ -635,30 +630,15 @@ def semantic_dedup_pairs_two_level(
         ).filter(F.lit(False))
     k1 = len(c1)  # inputs smaller than k1 yield fewer centroids
     cent1 = mat_lit(c1)
-    d1 = F.transform(
-        cent1,
-        lambda c: F.aggregate(
-            F.zip_with("_v", c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ),
-    )
+    d1 = sq_dists_expr("_v", c1)
     primary = (F.array_position(d1, F.array_min(d1)) - 1).cast("int")
     resid = F.zip_with(
         "_v", F.element_at(cent1, primary + F.lit(1)), lambda x, c: x - c
     )
     k2 = len(c2)  # same clamp on the residual codebook
-    cent2 = mat_lit(c2)
 
-    def _probe_blocks(vec_expr, cent_lit, k):
-        d = F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(vec_expr, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, dd: acc + dd,
-            ),
-        )
+    def _probe_blocks(vec_text, cents, k):
+        d = sq_dists_expr(vec_text, cents)
         ranked = F.array_sort(
             F.zip_with(
                 d,
@@ -676,8 +656,8 @@ def semantic_dedup_pairs_two_level(
     # it otherwise drops. Barrier only where re-expansion dominates.
     probed = (
         base.withColumn("_resid", resid)
-        .withColumn("_b1", F.explode(_probe_blocks(F.col("_v"), cent1, k1)))
-        .withColumn("_b2", F.explode(_probe_blocks(F.col("_resid"), cent2, k2)))
+        .withColumn("_b1", F.explode(_probe_blocks("_v", c1, k1)))
+        .withColumn("_b2", F.explode(_probe_blocks("_resid", c2, k2)))
         .withColumn("block", F.col("_b1") * k2 + F.col("_b2"))
     )
     # Plan note (round-12 profile): carrying va through the candidate

@@ -141,6 +141,14 @@ def corpus_curation_signals(
     registry's state store), avoiding a double materialization of
     every pair/span relation (code-review). Production callers that
     consume the outputs directly keep the default."""
+    if materialize not in (True, False, "intermediates"):
+        # loud: a typo'd mode would silently skip every checkpoint and
+        # re-shingle the corpus once per consumer (the 100 TB rescan
+        # pathology the checkpoints exist to prevent)
+        raise ValueError(
+            f"materialize must be True, False, or 'intermediates', "
+            f"got {materialize!r}"
+        )
     mat_inter = materialize in (True, "intermediates")
     mat_out = materialize is True
     _mi = (

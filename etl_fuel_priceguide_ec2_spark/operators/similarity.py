@@ -652,7 +652,6 @@ def pq_encode(
     _dists = sq_dists_expr
     cb = _with_norm(corpus, id_col, vec_col)
     cd = _dists("v", centroids)
-    enc_v = "v"
     if residual:
         own = F.element_at(
             mat_lit(centroids), F.array_position(cd, F.array_min(cd)).cast("int")
@@ -661,9 +660,9 @@ def pq_encode(
     code_cols = []
     for s in range(m):
         sd = (
-            _dists(f"slice(v, {s * sub + 1}, {sub})", pq_codebooks[s])
-            if not residual
-            else _dists(F.slice(enc_v, s * sub + 1, sub), pq_codebooks[s])
+            _dists(F.slice(enc_v, s * sub + 1, sub), pq_codebooks[s])
+            if residual
+            else _dists(f"slice(v, {s * sub + 1}, {sub})", pq_codebooks[s])
         )
         code_cols.append(
             (F.array_position(sd, F.array_min(sd)) - 1).cast("long").alias(f"code{s}")

@@ -2283,6 +2283,36 @@ def test_sql_literal_helpers_bit_identical_to_f_lit(spark):
     ).first()["d"]
     assert math.isinf(got[0])
 
+    # lambda-capture guard: a vector column literally named `c` (or
+    # any reserved-looking name) must NOT be captured by the fold's
+    # lambda variables — pre-fix, `transform(mat, c -> ...)` shadowed
+    # the column and every distance silently became 0
+    cdf = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "id bigint, c array<double>"
+    )
+    cap = cdf.select(
+        sq_dists_expr("c", [[0.0, 0.0, 0.0, 0.0]]).alias("fast"),
+        sq_dists_expr(F.col("c"), mat_lit([[0.0, 0.0, 0.0, 0.0]])).alias(
+            "hof"
+        ),
+    ).first()
+    assert cap["fast"] == cap["hof"] == [30.0]
+
+    # dispatcher normalization: numpy matrices and one-shot row
+    # iterators are accepted (the old per-site comprehension took any
+    # iterable-of-iterables; the fast path must not regress that)
+    import numpy as np
+
+    nmat = np.array(mat)
+    ndf = vdf.select(
+        sq_dists_expr("v", nmat).alias("np_fast"),
+        sq_dists_expr("v", mat).alias("list_fast"),
+        sq_dists_expr("v", [iter(r) for r in mat]).alias("iter_fast"),
+    )
+    for row in ndf.collect():
+        assert bits(row["np_fast"]) == bits(row["list_fast"])
+        assert bits(row["iter_fast"]) == bits(row["list_fast"])
+
     # integer sibling: the simhash mask vector incl. LONG_MIN (the
     # sign-bit mask), vs the element-by-element build
     from etl_fuel_priceguide_ec2_spark.operators.util import longs_lit
@@ -2369,3 +2399,59 @@ def test_capstone_signals_parquet_roundtrip_decisions_equal(spark, sf_dir, tmp_p
         )
     )
     assert from_parquet == fused and len(fused) > 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=1, max_size=8,
+    ),
+    longs=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=1, max_size=8,
+    ),
+)
+def test_literal_helpers_roundtrip_arbitrary_values(spark, vals, longs):
+    """Hypothesis sweep over arbitrary finite doubles (subnormals,
+    extreme exponents, -0.0 — whatever the shrinker finds) and
+    full-range longs: the one-parse SQL literals must reproduce
+    F.lit's values bit-for-bit. The fixed adversarial set in the main
+    pin test documents known corners; this guards the ones nobody
+    thought of (repr round-trip + Spark's SQL double parser must agree
+    on every representable value)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators.util import (
+        longs_lit,
+        vec_lit,
+    )
+
+    df = spark.range(1).select(
+        vec_lit(vals).alias("d_new"),
+        F.lit([float(x) for x in vals]).alias("d_old"),
+        longs_lit(longs).alias("l_new"),
+        F.array(*[F.lit(v).cast("long") for v in longs]).alias("l_old"),
+    )
+    r = df.first()
+    bits = lambda xs: [struct.pack(">d", x) for x in xs]
+    assert bits(r["d_new"]) == bits(r["d_old"])
+    assert list(r["l_new"]) == list(r["l_old"]) == longs
+
+
+def test_capstone_signals_rejects_unknown_materialize_mode(spark):
+    """A typo'd materialize mode must fail loud — silently skipping
+    every checkpoint would re-shingle the corpus once per consumer."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import curation
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    w = spark.createDataFrame([(0, 0.0)], "bucket bigint, weight double")
+    with pytest.raises(ValueError, match="materialize"):
+        curation.corpus_curation_signals(
+            df, "doc_id", "text", w, w, materialize="outputs"
+        )

@@ -2455,3 +2455,35 @@ def test_capstone_signals_rejects_unknown_materialize_mode(spark):
         curation.corpus_curation_signals(
             df, "doc_id", "text", w, w, materialize="outputs"
         )
+
+
+def test_capstone_signal_store_invalidated_by_clear_store_cache(spark, sf_dir):
+    """The documented invalidation contract: the capstone mines its
+    signals once per (session, corpus) and clear_store_cache() forces
+    a re-mine (the fixture-rewritten-in-process escape hatch)."""
+    from etl_fuel_priceguide_ec2_spark import registry
+    from etl_fuel_priceguide_ec2_spark.registry import curation as rc
+    from etl_fuel_priceguide_ec2_spark.registry.stores import (
+        clear_store_cache,
+    )
+
+    q = registry.queries()["corpus_curation_decision"]
+    mines = []
+    real = rc._mine_capstone_signals
+
+    def _counting(*a, **kw):
+        mines.append(1)
+        return real(*a, **kw)
+
+    rc._mine_capstone_signals = _counting
+    try:
+        clear_store_cache()
+        q(spark, sf_dir).collect()
+        q(spark, sf_dir).collect()
+        assert len(mines) == 1  # second call served from the store
+        clear_store_cache()
+        q(spark, sf_dir).collect()
+        assert len(mines) == 2  # invalidation forces a re-mine
+    finally:
+        rc._mine_capstone_signals = real
+        clear_store_cache()

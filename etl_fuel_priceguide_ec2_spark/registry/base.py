@@ -50,73 +50,26 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-13 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 14, never slot into
+# Round-14 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 15, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-12 driver artifacts (CORRECTNESS_r12/BENCH_r12):
+# committing the round-13 driver artifacts (CORRECTNESS_r13/BENCH_r13):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Slots 1-5: the five round-12 post-freeze additions (never in a driver
+# Slots 1-5: the five round-13 post-freeze additions (never in a driver
 # window; each sim-green at sf0.01 with committed SIMLOG.json records
-# and judge-sim-green per VERDICT r12). Slots 6-32: the r08-last-green
-# remainder, ledger order. Slots 33-50: the stalest r09 cohort, ledger
-# order. Slots 51-70 pin the round-14 net head (next-stalest r09
-# cohort, ledger order).
+# and judge-sim-green per VERDICT r13). Slots 6-37: the full
+# r09-last-green remainder, ledger order. Slots 38-50: the stalest r10
+# cohort, ledger order. Slots 51-70 pin the round-15 net head
+# (next-stalest r10 cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 5 round-12 post-freeze additions (never driver-seen) ---
-    "image_phash_keeplist",
-    "pack_fill_rates",
-    "training_mix_shard_manifest",
-    "mixture_upsample_epochs",
-    "training_export_upsampled_manifest",
-    # --- r08-last-green remainder (ledger order) ---
-    "asof_join_tolerance_7d",
-    "event_transition_matrix",
-    "pivot_event_counts",
-    "percentile_prices",
-    "string_battery",
-    "json_struct_parse",
-    "semi_join_active_customers",
-    "ohlc_daily_values",
-    "tfidf_top_terms",
-    "vocabulary_top20",
-    "bigram_top_per_lang",
-    "mad_outlier_docs",
-    "bpe_encoded_vocab",
-    "bpe_tokens_per_doc",
-    "array_element_access",
-    "json_error_tolerance",
-    "hits_trade_authorities",
-    "multimodal_resize",
-    "dedup_clusters",
-    "quality_classifier_scores",
-    "domain_classifier_labels",
-    "scd2_dim_versions",
-    "distinct_users_salted",
-    "pandas_udaf_user_trend",
-    "semantic_dedup_keeplist",
-    "semantic_contamination",
-    "semantic_dedup_pairs_two_level",
-    # --- stalest r09 cohort (ledger order) ---
-    "asof_latest_per_key",
-    "asof_point_lookup",
-    "enrichment_join",
-    "array_battery",
-    "deterministic_sample",
-    "udtf_ngrams_explode",
-    "salted_join_skewed_flag",
-    "except_all_multiset",
-    "embedding_norm_stats",
-    "price_histogram",
-    "column_profile_lineitem",
-    "correlated_subquery_max_order",
-    "chunk_documents",
-    "pack_chunks",
-    "scrub_pii",
-    "curation_keep_list",
-    "scd2_time_travel",
-    "moving_avg_range_frame",
-    # --- slots 51+: past the driver window; round-14 net head ---
+    # --- 5 round-13 post-freeze additions (never driver-seen) ---
+    "audio_fingerprint_near_pairs",
+    "audio_fingerprint_keeplist",
+    "pack_fill_rates_by_lang",
+    "training_export_checksum_manifest",
+    "similarity_topk_ivf_pq",
+    # --- full r09-last-green remainder (ledger order) ---
     "ranking_battery",
     "grouping_sets_customer",
     "normalize_text",
@@ -137,6 +90,53 @@ _ROUND_PRIORITY: list[str] = [
     "funnel_view_click_purchase",
     "q2_min_balance_supplier",
     "q4_order_priority",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q18_large_volume_customers",
+    "q20_dominant_shippers",
+    "q21_waiting_suppliers",
+    "similarity_topk_ivf_sq8",
+    "similarity_topk_ivf_sq8_rerank",
+    "decontaminated_train_ids",
+    # --- stalest r10 cohort (ledger order) ---
+    "upsert_new_keys",
+    "upsert_merged_dim",
+    "dedup_last_wins",
+    "snapshot_diff",
+    "etl_pipeline_dim",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_auto_skew",
+    "dedup_minhash_lsh",
+    "containment_keeplist",
+    "symspell_edit2_pairs",
+    "ssjoin_incremental_pairs",
+    "containment_incremental_pairs",
+    # --- slots 51+: past the driver window; round-15 net head ---
+    "sorted_neighborhood_pairs",
+    "snm_dedup_keeplist",
+    "image_ahash_keeplist",
+    "asof_join_orders_events",
+    "latest_via_max_by",
+    "contamination_check",
+    "repetition_signals",
+    "unigram_quality",
+    "bigram_lm_quality",
+    "tfidf_cosine_pairs",
+    "similarity_pandas_udf",
+    "interval_join_recent_events",
+    "data_quality_metrics",
+    "similarity_topk_rplsh",
+    "date_function_battery",
+    "null_semantics_battery",
+    "pack_chunks_by_lang",
+    "stratified_take_per_lang",
+    "corpus_curation_decision",
+    "curation_decision_incremental",
 ]
 
 

@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_fuel_priceguide_ec2_spark.operators.util import mat_lit, mat_sql
+from etl_fuel_priceguide_ec2_spark.operators.util import (
+    mat_lit,
+    mat_sql,
+    plan_barrier,
+)
 
 
 def sq_dists_sql(vec_text: str, mat_text: str) -> str:
@@ -54,6 +58,15 @@ def sq_dists_sql(vec_text: str, mat_text: str) -> str:
     # shadows columns — every distance silently becomes 0); names do
     # not affect the computed values, so bit-identity with the HOF
     # form holds. Reserved identifiers: _sqd_c/_sqd_x/_sqd_y/_sqd_a/_sqd_e.
+    # The reservation is ENFORCED, not just documented (ADVICE r13): a
+    # caller whose vec_text references a column named like the lambda
+    # variables would be silently captured — the exact hazard the
+    # rename fixed for `c` — so collide loudly instead.
+    if "_sqd_" in vec_text:
+        raise ValueError(
+            "sq_dists_sql: vec_text references a reserved '_sqd_*' "
+            f"identifier (lambda scope would capture it): {vec_text!r}"
+        )
     return (
         f"transform({mat_text}, _sqd_c -> aggregate("
         f"zip_with({vec_text}, _sqd_c, "
@@ -254,11 +267,10 @@ def fit_pq_codebooks(
             mat_lit(residuals_of),
             (F.array_position(cd, F.array_min(cd))).cast("int"),
         )
-        base = base.select(
+        base = plan_barrier(base.select(
             F.col(id_col),
             F.zip_with("_v", own, lambda x, y: x - y).alias("_v"),
-            F.rand(42).alias("_nd"),
-        ).filter(F.col("_nd") >= -1).drop("_nd")
+        ))
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -285,14 +297,13 @@ def fit_pq_codebooks(
 
     for _ in range(iters):
         assigns = [_argmin(s, books[s]) for s in range(m)]
-        # the _nd barrier (cosine_topk_ivf_sq8's trick) stops the
-        # Generate/aggregate stages from re-expanding the m assignment
-        # folds into every exploded element reference
-        assigned = base.select(
+        # plan_barrier stops the Generate/aggregate stages from
+        # re-expanding the m assignment folds into every exploded
+        # element reference
+        assigned = plan_barrier(base.select(
             F.array(*assigns).alias("_cs"),
             F.col("_v"),
-            F.rand(42).alias("_nd"),
-        ).filter(F.col("_nd") >= -1).drop("_nd")
+        ))
         upd = (
             assigned.select(
                 F.col("_cs"),

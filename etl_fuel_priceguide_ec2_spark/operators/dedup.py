@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_fuel_priceguide_ec2_spark.operators.util import fan_out, longs_lit
+from etl_fuel_priceguide_ec2_spark.operators.util import (
+    fan_out,
+    longs_lit,
+    plan_barrier,
+)
 
 
 def dedup_last_wins(df: DataFrame, key_cols: list[str], order_col: str, tiebreak_cols: list[str] | None = None) -> DataFrame:
@@ -671,16 +675,12 @@ def simhash_near_pairs(
     are assumed far — standard multi-probe blocking keeps this out of
     O(n²); at scale use 4 rotated prefix tables for full recall)."""
     sig = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
-    block = (
+    # plan_barrier: both self-join branches plus the join's
+    # hash/isnotnull otherwise re-expand the per-row signature fold
+    # — measured 2.35 -> 1.00 s at sf0.1, identical pairs; every
+    # column here is consumed downstream, so no pruning is lost
+    block = plan_barrier(
         sig.withColumn("block", F.shiftrightunsigned("simhash", bits - 16))
-        # nondeterministic no-op barrier (see similarity.py's IVF-SQ8
-        # corpus sides): both self-join branches plus the join's
-        # hash/isnotnull otherwise re-expand the per-row signature fold
-        # — measured 2.35 -> 1.00 s at sf0.1, identical pairs; every
-        # column here is consumed downstream, so no pruning is lost
-        .withColumn("_nd", F.rand(42))
-        .filter(F.col("_nd") >= -1)
-        .drop("_nd")
     )
     a = block.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
     b = block.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")

@@ -40,6 +40,40 @@ def mat_sql(rows) -> str | None:
     return "array(" + ",".join(parts) + ")"
 
 
+def plan_barrier(df: DataFrame) -> DataFrame:
+    """Stop Catalyst from re-expanding expensive projected expressions
+    into every downstream reference (VERDICT r13 item 5 — the audited
+    home of the former inline ``F.rand`` idiom).
+
+    Why it exists: CollapseProject plus join-side predicate/hash
+    generation happily inline a projected column's defining expression
+    wherever the column is referenced. For cheap expressions that is
+    the right call; for an argmin-over-centroids assignment tree it
+    re-evaluates the whole fold per reference (measured 7x on the
+    IVF2 composite-cell tree, ~3x on single-level IVF, join
+    2.11 -> 0.30 s at sf0.1; see cosine_topk_ivf2_sq8).
+
+    How: append a nondeterministic marker column — Catalyst must not
+    collapse or duplicate a project containing a nondeterministic
+    expression, so everything computed in that project is evaluated
+    exactly once — then vacuously filter (``rand(seed=42) >= -1`` is
+    always true: rand is uniform on [0, 1)) and drop the marker.
+    Results are fully deterministic; no shuffle, no materialization.
+
+    Maintenance note: the seed is irrelevant to results (the marker
+    never escapes) and the threshold must simply stay vacuous. Do NOT
+    "simplify" this to a deterministic marker — determinism is exactly
+    what re-enables the collapse. tests/test_plan_shapes.py pins that
+    the barrier actually prevents the duplicate evaluation."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("_plan_barrier", F.rand(42))
+        .filter(F.col("_plan_barrier") >= -1)
+        .drop("_plan_barrier")
+    )
+
+
 def longs_lit(values) -> Column:
     """``array<bigint>`` literal in ONE py4j call — the integer sibling
     of :func:`vec_lit` (minhash permutation indices, simhash bit

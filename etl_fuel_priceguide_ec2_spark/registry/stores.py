@@ -88,9 +88,28 @@ def clear_store_cache() -> None:
     for df in _STORE_CACHE.values():
         try:
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            # owning SparkContext stopped, or a non-LogicalRDD plan —
-            # nothing reachable to free; the ContextCleaner reclaims
-            # the blocks once the reference drops below
-            pass
+        except Exception as ex:
+            # Expected only when the owning SparkContext has stopped
+            # (nothing reachable to free). If the context is still
+            # alive, the private analyzed-plan path itself broke — a
+            # Spark upgrade moving the API must degrade LOUDLY to the
+            # ContextCleaner fallback, not silently leak until GC
+            # (VERDICT r13 item 8; the warning is test-pinned).
+            alive = False
+            try:
+                sc = df.sparkSession.sparkContext
+                alive = sc._jsc is not None and not sc._jsc.sc().isStopped()
+            except Exception:
+                pass
+            if alive:
+                import warnings
+
+                warnings.warn(
+                    "clear_store_cache: analyzed-plan unpersist failed on a "
+                    f"live SparkContext ({ex!r}) — Spark private API change? "
+                    "Blocks will only be reclaimed by the ContextCleaner "
+                    "after the references drop.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     _STORE_CACHE.clear()

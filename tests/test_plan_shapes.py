@@ -802,3 +802,41 @@ def test_upsampled_manifest_inherits_the_sharder_shape(spark, sf_dir):
         assert "shard" not in m.group(1)
     # (the upsampler's explode runs before global_row_number's
     # materialization point, so it does not appear in this plan)
+
+
+def test_plan_barrier_prevents_duplicate_fold_evaluation(spark):
+    """util.plan_barrier (VERDICT r13 item 5) must actually stop
+    CollapseProject / join-side expression generation from re-expanding
+    an expensive projected fold into every downstream reference — the
+    reason the idiom exists at the IVF/PQ/simhash assignment sites.
+    Without the barrier the join key + output project each inline the
+    aggregate fold (2 copies in the physical plan); with it the fold is
+    computed once and the barrier changes no rows."""
+    from etl_fuel_priceguide_ec2_spark.operators.util import plan_barrier
+
+    base = spark.range(100).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)), lambda i: F.col("id") + i
+        ).alias("arr"),
+    )
+    fold = F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x).alias("s")
+    other = spark.range(50).select((F.col("id") * 11).alias("k"))
+
+    plain = (
+        base.select("id", fold)
+        .join(other, F.col("s") == F.col("k"))
+        .select("id", "s")
+    )
+    barred = (
+        plan_barrier(base.select("id", fold))
+        .join(other, F.col("s") == F.col("k"))
+        .select("id", "s")
+    )
+    n_plain = _plan(plain).count("aggregate(")
+    n_barred = _plan(barred).count("aggregate(")
+    assert n_plain >= 2, f"expected the unbarred fold duplicated, saw {n_plain}"
+    assert n_barred == 1, f"barrier failed: fold appears {n_barred}x"
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, barred.collect())
+    )

@@ -190,6 +190,9 @@ HEADLINE = [
     "similarity_topk_ivf_pq",
     "pack_fill_rates_by_lang",
     "training_export_checksum_manifest",
+    # appended round 14: the residual (FAISS IVF,PQ) form — same ADC +
+    # rerank shape as the raw rung plus per-probed-cell query tables
+    "similarity_topk_ivf_pq_residual",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries
@@ -381,6 +384,19 @@ def main() -> None:
                 "perceptual_queries": pc_timings,
                 "iterative_queries": it_timings,
                 "iterative_total": round(sum(it_timings.values()), 3),
+                # ADVICE r13: the capstone min-of-3 measures the
+                # DECISION layer (signals served from the per-corpus
+                # state store) — keep the cold path visible: rep 1 of
+                # the FIRST capstone entry in the session pays the
+                # one-time group mining; later entries find it warm.
+                "curation_cold_rep1": {
+                    n: it_reps[n][0]
+                    for n in (
+                        "corpus_curation_decision",
+                        "curation_decision_outlier_gated",
+                    )
+                    if n in it_reps
+                },
                 "iterative_rep_totals": [
                     round(sum(it_reps[n][i] for n in ITERATIVE), 3)
                     for i in range(N_REPS)

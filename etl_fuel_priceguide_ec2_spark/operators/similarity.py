@@ -20,7 +20,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from etl_fuel_priceguide_ec2_spark.operators.clustering import sq_dists_expr
-from etl_fuel_priceguide_ec2_spark.operators.util import fan_out, mat_lit
+from etl_fuel_priceguide_ec2_spark.operators.util import (
+    fan_out,
+    mat_lit,
+    mat_sql,
+    plan_barrier,
+)
+
+
+def _residual_sql(centroids) -> str | None:
+    """``v - centroids[cell]`` as ONE SQL expression string (reads the
+    projected ``v`` and ``cell`` columns), or None when the centroid
+    matrix has non-finite values (not renderable as SQL literals). The
+    string form exists for the same reason as ``sq_dists_sql``: the
+    Column construction (mat_lit + a zip_with lambda) pays py4j
+    round-trips per call site, and the residual is referenced by all m
+    sub-code folds. Lambda variables use reserved ``_rsd_*`` names —
+    same capture hazard as ``_sqd_*`` (a column named like them would
+    be shadowed inside the lambda)."""
+    mt = mat_sql(centroids)
+    if mt is None:
+        return None
+    return (
+        f"zip_with(v, element_at({mt}, CAST(cell + 1 AS INT)), "
+        "(_rsd_x, _rsd_y) -> _rsd_x - _rsd_y)"
+    )
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
@@ -347,21 +371,20 @@ def cosine_topk_ivf_sq8(
     _dists = sq_dists_expr  # string fast path: "v" + raw matrix
 
     # corpus: primary cell (argmin, ties to lower index) + int8 code.
-    # The trailing nondeterministic no-op barrier stops CollapseProject
-    # and the join-side predicate/hash generation from re-expanding the
-    # assignment expression into every reference (see
-    # cosine_topk_ivf2_sq8, where the deeper tree made this a measured
-    # 7x; here the single-level tree still re-evaluates ~3x without it)
+    # plan_barrier stops CollapseProject and the join-side predicate/
+    # hash generation from re-expanding the assignment expression into
+    # every reference (see cosine_topk_ivf2_sq8, where the deeper tree
+    # made this a measured 7x; here the single-level tree still
+    # re-evaluates ~3x without it)
     cb = _with_norm(corpus, id_col, vec_col)
     cd = _dists("v", centroids)
-    c = cb.select(
+    c = plan_barrier(cb.select(
         F.col(id_col).alias("neighbor_id"),
         (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell"),
         F.transform("v", lambda x: F.round(x / F.col("norm") * 127).cast("long")).alias(
             "cq"
         ),
-        F.rand(42).alias("_nd"),
-    ).filter(F.col("_nd") >= -1).drop("_nd")
+    ))
     # queries: nprobe nearest cells + int8 code
     qb = _with_norm(queries, id_col, vec_col)
     qd = _dists("v", centroids)
@@ -550,19 +573,15 @@ def cosine_topk_ivf2_sq8(
     cb = _with_norm(corpus, id_col, vec_col)
     b1 = _primary(_dists("v", c1))
     cb = cb.withColumn("_b1", b1).withColumn("_r", _resid(F.col("v"), F.col("_b1")))
-    c = cb.select(
+    # plan_barrier: without it, CollapseProject + join-side predicate/
+    # hash generation re-expand the nested d1 -> residual -> d2
+    # assignment tree into every reference (~4 evaluations per corpus
+    # row; measured join 2.11 -> 0.30 s at sf0.1, identical output).
+    c = plan_barrier(cb.select(
         F.col(id_col).alias("neighbor_id"),
         (F.col("_b1") * k2 + _primary(_dists("_r", c2))).alias("cell"),
         q8code.alias("cq"),
-        # nondeterministic no-op barrier: without it, CollapseProject +
-        # join-side predicate/hash generation re-expand the nested
-        # d1 -> residual -> d2 assignment tree into every reference
-        # (~4 evaluations per corpus row; measured join 2.11 -> 0.30 s
-        # at sf0.1, identical output). The marker is vacuously filtered
-        # and dropped, so results are deterministic; no shuffle, no
-        # materialization — the assignment is simply computed once.
-        F.rand(42).alias("_nd"),
-    ).filter(F.col("_nd") >= -1).drop("_nd")
+    ))
     # queries: top-nprobe composite cells by combined d1 + d2 (ties to
     # the lower (coarse, residual) index pair, matching the oracle's
     # ORDER BY dsum, b1, b2)
@@ -652,7 +671,31 @@ def pq_encode(
     _dists = sq_dists_expr
     cb = _with_norm(corpus, id_col, vec_col)
     cd = _dists("v", centroids)
+    cell_col = (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell")
     if residual:
+        rv = _residual_sql(centroids)
+        if rv is not None:
+            # staged string fast path: project the cell (barrier), then
+            # the residual vector ONCE (barrier), then the m sub-folds
+            # over slices of the projected column — without the stages
+            # the coarse fold re-expands into all 16 sub-folds (17
+            # evaluations per row) and the Column-HOF construction pays
+            # ~16 lambda builds of py4j chatter (docs/SCALE.md §7);
+            # measured 10.3 -> ~2 s per bench rep at sf0.1, same rows.
+            based = plan_barrier(cb.select(F.col(id_col), F.col("v"), cell_col))
+            based = plan_barrier(
+                based.select(F.col(id_col), "cell", F.expr(rv).alias("_rv"))
+            )
+            code_cols = []
+            for s in range(m):
+                sd = _dists(f"slice(_rv, {s * sub + 1}, {sub})", pq_codebooks[s])
+                code_cols.append(
+                    (F.array_position(sd, F.array_min(sd)) - 1)
+                    .cast("long")
+                    .alias(f"code{s}")
+                )
+            return plan_barrier(based.select(F.col(id_col), "cell", *code_cols))
+        # non-renderable centroids (non-finite values): Column fallback
         own = F.element_at(
             mat_lit(centroids), F.array_position(cd, F.array_min(cd)).cast("int")
         )
@@ -667,12 +710,13 @@ def pq_encode(
         code_cols.append(
             (F.array_position(sd, F.array_min(sd)) - 1).cast("long").alias(f"code{s}")
         )
-    return cb.select(
+    # plan_barrier: the m+1 argmin folds (coarse cell + m sub-codes)
+    # would otherwise re-expand under every downstream join reference.
+    return plan_barrier(cb.select(
         F.col(id_col),
-        (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell"),
+        cell_col,
         *code_cols,
-        F.rand(42).alias("_nd"),
-    ).filter(F.col("_nd") >= -1).drop("_nd")
+    ))
 
 
 def topk_ivf_pq(
@@ -818,20 +862,40 @@ def topk_ivf_pq(
         probed = qb.select(
             F.col(id_col).alias("query_id"), probe_cells, F.col("v")
         )
-        cell_cent = F.element_at(
-            mat_lit(centroids), (F.col("cell") + 1).cast("int")
-        )
-        q_v = F.zip_with("v", cell_cent, lambda x, y: x - y)
-        q = probed.select(
-            "query_id",
-            "cell",
-            *[
-                _dists(F.slice(q_v, s * sub + 1, sub), pq_codebooks[s]).alias(
-                    f"adc{s}"
-                )
-                for s in range(m)
-            ],
-        )
+        rv = _residual_sql(centroids)
+        if rv is not None:
+            # string fast path + staged residual (same discipline as
+            # the residual pq_encode): project the residual ONCE per
+            # (query, probed cell) row behind a barrier, then build
+            # the m table folds over slices of the projected column
+            probed = plan_barrier(
+                probed.select("query_id", "cell", F.expr(rv).alias("_rv"))
+            )
+            q = probed.select(
+                "query_id",
+                "cell",
+                *[
+                    _dists(
+                        f"slice(_rv, {s * sub + 1}, {sub})", pq_codebooks[s]
+                    ).alias(f"adc{s}")
+                    for s in range(m)
+                ],
+            )
+        else:
+            cell_cent = F.element_at(
+                mat_lit(centroids), (F.col("cell") + 1).cast("int")
+            )
+            q_v = F.zip_with("v", cell_cent, lambda x, y: x - y)
+            q = probed.select(
+                "query_id",
+                "cell",
+                *[
+                    _dists(F.slice(q_v, s * sub + 1, sub), pq_codebooks[s]).alias(
+                        f"adc{s}"
+                    )
+                    for s in range(m)
+                ],
+            )
     else:
         # raw vectors: the tables are cell-independent, so compute all
         # m HOF folds ONCE per query alongside the explode instead of

@@ -1312,6 +1312,160 @@ def _corpus_pq_codebooks(spark, sf_dir: str) -> list:
     return _CODEBOOK_CACHE[key]
 
 
+# --- round-14 addition: residual IVF-PQ (post-freeze -> leads round 15)
+# VERDICT r13 item 3: the classical FAISS IVF,PQ form — sub-codes
+# quantize (v - own-cell centroid) and each probed cell's ADC table
+# subtracts THAT cell's centroid from the query, so candidate and table
+# share the residual frame (the cell equi-join guarantees it). The
+# oracle extends the raw-form replay with a residual-frame CTE: coarse
+# fit -> cellassign -> rbase (v minus own centroid) -> SIXTEEN
+# per-subspace Lloyd's fits over residual slices -> per-(query, probed
+# cell) ADC tables -> the same decimal-exact term sum, cut, and
+# full-precision rerank.
+
+
+def _pq_residual_oracle_sql() -> str:
+    dist_sub = _DIST.format(a="b", b="c", dim1=_PQ_SUB + 1)
+    parts = [
+        "WITH base AS (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "  FROM embeddings\n)",
+        _lloyds_frag("base", K, ITERS, DIM, "s"),
+        # cellassign feeds rbase plus all 16 adcparts joins — same
+        # inlining hazard as rbase below, so force materialization
+        _probe_frag("base", f"sc{ITERS}", 1, DIM, "cellassign").replace(
+            ", cellassign AS (", ", cellassign AS MATERIALIZED (", 1
+        ),
+        # residual frame: every corpus vector minus its OWN cell's
+        # centroid — the relation the per-subspace fits AND the corpus
+        # encode both read (exactly fit_pq_codebooks(residuals_of=...)).
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # rbase (which embeds the whole coarse fit + assignment chain)
+        # is referenced by all 16 per-subspace fit chains — inlined it
+        # replays the coarse Lloyd's ~50x and the query never finishes.
+        f"""
+    , rbase AS MATERIALIZED (
+      SELECT b.vec_id,
+             list_transform(range(1, {DIM + 1}), i -> b.v[i] - c.v[i]) AS v
+      FROM base b
+      JOIN cellassign ca ON ca.vec_id = b.vec_id
+      JOIN sc{ITERS} c ON c.cid = ca.cid
+    ), qprobe AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT b.vec_id, c.cid, {_DIST.format(a="b", b="c", dim1=DIM + 1)} AS d
+              FROM base b CROSS JOIN sc{ITERS} c WHERE b.vec_id < 10) x
+      ) y WHERE rn <= {_PQ_NPROBE}
+    ), qresid AS (
+      SELECT qp.vec_id, qp.cid AS pcell,
+             list_transform(range(1, {DIM + 1}), i -> b.v[i] - c.v[i]) AS v
+      FROM qprobe qp
+      JOIN base b ON b.vec_id = qp.vec_id
+      JOIN sc{ITERS} c ON c.cid = qp.cid
+    )""",
+    ]
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(
+            f", rpqb{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM rbase)"
+        )
+        parts.append(_lloyds_frag(f"rpqb{s}", _PQ_KS, ITERS, _PQ_SUB, f"rp{s}"))
+        parts.append(
+            _probe_frag(f"rpqb{s}", f"rp{s}c{ITERS}", 1, _PQ_SUB, f"rcode{s}")
+        )
+        parts.append(
+            f"""
+    , rqd{s} AS (
+      SELECT b.vec_id AS query_id, b.pcell, c.cid,
+             CAST(ROUND({dist_sub}, 9) AS DECIMAL(18,9)) AS t
+      FROM (SELECT vec_id, pcell, v[{lo}:{hi}] AS v FROM qresid) b
+      CROSS JOIN rp{s}c{ITERS} c
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT q.query_id, c.vec_id AS neighbor_id, q.t"
+        f" FROM rcode{s} c"
+        f" JOIN cellassign ca ON ca.vec_id = c.vec_id"
+        f" JOIN rqd{s} q ON q.cid = c.cid AND q.pcell = ca.cid"
+        for s in range(_PQ_M)
+    )
+    pair = _DIST.format(a="cb", b="qb2", dim1=DIM + 1)
+    parts.append(
+        f"""
+    , adcparts AS (
+      {union}
+    ), adcsum AS (
+      SELECT query_id, neighbor_id, SUM(t) AS adc
+      FROM adcparts GROUP BY query_id, neighbor_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc ASC, neighbor_id ASC) AS crank
+        FROM adcsum WHERE query_id <> neighbor_id
+      ) WHERE crank <= {_PQ_RERANK}
+    )
+    SELECT query_id, neighbor_id, rank, sq_dist FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {pair} ASC, neighbor_id ASC) AS rank,
+             ROUND({pair}, 6) AS sq_dist
+      FROM cand
+      JOIN base cb ON cb.vec_id = neighbor_id
+      JOIN base qb2 ON qb2.vec_id = query_id
+    ) WHERE rank <= {_PQ_TOPK}
+"""
+    )
+    return "".join(parts)
+
+
+def _corpus_pq_residual_codebooks(spark, sf_dir: str) -> list:
+    """Per-corpus cached RESIDUAL PQ codebooks — fitted over
+    (v - own-cell centroid) via ``fit_pq_codebooks(residuals_of=...)``
+    against the shared coarse codebook; reconstruction error strictly
+    better than the raw fit is test-pinned."""
+    key = f"{sf_dir}:embeddings:pqres:{_PQ_M}:{_PQ_KS}:{ITERS}"
+    if key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = clustering.fit_pq_codebooks(
+            emb, "vec_id", "embedding", m=_PQ_M, ks=_PQ_KS, iters=ITERS,
+            residuals_of=_corpus_codebook(spark, sf_dir),
+        )
+    return _CODEBOOK_CACHE[key]
+
+
+@register("similarity_topk_ivf_pq_residual", _pq_residual_oracle_sql())
+def q_similarity_topk_ivf_pq_residual(spark, sf_dir):
+    """Residual IVF-PQ ANN (FAISS's IVF,PQ) — ladder rung #10's
+    driver-facing form: sub-codes quantize the residual v minus the
+    own-cell centroid (tighter codebooks: the coarse layer removes the
+    between-cell variance before quantization), queries build one ADC
+    table per PROBED CELL (subtracting that cell's centroid so the
+    table lives in the candidates' residual frame — the cell equi-join
+    makes the frames agree by construction), then the same
+    decimal-exact ADC cut + full-precision rerank as the raw rung.
+    Same (query_id, neighbor_id, rank, sq_dist) contract; costs one
+    extra subtraction per probe row and per-cell (not per-query) table
+    broadcast rows vs the raw form."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.topk_ivf_pq(
+        emb, queries, "vec_id", "embedding",
+        k=_PQ_TOPK, cells=K, iters=ITERS, nprobe=_PQ_NPROBE,
+        m=_PQ_M, ks=_PQ_KS, rerank_m=_PQ_RERANK,
+        centroids=_corpus_codebook(spark, sf_dir),
+        pq_codebooks=_corpus_pq_residual_codebooks(spark, sf_dir),
+        residual=True,
+    )
+
+
 @register("similarity_topk_ivf_pq", _pq_oracle_sql())
 def q_similarity_topk_ivf_pq(spark, sf_dir):
     """IVF-PQ ANN with ADC scoring + exact rerank — the ninth ladder

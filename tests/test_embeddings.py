@@ -539,6 +539,54 @@ def test_ivf_pq_search_from_persisted_codes(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_residual_pq_string_fast_path_bit_identical(spark, sf_dir, monkeypatch):
+    """The round-14 residual fast path (cell/residual/codes staged as
+    F.expr strings behind plan barriers) must be BIT-identical to the
+    Column-HOF fallback it replaces — toggled the ab_literal_fastpath
+    way, by refusing SQL rendering in similarity's namespace only, so
+    exactly the residual staging flips while everything else stays
+    fixed. Covers both the encode relation (integer codes: equality IS
+    bit-identity) and the residual search output."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.fit_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    books = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, ks=8, iters=1, residuals_of=cents
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def run():
+        enc = sorted(
+            map(
+                tuple,
+                similarity.pq_encode(
+                    emb, "vec_id", "embedding", cents, books, residual=True
+                ).collect(),
+            )
+        )
+        top = sorted(
+            map(
+                tuple,
+                similarity.topk_ivf_pq(
+                    emb, queries, "vec_id", "embedding",
+                    k=3, nprobe=2, m=8, ks=8, rerank_m=20,
+                    centroids=cents, pq_codebooks=books, residual=True,
+                ).collect(),
+            )
+        )
+        return enc, top
+
+    enc_fast, top_fast = run()
+    assert similarity._residual_sql(cents) is not None  # fast path was live
+    monkeypatch.setattr(similarity, "mat_sql", lambda rows: None)
+    assert similarity._residual_sql(cents) is None  # fallback now forced
+    enc_slow, top_slow = run()
+    assert enc_fast == enc_slow and len(enc_fast) > 0
+    assert top_fast == top_slow and len(top_fast) > 0
+
+
 def test_ivf_pq_residual_refinement(spark, sf_dir):
     """The classical IVF,PQ residual form (codes over v - own-cell
     centroid; per-cell query ADC tables): reconstruction error is
@@ -1109,6 +1157,64 @@ def test_clear_store_cache_frees_checkpoint_blocks(spark):
     stores.clear_store_cache()
     after = jsc.getPersistentRDDs().size()
     assert after < during  # ... and clear actually released them
+
+
+def test_clear_store_cache_warns_when_reflection_breaks_on_live_context(spark):
+    """The analyzed-plan unpersist rides a PRIVATE Spark API
+    (queryExecution().analyzed().rdd()). If a Spark upgrade moves it
+    while the owning context is alive, clear_store_cache must degrade
+    LOUDLY to the ContextCleaner fallback — a RuntimeWarning, never a
+    silent leak (VERDICT r13 item 8)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.registry import stores
+
+    stores.corpus_store(
+        spark,
+        "/tmp/_store_cache_test",
+        "reflection_guard_probe",
+        lambda: spark.range(0, 8).withColumn("y", F.col("id") + 1),
+    ).count()
+
+    class _BrokenJdf:
+        def queryExecution(self):
+            raise AttributeError("private API moved in this Spark version")
+
+    for df in stores._STORE_CACHE.values():
+        df._jdf = _BrokenJdf()
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            stores.clear_store_cache()
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "analyzed-plan unpersist failed" in str(w.message)
+            for w in caught
+        ), [str(w.message) for w in caught]
+        assert not stores._STORE_CACHE  # cache still cleared
+    finally:
+        stores.clear_store_cache()
+
+
+def test_sq_dists_sql_rejects_reserved_lambda_identifiers():
+    """sq_dists_sql's reserved `_sqd_*` lambda variables are ENFORCED
+    (ADVICE r13): a vec_text referencing a column with one of those
+    names would be silently captured by the lambda scope (every
+    distance 0) — the call must raise instead."""
+    import pytest as _pt
+
+    from etl_fuel_priceguide_ec2_spark.operators import clustering
+
+    with _pt.raises(ValueError, match="_sqd_"):
+        clustering.sq_dists_sql("_sqd_c", "array(array(1.0D))")
+    with _pt.raises(ValueError, match="reserved"):
+        clustering.sq_dists_sql(
+            "slice(_sqd_x, 1, 4)", "array(array(1.0D))"
+        )
+    # non-colliding text still renders
+    assert "zip_with" in clustering.sq_dists_sql("v", "array(array(1.0D))")
 
 
 def test_corpus_cov_means_cache_is_invisible(spark, sf_dir):

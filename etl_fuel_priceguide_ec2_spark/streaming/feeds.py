@@ -694,3 +694,75 @@ def perceptual_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_query_stream(
+    stream: DataFrame,
+    codes_path: str,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    pq_codebooks: list,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_m: int | None = None,
+    residual: bool = False,
+):
+    """Streaming ANN over the persisted PQ-codes store — the similarity
+    ladder's micro-batch mirror (VERDICT r13 item 4), completing the
+    streaming symmetry the dedup/export/moments/perceptual families
+    already have: QUERY vectors arrive as a stream; the INDEX is the
+    ``pq_encode`` relation persisted once at ingest (read back off
+    parquet, 8-byte codes — never re-encoded per batch).
+
+    Per micro-batch: run ``topk_ivf_pq(codes=stored)`` for the batch's
+    queries against the code store + the full-precision corpus (rerank
+    only), append (query_id, neighbor_id, rank, score) to ``out_path``.
+    Each query's result depends only on the store — never on other
+    queries — so the union over micro-batches equals the batch search
+    over the full query set BIT-FOR-BIT however the stream is chopped
+    (pinned by test for raw AND residual codes).
+
+    At-least-once caveat: a replayed batch re-appends its query rows;
+    the result relation dedupes exactly on (query_id, rank) — read
+    with dropDuplicates, mirroring the band/pairs stores.
+
+    100 TB shape: the code store is the corpus at 64x compression;
+    each trigger reads ~nprobe/cells of it, broadcasts only the
+    micro-batch's ADC tables, and reranks rerank_m full vectors per
+    query — steady-state serving cost is per-query, not per-corpus."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        codes = spark.read.parquet(codes_path)
+        out = similarity.topk_ivf_pq(
+            corpus,
+            batch_df,
+            id_col,
+            vec_col,
+            k=k,
+            nprobe=nprobe,
+            rerank_m=rerank_m,
+            m=len(pq_codebooks),
+            ks=len(pq_codebooks[0]),
+            centroids=centroids,
+            pq_codebooks=pq_codebooks,
+            codes=codes,
+            residual=residual,
+        )
+        out.withColumn("_batch", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -879,3 +879,81 @@ def test_streaming_perceptual_dedup_matches_batch(spark, sf_dir, tmp_path):
         )
         assert got == expect and len(expect) > 0, tag
         assert len(set(got)) == len(got), tag  # no pair mined twice
+
+
+def test_streaming_ann_query_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ANN over the persisted PQ-codes store (VERDICT r13
+    item 4): query vectors arrive in 3 micro-batches probing the
+    pq_encode parquet relation; the union of all batches' results
+    equals batch ``topk_ivf_pq(codes=...)`` over the full query set
+    BIT-FOR-BIT — run for BOTH code families (raw and residual)
+    through the identical harness, the similarity-tier analogue of the
+    perceptual band-state polymorphism test."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.fit_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+
+    cases = [
+        ("raw", None),
+        ("residual", cents),
+    ]
+    for tag, residuals_of in cases:
+        books = clustering.fit_pq_codebooks(
+            emb, "vec_id", "embedding", m=8, ks=8, iters=1,
+            residuals_of=residuals_of,
+        )
+        residual = residuals_of is not None
+        codes_path = str(tmp_path / f"codes_{tag}")
+        similarity.pq_encode(
+            emb, "vec_id", "embedding", cents, books, residual=residual
+        ).write.parquet(codes_path)
+
+        queries = emb.filter(F.col("vec_id") < 9)
+        src = str(tmp_path / f"queries_{tag}")
+        for i in range(3):
+            queries.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        out_path = str(tmp_path / f"topk_{tag}")
+        q = feeds.ann_query_stream(
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            codes_path,
+            emb,
+            out_path,
+            str(tmp_path / f"ckpt_ann_{tag}"),
+            "vec_id",
+            "embedding",
+            cents,
+            books,
+            k=3,
+            nprobe=2,
+            rerank_m=10,
+            residual=residual,
+        )
+        q.awaitTermination(180)
+
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(out_path).drop("_batch").collect(),
+            )
+        )
+        expect = sorted(
+            map(
+                tuple,
+                similarity.topk_ivf_pq(
+                    emb, queries, "vec_id", "embedding",
+                    k=3, nprobe=2, rerank_m=10, m=8, ks=8,
+                    centroids=cents, pq_codebooks=books,
+                    codes=spark.read.parquet(codes_path), residual=residual,
+                ).collect(),
+            )
+        )
+        assert got == expect and len(expect) > 0, tag
+        assert len(set(got)) == len(got), tag

@@ -61,6 +61,25 @@ def hash_split(df: DataFrame, id_col: str, fractions: dict[str, float]) -> DataF
     return df.withColumn("split", col.otherwise(expr))
 
 
+def kfold_assign(df: DataFrame, id_col: str, k: int, seed: str = "") -> DataFrame:
+    """Add a ``fold`` column in [0, k) by deterministic id hashing —
+    the cross-validation sibling of :func:`hash_split` (k-fold CV,
+    ensembling shards, held-out rotation). Membership is a pure
+    function of (seed, id): reproducible row-for-row on any cluster
+    layout or rerun, and cross-engine replayable (the md5 bucket).
+    Fold sizes are near-equal in expectation (hash-uniform), not
+    exactly equal by construction — an exactly-balanced split needs a
+    global rank (see ``shard_positions``), which costs a range
+    exchange this operator deliberately avoids."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    key = F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")) if seed else F.col(
+        id_col
+    ).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return df.withColumn("fold", (h % k).cast("int"))
+
+
 def mixture_sample(
     df: DataFrame, id_col: str, strata_col: str, rates: dict[str, float]
 ) -> DataFrame:

@@ -39,6 +39,29 @@ def q_hash_split_train_val_test(spark, sf_dir):
     )
 
 
+# --- round-14 addition (post-freeze -> leads round 15) --------------
+
+
+@register(
+    "kfold_assignments",
+    """
+    SELECT doc_id, lang,
+           CAST(CAST('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)),
+                     1, 15) AS BIGINT) % 5 AS INT) AS fold
+    FROM documents
+    """,
+)
+def q_kfold_assignments(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment — the k-fold
+    sibling of hash_split: fold = seeded-md5-hash(id) % k, a pure
+    function of (seed, id), so fold membership is reproducible
+    row-for-row on any cluster layout and replayable cross-engine.
+    Completes the sampling family (split / mixture / weighted /
+    temperature / upsample / k-fold)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.kfold_assign(docs, "doc_id", k=5, seed="cv")
+
+
 @register(
     "mixture_sample_by_lang",
     f"""

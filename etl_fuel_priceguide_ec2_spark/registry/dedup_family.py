@@ -274,6 +274,71 @@ def q_minhash_dedup_keeplist(spark, sf_dir):
     )
 
 
+# --- round-14 addition (post-freeze -> leads round 15) --------------
+
+
+_SAVINGS_ORACLE = (
+    "SELECT d.lang,\n"
+    "       CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+    "       CAST(SUM(CASE WHEN NOT kl.kept THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_dropped,\n"
+    "       CAST(SUM(length(d.text)) AS BIGINT) AS chars_total,\n"
+    "       CAST(SUM(CASE WHEN NOT kl.kept THEN length(d.text) ELSE 0 END)"
+    " AS BIGINT) AS chars_dropped,\n"
+    "       ROUND(SUM(CASE WHEN NOT kl.kept THEN 1 ELSE 0 END) * 1.0"
+    " / COUNT(*), 6) AS pct_docs_dropped,\n"
+    "       ROUND(SUM(CASE WHEN NOT kl.kept THEN length(d.text) ELSE 0 END)"
+    " * 1.0 / SUM(length(d.text)), 6) AS pct_chars_dropped\n"
+    f"FROM documents d JOIN ({_MINHASH_KEEPLIST_ORACLE}) kl"
+    " ON kl.doc_id = d.doc_id\n"
+    "GROUP BY d.lang"
+)
+
+
+@register("dedup_savings_report", _SAVINGS_ORACLE)
+def q_dedup_savings_report(spark, sf_dir):
+    """The pre-delete report: per language, how much the MinHash-CC
+    keep-list would actually remove — doc counts, character volume,
+    and the dropped fractions. At 100 TB this is the relation a
+    curation owner reads BEFORE signing off on deleting a third of a
+    corpus (and the one that catches a runaway threshold: a language
+    suddenly losing 80% of its bytes is a bug, not dedup). One
+    id-keyed join of the keep-list onto the doc metadata, then a
+    |langs|-row aggregate — the keep-list mining dominates; the
+    report is free on top of it."""
+    from pyspark.sql import functions as F
+
+    kl = q_minhash_dedup_keeplist(spark, sf_dir).select("doc_id", "kept")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    dropped = F.when(~F.col("kept"), 1).otherwise(0)
+    dropped_chars = F.when(~F.col("kept"), F.length("text")).otherwise(0)
+    return (
+        docs.join(kl, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dropped).cast("long").alias("n_dropped"),
+            F.sum(F.length("text")).cast("long").alias("chars_total"),
+            F.sum(dropped_chars).cast("long").alias("chars_dropped"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_dropped",
+            "chars_total",
+            "chars_dropped",
+            F.round(F.col("n_dropped") / F.col("n_docs"), 6).alias(
+                "pct_docs_dropped"
+            ),
+            F.round(F.col("chars_dropped") / F.col("chars_total"), 6).alias(
+                "pct_chars_dropped"
+            ),
+        )
+    )
+
+
 # --- round-6 addition (post-freeze -> leads the round-7 window) ------
 
 _INCR_ORACLE = r"""

@@ -193,6 +193,14 @@ HEADLINE = [
     # appended round 14: the residual (FAISS IVF,PQ) form — same ADC +
     # rerank shape as the raw rung plus per-probed-cell query tables
     "similarity_topk_ivf_pq_residual",
+    # appended round 14: the evaluation/monitoring tier — k-fold
+    # assignment (map-only), the dedup pre-delete savings report (the
+    # keep-list mining dominates; the lang aggregate is free on top),
+    # per-query ANN recall@5 vs exact, per-dim snapshot drift
+    "kfold_assignments",
+    "dedup_savings_report",
+    "ann_recall_ivf_pq",
+    "embedding_snapshot_drift",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

@@ -1134,6 +1134,76 @@ def embedding_fisher_scores(
     )
 
 
+def embedding_snapshot_drift(
+    df_a: DataFrame, df_b: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-dimension mean drift between two corpus snapshots —
+    (dim_i, mean_a, mean_b, shift) — the distribution-shift monitor a
+    training pipeline runs between ingest waves (embedding model
+    update, source-mix change, encoder regression all show up here
+    before they show up in loss curves). shift = mean_b - mean_a on
+    the 9dp-rounded means, so both engines subtract identical
+    operands.
+
+    Scale shape: one scan per snapshot into a d-row DECIMAL-sum
+    aggregate (map-side partials; the corpus never shuffles), then a
+    d-row join. Same 9dp term quantization as the Fisher/covariance
+    tier; emits dims present in BOTH snapshots (an empty snapshot
+    yields an empty report, not nulls)."""
+
+    def per_dim(df: DataFrame, tag: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return (
+            fan_out(df)
+            .select(F.posexplode(v).alias("pos", "x"))
+            .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("x").cast(_SUM_DEC)).alias(f"s_{tag}"),
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+            )
+        )
+
+    j = per_dim(df_a, "a").join(per_dim(df_b, "b"), "i")
+    mean_a = F.round(F.col("s_a").cast("double") / F.col("n_a"), 9)
+    mean_b = F.round(F.col("s_b").cast("double") / F.col("n_b"), 9)
+    return j.select(
+        F.col("i").cast("long").alias("dim_i"),
+        (mean_a + F.lit(0.0)).alias("mean_a"),
+        (mean_b + F.lit(0.0)).alias("mean_b"),
+        (F.round(mean_b - mean_a, 9) + F.lit(0.0)).alias("shift"),
+    )
+
+
+def snapshot_drift_oracle_sql(src_a: str, src_b: str, vec_col: str) -> str:
+    """DuckDB replay of :func:`embedding_snapshot_drift` over two
+    source relations (tables or parenthesized subqueries) — identical
+    9dp term quantization, identical rounded-mean subtraction."""
+
+    def frag(src: str, tag: str) -> str:
+        return f"""
+    {tag}v AS (
+      SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {src}
+    ), per_{tag} AS (
+      SELECT i.i AS i,
+             SUM(CAST(ROUND(v[i.i], 9) AS DECIMAL(30,12))) AS s,
+             COUNT(*) AS n
+      FROM {tag}v CROSS JOIN unnest(generate_series(1, len(v))) AS i(i)
+      GROUP BY i.i
+    )"""
+
+    return f"""
+    WITH {frag(src_a, 'a')}, {frag(src_b, 'b')}
+    SELECT CAST(a.i AS BIGINT) AS dim_i,
+           ROUND(CAST(a.s AS DOUBLE) / a.n, 9) + 0.0 AS mean_a,
+           ROUND(CAST(b.s AS DOUBLE) / b.n, 9) + 0.0 AS mean_b,
+           ROUND(ROUND(CAST(b.s AS DOUBLE) / b.n, 9)
+                 - ROUND(CAST(a.s AS DOUBLE) / a.n, 9), 9) + 0.0 AS shift
+    FROM per_a a JOIN per_b b ON a.i = b.i
+"""
+
+
 def fisher_scores_oracle_sql(
     table: str, id_col: str, vec_col: str, label_col: str
 ) -> str:

@@ -976,6 +976,88 @@ def topk_ivf_pq(
     )
 
 
+def exact_sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact squared-L2 top-k by brute force — the ground-truth
+    relation every approximate rung is measured against (and the
+    recall harness's denominator). Broadcast the bounded query set,
+    fold the distance per (candidate, query) pair, W1 window cut with
+    the id tiebreak. Deliberately O(|corpus| x |queries|): correct use
+    is a BOUNDED query sample (recall evaluation), never serving."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    d = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "_d",
+        F.aggregate(
+            F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_d", 6).alias("sq_dist"))
+    )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    approx_topk: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k relation against the
+    exact brute-force squared-L2 top-k — 'measure, don't guess' as a
+    first-class relation: (query_id, n_exact, n_hits, recall). Any
+    ladder rung's (query_id, neighbor_id, ...) output plugs in as
+    ``approx_topk``.
+
+    100 TB shape: recall is always evaluated on a bounded query SAMPLE
+    (here the probe set itself); the exact side broadcasts that sample
+    across one corpus scan, the join back to the approximate relation
+    is id-keyed on k·|queries| rows. Determinism: the exact cut uses
+    the id tiebreak, so recall is a number, not a distribution."""
+    exact = exact_sq_topk(corpus, queries, id_col, vec_col, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx_topk.select("query_id", "neighbor_id").withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, q8: array<long of int8 values>) — unit-normalized scalar
     quantization. Kept as a separate op so the quantized column can be

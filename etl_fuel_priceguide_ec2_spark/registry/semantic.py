@@ -1492,3 +1492,90 @@ def q_similarity_topk_ivf_pq(spark, sf_dir):
         centroids=_corpus_codebook(spark, sf_dir),
         pq_codebooks=_corpus_pq_codebooks(spark, sf_dir),
     )
+
+
+# --- round-14 additions (post-freeze -> lead round 15) ----------------
+# The evaluation + monitoring pair for the embedding tier: recall@k of
+# the PQ rung against the exact brute-force top-k ('measure, don't
+# guess' as an oracled relation), and the per-dimension snapshot-drift
+# monitor a pipeline runs between ingest waves.
+
+
+def _pq_recall_oracle_sql() -> str:
+    exact_dist = _DIST.format(a="q", b="c", dim1=DIM + 1)
+    return f"""
+    WITH apx AS (
+      SELECT query_id, neighbor_id FROM ({_pq_oracle_sql()}) pq
+    ), bb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), ext AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {exact_dist}, c.vec_id) AS rn
+        FROM bb q CROSS JOIN bb c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      ) t WHERE rn <= {_PQ_TOPK}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS recall
+    FROM ext e
+    LEFT JOIN apx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register("ann_recall_ivf_pq", _pq_recall_oracle_sql())
+def q_ann_recall_ivf_pq(spark, sf_dir):
+    """Per-query recall@5 of the registered IVF-PQ rung against the
+    exact brute-force squared-L2 top-5 — the ladder's quality gate as
+    a driver-facing relation instead of a buried test assertion. At
+    100 TB recall is always estimated on a bounded query sample; here
+    the sample is the rung's own probe set, the exact side broadcasts
+    it across one corpus scan, and the id-keyed join back to the
+    approximate relation touches k rows per query. Deterministic end
+    to end (hash-seeded fits, decimal ADC sums, id tiebreaks), so the
+    recall column is a replayable number, not a statistical claim."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = q_similarity_topk_ivf_pq(spark, sf_dir)
+    return similarity.ann_recall_report(
+        emb, queries, approx, "vec_id", "embedding", k=_PQ_TOPK
+    )
+
+
+@register(
+    "embedding_snapshot_drift",
+    _emb.snapshot_drift_oracle_sql(
+        "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+        "(SELECT * FROM embeddings WHERE vec_id % 2 = 1)",
+        "embedding",
+    ),
+)
+def q_embedding_snapshot_drift(spark, sf_dir):
+    """Per-dimension mean drift between two corpus snapshots (stand-in
+    split: even/odd vec_id — in production, two ingest waves or two
+    encoder versions): the distribution-shift monitor that catches an
+    embedding-model update or source-mix change before it reaches a
+    training run. One scan per snapshot into a d-row DECIMAL-sum
+    aggregate; the corpus never shuffles."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _emb.embedding_snapshot_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "vec_id",
+        "embedding",
+    )

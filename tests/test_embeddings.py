@@ -539,6 +539,31 @@ def test_ivf_pq_search_from_persisted_codes(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_ann_recall_report_identity_and_bounds(spark, sf_dir):
+    """The recall harness measured against itself: feeding the exact
+    top-k back in as the approximate relation must report recall 1.0
+    for every query (and n_exact == k when the corpus is big enough);
+    feeding an EMPTY approximate relation reports recall 0.0 — the
+    denominators come from the exact side, never the candidate set."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.exact_sq_topk(emb, queries, "vec_id", "embedding", k=4)
+    rep = similarity.ann_recall_report(
+        emb, queries, exact, "vec_id", "embedding", k=4
+    ).collect()
+    assert {r.query_id for r in rep} == {0, 1, 2, 3, 4}
+    assert all(r.recall == 1.0 and r.n_exact == 4 and r.n_hits == 4 for r in rep)
+
+    empty = exact.filter(F.lit(False))
+    rep0 = similarity.ann_recall_report(
+        emb, queries, empty, "vec_id", "embedding", k=4
+    ).collect()
+    assert all(r.recall == 0.0 and r.n_hits == 0 for r in rep0)
+
+
 def test_residual_pq_string_fast_path_bit_identical(spark, sf_dir, monkeypatch):
     """The round-14 residual fast path (cell/residual/codes staged as
     F.expr strings behind plan barriers) must be BIT-identical to the

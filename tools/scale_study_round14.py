@@ -41,6 +41,12 @@ from etl_fuel_priceguide_ec2_spark.streaming import feeds  # noqa: E402
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 ROOT = "/root/testdata"
 OPS = ["similarity_topk_ivf_pq", "similarity_topk_ivf_pq_residual"]
+# the round-14 eval/monitoring tier: kfold + drift are map-shaped
+# (expect alpha ~<= 1 over their driving table); the savings report is
+# dominated by the keep-list mining; recall adds one broadcast exact
+# pass over the corpus on top of the PQ search
+DOC_OPS = ["kfold_assignments", "dedup_savings_report"]
+EMB_OPS2 = ["ann_recall_ivf_pq", "embedding_snapshot_drift"]
 
 
 def _stream_case(spark, d: str, work: Path) -> tuple[float, int]:
@@ -93,12 +99,17 @@ def main() -> None:
         load_table(spark, f"{ROOT}/sf0.1", "embeddings").count()
         / load_table(spark, f"{ROOT}/sf0.01", "embeddings").count()
     )
+    doc_growth = (
+        load_table(spark, f"{ROOT}/sf0.1", "documents").count()
+        / load_table(spark, f"{ROOT}/sf0.01", "documents").count()
+    )
     print(f"# embeddings growth sf0.01 -> sf0.1: x{growth:.2f}")
+    print(f"# documents growth sf0.01 -> sf0.1: x{doc_growth:.2f}")
 
     results = []
     for sf in SFS:
         d = f"{ROOT}/{sf}"
-        for name in OPS:
+        for name in OPS + DOC_OPS + EMB_OPS2:
             best = 9e9
             rows = None
             for _ in range(2):
@@ -124,11 +135,12 @@ def main() -> None:
 
     print("\n# alpha over the real growth step (sec ~ input^alpha; 1.0 = linear)")
     by = {(r["op"], r["sf"]): r for r in results}
-    for name in OPS + ["ann_query_stream_3batches"]:
+    for name in OPS + EMB_OPS2 + ["ann_query_stream_3batches"] + DOC_OPS:
+        g = doc_growth if name in DOC_OPS else growth
         a, b = by[(name, "sf0.01")], by[(name, "sf0.1")]
-        alpha = math.log(b["sec"] / a["sec"]) / math.log(growth)
+        alpha = math.log(b["sec"] / a["sec"]) / math.log(g)
         print(
-            f"{name:>38} sf0.01->sf0.1 (x{growth:.1f}) alpha={alpha:.2f} "
+            f"{name:>38} sf0.01->sf0.1 (x{g:.1f}) alpha={alpha:.2f} "
             f"sec {a['sec']} -> {b['sec']} rows {a['out_rows']} -> {b['out_rows']}"
         )
 

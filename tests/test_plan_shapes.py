@@ -840,3 +840,50 @@ def test_plan_barrier_prevents_duplicate_fold_evaluation(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, barred.collect())
     )
+
+
+def test_ann_recall_exact_side_broadcasts_queries_never_corpus(spark, sf_dir):
+    """The recall harness's exact pass is a broadcast of the BOUNDED
+    query sample across one corpus scan (the sanctioned
+    BroadcastNestedLoopJoin — the query_id != neighbor_id condition is
+    non-equi by design); the corpus side must never broadcast and
+    nothing may plan as a CartesianProduct. The join back to the
+    approximate relation is keyed."""
+    import re
+
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["ann_recall_ivf_pq"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly one nested loop (the exact brute-force pass), with the
+    # broadcast side present
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_snapshot_drift_is_two_scans_into_tiny_aggregate(spark, sf_dir):
+    """The drift monitor's contract shape: per-snapshot map + d-row
+    aggregate, then a d-row join — no window, no cartesian, no range
+    exchange; the only join is the per-dim merge (broadcast or hash on
+    64 rows, never nested-loop)."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["embedding_snapshot_drift"](spark, sf_dir)
+    plan = _plan(df)
+    for node in ("Window", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    assert "rangepartitioning" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_kfold_assignment_is_pure_map(spark, sf_dir):
+    """k-fold membership is a pure per-row function of the id: the
+    plan must contain no Exchange, no Join, no Window, no aggregate —
+    a scan and a project, nothing else."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["kfold_assignments"](spark, sf_dir)
+    plan = _plan(df)
+    for node in ("Exchange", "Join", "Window", "HashAggregate", "Sort"):
+        assert node not in plan, node

@@ -1032,3 +1032,23 @@ def test_example_multimodal_dedup_pipeline(sf_dir):
     for f in fams:
         assert 0 < out[f]["kept"] == out[f]["components"] <= out["n_docs"]
     assert 0 < out["final_kept"] <= min(out[f]["kept"] for f in fams)
+
+
+def test_example_ann_serving_pipeline(sf_dir):
+    """examples/ann_serving_pipeline.py — the round-14 similarity
+    story end to end: persisted residual-PQ index, batch + streaming
+    serving equality, measured recall, drift monitor."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_serving_example",
+        Path(__file__).parent.parent / "examples" / "ann_serving_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(sf_dir)
+    assert out["n_vectors"] > 0
+    assert out["n_results"] > 0
+    assert 0.6 <= out["mean_recall"] <= 1.0
+    assert out["max_drift"] >= 0.0

@@ -61,8 +61,13 @@ def sq_dists_sql(vec_text: str, mat_text: str) -> str:
     # The reservation is ENFORCED, not just documented (ADVICE r13): a
     # caller whose vec_text references a column named like the lambda
     # variables would be silently captured — the exact hazard the
-    # rename fixed for `c` — so collide loudly instead.
-    if "_sqd_" in vec_text:
+    # rename fixed for `c` — so collide loudly instead. Match the five
+    # names as IDENTIFIERS (word boundaries), not as a substring: a
+    # legitimate column like my_sqd_col is NOT captured by the lambda
+    # scope and must not raise (code-review r14).
+    import re as _re
+
+    if _re.search(r"(?<![0-9A-Za-z_])_sqd_[cxyae](?![0-9A-Za-z_])", vec_text):
         raise ValueError(
             "sq_dists_sql: vec_text references a reserved '_sqd_*' "
             f"identifier (lambda scope would capture it): {vec_text!r}"

@@ -376,8 +376,14 @@ def audio_fingerprint(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 _, samples = audiocodec.decode_wav(bytes(payload))
                 if align_onset and len(samples):
+                    # widen BEFORE abs: np.abs(int16 -32768) overflows
+                    # back to -32768 (same hazard the band-energy sum
+                    # below guards against), which would mis-pick the
+                    # peak and break the shift-invariance contract for
+                    # full-scale-negative PCM (test-pinned)
                     samples = np.roll(
-                        samples, -int(np.argmax(np.abs(samples)))
+                        samples,
+                        -int(np.argmax(np.abs(samples.astype(np.int64)))),
                     )
                 n = len(samples)
                 width = n // 64

@@ -47,6 +47,19 @@ def _residual_sql(centroids) -> str | None:
     )
 
 
+def _pair_sq_dist(cv: str, qv: str):
+    """Full-precision squared-L2 between two projected vector columns
+    — the ONE definition the exact brute-force ground truth AND the
+    PQ rerank both fold (code-review r14: two verbatim copies could
+    silently diverge on a rounding/fold-order change, desynchronizing
+    the recall harness from the rerank it measures)."""
+    return F.aggregate(
+        F.zip_with(cv, qv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
     df = fan_out(df)
     return df.select(
@@ -955,14 +968,7 @@ def topk_ivf_pq(
     rescored = (
         cand.join(cfull, "neighbor_id")
         .join(F.broadcast(qfull), "query_id")
-        .withColumn(
-            "_d",
-            F.aggregate(
-                F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
+        .withColumn("_d", _pair_sq_dist("cv", "qv"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()
@@ -999,14 +1005,7 @@ def exact_sq_topk(
     )
     d = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).withColumn(
-        "_d",
-        F.aggregate(
-            F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ),
-    )
+    ).withColumn("_d", _pair_sq_dist("cv", "qv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_d").asc(), F.col("neighbor_id").asc()
     )
@@ -1039,8 +1038,14 @@ def ann_recall_report(
     exact = exact_sq_topk(corpus, queries, id_col, vec_col, k=k).select(
         "query_id", "neighbor_id"
     )
-    hits = approx_topk.select("query_id", "neighbor_id").withColumn(
-        "_hit", F.lit(1)
+    # dedupe defensively: a duplicated (query, neighbor) pair in the
+    # approximate relation (e.g. an at-least-once streaming store read
+    # without dropDuplicates) would otherwise fan out the exact side
+    # and silently corrupt every count (code-review r14)
+    hits = (
+        approx_topk.select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("_hit", F.lit(1))
     )
     return (
         exact.join(hits, ["query_id", "neighbor_id"], "left")

@@ -67,6 +67,13 @@ def plan_barrier(df: DataFrame) -> DataFrame:
     the barrier actually prevents the duplicate evaluation."""
     from pyspark.sql import functions as F
 
+    if "_plan_barrier" in df.columns:
+        # withColumn would OVERWRITE the caller's column and drop would
+        # then remove it from the output — silent data loss now that
+        # this is a shared helper (code-review r14); collide loudly.
+        raise ValueError(
+            "plan_barrier: input already has a '_plan_barrier' column"
+        )
     return (
         df.withColumn("_plan_barrier", F.rand(42))
         .filter(F.col("_plan_barrier") >= -1)

@@ -1324,6 +1324,22 @@ def _corpus_pq_codebooks(spark, sf_dir: str) -> list:
 # full-precision rerank.
 
 
+def _materialized(frag: str, name: str) -> str:
+    """Inject DuckDB's MATERIALIZED hint into a generated CTE fragment
+    — and FAIL LOUDLY if the expected text was not found (code-review
+    r14): a silent no-op replace after a `_probe_frag` reformat would
+    quietly drop the load-bearing hint and the residual oracle would
+    replay the coarse fit ~50x instead of erroring."""
+    needle = f", {name} AS ("
+    hinted = frag.replace(needle, f", {name} AS MATERIALIZED (", 1)
+    if hinted == frag:
+        raise AssertionError(
+            f"_materialized: {needle!r} not found — _probe_frag output "
+            "changed shape; the MATERIALIZED hint would silently vanish"
+        )
+    return hinted
+
+
 def _pq_residual_oracle_sql() -> str:
     dist_sub = _DIST.format(a="b", b="c", dim1=_PQ_SUB + 1)
     parts = [
@@ -1333,8 +1349,9 @@ def _pq_residual_oracle_sql() -> str:
         _lloyds_frag("base", K, ITERS, DIM, "s"),
         # cellassign feeds rbase plus all 16 adcparts joins — same
         # inlining hazard as rbase below, so force materialization
-        _probe_frag("base", f"sc{ITERS}", 1, DIM, "cellassign").replace(
-            ", cellassign AS (", ", cellassign AS MATERIALIZED (", 1
+        _materialized(
+            _probe_frag("base", f"sc{ITERS}", 1, DIM, "cellassign"),
+            "cellassign",
         ),
         # residual frame: every corpus vector minus its OWN cell's
         # centroid — the relation the per-subspace fits AND the corpus

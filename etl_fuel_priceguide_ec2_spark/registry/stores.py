@@ -85,6 +85,17 @@ def clear_store_cache() -> None:
     unpersisted RDD and unpersisting it is a silent no-op (verified:
     getPersistentRDDs 1 -> 0 via the plan handle, unchanged via
     df.rdd; code-review r13)."""
+    try:
+        _unpersist_all()
+    finally:
+        # the cache must ALWAYS end cleared — under warnings-as-errors
+        # the RuntimeWarning below raises, and stale handles surviving
+        # a clear would be worse than the leak it reports
+        # (code-review r14)
+        _STORE_CACHE.clear()
+
+
+def _unpersist_all() -> None:
     for df in _STORE_CACHE.values():
         try:
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
@@ -112,4 +123,3 @@ def clear_store_cache() -> None:
                     RuntimeWarning,
                     stacklevel=2,
                 )
-    _STORE_CACHE.clear()

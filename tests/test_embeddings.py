@@ -539,6 +539,20 @@ def test_ivf_pq_search_from_persisted_codes(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_materialized_hint_injection_fails_loudly():
+    """The residual oracle's MATERIALIZED hint is injected into
+    generated SQL; a fragment reshape must raise, never silently drop
+    the load-bearing hint (code-review r14)."""
+    import pytest as _pt
+
+    from etl_fuel_priceguide_ec2_spark.registry import semantic
+
+    good = semantic._materialized(", cellassign AS (SELECT 1)", "cellassign")
+    assert ", cellassign AS MATERIALIZED (" in good
+    with _pt.raises(AssertionError, match="MATERIALIZED"):
+        semantic._materialized("SELECT 1 AS cellassign", "cellassign")
+
+
 def test_ann_recall_report_identity_and_bounds(spark, sf_dir):
     """The recall harness measured against itself: feeding the exact
     top-k back in as the approximate relation must report recall 1.0
@@ -562,6 +576,15 @@ def test_ann_recall_report_identity_and_bounds(spark, sf_dir):
         emb, queries, empty, "vec_id", "embedding", k=4
     ).collect()
     assert all(r.recall == 0.0 and r.n_hits == 0 for r in rep0)
+
+    # duplicated candidate pairs (an at-least-once streaming store read
+    # without dropDuplicates) must not fan out the exact side
+    # (code-review r14): the report over exact UNION ALL exact equals
+    # the identity report
+    rep2 = similarity.ann_recall_report(
+        emb, queries, exact.unionAll(exact), "vec_id", "embedding", k=4
+    ).collect()
+    assert sorted(map(tuple, rep2)) == sorted(map(tuple, rep))
 
 
 def test_residual_pq_string_fast_path_bit_identical(spark, sf_dir, monkeypatch):
@@ -1238,8 +1261,16 @@ def test_sq_dists_sql_rejects_reserved_lambda_identifiers():
         clustering.sq_dists_sql(
             "slice(_sqd_x, 1, 4)", "array(array(1.0D))"
         )
-    # non-colliding text still renders
+    # non-colliding text still renders — including identifiers that
+    # merely CONTAIN the reserved substring (lambda scope only captures
+    # the exact names, so these must not raise; code-review r14)
     assert "zip_with" in clustering.sq_dists_sql("v", "array(array(1.0D))")
+    assert "zip_with" in clustering.sq_dists_sql(
+        "my_sqd_col", "array(array(1.0D))"
+    )
+    assert "zip_with" in clustering.sq_dists_sql(
+        "_sqd_custom", "array(array(1.0D))"
+    )
 
 
 def test_corpus_cov_means_cache_is_invisible(spark, sf_dir):

@@ -840,6 +840,10 @@ def test_plan_barrier_prevents_duplicate_fold_evaluation(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, barred.collect())
     )
+    # a pre-existing _plan_barrier column would be silently overwritten
+    # and dropped — must collide loudly instead (code-review r14)
+    with pytest.raises(ValueError, match="_plan_barrier"):
+        plan_barrier(base.withColumn("_plan_barrier", F.lit(1)))
 
 
 def test_ann_recall_exact_side_broadcasts_queries_never_corpus(spark, sf_dir):

@@ -1467,6 +1467,11 @@ def test_audio_fingerprint_shift_envelope(spark):
     unique_peak[1234] = 32000
     saw = audiocodec.synth_class_tone(17, 4000, 100)
 
+    # full-scale-negative peak: np.abs(int16 -32768) overflows back to
+    # -32768, so the alignment must widen before abs (code-review r14)
+    neg_peak = rng.integers(-700, 700, 4096).astype(np.int16)
+    neg_peak[777] = -32768
+
     clips = {
         0: contrast,
         1: np.roll(contrast, 31),       # < band width: margins hold
@@ -1477,6 +1482,8 @@ def test_audio_fingerprint_shift_envelope(spark):
         21: np.roll(unique_peak, 17),
         22: np.roll(unique_peak, 2048),
         23: np.roll(unique_peak, 4000),
+        30: neg_peak,
+        31: np.roll(neg_peak, 1234),
     }
     media = spark.createDataFrame(
         [(i, bytearray(audiocodec.encode_wav(s)), "audio/wav") for i, s in clips.items()],
@@ -1496,6 +1503,9 @@ def test_audio_fingerprint_shift_envelope(spark):
 
     aligned = _collect(multimodal.audio_fingerprint(media, align_onset=True))
     assert aligned[20] == aligned[21] == aligned[22] == aligned[23]
+    # the int16-overflow edge: the unique peak is -32768 and must still
+    # anchor the alignment after a shift
+    assert aligned[30] == aligned[31]
     # alignment must not manufacture cross-signal collisions
     assert _ham(aligned[0], aligned[20]) > 3
 

@@ -64,6 +64,13 @@ RISKY = [
     "similarity_topk_ivf_pq",      # cached fits + ADC cut + rerank ties
     "audio_fingerprint_near_pairs",  # Arrow decode + banded candidates
     "training_export_checksum_manifest",  # map-combined XOR digest
+    # round 14: the residual rung's staged string fast path (the
+    # barrier-projected residual must never leak partitioning into the
+    # per-cell ADC tables), the recall report's left-join counts at
+    # the exact cut, and the drift report's per-snapshot decimal sums
+    "similarity_topk_ivf_pq_residual",  # staged _rv + per-cell ADC + rerank
+    "ann_recall_ivf_pq",                # exact cut ties + hit counts
+    "embedding_snapshot_drift",         # two-scan decimal sums + rounded diff
 ]
 
 

@@ -926,6 +926,54 @@ def test_round13_operator_empty_and_degenerate_edges(spark):
     assert multimodal.image_ahash_pairs(eb, max_hamming=3).count() == 0
 
 
+def test_round14_operator_empty_and_degenerate_edges(spark):
+    """Defined, non-crashing answers on degenerate inputs for the
+    round-14 operators: k-fold parameter guard raises and k=2 works;
+    snapshot drift against an empty snapshot is an EMPTY report (not
+    nulls); the recall report over an empty query set is empty; the
+    residual encode on an empty corpus keeps the stable (id, cell,
+    code*) schema."""
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import (
+        embeddings as emb_ops,
+        sampling,
+        similarity,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match=">= 2"):
+        sampling.kfold_assign(docs, "doc_id", k=1)
+    folds = sampling.kfold_assign(docs, "doc_id", k=2).collect()
+    assert {r.fold for r in folds} <= {0, 1} and len(folds) == 20
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    empty = vecs.filter(F.lit(False))
+    assert emb_ops.embedding_snapshot_drift(
+        vecs, empty, "vec_id", "embedding"
+    ).count() == 0
+    assert emb_ops.embedding_snapshot_drift(
+        empty, vecs, "vec_id", "embedding"
+    ).count() == 0
+
+    assert similarity.ann_recall_report(
+        vecs, empty, empty.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        ), "vec_id", "embedding", k=3
+    ).count() == 0
+
+    enc = similarity.pq_encode(
+        empty, "vec_id", "embedding", [[0.0, 0.0], [1.0, 1.0]],
+        [[[0.0], [1.0]], [[0.0], [1.0]]], residual=True
+    )
+    assert enc.count() == 0
+    assert enc.columns == ["vec_id", "cell", "code0", "code1"]
+
+
 def test_fisher_scores_match_numpy_decomposition(spark):
     """Fisher separability vs numpy's variance decomposition on a
     planted two-class corpus: dim 0 separates the classes (high

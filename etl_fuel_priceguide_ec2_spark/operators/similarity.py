@@ -680,6 +680,15 @@ def pq_encode(
     if dim % m:  # same guard as topk_ivf_pq: a silent sub = dim//m
         # would lossily drop the trailing dims from every code
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    if id_col in ("v", "norm", "cell", "_rv"):
+        # the projections below would produce duplicate column names
+        # and the residual stage's `cell`/`_rv` references would
+        # resolve ambiguously — collide loudly up front (code-review
+        # r14, the sq_dists_sql enforcement pattern)
+        raise ValueError(
+            f"pq_encode: id_col {id_col!r} collides with an internal "
+            "column name (v/norm/cell/_rv)"
+        )
     sub = dim // m
     _dists = sq_dists_expr
     cb = _with_norm(corpus, id_col, vec_col)
@@ -995,7 +1004,10 @@ def exact_sq_topk(
     fold the distance per (candidate, query) pair, W1 window cut with
     the id tiebreak. Deliberately O(|corpus| x |queries|): correct use
     is a BOUNDED query sample (recall evaluation), never serving."""
-    c = corpus.select(
+    # fan_out: the single-row-group fixture shape would otherwise run
+    # the O(|corpus| x |queries|) fold on one core (code-review r14 —
+    # the cosine brute-force sibling already goes through fan_out)
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )

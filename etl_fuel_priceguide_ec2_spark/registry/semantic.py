@@ -1374,7 +1374,7 @@ def _pq_residual_oracle_sql() -> str:
         FROM (SELECT b.vec_id, c.cid, {_DIST.format(a="b", b="c", dim1=DIM + 1)} AS d
               FROM base b CROSS JOIN sc{ITERS} c WHERE b.vec_id < 10) x
       ) y WHERE rn <= {_PQ_NPROBE}
-    ), qresid AS (
+    ), qresid AS MATERIALIZED (
       SELECT qp.vec_id, qp.cid AS pcell,
              list_transform(range(1, {DIM + 1}), i -> b.v[i] - c.v[i]) AS v
       FROM qprobe qp

@@ -90,7 +90,8 @@ def main(sf_dir: str | None = None) -> dict:
                 codes=codes, residual=True,
             )
 
-        batch = sorted(map(tuple, batch_search(queries).collect()))
+        approx = batch_search(queries)
+        batch = sorted(map(tuple, approx.collect()))
         assert len(batch) > 0
 
         # 3. streaming serving: same store, queries in 3 micro-batches
@@ -116,7 +117,7 @@ def main(sf_dir: str | None = None) -> dict:
 
         # 4. measure the recall the 64x compression actually bought
         report = similarity.ann_recall_report(
-            emb, queries, batch_search(queries), "vec_id", "embedding", k=K
+            emb, queries, approx, "vec_id", "embedding", k=K
         ).collect()
         mean_recall = sum(r.recall for r in report) / len(report)
         assert mean_recall >= 0.6, f"recall collapsed: {mean_recall}"

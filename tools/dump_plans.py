@@ -120,6 +120,11 @@ NOTES = {
     "similarity_topk_ivf_pq": "PQ-ADC: the corpus reduces to (cell + 16 codes) pure-codegen rows; broadcast queries carry their per-subspace ADC tables onto the cell-id join; scoring is 16 element_at lookups summed as DECIMAL (exact, order-free cut); only top-100 candidate ids join back to full vectors for the rerank.",
     "pack_fill_rates_by_lang": "per-lang packing windows run in parallel + the |langs|-row broadcast offset join (no global-order reducer); the fill histogram is a bin-scale groupBy into a per-(lang, decile) report — the 100 TB-true form of pack_fill_rates.",
     "training_export_checksum_manifest": "the content checksum is a commutative BIT_XOR aggregate over per-row md5(position:id) terms — map-side combine, no sequential fold; the manifest exchange still carries 8 rows, now with a replay-verifiable digest riding along.",
+    "similarity_topk_ivf_pq_residual": "residual PQ: the code relation keeps the SAME persisted (cell + 16 codes) shape — the residual subtraction happens once at encode, staged behind plan barriers so the coarse argmin never re-expands; the query side broadcasts per-PROBED-CELL ADC tables so candidate and table share the residual frame through the cell equi-join; cut + rerank identical to the raw rung.",
+    "kfold_assignments": "pure map: one md5 expression per row, no Exchange/Join/Window — fold membership is a function of (seed, id) alone, so the relation costs a scan.",
+    "dedup_savings_report": "the keep-list chain (zero-shuffle signatures -> band-bucket candidates -> HashMin CC) dominates; the report adds one id-keyed join of the keep flags onto doc metadata and a |langs|-row partial-aggregated exchange — free on top of the mining.",
+    "ann_recall_ivf_pq": "exact ground truth = the bounded query sample broadcast across ONE fan_out corpus scan (the sanctioned nested loop) into a WindowGroupLimit cut; the approximate relation joins back id-keyed; hit counts partial-aggregate before the per-query exchange.",
+    "embedding_snapshot_drift": "two snapshot scans fan into per-dim DECIMAL-sum partial aggregates (d rows each); the only join merges the two d-row relations — the corpus never shuffles.",
 }
 
 

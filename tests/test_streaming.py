@@ -957,3 +957,51 @@ def test_streaming_ann_query_stream_matches_batch(spark, sf_dir, tmp_path):
         )
         assert got == expect and len(expect) > 0, tag
         assert len(set(got)) == len(got), tag
+
+
+def test_streaming_ann_replay_recovery_recipe(spark, sf_dir, tmp_path):
+    """At-least-once replay for the ANN result store: re-appending one
+    micro-batch's result rows (same _batch id) must be exactly
+    recoverable by the documented read recipe — dropDuplicates over
+    the full row — because a replayed batch can only duplicate rows,
+    never change values (each query's result is a pure function of the
+    code store)."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.fit_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    books = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, ks=8, iters=1
+    )
+    codes_path = str(tmp_path / "codes")
+    similarity.pq_encode(
+        emb, "vec_id", "embedding", cents, books
+    ).write.parquet(codes_path)
+    queries = emb.filter(F.col("vec_id") < 6)
+    src = str(tmp_path / "queries")
+    for i in range(2):
+        queries.filter(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out_path = str(tmp_path / "topk")
+    feeds.ann_query_stream(
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        codes_path, emb, out_path, str(tmp_path / "ckpt"),
+        "vec_id", "embedding", cents, books,
+        k=3, nprobe=2, rerank_m=10,
+    ).awaitTermination(180)
+
+    clean = sorted(
+        map(tuple, spark.read.parquet(out_path).dropDuplicates().collect())
+    )
+    # simulate the crash-then-redeliver replay: batch 0's rows land twice
+    replay = spark.read.parquet(out_path).filter(F.col("_batch") == 0)
+    replay.write.mode("append").parquet(out_path)
+    raw = spark.read.parquet(out_path)
+    assert raw.count() > len(clean)  # the duplicates are really there
+    recovered = sorted(map(tuple, raw.dropDuplicates().collect()))
+    assert recovered == clean

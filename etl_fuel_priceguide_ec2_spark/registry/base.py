@@ -50,73 +50,26 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-14 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 15, never slot into
+# Round-15 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 16, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-13 driver artifacts (CORRECTNESS_r13/BENCH_r13):
+# committing the round-14 driver artifacts (CORRECTNESS_r14/BENCH_r14):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Slots 1-5: the five round-13 post-freeze additions (never in a driver
+# Slots 1-5: the five round-14 post-freeze additions (never in a driver
 # window; each sim-green at sf0.01 with committed SIMLOG.json records
-# and judge-sim-green per VERDICT r13). Slots 6-37: the full
-# r09-last-green remainder, ledger order. Slots 38-50: the stalest r10
-# cohort, ledger order. Slots 51-70 pin the round-15 net head
-# (next-stalest r10 cohort, ledger order).
+# and judge-sim-green per VERDICT r14). Slots 6-42: the full
+# r10-last-green remainder, ledger order. Slots 43-50: the stalest r11
+# cohort, ledger order. Slots 51-70 pin the round-16 net head
+# (next-stalest r11 cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 5 round-13 post-freeze additions (never driver-seen) ---
-    "audio_fingerprint_near_pairs",
-    "audio_fingerprint_keeplist",
-    "pack_fill_rates_by_lang",
-    "training_export_checksum_manifest",
-    "similarity_topk_ivf_pq",
-    # --- full r09-last-green remainder (ledger order) ---
-    "ranking_battery",
-    "grouping_sets_customer",
-    "normalize_text",
-    "join_types_matrix",
-    "cube_nation_segment",
-    "gap_fill_forward",
-    "exists_segments",
-    "fuzzy_brand_pairs",
-    "having_large_qty_customers",
-    "lateral_topk_orders",
-    "intersect_all_multiset",
-    "revenue_share_by_nation",
-    "promo_revenue_share",
-    "rolling_7d_distinct_users",
-    "cohort_retention",
-    "explode_outer_null_preserving",
-    "most_frequent_event_type",
-    "funnel_view_click_purchase",
-    "q2_min_balance_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q18_large_volume_customers",
-    "q20_dominant_shippers",
-    "q21_waiting_suppliers",
-    "similarity_topk_ivf_sq8",
-    "similarity_topk_ivf_sq8_rerank",
-    "decontaminated_train_ids",
-    # --- stalest r10 cohort (ledger order) ---
-    "upsert_new_keys",
-    "upsert_merged_dim",
-    "dedup_last_wins",
-    "snapshot_diff",
-    "etl_pipeline_dim",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_auto_skew",
-    "dedup_minhash_lsh",
-    "containment_keeplist",
-    "symspell_edit2_pairs",
-    "ssjoin_incremental_pairs",
-    "containment_incremental_pairs",
-    # --- slots 51+: past the driver window; round-15 net head ---
+    # --- 5 round-14 post-freeze additions (never driver-seen) ---
+    "dedup_savings_report",
+    "kfold_assignments",
+    "similarity_topk_ivf_pq_residual",
+    "ann_recall_ivf_pq",
+    "embedding_snapshot_drift",
+    # --- full r10-last-green remainder (ledger order) ---
     "sorted_neighborhood_pairs",
     "snm_dedup_keeplist",
     "image_ahash_keeplist",
@@ -137,6 +90,53 @@ _ROUND_PRIORITY: list[str] = [
     "stratified_take_per_lang",
     "corpus_curation_decision",
     "curation_decision_incremental",
+    "session_window_agg",
+    "unpivot_line_metrics",
+    "numeric_battery",
+    "value_window_battery",
+    "regexp_extract_groups",
+    "stats_battery",
+    "posexplode_tokens",
+    "map_functions_battery",
+    "window_count_distinct",
+    "shipping_priority_top10",
+    "higher_order_array_battery",
+    "conditional_agg_battery",
+    "union_by_name_feeds",
+    "variant_json_battery",
+    "similarity_topk_ivf2_sq8",
+    "embedding_covariance",
+    "pca_top_component_scores",
+    # --- stalest r11 cohort (ledger order) ---
+    "projection_rename",
+    "null_filter_shaping",
+    "keyed_changes",
+    "scalar_battery",
+    "run_metrics",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    # --- slots 51+: past the driver window; round-16 net head ---
+    "rollup_brand_stats",
+    "set_ops_symmetric_diff",
+    "distinct_users_by_type",
+    "json_props_agg",
+    "window_running_sum",
+    "part_affinity_lift",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "minhash_incremental_pairs",
+    "snm_multipass_pairs",
+    "similarity_topk",
+    "bm25_topk_docs",
+    "bpe_merge_candidates",
+    "hybrid_rrf_topk_docs",
+    "bpe_learned_merges",
+    "doc_hashed_embeddings",
+    "doc_embedding_topk",
+    "zorder_layout_lineitem",
+    "pagerank_supplier_customer",
 ]
 
 

@@ -1,4 +1,5 @@
-"""X3 — similarity search over an embedding column.
+"""X3 — similarity SEARCH over an embedding column: the ladder's read
+side (the fit/encode state it probes lives in ``similarity_index``).
 
 Brute-force cosine top-k as the exact baseline (query set broadcast,
 corpus scanned once, per-partition dot products JVM-side via
@@ -20,53 +21,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from etl_fuel_priceguide_ec2_spark.operators.clustering import sq_dists_expr
+from etl_fuel_priceguide_ec2_spark.operators.similarity_index import (  # noqa: F401
+    # re-exported: the fit/encode side moved to similarity_index
+    # (VERDICT r14 item 7) — callers keep importing via this module
+    _pair_sq_dist,
+    _residual_sql,
+    _with_norm,
+    pq_encode,
+    pq_reconstruction_report,
+    quantize_int8,
+)
 from etl_fuel_priceguide_ec2_spark.operators.util import (
     fan_out,
     mat_lit,
-    mat_sql,
     plan_barrier,
 )
-
-
-def _residual_sql(centroids) -> str | None:
-    """``v - centroids[cell]`` as ONE SQL expression string (reads the
-    projected ``v`` and ``cell`` columns), or None when the centroid
-    matrix has non-finite values (not renderable as SQL literals). The
-    string form exists for the same reason as ``sq_dists_sql``: the
-    Column construction (mat_lit + a zip_with lambda) pays py4j
-    round-trips per call site, and the residual is referenced by all m
-    sub-code folds. Lambda variables use reserved ``_rsd_*`` names —
-    same capture hazard as ``_sqd_*`` (a column named like them would
-    be shadowed inside the lambda)."""
-    mt = mat_sql(centroids)
-    if mt is None:
-        return None
-    return (
-        f"zip_with(v, element_at({mt}, CAST(cell + 1 AS INT)), "
-        "(_rsd_x, _rsd_y) -> _rsd_x - _rsd_y)"
-    )
-
-
-def _pair_sq_dist(cv: str, qv: str):
-    """Full-precision squared-L2 between two projected vector columns
-    — the ONE definition the exact brute-force ground truth AND the
-    PQ rerank both fold (code-review r14: two verbatim copies could
-    silently diverge on a rounding/fold-order change, desynchronizing
-    the recall harness from the rerank it measures)."""
-    return F.aggregate(
-        F.zip_with(cv, qv, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-
-
-def _with_norm(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
-    df = fan_out(df)
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        *[F.col(c) for c in extra or []],
-    ).withColumn("norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
 
 
 def cosine_topk(
@@ -653,94 +622,6 @@ def cosine_topk_ivf2_sq8(
     )
 
 
-def pq_encode(
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    centroids: list[list[float]],
-    pq_codebooks: list[list[list[float]]],
-    residual: bool = False,
-) -> DataFrame:
-    """Encode the corpus into its stored IVF-PQ form: (id, cell,
-    code0..code{m-1}) — the persistable state the PQ rung promises
-    (write THIS relation once at ingest; searches scan 8-byte codes
-    instead of vectors; ``topk_ivf_pq(codes=...)`` consumes it
-    unchanged, equality with end-to-end pinned by test). Assignment
-    argmins tie to the lower index (the clustering._assign
-    convention); the trailing no-op barrier keeps the m+1 fold
-    expressions from re-expanding under downstream joins.
-
-    ``residual=True`` encodes sub-codes over (v - own-cell centroid)
-    — the classical FAISS IVF,PQ form; pair with codebooks fitted via
-    ``fit_pq_codebooks(residuals_of=centroids)`` and search with
-    ``topk_ivf_pq(residual=True)`` so the ADC tables subtract the
-    probed cell's centroid from the query the same way."""
-    m = len(pq_codebooks)
-    dim = len(centroids[0])
-    if dim % m:  # same guard as topk_ivf_pq: a silent sub = dim//m
-        # would lossily drop the trailing dims from every code
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    if id_col in ("v", "norm", "cell", "_rv"):
-        # the projections below would produce duplicate column names
-        # and the residual stage's `cell`/`_rv` references would
-        # resolve ambiguously — collide loudly up front (code-review
-        # r14, the sq_dists_sql enforcement pattern)
-        raise ValueError(
-            f"pq_encode: id_col {id_col!r} collides with an internal "
-            "column name (v/norm/cell/_rv)"
-        )
-    sub = dim // m
-    _dists = sq_dists_expr
-    cb = _with_norm(corpus, id_col, vec_col)
-    cd = _dists("v", centroids)
-    cell_col = (F.array_position(cd, F.array_min(cd)) - 1).cast("long").alias("cell")
-    if residual:
-        rv = _residual_sql(centroids)
-        if rv is not None:
-            # staged string fast path: project the cell (barrier), then
-            # the residual vector ONCE (barrier), then the m sub-folds
-            # over slices of the projected column — without the stages
-            # the coarse fold re-expands into all 16 sub-folds (17
-            # evaluations per row) and the Column-HOF construction pays
-            # ~16 lambda builds of py4j chatter (docs/SCALE.md §7);
-            # measured 10.3 -> ~2 s per bench rep at sf0.1, same rows.
-            based = plan_barrier(cb.select(F.col(id_col), F.col("v"), cell_col))
-            based = plan_barrier(
-                based.select(F.col(id_col), "cell", F.expr(rv).alias("_rv"))
-            )
-            code_cols = []
-            for s in range(m):
-                sd = _dists(f"slice(_rv, {s * sub + 1}, {sub})", pq_codebooks[s])
-                code_cols.append(
-                    (F.array_position(sd, F.array_min(sd)) - 1)
-                    .cast("long")
-                    .alias(f"code{s}")
-                )
-            return plan_barrier(based.select(F.col(id_col), "cell", *code_cols))
-        # non-renderable centroids (non-finite values): Column fallback
-        own = F.element_at(
-            mat_lit(centroids), F.array_position(cd, F.array_min(cd)).cast("int")
-        )
-        enc_v = F.zip_with("v", own, lambda x, y: x - y)
-    code_cols = []
-    for s in range(m):
-        sd = (
-            _dists(F.slice(enc_v, s * sub + 1, sub), pq_codebooks[s])
-            if residual
-            else _dists(f"slice(v, {s * sub + 1}, {sub})", pq_codebooks[s])
-        )
-        code_cols.append(
-            (F.array_position(sd, F.array_min(sd)) - 1).cast("long").alias(f"code{s}")
-        )
-    # plan_barrier: the m+1 argmin folds (coarse cell + m sub-codes)
-    # would otherwise re-expand under every downstream join reference.
-    return plan_barrier(cb.select(
-        F.col(id_col),
-        cell_col,
-        *code_cols,
-    ))
-
-
 def topk_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1011,10 +892,14 @@ def exact_sq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
+    # dedupe the query side on id: a duplicated query row would double
+    # every candidate row for that query and corrupt exact ranks (and
+    # any recall denominator built on them) — the mirror of the
+    # approx-side defense in ann_recall_report (ADVICE r14)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).dropDuplicates(["query_id"])
     d = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).withColumn("_d", _pair_sq_dist("cv", "qv"))
@@ -1035,21 +920,36 @@ def ann_recall_report(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    metric: str = "l2",
 ) -> DataFrame:
     """Per-query recall@k of an approximate top-k relation against the
-    exact brute-force squared-L2 top-k — 'measure, don't guess' as a
-    first-class relation: (query_id, n_exact, n_hits, recall). Any
-    ladder rung's (query_id, neighbor_id, ...) output plugs in as
-    ``approx_topk``.
+    exact brute-force top-k — 'measure, don't guess' as a first-class
+    relation: (query_id, n_exact, n_hits, recall). Any ladder rung's
+    (query_id, neighbor_id, ...) output plugs in as ``approx_topk``.
+
+    ``metric`` picks the ground-truth ranking to match the rung being
+    measured: "l2" (squared-L2, the PQ/SQ8 rungs' metric) or "cosine"
+    (the exact/IVF/RP-LSH/z-order rungs') — recall against the WRONG
+    metric's ground truth would fold metric disagreement into the
+    number and misread index quality on unnormalized corpora.
 
     100 TB shape: recall is always evaluated on a bounded query SAMPLE
     (here the probe set itself); the exact side broadcasts that sample
     across one corpus scan, the join back to the approximate relation
     is id-keyed on k·|queries| rows. Determinism: the exact cut uses
     the id tiebreak, so recall is a number, not a distribution."""
-    exact = exact_sq_topk(corpus, queries, id_col, vec_col, k=k).select(
-        "query_id", "neighbor_id"
-    )
+    # dedupe the query sample on id up front (exact_sq_topk also guards
+    # itself; cosine_topk deliberately stays a pure rung): duplicate
+    # query rows would fan out ground-truth candidates and corrupt
+    # every rank and denominator below (ADVICE r14)
+    queries = queries.dropDuplicates([id_col])
+    if metric == "l2":
+        exact = exact_sq_topk(corpus, queries, id_col, vec_col, k=k)
+    elif metric == "cosine":
+        exact = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    else:
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    exact = exact.select("query_id", "neighbor_id")
     # dedupe defensively: a duplicated (query, neighbor) pair in the
     # approximate relation (e.g. an at-least-once streaming store read
     # without dropDuplicates) would otherwise fan out the exact side
@@ -1075,17 +975,67 @@ def ann_recall_report(
     )
 
 
-def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, q8: array<long of int8 values>) — unit-normalized scalar
-    quantization. Kept as a separate op so the quantized column can be
-    written once and scanned many times (the point of quantizing)."""
-    normed = _with_norm(df, id_col, vec_col)
-    return normed.select(
-        F.col(id_col),
-        F.transform(
-            "v", lambda x: F.round(x / F.col("norm") * 127).cast("long")
-        ).alias("q8"),
+def probe_cells(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, cell): each query's ``nprobe`` nearest coarse cells,
+    ranked by squared-L2 with ties to the lower cell id — the probe
+    relation every IVF rung builds on its query side, exposed so a
+    serving layer can act on it BEFORE the search (pre-pruning the
+    codes-store scan, routing, cache admission). Matches the rung's
+    internal probe expression exactly (same fold, same tiebreak), so
+    pruning a store to these cells can never change a search result
+    (pinned by test)."""
+    cells = len(centroids)
+    qb = _with_norm(queries, id_col, vec_col)
+    qd = sq_dists_expr("v", centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            qd,
+            F.sequence(F.lit(0), F.lit(cells - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+        )
     )
+    return qb.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
+        ).alias("cell"),
+    )
+
+
+def prune_codes_to_probed_cells(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int,
+) -> DataFrame:
+    """Filter a persisted ``pq_encode`` relation to exactly the cells a
+    bounded query batch probes, as a STATIC ``IN`` predicate on the
+    scan: written ``partitionBy("cell")``, the store then prunes at the
+    partition level (PartitionFilters in the plan — pinned by test)
+    instead of relying on runtime DPP kicking in for the broadcast
+    join. Driver state is bounded by the coarse-cell count (distinct
+    probed cells ≤ cells, independent of batch size). Results are
+    identical with or without the pruning: the rung's candidate join is
+    an equi-join on cell, so rows outside the probed cells can never
+    match (pinned by test) — this only moves the row elimination from
+    the join to the scan, which at 100 TB is the difference between
+    reading ~nprobe/cells of the store and reading all of it."""
+    probed = [
+        r[0]
+        for r in probe_cells(queries, id_col, vec_col, centroids, nprobe)
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    return codes.filter(F.col("cell").isin(probed))
 
 
 def cosine_topk_zorder(

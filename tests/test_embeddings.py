@@ -628,7 +628,10 @@ def test_residual_pq_string_fast_path_bit_identical(spark, sf_dir, monkeypatch):
 
     enc_fast, top_fast = run()
     assert similarity._residual_sql(cents) is not None  # fast path was live
-    monkeypatch.setattr(similarity, "mat_sql", lambda rows: None)
+    # the fit/encode side lives in similarity_index after the r15 split;
+    # patch the module whose global _residual_sql actually reads
+    from etl_fuel_priceguide_ec2_spark.operators import similarity_index
+    monkeypatch.setattr(similarity_index, "mat_sql", lambda rows: None)
     assert similarity._residual_sql(cents) is None  # fallback now forced
     enc_slow, top_slow = run()
     assert enc_fast == enc_slow and len(enc_fast) > 0
@@ -1360,3 +1363,150 @@ def test_corpus_cov_means_cache_is_invisible(spark, sf_dir):
     assert key in sem._CODEBOOK_CACHE
     sem.clear_codebook_cache()
     assert key not in sem._CODEBOOK_CACHE
+
+
+def test_pq_encode_rejects_generated_code_alias_collision(spark, sf_dir):
+    """ADVICE r14: the id_col collision guard must also cover the
+    GENERATED code0..code{m-1} output aliases, not just the internal
+    v/norm/cell/_rv names — id_col='code0' would otherwise return a
+    relation with a silently duplicated column name."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(10)
+    cents = [[0.0] * 64, [1.0] * 64]
+    books = [[[0.0] * 8, [1.0] * 8]] * 8
+    renamed = emb.select(
+        F.col("vec_id").alias("code0"), "embedding"
+    )
+    with pytest.raises(ValueError, match="code0"):
+        similarity.pq_encode(renamed, "code0", "embedding", cents, books)
+    # code{m} and beyond is NOT generated for m=8 — must stay allowed
+    ok = emb.select(F.col("vec_id").alias("code8"), "embedding")
+    out = similarity.pq_encode(ok, "code8", "embedding", cents, books)
+    assert out.columns[0] == "code8" and len(out.columns) == 2 + 8
+
+
+def test_exact_topk_and_recall_dedupe_duplicated_query_rows(spark, sf_dir):
+    """ADVICE r14: a duplicated query row (an at-least-once query feed
+    read without dedupe) must not fan out exact candidates — ranks and
+    recall denominators stay those of the distinct query set, for both
+    ground-truth metrics."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    queries = emb.filter(F.col("vec_id") < 4)
+    doubled = queries.unionAll(queries)
+
+    clean = sorted(map(tuple, similarity.exact_sq_topk(
+        emb, queries, "vec_id", "embedding", k=5).collect()))
+    dup = sorted(map(tuple, similarity.exact_sq_topk(
+        emb, doubled, "vec_id", "embedding", k=5).collect()))
+    assert dup == clean and clean
+
+    approx = similarity.exact_sq_topk(emb, queries, "vec_id", "embedding", k=5)
+    for metric in ("l2", "cosine"):
+        r_clean = sorted(map(tuple, similarity.ann_recall_report(
+            emb, queries, approx, "vec_id", "embedding", k=5, metric=metric
+        ).collect()))
+        r_dup = sorted(map(tuple, similarity.ann_recall_report(
+            emb, doubled, approx, "vec_id", "embedding", k=5, metric=metric
+        ).collect()))
+        assert r_dup == r_clean and r_clean, metric
+
+
+def test_recall_report_cosine_metric_matches_cosine_ground_truth(spark, sf_dir):
+    """metric='cosine' must measure against the cosine brute-force
+    top-k (the z-order/IVF rungs' own metric): feeding the exact cosine
+    relation back in scores recall 1.0 everywhere, while an unknown
+    metric fails loudly."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact_cos = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    rep = similarity.ann_recall_report(
+        emb, queries, exact_cos, "vec_id", "embedding", k=5, metric="cosine"
+    ).collect()
+    assert rep and all(r.recall == 1.0 and r.n_exact == 5 for r in rep)
+    with pytest.raises(ValueError, match="metric"):
+        similarity.ann_recall_report(
+            emb, queries, exact_cos, "vec_id", "embedding", k=5, metric="dot"
+        )
+
+
+def test_pq_reconstruction_report_identity_and_planted_drift(spark, sf_dir):
+    """Codebook-staleness semantics pinned at both ends: (a) the SAME
+    snapshot on both sides reports growth exactly 1.0 and refit False
+    in every cell; (b) a planted drift (the new wave scaled 3x — a
+    stand-in encoder change) inflates reconstruction error in every
+    cell past any reasonable threshold, so every cell flags refit."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    cents = clustering.fit_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    books = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, ks=8, iters=1
+    )
+
+    same = similarity.pq_reconstruction_report(
+        emb, emb, "vec_id", "embedding", cents, books
+    ).collect()
+    assert same and all(
+        r.err_growth == 1.0 and r.refit is False and r.n_old == r.n_new
+        for r in same
+    )
+    # errors are means of nonnegative decimal sums
+    assert all(r.err_old >= 0 and r.err_new >= 0 for r in same)
+
+    drifted = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x * 3.0).alias("embedding"),
+    )
+    rep = similarity.pq_reconstruction_report(
+        emb, drifted, "vec_id", "embedding", cents, books,
+        growth_threshold=1.2,
+    ).collect()
+    flagged = [r for r in rep if r.refit]
+    assert flagged and all(
+        r.refit for r in rep if r.err_growth is not None
+    )
+    assert sum(r.n_new or 0 for r in rep) == emb.count()
+
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_reconstruction_report(
+            emb, emb, "vec_id", "embedding", cents, [[[0.0] * 5]] * 7
+        )
+
+
+def test_pq_reconstruction_report_residual_frame(spark, sf_dir):
+    """residual=True measures the error in the residual frame against
+    residual-fitted codebooks: identity growth still 1.0, and the
+    residual fit's mean reconstruction error is strictly below the raw
+    fit's (the PQ-theory claim the rung itself pins, here re-checked
+    through the report relation)."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    cents = clustering.fit_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    raw_books = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, ks=8, iters=1
+    )
+    res_books = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, ks=8, iters=1, residuals_of=cents
+    )
+    raw = similarity.pq_reconstruction_report(
+        emb, emb, "vec_id", "embedding", cents, raw_books
+    ).collect()
+    res = similarity.pq_reconstruction_report(
+        emb, emb, "vec_id", "embedding", cents, res_books, residual=True
+    ).collect()
+    assert res and all(r.err_growth == 1.0 and r.refit is False for r in res)
+    # corpus-wide weighted mean error: residual fit strictly tighter
+    raw_err = sum(r.err_old * r.n_old for r in raw) / sum(r.n_old for r in raw)
+    res_err = sum(r.err_old * r.n_old for r in res) / sum(r.n_old for r in res)
+    assert res_err < raw_err

@@ -218,3 +218,110 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def assert_fold_disjoint(
+    df: DataFrame, id_col: str, fold_col: str = "fold"
+) -> DataFrame:
+    """Fail loudly (ValueError with both counts) when any id carries
+    more than one fold value — the CV-export pre-flight: a fold leak
+    (one document visible to a model both as training data and as its
+    held-out eval) silently invalidates every score computed from the
+    export, which is strictly worse than an eager failure. ONE cheap
+    aggregate over (id, fold) pairs, no payload shuffle — same cost
+    contract as :func:`assert_unique_ids`. Folds produced by
+    ``sampling.kfold_assign`` are disjoint by construction (fold is a
+    pure function of the id); this check exists for EXTERNAL fold
+    relations — unions of assignment runs, hand-maintained eval sets —
+    where nothing enforces it. NULLs in either column violate the
+    contract (no fold membership through them) and are named in the
+    diagnostic."""
+    n_ids, n_pairs, n_null = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+        F.count_distinct(F.col(id_col), F.col(fold_col)).alias("n_pairs"),
+        F.count_if(
+            F.col(id_col).isNull() | F.col(fold_col).isNull()
+        ).alias("n_null"),
+    ).first()
+    if n_null or n_ids != n_pairs:
+        raise ValueError(
+            f"fold leak: {n_ids} distinct {id_col!r} values map to "
+            f"{n_pairs} distinct ({id_col}, {fold_col}) pairs; "
+            f"{n_null} rows with NULL id or fold"
+        )
+    return df
+
+
+def kfold_export_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    k: int | None = None,
+    fold_col: str | None = None,
+    fold_seed: str = "",
+    shard_seed: str = "",
+    size_cols: dict[str, str] | None = None,
+    check_unique_ids: bool = False,
+) -> DataFrame:
+    """Per-(fold, shard) training-export manifest — the composition of
+    the k-fold assigner and the deterministic sharder into the CV
+    pre-flight relation a training loader reads before touching bytes:
+    (fold, shard, n_docs, <total_x...>, content_checksum), k*n_shards
+    rows total.
+
+    Folds come from exactly one of ``k`` (assign here via
+    ``sampling.kfold_assign(seed=fold_seed)`` — disjoint by
+    construction) or ``fold_col`` (a pre-existing column, e.g. a
+    persisted assignment table — fold-DISJOINTNESS IS ASSERTED via
+    :func:`assert_fold_disjoint`, one cheap aggregate, because nothing
+    upstream enforces it). Sharding ignores the fold on purpose: the
+    byte order of shard s is the one global seeded shuffle
+    (``shard_positions``), so dropping fold f at train time means
+    skipping its rows WITHIN the already-ordered shards — no re-shard,
+    no re-shuffle, per-fold manifests still checksum-verifiable
+    (``content_checksum`` is the order-sensitive XOR digest over
+    (shard_pos, id), the ``shard_manifest`` construction, here scoped
+    per (fold, shard)).
+
+    100 TB shape: kfold_assign is pure map; shard_positions is ONE
+    range exchange (the two-pass global rank); the manifest is a
+    k*n_shards-row aggregate with map-side combine. Determinism: fold,
+    shard, position, and digest are all pure functions of (seeds, id)
+    — the manifest replays bit-for-bit on any cluster or engine."""
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+
+    if (k is None) == (fold_col is None):
+        raise ValueError(
+            "kfold_export_manifest: pass exactly one of k (assign folds "
+            "here) or fold_col (pre-assigned folds, disjointness-checked)"
+        )
+    if k is not None:
+        folded = sampling.kfold_assign(df, id_col, k, seed=fold_seed)
+        fold_col = "fold"
+    else:
+        folded = assert_fold_disjoint(df, id_col, fold_col)
+    sharded = shard_positions(
+        folded, id_col, n_shards, seed=shard_seed,
+        check_unique_ids=check_unique_ids,
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for out, src in (size_cols or {}).items():
+        aggs.append(F.sum(src).cast("long").alias(out))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("shard_pos").cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sharded = sharded.withColumn("_cs_h", h)
+    aggs.append(F.expr("bit_xor(_cs_h)").alias("content_checksum"))
+    return sharded.groupBy(F.col(fold_col).alias("fold"), "shard").agg(*aggs)

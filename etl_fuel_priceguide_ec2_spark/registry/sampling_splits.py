@@ -520,3 +520,56 @@ def q_training_export_checksum_manifest(spark, sf_dir):
     return export.shard_manifest(
         sharded, checksum_id_col="doc_id"
     ).select("shard", "n_docs", "max_pos", "content_checksum")
+
+
+# ---------------------------------------------------------------------------
+# Round-15: k-fold x export composition (VERDICT r14 item 4) — registered
+# AFTER the round-15 freeze, leads the round-16 window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kfold_shard_manifest",
+    """
+    WITH sharded AS (
+      SELECT doc_id, n_chars, fold,
+             CAST(h % 8 AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY h % 8
+                                     ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+      FROM (
+        SELECT doc_id, n_chars,
+               CAST(CAST('0x' || substring(md5('cv|' || CAST(doc_id AS VARCHAR)),
+                         1, 15) AS BIGINT) % 5 AS INT) AS fold,
+               CAST('0x' || substring(md5('exp|' || CAST(doc_id AS VARCHAR)),
+                         1, 15) AS BIGINT) AS h
+        FROM documents
+      )
+    )
+    SELECT fold, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST('0x' || substring(md5(CAST(shard_pos AS VARCHAR)
+                      || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT))
+             AS content_checksum
+    FROM sharded
+    GROUP BY fold, shard
+    """,
+)
+def q_kfold_shard_manifest(spark, sf_dir):
+    """The CV-training export pre-flight (VERDICT r14 item 4): k-fold
+    assignment composed with the deterministic sharder into one
+    per-(fold, shard) manifest — 40 rows (5 folds x 8 shards) of doc
+    counts, char totals, and the order-sensitive content checksum. The
+    sharding deliberately ignores the fold: shard byte order is the one
+    global seeded shuffle, so a CV rotation drops fold f by SKIPPING
+    its rows inside already-ordered shards (no re-shard, no re-write),
+    and each (fold, shard) slice stays checksum-verifiable on its own.
+    Fold disjointness is enforceable for external fold tables via
+    export.assert_fold_disjoint (planted-leak negative test); here the
+    folds are hash-assigned, disjoint by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from etl_fuel_priceguide_ec2_spark.operators import export
+
+    return export.kfold_export_manifest(
+        docs, "doc_id", n_shards=8, k=5, fold_seed="cv", shard_seed="exp",
+        size_cols={"total_chars": "n_chars"},
+    )

@@ -1596,3 +1596,208 @@ def q_embedding_snapshot_drift(spark, sf_dir):
         "vec_id",
         "embedding",
     )
+
+
+# --- round-15 additions (post-freeze -> lead round 16) ----------------
+# VERDICT r14 items 3 and 6: the drift -> refit decision over the PQ
+# store (codebook staleness as an oracled relation), and a standing
+# recall row for the layout-driven z-order rung (the one whose recall
+# depends on the data distribution, not just parameters).
+
+_STALE_THR = 1.2
+
+
+def _stale_codebook(spark, sf_dir: str) -> list:
+    """Coarse codebook fitted on the OLD snapshot only (even vec_ids —
+    the fit-time corpus): the staleness report re-encodes the NEW wave
+    against exactly these, never a refit."""
+    from pyspark.sql import functions as F
+
+    key = f"{sf_dir}:embeddings:stalecoarse:{K}:{ITERS}"
+    if key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = clustering.fit_centroids(
+            emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding",
+            k=K, iters=ITERS,
+        )
+    return _CODEBOOK_CACHE[key]
+
+
+def _stale_pq_codebooks(spark, sf_dir: str) -> list:
+    from pyspark.sql import functions as F
+
+    key = f"{sf_dir}:embeddings:stalepq:{_PQ_M}:{_PQ_KS}:{ITERS}"
+    if key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = clustering.fit_pq_codebooks(
+            emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding",
+            m=_PQ_M, ks=_PQ_KS, iters=ITERS,
+        )
+    return _CODEBOOK_CACHE[key]
+
+
+def _pq_staleness_oracle_sql() -> str:
+    """Replay of pq_reconstruction_report over the even/odd snapshot
+    split: coarse + 16 sub-codebooks fitted on the OLD (even) snapshot,
+    per-vector reconstruction error = sum over subspaces of the
+    9dp-DECIMAL-rounded min squared distance to that subspace's
+    codewords, per-cell means compared old vs new. Every
+    multiply-referenced fit CTE is MATERIALIZED (the round-14 lesson:
+    DuckDB inlines plain CTEs, and each sub-codebook is read by BOTH
+    snapshots' error scans — inlined, the 17 Lloyd's fits would replay
+    ~2x each and the coarse chain inside them many more)."""
+    dist_sub = _DIST.format(a="b", b="c", dim1=_PQ_SUB + 1)
+    parts = [
+        "WITH obase AS MATERIALIZED (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "  FROM embeddings WHERE vec_id % 2 = 0\n)",
+        ", nbase AS MATERIALIZED (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "  FROM embeddings WHERE vec_id % 2 = 1\n)",
+        _materialized(
+            _lloyds_frag("obase", K, ITERS, DIM, "st"), f"stc{ITERS}"
+        ),
+        _materialized(
+            _probe_frag("obase", f"stc{ITERS}", 1, DIM, "ocell"), "ocell"
+        ),
+        _materialized(
+            _probe_frag("nbase", f"stc{ITERS}", 1, DIM, "ncell"), "ncell"
+        ),
+    ]
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(
+            f", stq{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM obase)"
+        )
+        parts.append(
+            _materialized(
+                _lloyds_frag(f"stq{s}", _PQ_KS, ITERS, _PQ_SUB, f"sp{s}"),
+                f"sp{s}c{ITERS}",
+            )
+        )
+        for tag, src in (("o", "obase"), ("n", "nbase")):
+            parts.append(
+                f"""
+    , {tag}err{s} AS (
+      SELECT b.vec_id, CAST(ROUND(MIN({dist_sub}), 9) AS DECIMAL(18,9)) AS t
+      FROM (SELECT vec_id, v[{lo}:{hi}] AS v FROM {src}) b
+      CROSS JOIN sp{s}c{ITERS} c
+      GROUP BY b.vec_id
+    )"""
+            )
+    ounion = "\n      UNION ALL ".join(
+        f"SELECT vec_id, t FROM oerr{s}" for s in range(_PQ_M)
+    )
+    nunion = "\n      UNION ALL ".join(
+        f"SELECT vec_id, t FROM nerr{s}" for s in range(_PQ_M)
+    )
+    parts.append(
+        f"""
+    , oerrsum AS (SELECT vec_id, SUM(t) AS e FROM ({ounion}) GROUP BY vec_id)
+    , nerrsum AS (SELECT vec_id, SUM(t) AS e FROM ({nunion}) GROUP BY vec_id)
+    , ostat AS (
+      SELECT oc.cid AS cell, COUNT(*) AS n,
+             ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 9) AS err
+      FROM oerrsum s JOIN ocell oc USING (vec_id) GROUP BY oc.cid
+    ), nstat AS (
+      SELECT nc.cid AS cell, COUNT(*) AS n,
+             ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 9) AS err
+      FROM nerrsum s JOIN ncell nc USING (vec_id) GROUP BY nc.cid
+    )
+    SELECT COALESCE(o.cell, n2.cell) AS cell,
+           CAST(o.n AS BIGINT) AS n_old, CAST(n2.n AS BIGINT) AS n_new,
+           o.err AS err_old, n2.err AS err_new,
+           ROUND(n2.err / o.err, 6) AS err_growth,
+           (ROUND(n2.err / o.err, 6) > {_STALE_THR}) AS refit
+    FROM ostat o FULL OUTER JOIN nstat n2 ON o.cell = n2.cell
+"""
+    )
+    return "".join(parts)
+
+
+@register("pq_codebook_staleness", _pq_staleness_oracle_sql())
+def q_pq_codebook_staleness(spark, sf_dir):
+    """The drift -> refit DECISION over the persisted PQ index
+    (VERDICT r14 item 3): `embedding_snapshot_drift` says the corpus
+    moved; this says whether the movement broke the quantizer. The
+    coarse + sub-codebooks are fitted on the OLD snapshot (even
+    vec_ids — the fit-time corpus); both snapshots re-encode against
+    those fixed codebooks, and each coarse cell reports its mean PQ
+    reconstruction error old vs new with the growth ratio and a
+    refit flag (threshold 1.2). Completes the serving loop: index ->
+    batch/stream search -> recall -> drift -> refit decision. Scale
+    shape: two corpus scans into a cells-row aggregate; codebooks are
+    broadcast literals; shuffles carry (cell, error) only — at 100 TB
+    a flagged cell refits its own sub-codebooks and re-encodes only
+    its partitions of the code store."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_reconstruction_report(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "vec_id",
+        "embedding",
+        _stale_codebook(spark, sf_dir),
+        _stale_pq_codebooks(spark, sf_dir),
+        growth_threshold=_STALE_THR,
+    )
+
+
+def _zorder_recall_oracle_sql(k: int = 10) -> str:
+    return f"""
+    WITH apx AS (
+      SELECT query_id, neighbor_id FROM ({_zorder_ann_oracle()}) z
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), ext AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(c.v, q.v) / (c.nrm * q.nrm) DESC,
+                          c.vec_id ASC) AS rn
+        FROM e q CROSS JOIN e c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+      ) t WHERE rn <= {k}
+    )
+    SELECT x.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS recall
+    FROM ext x
+    LEFT JOIN apx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+"""
+
+
+@register("ann_recall_zorder", _zorder_recall_oracle_sql())
+def q_ann_recall_zorder(spark, sf_dir):
+    """Per-query recall@10 of the layout-driven z-order rung against
+    the exact brute-force COSINE top-10 (the rung's own metric —
+    measuring a cosine rung against L2 ground truth would fold metric
+    disagreement into the number on an unnormalized corpus). The
+    z-order rung is the ladder's most data-distribution-dependent:
+    its candidate pool is whatever the PCA-subspace Morton cells
+    happen to contain, so this recall row is the one that moves when
+    the corpus shape changes even if every parameter stays fixed —
+    exactly why it deserves a standing measurement (VERDICT r14
+    item 6). Same bounded-sample shape as ann_recall_ivf_pq."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = q_similarity_topk_zorder(spark, sf_dir)
+    return similarity.ann_recall_report(
+        emb, queries, approx, "vec_id", "embedding", k=10, metric="cosine"
+    )

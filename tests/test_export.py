@@ -341,3 +341,92 @@ def test_example_pretraining_corpus_build(tmp_path):
     assert out["upsampled_langs"] >= 1
     # holdout and train are disjoint by construction
     assert out["train_docs"] + out["holdout_docs"] <= out["after_dedup"]
+
+
+def test_kfold_export_manifest_counts_and_fold_invariance(spark, docs):
+    """The CV pre-flight manifest (VERDICT r14 item 4): k*n_shards rows
+    whose counts partition the corpus exactly, whose per-(fold, shard)
+    doc counts sum to the plain per-shard manifest's, and whose shard
+    assignment/positions are IDENTICAL to a fold-free sharding — the
+    rotation claim (dropping a fold never re-shards) made checkable."""
+    man = export.kfold_export_manifest(
+        docs, "doc_id", n_shards=N_SHARDS, k=3, fold_seed="cv",
+        shard_seed=SEED, size_cols={"total_chars": "n_chars"},
+    ).collect()
+    total = docs.count()
+    assert sum(r.n_docs for r in man) == total
+    assert {(r.fold, r.shard) for r in man} <= {
+        (f, s) for f in range(3) for s in range(N_SHARDS)
+    }
+    # folding is invisible to the sharder: per-shard totals match the
+    # fold-free manifest exactly
+    plain = {
+        r.shard: r.n_docs
+        for r in export.shard_manifest(
+            export.shard_positions(docs, "doc_id", N_SHARDS, seed=SEED)
+        ).collect()
+    }
+    per_shard = {}
+    for r in man:
+        per_shard[r.shard] = per_shard.get(r.shard, 0) + r.n_docs
+    assert per_shard == plain
+    # per-(fold, shard) checksums xor to a value consistent with the
+    # full-shard digest: XOR of the fold slices == the shard's digest
+    # (same (shard_pos, id) terms, partitioned by fold)
+    full = {
+        r.shard: r.content_checksum
+        for r in export.shard_manifest(
+            export.shard_positions(docs, "doc_id", N_SHARDS, seed=SEED),
+            checksum_id_col="doc_id",
+        ).collect()
+    }
+    xored = {}
+    for r in man:
+        xored[r.shard] = xored.get(r.shard, 0) ^ r.content_checksum
+    assert xored == full
+
+
+def test_kfold_export_manifest_external_folds_and_planted_leak(spark, docs):
+    """External fold tables go through assert_fold_disjoint: a clean
+    pre-assigned fold column passes and yields the same manifest as
+    the k= path with the same seed; a PLANTED LEAK (the union of two
+    assignment runs with different seeds — the classic way a fold
+    table gets corrupted) must raise before any export math runs."""
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+
+    folded = sampling.kfold_assign(docs, "doc_id", 3, seed="cv")
+    via_k = export.kfold_export_manifest(
+        docs, "doc_id", n_shards=N_SHARDS, k=3, fold_seed="cv",
+        shard_seed=SEED,
+    )
+    via_col = export.kfold_export_manifest(
+        folded, "doc_id", n_shards=N_SHARDS, fold_col="fold",
+        shard_seed=SEED,
+    )
+    assert sorted(map(tuple, via_k.collect())) == sorted(
+        map(tuple, via_col.collect())
+    )
+
+    leaked = folded.unionByName(
+        sampling.kfold_assign(docs, "doc_id", 3, seed="other")
+    )
+    with pytest.raises(ValueError, match="fold leak"):
+        export.kfold_export_manifest(
+            leaked, "doc_id", n_shards=N_SHARDS, fold_col="fold",
+            shard_seed=SEED,
+        )
+    # NULL folds violate the membership contract too
+    some_id = folded.select(F.min("doc_id")).first()[0]
+    nulled = folded.withColumn(
+        "fold",
+        F.when(F.col("doc_id") == some_id, None).otherwise(F.col("fold")),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        export.assert_fold_disjoint(nulled, "doc_id")
+
+    with pytest.raises(ValueError, match="exactly one"):
+        export.kfold_export_manifest(
+            folded, "doc_id", n_shards=N_SHARDS, k=3, fold_col="fold"
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        export.kfold_export_manifest(folded, "doc_id", n_shards=N_SHARDS)

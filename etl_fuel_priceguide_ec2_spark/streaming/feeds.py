@@ -710,6 +710,7 @@ def ann_query_stream(
     nprobe: int = 2,
     rerank_m: int | None = None,
     residual: bool = False,
+    prune_cells: bool = True,
 ):
     """Streaming ANN over the persisted PQ-codes store — the similarity
     ladder's micro-batch mirror (VERDICT r13 item 4), completing the
@@ -726,14 +727,27 @@ def ann_query_stream(
     over the full query set BIT-FOR-BIT however the stream is chopped
     (pinned by test for raw AND residual codes).
 
-    At-least-once caveat: a replayed batch re-appends its query rows;
-    the result relation dedupes exactly on (query_id, rank) — read
-    with dropDuplicates, mirroring the band/pairs stores.
+    At-least-once caveat: a replayed batch re-appends its result rows
+    verbatim (each query's result is a pure function of the store, so
+    a replay can only duplicate rows, never change values); read the
+    result relation with a full-row ``dropDuplicates()`` — the pinned
+    recovery recipe (test_streaming_ann_replay_recovery_recipe). Note
+    the full row includes ``_batch``: a query id legitimately
+    RE-submitted in a later batch keeps both results under this
+    recipe; dedupe on (query_id, neighbor_id, rank) instead only if
+    re-submissions should collapse (ADVICE r14).
 
-    100 TB shape: the code store is the corpus at 64x compression;
-    each trigger reads ~nprobe/cells of it, broadcasts only the
-    micro-batch's ADC tables, and reranks rerank_m full vectors per
-    query — steady-state serving cost is per-query, not per-corpus."""
+    100 TB shape: the code store is the corpus at 64x compression,
+    written ``partitionBy("cell")``; with ``prune_cells`` (default)
+    each trigger collects the batch's probed cells (bounded by the
+    coarse-cell count) and pushes a static IN filter into the store
+    scan, so the read prunes to ~nprobe/cells at the PARTITION level
+    (plan-pinned — the scan never depends on runtime DPP). The trigger
+    then broadcasts only the micro-batch's ADC tables and reranks
+    rerank_m full vectors per query — steady-state serving cost is
+    per-query, not per-corpus. Pruning cannot change results: the
+    rung's candidate join is an equi-join on cell (equality pinned by
+    the union==batch test)."""
     from etl_fuel_priceguide_ec2_spark.operators import similarity
 
     def _one(batch_df: DataFrame, batch_id: int) -> None:
@@ -741,6 +755,10 @@ def ann_query_stream(
             return
         spark = batch_df.sparkSession
         codes = spark.read.parquet(codes_path)
+        if prune_cells:
+            codes = similarity.prune_codes_to_probed_cells(
+                codes, batch_df, id_col, vec_col, centroids, nprobe
+            )
         out = similarity.topk_ivf_pq(
             corpus,
             batch_df,

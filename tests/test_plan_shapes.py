@@ -891,3 +891,84 @@ def test_kfold_assignment_is_pure_map(spark, sf_dir):
     plan = _plan(df)
     for node in ("Exchange", "Join", "Window", "HashAggregate", "Sort"):
         assert node not in plan, node
+
+
+def test_ann_codes_store_scan_prunes_to_probed_cells(spark, sf_dir, tmp_path):
+    """The streaming ANN serving path's scale claim made checkable
+    (VERDICT r14 item 5): with the pq_encode store written
+    partitionBy("cell"), pruning it to a query batch's probed cells
+    must appear as a STATIC PartitionFilters IN-predicate on the codes
+    scan (never relying on runtime DPP), and the pruned search must
+    return exactly the unpruned search's rows — the equi-join on cell
+    makes out-of-probe rows unreachable either way."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.fit_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    books = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, ks=8, iters=1
+    )
+    path = str(tmp_path / "codes_by_cell")
+    similarity.pq_encode(
+        emb, "vec_id", "embedding", cents, books
+    ).write.partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    pruned = similarity.prune_codes_to_probed_cells(
+        stored, queries, "vec_id", "embedding", cents, nprobe=2
+    )
+    search = similarity.topk_ivf_pq(
+        emb, queries, "vec_id", "embedding",
+        k=3, nprobe=2, rerank_m=10, m=8, ks=8,
+        centroids=cents, pq_codebooks=books, codes=pruned,
+    )
+    plan = _plan(search)
+    # the IN filter must reach the partitioned scan as a partition
+    # filter (first line after PartitionFilters names the cell column)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+
+    full = similarity.topk_ivf_pq(
+        emb, queries, "vec_id", "embedding",
+        k=3, nprobe=2, rerank_m=10, m=8, ks=8,
+        centroids=cents, pq_codebooks=books, codes=stored,
+    )
+    got = sorted(map(tuple, search.collect()))
+    assert got == sorted(map(tuple, full.collect())) and got
+
+
+def test_pq_staleness_report_is_two_scans_into_cells_aggregate(spark, sf_dir):
+    """The codebook-staleness monitor's contract shape (the drift
+    monitor's sibling): per-snapshot map work (codebooks ride as
+    literals) into a cells-row aggregate, then a cells-row join — no
+    window, no cartesian, no range exchange; nothing wider than
+    (cell, error) ever shuffles."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["pq_codebook_staleness"](spark, sf_dir)
+    plan = _plan(df)
+    for node in ("Window", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    assert "rangepartitioning" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_kfold_manifest_inherits_the_sharder_shape(spark, sf_dir):
+    """The CV manifest composes kfold_assign (pure map) onto the
+    sharder: the plan must keep the sharder's invariants — ONE range
+    exchange, the broadcast min-rank join, no per-shard data window,
+    no sort-merge join — with the fold adding zero exchanges."""
+    import re
+
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    df = registry.queries()["kfold_shard_manifest"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the min-rank join
+    assert len(re.findall(r"\(\d+\) Exchange rangepartitioning", plan)) <= 1
+    for m in re.finditer(r"Window \[[^\]]*partitionBy=\[([^\]]*)\]", plan):
+        assert "shard" not in m.group(1) and "fold" not in m.group(1)

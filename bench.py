@@ -201,6 +201,16 @@ HEADLINE = [
     "dedup_savings_report",
     "ann_recall_ivf_pq",
     "embedding_snapshot_drift",
+    # appended round 15: the refit-decision + CV-export tier — the
+    # codebook-staleness report (two snapshot scans into a cells-row
+    # aggregate against old-snapshot-fitted codebooks: the cached fits
+    # are the persisted-state pattern, so min-of-3 measures the error
+    # scans), the per-(fold, shard) manifest (one rank exchange + a
+    # k*n_shards-row XOR aggregate), and the z-order rung's standing
+    # recall row (exact cosine ground truth x one corpus scan)
+    "pq_codebook_staleness",
+    "kfold_shard_manifest",
+    "ann_recall_zorder",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

@@ -17,6 +17,11 @@ The round-14 similarity story as an executable build:
         → assert: mean recall clears the rung's pinned floor
       → monitoring:        embedding_snapshot_drift across the two
                            query waves (even/odd stand-in)
+      → refit decision:    pq_reconstruction_report — identical waves
+                           report growth ≈ 1 (no refit); a planted
+                           encoder drift (wave scaled 1.5x) flips the
+                           per-cell refit flags (round 15: the loop's
+                           closing step — drift MEASURED, refit DECIDED)
 
 Run: ``python examples/ann_serving_pipeline.py [sf_dir]``
 
@@ -76,9 +81,12 @@ def main(sf_dir: str | None = None) -> dict:
             emb, "vec_id", "embedding", m=M, ks=KS, iters=2, residuals_of=cents
         )
         codes_path = str(work / "codes")
+        # partitionBy("cell"): the store layout that lets every probe
+        # prune to its nprobe cells at the PARTITION level (the
+        # streaming server pushes a static IN filter — plan-pinned)
         similarity.pq_encode(
             emb, "vec_id", "embedding", cents, books, residual=True
-        ).write.parquet(codes_path)
+        ).write.partitionBy("cell").parquet(codes_path)
         codes = spark.read.parquet(codes_path)
 
         # 2. batch serving off the stored codes
@@ -133,6 +141,36 @@ def main(sf_dir: str | None = None) -> dict:
         max_shift = drift.agg(F.max(F.abs(F.col("shift")))).first()[0]
         print(f"max per-dim mean shift between waves: {max_shift:.6f}")
 
+        # 6. the refit DECISION (round 15): re-encode a new wave
+        # against the deployed codebooks and compare per-cell
+        # reconstruction error to the fit-time baseline. Identical
+        # waves -> growth ~ 1, nothing flagged; a planted encoder
+        # drift (the wave scaled 1.5x) inflates the error and flips
+        # the per-cell refit flags — drift measured, refit decided.
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        calm = similarity.pq_reconstruction_report(
+            even, odd, "vec_id", "embedding", cents, books,
+            growth_threshold=1.5, residual=True,
+        ).collect()
+        n_calm = sum(1 for r in calm if r.refit)
+        drifted_wave = odd.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x * 1.5).alias(
+                "embedding"
+            ),
+        )
+        stale = similarity.pq_reconstruction_report(
+            even, drifted_wave, "vec_id", "embedding", cents, books,
+            growth_threshold=1.5, residual=True,
+        ).collect()
+        n_stale = sum(1 for r in stale if r.refit)
+        assert n_stale > n_calm, "planted drift must flag refits"
+        print(
+            f"refit decision: {n_calm}/{len(calm)} cells flagged on the "
+            f"calm wave, {n_stale}/{len(stale)} after the planted drift"
+        )
+
         # deliberately no spark.stop(): get_session returns the
         # process's shared session (getOrCreate) — suite rule
         return {
@@ -140,6 +178,8 @@ def main(sf_dir: str | None = None) -> dict:
             "n_results": len(batch),
             "mean_recall": mean_recall,
             "max_drift": float(max_shift),
+            "refit_flags_calm": n_calm,
+            "refit_flags_drifted": n_stale,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

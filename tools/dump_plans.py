@@ -125,6 +125,9 @@ NOTES = {
     "dedup_savings_report": "the keep-list chain (zero-shuffle signatures -> band-bucket candidates -> HashMin CC) dominates; the report adds one id-keyed join of the keep flags onto doc metadata and a |langs|-row partial-aggregated exchange — free on top of the mining.",
     "ann_recall_ivf_pq": "exact ground truth = the bounded query sample broadcast across ONE fan_out corpus scan (the sanctioned nested loop) into a WindowGroupLimit cut; the approximate relation joins back id-keyed; hit counts partial-aggregate before the per-query exchange.",
     "embedding_snapshot_drift": "two snapshot scans fan into per-dim DECIMAL-sum partial aggregates (d rows each); the only join merges the two d-row relations — the corpus never shuffles.",
+    "pq_codebook_staleness": "the refit decision: per snapshot, one scan projects (cell, DECIMAL reconstruction error) behind plan barriers (codebooks ride as literals) into a cells-row partial aggregate; the only join merges the two cells-row stats relations — no window, no range exchange, the corpus never shuffles.",
+    "kfold_shard_manifest": "kfold_assign is a pure-map md5 fold on top of the sharder's ONE range exchange (global_row_number) + broadcast min-rank join; the manifest is a k*n_shards-row partial-aggregated XOR/COUNT/SUM — the fold column adds zero exchanges (plan-pinned).",
+    "ann_recall_zorder": "same recall shape as the PQ row but with exact COSINE ground truth (the rung's metric): bounded query sample broadcast across one fan_out corpus scan, z-order candidates from the Morton-bucket join, id-keyed hit join, per-query partial-aggregated counts.",
 }
 
 

@@ -287,7 +287,13 @@ def kfold_export_manifest(
     range exchange (the two-pass global rank); the manifest is a
     k*n_shards-row aggregate with map-side combine. Determinism: fold,
     shard, position, and digest are all pure functions of (seeds, id)
-    — the manifest replays bit-for-bit on any cluster or engine."""
+    — the manifest replays bit-for-bit on any cluster or engine.
+
+    Note the fold check is not a uniqueness check: a DUPLICATED id
+    with the same fold passes assert_fold_disjoint yet still violates
+    the sharder's unique-id position contract — pass
+    ``check_unique_ids=True`` (one extra aggregate) when uniqueness is
+    not proven upstream, exactly as with ``shard_positions``."""
     from etl_fuel_priceguide_ec2_spark.operators import sampling
 
     if (k is None) == (fold_col is None):

@@ -1035,6 +1035,9 @@ def prune_codes_to_probed_cells(
         .distinct()
         .collect()
     ]
+    if not probed:  # empty query batch: empty store slice, same schema
+        # (explicit — don't lean on isin([])'s engine-specific result)
+        return codes.filter(F.lit(False))
     return codes.filter(F.col("cell").isin(probed))
 
 

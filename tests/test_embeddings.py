@@ -1510,3 +1510,23 @@ def test_pq_reconstruction_report_residual_frame(spark, sf_dir):
     raw_err = sum(r.err_old * r.n_old for r in raw) / sum(r.n_old for r in raw)
     res_err = sum(r.err_old * r.n_old for r in res) / sum(r.n_old for r in res)
     assert res_err < raw_err
+
+
+def test_prune_codes_empty_query_batch_yields_empty_slice(spark, sf_dir):
+    """An empty query batch prunes the store to an empty slice with the
+    store's schema — explicitly, not via isin([])'s engine-specific
+    null semantics (the streaming path guards empties earlier; this
+    pins the helper's own contract for direct callers)."""
+    from etl_fuel_priceguide_ec2_spark.operators import clustering, similarity
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    cents = clustering.fit_centroids(emb, "vec_id", "embedding", k=2, iters=1)
+    books = clustering.fit_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, ks=2, iters=1
+    )
+    codes = similarity.pq_encode(emb, "vec_id", "embedding", cents, books)
+    pruned = similarity.prune_codes_to_probed_cells(
+        codes, emb.filter(F.lit(False)), "vec_id", "embedding", cents, 2
+    )
+    assert pruned.count() == 0 and pruned.columns == codes.columns

@@ -50,73 +50,24 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-15 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 16, never slot into
+# Round-16 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 17, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-14 driver artifacts (CORRECTNESS_r14/BENCH_r14):
+# committing the round-15 driver artifacts (CORRECTNESS_r15/BENCH_r15):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Slots 1-5: the five round-14 post-freeze additions (never in a driver
+# Slots 1-3: the three round-15 post-freeze additions (never in a driver
 # window; each sim-green at sf0.01 with committed SIMLOG.json records
-# and judge-sim-green per VERDICT r14). Slots 6-42: the full
-# r10-last-green remainder, ledger order. Slots 43-50: the stalest r11
-# cohort, ledger order. Slots 51-70 pin the round-16 net head
-# (next-stalest r11 cohort, ledger order).
+# and judge-re-verified oracle-green per VERDICT r15). Slots 4-45: the
+# full r11-last-green remainder, ledger order. Slots 46-50: the stalest
+# r12 cohort head, ledger order. Slots 51-70 pin the round-17 net head
+# (next-stalest r12 cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 5 round-14 post-freeze additions (never driver-seen) ---
-    "dedup_savings_report",
-    "kfold_assignments",
-    "similarity_topk_ivf_pq_residual",
-    "ann_recall_ivf_pq",
-    "embedding_snapshot_drift",
-    # --- full r10-last-green remainder (ledger order) ---
-    "sorted_neighborhood_pairs",
-    "snm_dedup_keeplist",
-    "image_ahash_keeplist",
-    "asof_join_orders_events",
-    "latest_via_max_by",
-    "contamination_check",
-    "repetition_signals",
-    "unigram_quality",
-    "bigram_lm_quality",
-    "tfidf_cosine_pairs",
-    "similarity_pandas_udf",
-    "interval_join_recent_events",
-    "data_quality_metrics",
-    "similarity_topk_rplsh",
-    "date_function_battery",
-    "null_semantics_battery",
-    "pack_chunks_by_lang",
-    "stratified_take_per_lang",
-    "corpus_curation_decision",
-    "curation_decision_incremental",
-    "session_window_agg",
-    "unpivot_line_metrics",
-    "numeric_battery",
-    "value_window_battery",
-    "regexp_extract_groups",
-    "stats_battery",
-    "posexplode_tokens",
-    "map_functions_battery",
-    "window_count_distinct",
-    "shipping_priority_top10",
-    "higher_order_array_battery",
-    "conditional_agg_battery",
-    "union_by_name_feeds",
-    "variant_json_battery",
-    "similarity_topk_ivf2_sq8",
-    "embedding_covariance",
-    "pca_top_component_scores",
-    # --- stalest r11 cohort (ledger order) ---
-    "projection_rename",
-    "null_filter_shaping",
-    "keyed_changes",
-    "scalar_battery",
-    "run_metrics",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_priority",
-    # --- slots 51+: past the driver window; round-16 net head ---
+    # --- 3 round-15 post-freeze additions (never driver-seen) ---
+    "kfold_shard_manifest",
+    "pq_codebook_staleness",
+    "ann_recall_zorder",
+    # --- full r11-last-green remainder (ledger order) ---
     "rollup_brand_stats",
     "set_ops_symmetric_diff",
     "distinct_users_by_type",
@@ -137,6 +88,55 @@ _ROUND_PRIORITY: list[str] = [
     "doc_embedding_topk",
     "zorder_layout_lineitem",
     "pagerank_supplier_customer",
+    "triangle_counts_part_graph",
+    "curation_decision_outlier_gated",
+    "try_functions_battery",
+    "bitwise_battery",
+    "contamination_attribution",
+    "pca_top2_subspace_scores",
+    "embedding_outlier_zscores",
+    "embedding_covariance_from_state",
+    "embedding_pca_zorder_layout",
+    "similarity_topk_zorder",
+    "embedding_zdist_quantiles",
+    "embedding_fisher_scores",
+    "pca_residual_outliers",
+    "hll_users_by_event_type",
+    "hll_distinct_event_ids",
+    "hll_weekly_rollup_users",
+    "heavy_hitter_users",
+    "hll_intersection_user_sets",
+    "bloom_membership_orders",
+    "cms_user_event_counts",
+    "cms_token_frequencies",
+    "dd_quantile_order_totals",
+    # --- stalest r12 cohort head (ledger order) ---
+    "minhash_dedup_keeplist",
+    "exact_substring_spans",
+    "duplicated_span_coverage",
+    "exact_substring_incremental_spans",
+    "phrase_occurrences",
+    # --- slots 51+: past the driver window; round-17 net head ---
+    "scrub_duplicated_spans",
+    "winnow_candidate_pairs",
+    "containment_pairs",
+    "symspell_edit1_pairs",
+    "similarity_topk_ivf",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "audio_waveform_stats",
+    "audio_zero_crossings",
+    "image_ahash_near_pairs",
+    "image_phash_near_pairs",
+    "stream_window_counts",
+    "price_change_deltas",
+    "sessionize_events",
+    "csv_roundtrip_battery",
 ]
 
 

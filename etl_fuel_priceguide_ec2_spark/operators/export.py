@@ -301,6 +301,26 @@ def kfold_export_manifest(
             "kfold_export_manifest: pass exactly one of k (assign folds "
             "here) or fold_col (pre-assigned folds, disjointness-checked)"
         )
+    # Collide loudly up front (the pq_encode enforcement pattern,
+    # ADVICE r15): the generated names below would otherwise silently
+    # OVERWRITE the id column (id_col='fold' with k= clobbers the ids
+    # via kfold_assign's withColumn) or a pre-existing input column,
+    # corrupting positions and checksums with no error.
+    generated = {"shard", "shard_pos", "__h", "__rn", "__rn0", "_cs_h"}
+    if k is not None:
+        generated.add("fold")  # kfold_assign writes it on this path
+    if id_col in generated:
+        raise ValueError(
+            f"kfold_export_manifest: id_col {id_col!r} collides with a "
+            f"generated column name ({'/'.join(sorted(generated))})"
+        )
+    clash = sorted(generated.intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"kfold_export_manifest: input column(s) {clash} collide "
+            "with generated column names — rename them first "
+            f"({'/'.join(sorted(generated))} are reserved)"
+        )
     if k is not None:
         folded = sampling.kfold_assign(df, id_col, k, seed=fold_seed)
         fold_col = "fold"

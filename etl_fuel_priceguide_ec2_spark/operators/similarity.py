@@ -38,6 +38,29 @@ from etl_fuel_priceguide_ec2_spark.operators.util import (
 )
 
 
+def ranked_probe_cells(dists, cells: int, nprobe: int):
+    """The ONE definition of IVF probe-cell ranking (ADVICE r15): given
+    a per-row array of ``cells`` squared distances, return the
+    ``nprobe`` nearest cell ids as ``array<long>``, ranked ascending
+    with ties to the LOWER cell id. Every consumer of the probe set —
+    ``topk_ivf_pq``'s query side, ``cosine_topk_ivf_sq8``,
+    ``cosine_topk_ivf2_sq8``'s per-level probes, and the serving-layer
+    ``probe_cells`` relation that ``prune_codes_to_probed_cells`` /
+    ``ann_query_stream(prune_cells=True)`` act on — MUST fold this
+    expression, never a re-derivation: if ranking ever diverged (fold
+    order, tiebreak, cast), pruning would silently drop cells the
+    search actually probes and return wrong results instead of
+    erroring."""
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(cells - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -370,18 +393,9 @@ def cosine_topk_ivf_sq8(
     # queries: nprobe nearest cells + int8 code
     qb = _with_norm(queries, id_col, vec_col)
     qd = _dists("v", centroids)
-    ranked = F.array_sort(
-        F.zip_with(
-            qd,
-            F.sequence(F.lit(0), F.lit(cells - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
-        )
-    )
     q = qb.select(
         F.col(id_col).alias("query_id"),
-        F.explode(
-            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
-        ).alias("cell"),
+        F.explode(ranked_probe_cells(qd, cells, nprobe)).alias("cell"),
         F.transform("v", lambda x: F.round(x / F.col("norm") * 127).cast("long")).alias(
             "qq"
         ),
@@ -535,14 +549,7 @@ def cosine_topk_ivf2_sq8(
         return (F.array_position(d, F.array_min(d)) - 1).cast("long")
 
     def _probes(d, kk):
-        ranked = F.array_sort(
-            F.zip_with(
-                d,
-                F.sequence(F.lit(0), F.lit(kk - 1)),
-                lambda dd, i: F.struct(dd.alias("d"), i.alias("cid")),
-            )
-        )
-        return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
+        return ranked_probe_cells(d, kk, nprobe)
 
     def _resid(vec_expr, b1):
         return F.zip_with(
@@ -749,16 +756,7 @@ def topk_ivf_pq(
     # centroid from the query so it lives in the candidates' frame)
     qb = _with_norm(queries, id_col, vec_col)
     qd = _dists("v", centroids)
-    ranked = F.array_sort(
-        F.zip_with(
-            qd,
-            F.sequence(F.lit(0), F.lit(cells - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
-        )
-    )
-    probe_cells = F.explode(
-        F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
-    ).alias("cell")
+    probe_cells = F.explode(ranked_probe_cells(qd, cells, nprobe)).alias("cell")
     if residual:
         # per-cell tables are genuinely needed: each probed cell's
         # table subtracts THAT cell's centroid from the query
@@ -986,25 +984,17 @@ def probe_cells(
     ranked by squared-L2 with ties to the lower cell id — the probe
     relation every IVF rung builds on its query side, exposed so a
     serving layer can act on it BEFORE the search (pre-pruning the
-    codes-store scan, routing, cache admission). Matches the rung's
-    internal probe expression exactly (same fold, same tiebreak), so
-    pruning a store to these cells can never change a search result
-    (pinned by test)."""
+    codes-store scan, routing, cache admission). Folds the SAME
+    ``ranked_probe_cells`` expression the rungs fold (one shared
+    definition, ADVICE r15 — not a parallel re-derivation), so pruning
+    a store to these cells can never change a search result (pinned by
+    test)."""
     cells = len(centroids)
     qb = _with_norm(queries, id_col, vec_col)
     qd = sq_dists_expr("v", centroids)
-    ranked = F.array_sort(
-        F.zip_with(
-            qd,
-            F.sequence(F.lit(0), F.lit(cells - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
-        )
-    )
     return qb.select(
         F.col(id_col).alias("query_id"),
-        F.explode(
-            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"].cast("long"))
-        ).alias("cell"),
+        F.explode(ranked_probe_cells(qd, cells, nprobe)).alias("cell"),
     )
 
 
@@ -1064,6 +1054,15 @@ def cosine_topk_zorder(
     cells miss some cross-boundary neighbors; Morton-adjacent probing
     recovers the x-direction ones) — widen ``prefix_bits`` down or the
     probe set up for recall, exactly the IVF ladder's lever.
+
+    SERVING NOTE (r16): this rung is STORAGE-LOCALITY-ONLY, not a
+    standalone ANN index — ``ann_recall_zorder`` measured 0.32 mean
+    recall@10 on the uniform fixture with the PCA-basis keys already in
+    place (a top-2 projection of d>>2 data cannot carry a cosine
+    neighborhood unless the corpus lives near a 2-D manifold). Use the
+    Z-order key to lay out the written corpus; serve ANN from
+    ``topk_ivf_pq`` (recall pinned >= 0.9 on the same fixture). See
+    docs/SCALE.md "Rung demotion".
 
     ``zkeys`` COVERAGE: corpus/query vectors are joined INNER against
     ``zkeys`` — a vector with no key row has no cell and silently

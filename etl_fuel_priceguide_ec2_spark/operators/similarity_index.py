@@ -272,7 +272,30 @@ def pq_reconstruction_report(
         "cell", F.col("n").alias("n_new"), F.col("err").alias("err_new")
     )
     joined = old_stat.join(new_stat, "cell", "full_outer")
-    growth = F.round(F.col("err_new") / F.col("err_old"), 6)
+    # err_old == 0 is attainable (a small cell whose vectors sit ON its
+    # codewords after the 9dp rounding): Spark's non-ANSI Divide would
+    # yield NULL where DuckDB's double division yields inf, and a
+    # genuinely-degraded cell would report refit NULL instead of true —
+    # special-case it (ADVICE r15): growth NULL (the ratio is
+    # undefined), refit = err_new > 0 (perfect→imperfect IS drift).
+    # Cells present in only one snapshot keep NULL growth AND refit.
+    growth = F.when(
+        F.col("err_old").isNull()
+        | F.col("err_new").isNull()
+        | (F.col("err_old") == 0),
+        F.lit(None).cast("double"),
+    ).otherwise(F.round(F.col("err_new") / F.col("err_old"), 6))
+    refit = (
+        F.when(
+            F.col("err_old").isNull() | F.col("err_new").isNull(),
+            F.lit(None).cast("boolean"),
+        )
+        .when(F.col("err_old") == 0, F.col("err_new") > 0)
+        .otherwise(
+            F.round(F.col("err_new") / F.col("err_old"), 6)
+            > F.lit(growth_threshold)
+        )
+    )
     return joined.select(
         "cell",
         "n_old",
@@ -280,5 +303,5 @@ def pq_reconstruction_report(
         "err_old",
         "err_new",
         growth.alias("err_growth"),
-        (growth > F.lit(growth_threshold)).alias("refit"),
+        refit.alias("refit"),
     )

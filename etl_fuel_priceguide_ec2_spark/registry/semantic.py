@@ -1707,8 +1707,15 @@ def _pq_staleness_oracle_sql() -> str:
     SELECT COALESCE(o.cell, n2.cell) AS cell,
            CAST(o.n AS BIGINT) AS n_old, CAST(n2.n AS BIGINT) AS n_new,
            o.err AS err_old, n2.err AS err_new,
-           ROUND(n2.err / o.err, 6) AS err_growth,
-           (ROUND(n2.err / o.err, 6) > {_STALE_THR}) AS refit
+           -- err_old = 0 special case mirrored from
+           -- pq_reconstruction_report (ADVICE r15): DuckDB's double
+           -- division yields inf where Spark yields NULL, so guard it
+           -- identically on both sides — growth NULL, refit err_new>0
+           CASE WHEN o.err = 0 THEN NULL
+                ELSE ROUND(n2.err / o.err, 6) END AS err_growth,
+           CASE WHEN o.err IS NULL OR n2.err IS NULL THEN NULL
+                WHEN o.err = 0 THEN (n2.err > 0)
+                ELSE (ROUND(n2.err / o.err, 6) > {_STALE_THR}) END AS refit
     FROM ostat o FULL OUTER JOIN nstat n2 ON o.cell = n2.cell
 """
     )

@@ -1530,3 +1530,44 @@ def test_prune_codes_empty_query_batch_yields_empty_slice(spark, sf_dir):
         codes, emb.filter(F.lit(False)), "vec_id", "embedding", cents, 2
     )
     assert pruned.count() == 0 and pruned.columns == codes.columns
+
+
+def test_pq_reconstruction_report_zero_err_old_cell(spark):
+    """The degenerate perfect-reconstruction cell (ADVICE r15):
+    err_old == 0 is attainable after 9dp rounding when a small cell's
+    vectors sit ON its codewords. Spark's non-ANSI Divide would yield
+    growth NULL (refit NULL) while DuckDB yields inf (refit true) — the
+    special case pins the one shared semantics: growth NULL (the ratio
+    is undefined) and refit = err_new > 0, so a genuinely-degraded cell
+    FLAGS instead of reporting NULL, and a still-perfect cell stays
+    refit False."""
+    from etl_fuel_priceguide_ec2_spark.operators import similarity
+
+    cents = [[0.0, 0.0, 0.0, 0.0]]
+    books = [[[1.0, 2.0]], [[3.0, 4.0]]]  # m=2, ks=1: one codeword each
+    on_codewords = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    drifted = spark.createDataFrame(
+        [(1, [2.0, 4.0, 6.0, 8.0]), (2, [2.0, 4.0, 6.0, 8.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # perfect -> degraded: err_old 0, err_new > 0 => growth NULL, refit True
+    [r] = similarity.pq_reconstruction_report(
+        on_codewords, drifted, "vec_id", "embedding", cents, books
+    ).collect()
+    assert r.err_old == 0 and r.err_new > 0
+    assert r.err_growth is None and r.refit is True
+    # perfect -> perfect: growth NULL (0/0 undefined), refit False
+    [r2] = similarity.pq_reconstruction_report(
+        on_codewords, on_codewords, "vec_id", "embedding", cents, books
+    ).collect()
+    assert r2.err_old == 0 and r2.err_new == 0
+    assert r2.err_growth is None and r2.refit is False
+    # one-sided cells (full-outer fringe) still report refit NULL
+    empty = on_codewords.filter(F.lit(False))
+    [r3] = similarity.pq_reconstruction_report(
+        on_codewords, empty, "vec_id", "embedding", cents, books
+    ).collect()
+    assert r3.err_new is None and r3.refit is None and r3.err_growth is None

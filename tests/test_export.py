@@ -430,3 +430,42 @@ def test_kfold_export_manifest_external_folds_and_planted_leak(spark, docs):
         )
     with pytest.raises(ValueError, match="exactly one"):
         export.kfold_export_manifest(folded, "doc_id", n_shards=N_SHARDS)
+
+
+def test_kfold_export_manifest_collision_guard(spark, docs):
+    """Generated-name collisions fail eagerly (ADVICE r15, the
+    pq_encode enforcement pattern): id_col='fold' with k= would be
+    silently OVERWRITTEN by kfold_assign's withColumn (corrupting every
+    position and checksum downstream), and a pre-existing fold/shard
+    column would be clobbered the same way — all four shapes raise
+    before any export math runs."""
+    renamed = docs.withColumnRenamed("doc_id", "fold")
+    with pytest.raises(ValueError, match="id_col 'fold' collides"):
+        export.kfold_export_manifest(
+            renamed, "fold", n_shards=N_SHARDS, k=3
+        )
+    with pytest.raises(ValueError, match="id_col 'shard_pos' collides"):
+        export.kfold_export_manifest(
+            docs.withColumnRenamed("doc_id", "shard_pos"),
+            "shard_pos", n_shards=N_SHARDS, k=3,
+        )
+    # pre-existing 'fold' input column on the k= path (a stale
+    # assignment riding along) must not be silently clobbered
+    with pytest.raises(ValueError, match=r"\['fold'\] collide"):
+        export.kfold_export_manifest(
+            docs.withColumn("fold", F.lit(0)), "doc_id",
+            n_shards=N_SHARDS, k=3,
+        )
+    with pytest.raises(ValueError, match=r"\['shard'\] collide"):
+        export.kfold_export_manifest(
+            docs.withColumn("shard", F.lit(0)), "doc_id",
+            n_shards=N_SHARDS, k=3,
+        )
+    # the fold_col path still accepts its own fold column, and id_col
+    # 'fold' is fine there (nothing generates over it)
+    from etl_fuel_priceguide_ec2_spark.operators import sampling
+
+    folded = sampling.kfold_assign(docs, "doc_id", 3, seed="cv")
+    assert export.kfold_export_manifest(
+        folded, "doc_id", n_shards=N_SHARDS, fold_col="fold"
+    ).count() > 0

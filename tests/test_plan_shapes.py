@@ -937,6 +937,25 @@ def test_ann_codes_store_scan_prunes_to_probed_cells(spark, sf_dir, tmp_path):
     )
     got = sorted(map(tuple, search.collect()))
     assert got == sorted(map(tuple, full.collect())) and got
+    # a second nprobe configuration (the search and the pruner now fold
+    # ONE shared ranked_probe_cells expression — ADVICE r15 — so a
+    # ranking divergence is structurally impossible; this pins it
+    # end-to-end at a config the first check doesn't cover)
+    pruned1 = similarity.prune_codes_to_probed_cells(
+        stored, queries, "vec_id", "embedding", cents, nprobe=1
+    )
+    s1 = similarity.topk_ivf_pq(
+        emb, queries, "vec_id", "embedding",
+        k=3, nprobe=1, rerank_m=10, m=8, ks=8,
+        centroids=cents, pq_codebooks=books, codes=pruned1,
+    )
+    f1 = similarity.topk_ivf_pq(
+        emb, queries, "vec_id", "embedding",
+        k=3, nprobe=1, rerank_m=10, m=8, ks=8,
+        centroids=cents, pq_codebooks=books, codes=stored,
+    )
+    got1 = sorted(map(tuple, s1.collect()))
+    assert got1 == sorted(map(tuple, f1.collect())) and got1
 
 
 def test_pq_staleness_report_is_two_scans_into_cells_aggregate(spark, sf_dir):

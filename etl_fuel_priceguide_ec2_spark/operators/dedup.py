@@ -742,6 +742,7 @@ def connected_components(
     max_iter: int = 20,
     size_to_graph: bool = False,
     hops_per_probe: int | str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs into groups: connected components via
     iterative HashMin label propagation (each node repeatedly adopts the
@@ -788,18 +789,23 @@ def connected_components(
     component — the canonical "keep this one" representative.
 
     Fault-tolerance note: iteration state is pinned with localCheckpoint
-    (fast, executor-local). On long multi-hour cluster runs prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` so state
-    survives executor loss.
+    (fast, executor-local) by default — UNRECOVERABLE on executor loss.
+    Pass ``checkpoint_dir`` to pin with a reliable ``.checkpoint()``
+    instead (one FS write+read per probe cycle) so a multi-hour run on
+    a preemptible fleet survives losing an executor at iteration 30;
+    labels are bit-identical either way (``util.iteration_pin``,
+    VERDICT r15 item 3).
     """
-    edges = (
+    from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+    pin = iteration_pin(checkpoint_dir)
+    edges = pin(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         # materialize once: every iteration joins against edges, and an
         # unmaterialized lineage would re-run the upstream pair-mining
         # (the expensive SSJoin/LSH) each round
-        .localCheckpoint(eager=True)
     )
     spark = pairs.sparkSession
     # size_to_graph=True hash-repartitions every loop relation to a
@@ -870,7 +876,7 @@ def connected_components(
                     (new_min != F.col("component_id")).alias("_lastch"),
                 )
             )
-        work = work.localCheckpoint(eager=True)
+        work = pin(work)
         changed = work.filter(F.col("_lastch")).limit(1).count()
         labels = work.drop("_lastch")
         if changed == 0:

@@ -27,6 +27,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (pass both
     directions for an undirected graph — that also guarantees no
@@ -37,29 +38,33 @@ def pagerank(
     Plan per iteration: edges ⋈ ranks on src (shuffle on the key),
     contribution aggregate on dst (map-side combined), left join back
     to the node set (nodes with no in-edges keep the teleport term).
-    State is one (node, pr) relation, localCheckpointed per iteration."""
+    State is one (node, pr) relation, pinned per iteration —
+    ``checkpoint_dir`` switches the pin from localCheckpoint (fast,
+    executor-local, unrecoverable on executor loss) to a reliable
+    ``.checkpoint()`` that survives executor loss on preemptible
+    fleets; results are bit-identical (``util.iteration_pin``)."""
+    from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+    pin = iteration_pin(checkpoint_dir)
     # materialize the loop-invariant relations ONCE (the
     # connected_components lesson): an unmaterialized edge lineage
     # would re-run the upstream join/distinct every iteration —
     # trade-graph query at sf0.1 warm min: 15.4 s lazy-edges ->
     # 6.6 s checkpointed + degree folded into the edge relation (the
     # remaining floor is 5 x (checkpoint job + 2 shuffles) on this box)
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = pin(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     )
-    nodes = (
+    nodes = pin(
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     # degree folded into the edge relation once -> each iteration is
     # ONE keyed join + one aggregate + the node left-join
-    e_deg = e.join(deg, "_s").localCheckpoint(eager=True)
+    e_deg = pin(e.join(deg, "_s"))
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("pr")
     )
@@ -76,9 +81,8 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s_c"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+        ranks = pin(
+            nodes.join(contrib, "node", "left").select(
                 "node",
                 F.round(
                     teleport
@@ -87,7 +91,6 @@ def pagerank(
                     12,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks
 
@@ -306,6 +309,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities over a DIRECTED edge list, L1
     normalization (each phase divides by the global score sum — HITS
@@ -360,16 +364,19 @@ def hits(
     this operator; the numbers above time the Spark query alone."""
     if iters < 1:
         raise ValueError(f"hits requires iters >= 1, got {iters}")
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+    # checkpoint_dir switches every per-iteration pin below from
+    # localCheckpoint to a reliable .checkpoint() (executor-loss
+    # survivable); results bit-identical — util.iteration_pin
+    pin = iteration_pin(checkpoint_dir)
+    e = pin(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     )
-    nodes = (
+    nodes = pin(
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     _dec = "decimal(38,12)"
@@ -411,8 +418,8 @@ def hits(
             )
             .groupBy("node")
             .agg(F.sum("_r").alias("_raw"))
-            .localCheckpoint(eager=True)
         )
+        raw_i = pin(raw_i)
         return raw_i, raw_i.agg(F.sum("_raw").alias("_t"))
 
     for _ in range(iters):

@@ -81,6 +81,39 @@ def plan_barrier(df: DataFrame) -> DataFrame:
     )
 
 
+def iteration_pin(checkpoint_dir: str | None = None):
+    """The ONE switch between the two lineage-truncation modes every
+    iterative operator (pagerank/hits/connected_components) threads
+    through its loop (VERDICT r15 item 3):
+
+    - ``checkpoint_dir=None`` (default): ``localCheckpoint(eager=True)``
+      — fast (executor-local blocks, no FS round-trip), but those
+      blocks are UNRECOVERABLE on executor loss: on a preemptible
+      100 TB cluster, losing one executor at iteration 30 kills the
+      whole job. The right default for local/interactive runs and
+      non-preemptible clusters.
+    - ``checkpoint_dir="hdfs://..."``: reliable ``.checkpoint()`` —
+      state is written to the (fault-tolerant) checkpoint FS each
+      round, so iteration state survives executor loss at the cost of
+      one FS write+read per pin. Opt in for long multi-hour runs on
+      preemptible fleets. Results are bit-identical either way
+      (test-pinned); only durability and cost differ.
+
+    Note ``setCheckpointDir`` is SparkContext-global: the helper sets
+    it on first use and later callers may override it — callers sharing
+    a session should pass the same directory."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+
+    return _pin
+
+
 def longs_lit(values) -> Column:
     """``array<bigint>`` literal in ONE py4j call — the integer sibling
     of :func:`vec_lit` (minhash permutation indices, simhash bit

@@ -2525,12 +2525,16 @@ def test_capstone_signals_rejects_unknown_materialize_mode(spark):
 
 
 def test_capstone_signal_store_invalidated_by_clear_store_cache(spark, sf_dir):
-    """The documented invalidation contract: the capstone mines its
-    signals once per (session, corpus) and clear_store_cache() forces
-    a re-mine (the fixture-rewritten-in-process escape hatch)."""
+    """The two-layer invalidation contract of the now-DURABLE signal
+    store (VERDICT r15 item 4): the capstone mines its signals once per
+    corpus GENERATION and persists them to parquet, so
+    clear_store_cache() (the session-cache escape hatch) forces only a
+    parquet RE-READ — the cold-start path a fresh process pays — while
+    clear_durable_stores() forces the full re-mine."""
     from etl_fuel_priceguide_ec2_spark import registry
     from etl_fuel_priceguide_ec2_spark.registry import curation as rc
     from etl_fuel_priceguide_ec2_spark.registry.stores import (
+        clear_durable_stores,
         clear_store_cache,
     )
 
@@ -2544,13 +2548,60 @@ def test_capstone_signal_store_invalidated_by_clear_store_cache(spark, sf_dir):
 
     rc._mine_capstone_signals = _counting
     try:
+        clear_durable_stores()
+        first = q(spark, sf_dir).collect()
+        q(spark, sf_dir).collect()
+        assert len(mines) == 1  # second call served from the session cache
         clear_store_cache()
+        cold = q(spark, sf_dir).collect()
+        assert len(mines) == 1  # re-READ from parquet, no re-mine —
+        # this is the fresh-process cold path, now mining-free
+        assert sorted(map(tuple, cold)) == sorted(map(tuple, first))
+        clear_durable_stores()
         q(spark, sf_dir).collect()
-        q(spark, sf_dir).collect()
-        assert len(mines) == 1  # second call served from the store
-        clear_store_cache()
-        q(spark, sf_dir).collect()
-        assert len(mines) == 2  # invalidation forces a re-mine
+        assert len(mines) == 2  # durable invalidation forces the re-mine
     finally:
         rc._mine_capstone_signals = real
-        clear_store_cache()
+        clear_durable_stores()
+
+
+def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
+    """checkpoint_dir switches the iterative operators' lineage pin
+    from localCheckpoint (fast, executor-local, unrecoverable on
+    executor loss) to a reliable .checkpoint() that survives executor
+    loss on a preemptible fleet (VERDICT r15 item 3). It is a
+    DURABILITY knob, never a semantics knob: pagerank, hits, and
+    connected_components must return bit-identical rows either way,
+    and the reliable run must actually write RDD checkpoint state
+    under the given directory."""
+    import os
+
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+
+    ckdir = str(tmp_path / "reliable_ck")
+    spokes = list(range(1, 7))
+    star = [(0, s) for s in spokes] + [(s, 0) for s in spokes]
+    edges = spark.createDataFrame(star, "src long, dst long")
+
+    local_pr = sorted(map(tuple, graph.pagerank(edges, iters=3).collect()))
+    relia_pr = sorted(map(tuple, graph.pagerank(
+        edges, iters=3, checkpoint_dir=ckdir
+    ).collect()))
+    assert local_pr == relia_pr and local_pr
+
+    local_h = sorted(map(tuple, graph.hits(edges, iters=2).collect()))
+    relia_h = sorted(map(tuple, graph.hits(
+        edges, iters=2, checkpoint_dir=ckdir
+    ).collect()))
+    assert local_h == relia_h and local_h
+
+    chain = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    local_cc = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+    relia_cc = sorted(map(tuple, dedup.connected_components(
+        pairs, checkpoint_dir=ckdir
+    ).collect()))
+    assert local_cc == relia_cc and local_cc
+
+    # the reliable mode really wrote durable checkpoint state
+    assert any(files for _, _, files in os.walk(ckdir))

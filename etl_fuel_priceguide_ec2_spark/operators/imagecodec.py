@@ -1,12 +1,16 @@
 """Dependency-free image codec for the X5 real-codec path.
 
 The container has no PIL/ffmpeg, so the multimodal operators' REAL
-decode path supports the two formats trivially decodable in pure
-Python + numpy: binary PPM (P6) and 24-bit uncompressed BMP. That is
-enough to exercise genuine bytes -> pixels -> resize -> re-encode over
-the mapInPandas plumbing; richer codecs slot into the same functions
+decode path supports the formats decodable in pure Python + numpy +
+stdlib zlib: binary PPM (P6), 24-bit uncompressed BMP, and — as of
+round 16 (VERDICT r15 item 2, the real-corpus format) — 8-bit
+non-interlaced PNG (grayscale / RGB / RGBA, all five scanline filter
+types, DEFLATE via ``zlib``). That is enough to exercise genuine
+bytes -> pixels -> resize -> re-encode over the mapInPandas plumbing
+on the format real corpora actually carry; richer codecs (JPEG,
+palette/16-bit/interlaced PNG, video) slot into the same functions
 when their libraries exist (same (width, height, rgb-ndarray)
-contract).
+contract) and raise loudly until then.
 
 All functions are per-payload (called inside Arrow batch loops); none
 touch Spark.
@@ -15,11 +19,15 @@ touch Spark.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 PPM_MIME = "image/x-portable-pixmap"
 BMP_MIME = "image/bmp"
+PNG_MIME = "image/png"
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_mime(payload: bytes) -> str | None:
@@ -28,6 +36,8 @@ def sniff_mime(payload: bytes) -> str | None:
         return PPM_MIME
     if payload[:2] == b"BM":
         return BMP_MIME
+    if payload[:8] == _PNG_MAGIC:
+        return PNG_MIME
     return None
 
 
@@ -106,6 +116,146 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor non-interlaced PNG.
+
+    Scanlines use filter type 0 (None) — simple and bit-exactly
+    round-trippable; DEFLATE does the compressing. (A production
+    encoder would pick per-row filters for ratio; decode-side we accept
+    all five, see ``decode_png``.)"""
+    h, w, c = img.shape
+    assert c == 3, "encode_png writes truecolor RGB"
+    rows = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * 3)
+    raw = np.zeros((h, w * 3 + 1), dtype=np.uint8)  # filter byte 0 + row
+    raw[:, 1:] = rows
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering (PNG spec 4.5.4, all five types).
+
+    None/Up/Sub are numpy-vectorized (Sub is a per-byte-lane cumulative
+    sum mod 256); Average and Paeth genuinely depend on the
+    just-reconstructed left neighbor, so they run a per-byte loop —
+    only on rows that actually use them (our own encoder never does)."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            cur = line
+            for lane in range(bpp):
+                cur[lane::bpp] = (
+                    np.cumsum(cur[lane::bpp], dtype=np.int64) % 256
+                ).astype(np.uint8)
+        elif ft == 2:  # Up (uint8 addition wraps mod 256 by itself)
+            cur = line + prev
+        elif ft == 3:  # Average: + floor((left + up) / 2), sequential
+            c64 = line.astype(np.int64)
+            p64 = prev.astype(np.int64)
+            for x in range(stride):
+                left = c64[x - bpp] if x >= bpp else 0
+                c64[x] = (c64[x] + ((left + p64[x]) >> 1)) & 0xFF
+            cur = c64.astype(np.uint8)
+        elif ft == 4:  # Paeth, sequential
+            c64 = line.astype(np.int64)
+            p64 = prev.astype(np.int64)
+            for x in range(stride):
+                a = c64[x - bpp] if x >= bpp else 0
+                b = p64[x]
+                cc = p64[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = cc
+                c64[x] = (c64[x] + pred) & 0xFF
+            cur = c64.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (h, w, 3) uint8 RGB.
+
+    Supported: color types 0 (grayscale, expanded to RGB), 2
+    (truecolor) and 6 (truecolor+alpha — alpha DROPPED, not
+    composited: perceptual hashing wants the color planes), bit depth
+    8, interlace 0, all five filter types, multi-IDAT streams,
+    ancillary chunks skipped. Palette (3), 16-bit, grayscale+alpha (4)
+    and Adam7 raise loudly — feature gates, not silent misdecodes."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = color_type = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} unsupported (8 only)"
+                )
+            if color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG color type {color_type} unsupported "
+                    "(grayscale/RGB/RGBA only; palette needs PLTE handling)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("Adam7 interlaced PNG unsupported")
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG pixel stream")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color_type == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color_type == 6:
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)
+
+
 def decode(payload: bytes) -> np.ndarray:
     """Decode any supported format by magic bytes."""
     mime = sniff_mime(payload)
@@ -113,8 +263,11 @@ def decode(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if mime == BMP_MIME:
         return decode_bmp(payload)
+    if mime == PNG_MIME:
+        return decode_png(payload)
     raise NotImplementedError(
-        "real codec supports PPM(P6)/BMP(24-bit); other formats need PIL/av"
+        "real codec supports PPM(P6)/BMP(24-bit)/PNG(8-bit); "
+        "JPEG/video need PIL/av"
     )
 
 

@@ -453,22 +453,42 @@ def synth_image(doc_id: int, size: int = 16, classes: int = 100):
     return img.astype(np.uint8)
 
 
-def to_image_media(df: DataFrame, id_col: str, size: int = 16, classes: int = 100) -> DataFrame:
-    """Synthesize a REAL binary-PPM payload per row (the from-scratch P6
-    encoder over ``synth_image``). Arrow-batched; payloads are produced
+def to_image_media(
+    df: DataFrame,
+    id_col: str,
+    size: int = 16,
+    classes: int = 100,
+    fmt: str = "ppm",
+) -> DataFrame:
+    """Synthesize a REAL image payload per row over ``synth_image`` —
+    ``fmt`` picks the container: ``"ppm"`` (binary P6, the historical
+    default), ``"bmp"`` (24-bit BI_RGB) or ``"png"`` (8-bit truecolor,
+    stdlib-zlib DEFLATE — the format real corpora carry, r16). Same
+    pixels whatever the container, so every decode-based consumer
+    (aHash/pHash/resize/keep-lists) is format-invariant by
+    construction (test-pinned). Arrow-batched; payloads are produced
     executor-side and never visit the driver."""
     from pyspark.sql.functions import pandas_udf
 
     from etl_fuel_priceguide_ec2_spark.operators import imagecodec
 
+    encoders = {
+        "ppm": (imagecodec.encode_ppm, imagecodec.PPM_MIME),
+        "bmp": (imagecodec.encode_bmp, imagecodec.BMP_MIME),
+        "png": (imagecodec.encode_png, imagecodec.PNG_MIME),
+    }
+    if fmt not in encoders:
+        raise ValueError(f"fmt must be one of {sorted(encoders)}, got {fmt!r}")
+    enc, mime = encoders[fmt]
+
     @pandas_udf(BinaryType())
     def _synth(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: imagecodec.encode_ppm(synth_image(int(i), size, classes)))
+        return ids.map(lambda i: enc(synth_image(int(i), size, classes)))
 
     return df.select(
         F.col(id_col).alias("doc_id"),
         _synth(F.col(id_col)).alias("payload"),
-        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(mime).alias("mime"),
     )
 
 

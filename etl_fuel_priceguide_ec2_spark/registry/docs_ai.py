@@ -624,3 +624,31 @@ def q_audio_fingerprint_keeplist(spark, sf_dir):
         docs, "doc_id", n_samples=4000, classes=100
     )
     return multimodal.band_keeplist(docs, multimodal.audio_fingerprint(media))
+
+
+# --- round-16 addition (post-freeze -> leads the round-17 window) ------
+# X5 completion (VERDICT r15 item 2): the PNG decode path exercised
+# end-to-end as a driver-facing row. Same deterministic pixels, same
+# hash math, same keep-list composition as image_ahash_keeplist — the
+# ONLY difference is the container: payloads are 8-bit truecolor PNGs
+# (stdlib-zlib DEFLATE, operators/imagecodec.decode_png), so what this
+# row verifies is precisely the new codec: a single mis-decoded byte
+# anywhere in the DEFLATE/unfilter path flips hash bits, changes the
+# pair set, and breaks the component hash. The oracle is IDENTICAL to
+# the PPM row's (it replays pixel synthesis + hash math in SQL —
+# format-free by construction); Spark earns its bits through the real
+# PNG round trip.
+
+
+@register("image_ahash_keeplist_png", _AHASH_KEEPLIST_ORACLE)
+def q_image_ahash_keeplist_png(spark, sf_dir):
+    """``image_ahash_keeplist`` over PNG payloads: encode_png ->
+    decode_png (DEFLATE + scanline unfilter) -> aHash bands -> banded
+    pair join -> HashMin components -> min-id canonical. Proves the
+    perceptual tier runs on the container real corpora actually carry
+    (r16; PPM/BMP were the bootstrap formats)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_image_media(
+        docs, "doc_id", size=16, classes=100, fmt="png"
+    )
+    return multimodal.band_keeplist(docs, multimodal.image_ahash(media))

@@ -68,14 +68,60 @@ def read_fact(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def upsert_dim(src: DataFrame, path: str, key: str) -> None:
-    """S4: insert-if-absent into the dimension table at ``path``.
+def delta_available() -> bool:
+    """True iff the delta-spark package is importable — the feature
+    gate for the transactional MERGE path (the PIL-gate pattern:
+    detect, never require)."""
+    try:
+        import delta  # noqa: F401
 
-    First run bootstraps the table; later runs append only rows whose
-    key is absent (anti-join against current keys — only the key column
-    of the existing dim is ever shuffled/broadcast, not its payload).
+        return True
+    except ImportError:
+        return False
+
+
+def upsert_dim(
+    src: DataFrame, path: str, key: str, use_delta: bool | None = None
+) -> None:
+    """S4: insert-if-absent into the dimension table at ``path``
+    (DynamoDB conditional-put semantics, ``index.js:368``).
+
+    Two storage paths behind one contract (VERDICT r15 item 6):
+
+    * ``use_delta=None`` (auto) / ``False`` — portable plain-parquet:
+      first run bootstraps the table; later runs append only rows whose
+      key is absent (anti-join against current keys — only the key
+      column of the existing dim is ever shuffled/broadcast, not its
+      payload). NON-ATOMIC across writers: two concurrent runs can both
+      observe a key absent and both append it (SURVEY.md §7); correct
+      under the reference's single-cron-writer model.
+    * Delta (auto-selected when delta-spark is importable, or forced
+      with ``use_delta=True``) — transactional
+      ``MERGE ... WHEN NOT MATCHED THEN INSERT``: Delta's optimistic
+      concurrency control serializes conflicting writers, closing the
+      concurrent-writer race. Same inserted rows either way on a quiet
+      table (the anti-join IS when-not-matched-insert); only atomicity
+      differs. Requires a session with the Delta SQL extension +
+      catalog configured; ``use_delta=True`` without the package raises
+      ImportError loudly rather than silently downgrading atomicity.
     """
     spark = src.sparkSession
+    if use_delta is None:
+        use_delta = delta_available()
+    if use_delta:
+        from delta.tables import DeltaTable  # ImportError = loud gate
+
+        if not DeltaTable.isDeltaTable(spark, path):
+            src.write.format("delta").mode("overwrite").save(path)
+            return
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(src.alias("s"), f"t.`{key}` = s.`{key}`")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
     try:
         existing = spark.read.parquet(path)
     except Exception:

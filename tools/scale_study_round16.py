@@ -1,0 +1,143 @@
+"""Round-16 operator scaling study: the PNG codec path, the durable
+curation signal store's cold-start, and the reliable-checkpoint tax.
+
+Claims under test, printed as facts:
+- PNG vs PPM ingest: the perceptual-hash pipeline over PNG payloads
+  pays DEFLATE + unfilter per image where PPM pays a header parse.
+  Both are per-payload map work inside mapInPandas (Arrow batches) —
+  the hash relation that shuffles is 4 longs per image either way, so
+  the format changes per-row decode cost, never the plan shape.
+  Expect a constant-factor gap, flat-ish in sf (scheduling floor
+  dominates at fixture scale).
+- Durable signal store: a FRESH first call in this process (durable
+  store cleared) pays mining + parquet write; a simulated fresh
+  process (session cache cleared, parquet kept) pays only the read —
+  the number the driver's cold rep-1 will show. Expect read-back to be
+  within ~1.5x of the warm decision layer.
+- Reliable checkpoint: pagerank over the supplier-customer trade graph
+  with localCheckpoint vs .checkpoint(dir) — the durability tax is the
+  per-iteration FS write+read; results bit-identical (asserted).
+
+Run: python tools/scale_study_round16.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_fuel_priceguide_ec2_spark import registry  # noqa: E402
+from etl_fuel_priceguide_ec2_spark.operators import multimodal  # noqa: E402
+from etl_fuel_priceguide_ec2_spark.session import get_session  # noqa: E402
+from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table  # noqa: E402
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def _t(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_session()
+    out: dict = {}
+
+    # --- PNG vs PPM decode+hash throughput --------------------------
+    fmt_rows = {}
+    for sf in SFS:
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        n = docs.count()
+        per_fmt = {}
+        for fmt in ("ppm", "png"):
+            media = multimodal.to_image_media(
+                docs, "doc_id", size=16, classes=100, fmt=fmt
+            ).localCheckpoint(eager=True)  # pre-encode: time DECODE+hash
+            per_fmt[fmt] = _t(
+                lambda m=media: multimodal.image_ahash(m).count()
+            )
+            media.unpersist()
+        per_fmt["n_docs"] = n
+        fmt_rows[sf.rsplit("/", 1)[-1]] = per_fmt
+    out["png_vs_ppm_ahash_sec"] = fmt_rows
+
+    # --- durable signal store: mine vs read-back vs warm ------------
+    from etl_fuel_priceguide_ec2_spark.registry.stores import (
+        clear_durable_stores,
+        clear_store_cache,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    q = registry.queries()["corpus_curation_decision"]
+    clear_durable_stores()
+    t0 = time.perf_counter()
+    q(spark, sf).count()
+    mine_and_write = round(time.perf_counter() - t0, 3)
+    clear_store_cache()  # parquet kept: the fresh-PROCESS cold path
+    t0 = time.perf_counter()
+    q(spark, sf).count()
+    read_back_cold = round(time.perf_counter() - t0, 3)
+    warm = _t(lambda: q(spark, sf).count())
+    out["curation_cold_paths_sec"] = {
+        "first_ever_mine_plus_write": mine_and_write,
+        "fresh_process_read_back": read_back_cold,
+        "warm_decision_layer": warm,
+        "read_back_over_warm": round(read_back_cold / warm, 2),
+    }
+
+    # --- reliable checkpoint tax on pagerank ------------------------
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        )
+    )
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    local = _t(lambda: graph.pagerank(both, iters=3).count(), reps=2)
+    ckdir = tempfile.mkdtemp(prefix="r16_reliable_ck_")
+    try:
+        reliable = _t(
+            lambda: graph.pagerank(both, iters=3, checkpoint_dir=ckdir).count(),
+            reps=2,
+        )
+        a = sorted(map(tuple, graph.pagerank(both, iters=3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                graph.pagerank(both, iters=3, checkpoint_dir=ckdir).collect(),
+            )
+        )
+        assert a == b, "reliable checkpoint changed results"
+    finally:
+        shutil.rmtree(ckdir, ignore_errors=True)
+    out["pagerank_checkpoint_tax_sec"] = {
+        "localCheckpoint": local,
+        "reliable_checkpoint": reliable,
+        "tax": round(reliable / local, 2),
+        "bit_identical": True,
+    }
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

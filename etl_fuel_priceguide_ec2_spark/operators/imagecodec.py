@@ -3,11 +3,13 @@
 The container has no PIL/ffmpeg, so the multimodal operators' REAL
 decode path supports the formats decodable in pure Python + numpy +
 stdlib zlib: binary PPM (P6), 24-bit uncompressed BMP, and — as of
-round 16 (VERDICT r15 item 2, the real-corpus format) — 8-bit
+round 16 (VERDICT r15 item 2, the real-corpus formats) — 8-bit
 non-interlaced PNG (grayscale / RGB / RGBA, all five scanline filter
-types, DEFLATE via ``zlib``). That is enough to exercise genuine
-bytes -> pixels -> resize -> re-encode over the mapInPandas plumbing
-on the format real corpora actually carry; richer codecs (JPEG,
+types, DEFLATE via ``zlib``) and sequential-baseline JPEG
+(``jpegcodec``: grayscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart
+markers). That is enough to exercise genuine bytes -> pixels ->
+resize -> re-encode over the mapInPandas plumbing on the formats real
+corpora actually carry; the remaining gaps (progressive JPEG,
 palette/16-bit/interlaced PNG, video) slot into the same functions
 when their libraries exist (same (width, height, rgb-ndarray)
 contract) and raise loudly until then.
@@ -26,6 +28,7 @@ import numpy as np
 PPM_MIME = "image/x-portable-pixmap"
 BMP_MIME = "image/bmp"
 PNG_MIME = "image/png"
+JPEG_MIME = "image/jpeg"
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -38,6 +41,8 @@ def sniff_mime(payload: bytes) -> str | None:
         return BMP_MIME
     if payload[:8] == _PNG_MAGIC:
         return PNG_MIME
+    if payload[:3] == b"\xff\xd8\xff":
+        return JPEG_MIME
     return None
 
 
@@ -265,9 +270,13 @@ def decode(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if mime == PNG_MIME:
         return decode_png(payload)
+    if mime == JPEG_MIME:
+        from etl_fuel_priceguide_ec2_spark.operators import jpegcodec
+
+        return jpegcodec.decode_jpeg(payload)
     raise NotImplementedError(
-        "real codec supports PPM(P6)/BMP(24-bit)/PNG(8-bit); "
-        "JPEG/video need PIL/av"
+        "real codec supports PPM(P6)/BMP(24-bit)/PNG(8-bit)/"
+        "baseline JPEG; video needs PIL/av"
     )
 
 

@@ -492,6 +492,40 @@ def to_image_media(
     )
 
 
+def to_image_media_blocks(
+    df: DataFrame,
+    id_col: str,
+    size: int = 16,
+    classes: int = 100,
+    quality: int = 90,
+) -> DataFrame:
+    """Synthesize a REAL grayscale baseline-JPEG payload per row over
+    ``jpegcodec.synth_block_image`` — 8x8-block-constant images, the
+    subspace where baseline JPEG is bit-EXACT (DC-only blocks; see the
+    jpegcodec module docstring), so decode-based consumers stay
+    oracle-able against a pure-SQL pixel replay even through a lossy
+    container. Arrow-batched; payloads never visit the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_fuel_priceguide_ec2_spark.operators import jpegcodec
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: jpegcodec.encode_jpeg(
+                jpegcodec.synth_block_image(int(i), size, classes),
+                quality=quality,
+                grayscale=True,
+            )
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _synth(F.col(id_col)).alias("payload"),
+        F.lit(jpegcodec.JPEG_MIME).alias("mime"),
+    )
+
+
 def image_ahash(media: DataFrame) -> DataFrame:
     """aHash (average hash) per decoded image payload, emitted as four
     16-bit bands (b0..b3) instead of one 64-bit word — the packing that

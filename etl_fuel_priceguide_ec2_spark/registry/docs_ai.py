@@ -652,3 +652,81 @@ def q_image_ahash_keeplist_png(spark, sf_dir):
         docs, "doc_id", size=16, classes=100, fmt="png"
     )
     return multimodal.band_keeplist(docs, multimodal.image_ahash(media))
+
+
+# --- round-16 addition #2 (post-freeze -> leads the round-17 window) ---
+# X5: the baseline-JPEG decode path as a driver-facing row. JPEG is
+# lossy in general, so the fixture is deliberately the EXACT subspace:
+# 8x8-block-constant grayscale images have DC-only blocks (AC exactly
+# 0; DC dequantization error < 0.5 after the IDCT's /8), so the full
+# entropy pipeline — Huffman tables, magnitude coding, byte stuffing,
+# DC prediction, zigzag, dequant, IDCT — round-trips the pixels
+# bit-exactly, and the oracle can replay pixels + hash math in pure
+# SQL exactly as the PPM/PNG rows do. One wrong bit anywhere in the
+# codec breaks the component hash.
+
+_AHASH_JPEG_BANDS_CTES = """px AS (
+      SELECT d.doc_id, d.doc_id % 100 AS cls, t.t % 2 AS tx, t.t // 2 AS ty
+      FROM documents d CROSS JOIN unnest(generate_series(0, 3)) AS t(t)
+    ), tiles AS (
+      SELECT doc_id, tx, ty,
+        CASE WHEN (ty * 2 + tx) = doc_id % 4
+             THEN LEAST(255, ((cls * 37 + tx * 61 + ty * 29) % 256) + (doc_id % 5))
+             ELSE (cls * 37 + tx * 61 + ty * 29) % 256 END AS v
+      FROM px
+    ), cells AS (
+      SELECT doc_id, (ty * 4 + c.ci // 4) AS i, (tx * 4 + c.ci % 4) AS j, v AS g8
+      FROM tiles CROSS JOIN unnest(generate_series(0, 15)) AS c(ci)
+    ), tot AS (
+      SELECT doc_id, SUM(g8) AS s FROM cells GROUP BY doc_id
+    ), bits AS (
+      SELECT c.doc_id, (c.i * 8 + c.j) AS idx,
+             CASE WHEN c.g8 * 64 > t.s THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    ), bands AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN idx // 16 = 0 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b0,
+        CAST(SUM(CASE WHEN idx // 16 = 1 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b1,
+        CAST(SUM(CASE WHEN idx // 16 = 2 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
+        CAST(SUM(CASE WHEN idx // 16 = 3 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
+      FROM bits GROUP BY doc_id
+    )"""
+
+_AHASH_JPEG_KEEPLIST_ORACLE = f"""
+    WITH RECURSIVE {_AHASH_JPEG_BANDS_CTES},
+    apairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM apairs
+      UNION SELECT id_b, id_a FROM apairs
+    ), walk AS (
+      SELECT src AS node, src AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT node, MIN(reach) AS component_id
+      FROM (SELECT node, reach FROM walk UNION SELECT src, dst FROM edges)
+      GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(comp.component_id, d.doc_id) AS component_id,
+           COALESCE(comp.component_id, d.doc_id) = d.doc_id AS kept
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+
+@register("image_ahash_keeplist_jpeg", _AHASH_JPEG_KEEPLIST_ORACLE)
+def q_image_ahash_keeplist_jpeg(spark, sf_dir):
+    """Image-dedup keep-list over BASELINE-JPEG payloads: encode_jpeg
+    (grayscale, Annex-K tables) -> decode_jpeg (Huffman + dequant +
+    IDCT) -> aHash bands -> banded pair join -> HashMin components ->
+    min-id canonical. The fixture images are 8x8-block-constant, the
+    subspace where the lossy codec is exact (jpegcodec docstring), so
+    Spark earns every hash bit through the real entropy-coding round
+    trip while the oracle replays pixels + hash math in pure SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_image_media_blocks(docs, "doc_id", size=16, classes=100)
+    return multimodal.band_keeplist(docs, multimodal.image_ahash(media))

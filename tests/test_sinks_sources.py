@@ -1211,3 +1211,143 @@ def test_upsert_dim_delta_gate(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == df.count()
     with pytest.raises(ImportError):
         sinks.upsert_dim(df, path, key="Id", use_delta=True)
+
+
+def test_jpeg_codec_exact_subspace_lossy_envelope_and_gates():
+    """The baseline-JPEG codec (round 16): (a) grayscale
+    8x8-block-constant images round-trip BIT-EXACTLY through the full
+    entropy pipeline (the oracle-bearing subspace — DC-only blocks,
+    quantization error < 0.5 after the IDCT); (b) general color images
+    round-trip within a quality-bounded error envelope (lossy as
+    designed, monotone in quality); (c) odd dimensions pad and crop
+    correctly; (d) progressive/16-bit gates raise loudly."""
+    import struct
+
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import imagecodec, jpegcodec
+    from etl_fuel_priceguide_ec2_spark.operators.multimodal import synth_image
+
+    for did in (0, 7, 123, 4567, 99_999):
+        img = jpegcodec.synth_block_image(did, 16, 100)
+        payload = jpegcodec.encode_jpeg(img, quality=90, grayscale=True)
+        assert imagecodec.sniff_mime(payload) == jpegcodec.JPEG_MIME
+        assert np.array_equal(imagecodec.decode(payload), img)
+
+    img = synth_image(42, 16, 100)
+    prev_err = None
+    for q in (50, 75, 95):
+        back = jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(img, quality=q))
+        err = float(
+            np.abs(back.astype(np.int64) - img.astype(np.int64)).mean()
+        )
+        if prev_err is not None:
+            assert err <= prev_err + 0.5  # monotone-ish in quality
+        prev_err = err
+    assert prev_err < 8.0  # q=95 stays close on the gradient image
+
+    rng = np.random.default_rng(5)
+    odd = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    assert jpegcodec.decode_jpeg(jpegcodec.encode_jpeg(odd)).shape == (13, 21, 3)
+
+    sof2 = (
+        b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]) + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpegcodec.decode_jpeg(sof2)
+    deep = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes([12])
+        + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]) + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        jpegcodec.decode_jpeg(deep)
+
+
+def test_jpeg_decoder_handles_420_subsampling_and_restart_markers():
+    """Decoder features our encoder never emits, fed hand-built
+    streams: (a) a 4:2:0 interleaved MCU (4 luma + 1 Cb + 1 Cr blocks;
+    chroma upsampled by replication) decodes a constant-gray image
+    exactly; (b) a DRI/RSTn stream (predictors reset at each restart)
+    decodes block-constant tiles exactly — real-world JPEGs use both,
+    so accepting only our own 4:4:4 no-restart output would misdecode
+    them."""
+    import struct
+
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import jpegcodec as jc
+
+    lq, cq = jc.quant_tables(90)
+    dc_l, ac_l = jc._huff_codes(*jc._DC_LUMA), jc._huff_codes(*jc._AC_LUMA)
+    dc_c, ac_c = jc._huff_codes(*jc._DC_CHROMA), jc._huff_codes(*jc._AC_CHROMA)
+
+    def _headers_420(h, w):
+        out = bytearray(b"\xff\xd8")
+        out += jc._dqt_segment(0, lq) + jc._dqt_segment(1, cq)
+        out += (
+            b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+            + struct.pack(">HH", h, w)
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        )
+        out += jc._dht_segment(0, 0, jc._DC_LUMA) + jc._dht_segment(1, 0, jc._AC_LUMA)
+        out += jc._dht_segment(0, 1, jc._DC_CHROMA) + jc._dht_segment(1, 1, jc._AC_CHROMA)
+        out += (
+            b"\xff\xda" + struct.pack(">H", 12)
+            + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        )
+        return out
+
+    def _dc_block(w, val, q00, codes, pred):
+        # constant block: DC = 8*(val-128) quantized, EOB
+        dc = round(8 * (val - 128) / q00)
+        size, bits = jc._magnitude(dc - pred)
+        code, ln = codes[0][size]
+        w.write(code, ln)
+        if size:
+            w.write(bits, size)
+        code, ln = codes[1][0x00]
+        w.write(code, ln)
+        return dc
+
+    # (a) one 16x16 4:2:0 MCU of constant gray 90 (y=90, cb=cr=128)
+    bw = jc._BitWriter()
+    pred = 0
+    for _ in range(4):  # luma blocks
+        pred = _dc_block(bw, 90, int(lq[0, 0]), (dc_l, ac_l), pred)
+    _dc_block(bw, 128, int(cq[0, 0]), (dc_c, ac_c), 0)  # Cb
+    _dc_block(bw, 128, int(cq[0, 0]), (dc_c, ac_c), 0)  # Cr
+    bw.flush()
+    stream = _headers_420(16, 16) + bw.buf + b"\xff\xd9"
+    out = jc.decode_jpeg(bytes(stream))
+    # 8*(90-128) = -304; q00(lq,90)=3 -> dequant -303 -> off by <0.5
+    assert out.shape == (16, 16, 3) and np.all(np.abs(out.astype(int) - 90) <= 1)
+    assert len(np.unique(out)) == 1  # constant everywhere (chroma neutral)
+
+    # (b) grayscale 32x8, 4 MCUs, DRI=2: RST0 after MCU 2, predictors reset
+    vals = [40, 90, 160, 220]
+    out_hdr = bytearray(b"\xff\xd8")
+    out_hdr += jc._dqt_segment(0, lq)
+    out_hdr += (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 8, 32) + bytes([1, 1, 0x11, 0])
+    )
+    out_hdr += jc._dht_segment(0, 0, jc._DC_LUMA) + jc._dht_segment(1, 0, jc._AC_LUMA)
+    out_hdr += b"\xff\xdd" + struct.pack(">HH", 4, 2)  # DRI = 2
+    out_hdr += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    seg = bytearray()
+    for chunk_i, chunk in enumerate((vals[:2], vals[2:])):
+        bw = jc._BitWriter()
+        pred = 0
+        for v in chunk:
+            pred = _dc_block(bw, v, int(lq[0, 0]), (dc_l, ac_l), pred)
+        bw.flush()
+        seg += bw.buf
+        if chunk_i == 0:
+            seg += b"\xff\xd0"  # RST0
+    stream = out_hdr + seg + b"\xff\xd9"
+    out = jc.decode_jpeg(bytes(stream))
+    assert out.shape == (8, 32, 3)
+    for i, v in enumerate(vals):
+        block = out[:, 8 * i : 8 * (i + 1), 0].astype(int)
+        assert np.all(np.abs(block - v) <= 1), (i, v, np.unique(block))

@@ -91,6 +91,12 @@ def decode_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
     def _real_decode(payload: bytes) -> tuple[int, int, int]:
         from etl_fuel_priceguide_ec2_spark.operators import imagecodec
 
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from etl_fuel_priceguide_ec2_spark.operators import videocodec
+
+            frames = videocodec.decode_avi(payload)
+            n, h, w, _ = frames.shape
+            return (w, h, n)
         img = imagecodec.decode(payload)
         return (img.shape[1], img.shape[0], 1)
 
@@ -526,6 +532,114 @@ def to_image_media_blocks(
     )
 
 
+def ahash_bands(img) -> list[int]:
+    """The ONE definition of the integer aHash band math, shared by the
+    image hasher and the per-frame video hasher (r16): (h, w, 3) uint8
+    -> [b0, b1, b2, b3]. gray = (r+g+b)//3 → 8×8 block means (floor) →
+    bit j set iff mean_j * 64 > Σ means → bits [16k, 16k+16) pack into
+    band k. All integer, replayable in SQL."""
+    import numpy as np
+
+    img = img.astype(np.int64)
+    h, w, _ = img.shape
+    gray = img.sum(axis=-1) // 3
+    bh, bw = h // 8, w // 8
+    g8 = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (
+        bh * bw
+    )
+    s = int(g8.sum())
+    bits = (g8.flatten() * 64 > s).astype(np.int64)
+    return [
+        int(sum(int(bits[16 * k + j]) << j for j in range(16))) for k in range(4)
+    ]
+
+
+def to_video_media(
+    df: DataFrame,
+    id_col: str,
+    n_frames: int = 4,
+    size: int = 16,
+    classes: int = 100,
+    fps: int = 8,
+) -> DataFrame:
+    """Synthesize a REAL uncompressed-AVI payload per row
+    (``videocodec.synth_video_frames`` -> ``encode_avi``): frame f is
+    the established ``synth_image(doc_id + f)`` pixels, so every frame
+    replays in SQL. Arrow-batched; payloads never visit the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_fuel_priceguide_ec2_spark.operators import videocodec
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: videocodec.encode_avi(
+                videocodec.synth_video_frames(int(i), n_frames, size, classes),
+                fps=fps,
+            )
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _synth(F.col(id_col)).alias("payload"),
+        F.lit(videocodec.AVI_MIME).alias("mime"),
+    )
+
+
+VIDEO_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("b0", LongType(), True),
+        StructField("b1", LongType(), True),
+        StructField("b2", LongType(), True),
+        StructField("b3", LongType(), True),
+    ]
+)
+
+
+def video_frame_ahash(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Per-sampled-frame perceptual hash over REAL decoded video
+    payloads: decode the AVI container once per clip, keep frames
+    0, every_nth, 2*every_nth, ..., and emit each one's aHash band
+    relation keyed (doc_id, frame_idx) — the fan-out a video dedup /
+    scene-search pipeline runs at ingest. The band math is the SHARED
+    ``ahash_bands`` (one definition with the image tier), so the
+    downstream banded pair join and keep-list compositions consume
+    video frames unchanged.
+
+    100 TB shape: payloads stream through mapInPandas in Arrow batches
+    (decode executor-side, one pass per clip); what shuffles is 4 longs
+    per SAMPLED frame — sampling bounds the fan-out, and the hash
+    relation is the persistable ingest state, exactly the image/audio
+    contract."""
+    from etl_fuel_priceguide_ec2_spark.operators import videocodec
+
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = videocodec.decode_avi(bytes(payload))
+                for fi in range(0, frames.shape[0], every_nth):
+                    b = ahash_bands(frames[fi])
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "frame_idx": fi,
+                            "b0": b[0], "b1": b[1], "b2": b[2], "b3": b[3],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_AHASH_SCHEMA]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _hash, VIDEO_AHASH_SCHEMA
+    )
+
+
 def image_ahash(media: DataFrame) -> DataFrame:
     """aHash (average hash) per decoded image payload, emitted as four
     16-bit bands (b0..b3) instead of one 64-bit word — the packing that
@@ -539,27 +653,13 @@ def image_ahash(media: DataFrame) -> DataFrame:
     what shuffles downstream is 4 longs per image — the hash relation is
     the persistable state (ingest once, mine pairs forever), exactly the
     MinHash-LSH state contract."""
-    import numpy as np
-
     from etl_fuel_priceguide_ec2_spark.operators import imagecodec
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = imagecodec.decode(bytes(payload)).astype(np.int64)
-                h, w, _ = img.shape
-                gray = img.sum(axis=-1) // 3
-                bh, bw = h // 8, w // 8
-                g8 = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (
-                    bh * bw
-                )
-                s = int(g8.sum())
-                bits = (g8.flatten() * 64 > s).astype(np.int64)
-                bands = [
-                    int(sum(int(bits[16 * k + j]) << j for j in range(16)))
-                    for k in range(4)
-                ]
+                bands = ahash_bands(imagecodec.decode(bytes(payload)))
                 rows.append(
                     {"doc_id": doc_id, "b0": bands[0], "b1": bands[1], "b2": bands[2], "b3": bands[3]}
                 )

@@ -730,3 +730,67 @@ def q_image_ahash_keeplist_jpeg(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = multimodal.to_image_media_blocks(docs, "doc_id", size=16, classes=100)
     return multimodal.band_keeplist(docs, multimodal.image_ahash(media))
+
+
+# --- round-16 addition #3 (post-freeze -> leads the round-17 window) ---
+# X5 video tier made REAL: uncompressed RIFF/AVI is the one video
+# container decodable losslessly without PyAV/ffmpeg, so the sampled
+# frames' pixels replay in SQL exactly (frame f of doc d IS
+# synth_image(d + f) — one substitution in the established gradient
+# CTE). The Spark side earns its bits through the real container walk
+# (RIFF chunk parse, bottom-up BGR de-rastering) + the SHARED
+# ahash_bands math; compressed codecs stay a loud PyAV gate.
+
+_VIDEO_AHASH_ORACLE = """
+    WITH fx AS (
+      SELECT d.doc_id, fi.fi AS frame_idx, d.doc_id + fi.fi AS did
+      FROM documents d CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(2 AS BIGINT))) fi(fi)
+    ), px AS (
+      SELECT doc_id, frame_idx, did, did % 100 AS cls,
+             p.p % 16 AS x, p.p // 16 AS y
+      FROM fx CROSS JOIN unnest(generate_series(0, 255)) AS p(p)
+    ), gray AS (
+      SELECT doc_id, frame_idx, x, y,
+        ((CASE WHEN x = did % 16 AND y = (did // 16) % 16
+              THEN LEAST(255, ((cls * 37 + x * 11 + y * 5) % 256) + (did % 5))
+              ELSE (cls * 37 + x * 11 + y * 5) % 256 END)
+         + ((cls * 59 + x * 3 + y * 17) % 256)
+         + ((cls * 83 + x * 7 + y * 13) % 256)) // 3 AS g
+      FROM px
+    ), cells AS (
+      SELECT doc_id, frame_idx, (y // 2) AS i, (x // 2) AS j, SUM(g) // 4 AS g8
+      FROM gray GROUP BY doc_id, frame_idx, (y // 2), (x // 2)
+    ), tot AS (
+      SELECT doc_id, frame_idx, SUM(g8) AS s FROM cells GROUP BY doc_id, frame_idx
+    ), bits AS (
+      SELECT c.doc_id, c.frame_idx, (c.i * 8 + c.j) AS idx,
+             CASE WHEN c.g8 * 64 > t.s THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id, frame_idx)
+    )
+    SELECT doc_id, frame_idx,
+      CAST(SUM(CASE WHEN idx // 16 = 0 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b0,
+      CAST(SUM(CASE WHEN idx // 16 = 1 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b1,
+      CAST(SUM(CASE WHEN idx // 16 = 2 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b2,
+      CAST(SUM(CASE WHEN idx // 16 = 3 THEN (bit << (idx % 16)) ELSE 0 END) AS BIGINT) AS b3
+    FROM bits GROUP BY doc_id, frame_idx
+"""
+
+
+@register("video_frame_ahash_sample", _VIDEO_AHASH_ORACLE)
+def q_video_frame_ahash_sample(spark, sf_dir):
+    """X5 video: synthesize a REAL uncompressed-AVI clip per document
+    (4 frames of the established gradient pixels, frame f =
+    synth_image(doc_id + f)), decode the container for real
+    executor-side, sample every 2nd frame, and emit each sampled
+    frame's aHash band relation — (doc_id, frame_idx, b0..b3), the
+    persistable ingest state the banded pair join and keep-list
+    compositions consume unchanged (the image/audio contract, now for
+    video). The oracle replays the sampled frames' pixels and the
+    identical integer hash math in SQL; Spark earns the bits through
+    the real RIFF walk + de-rastering, so the container codec is what
+    is verified."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.to_video_media(
+        docs, "doc_id", n_frames=4, size=16, classes=100
+    )
+    return multimodal.video_frame_ahash(media, every_nth=2)

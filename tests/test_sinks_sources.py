@@ -1351,3 +1351,61 @@ def test_jpeg_decoder_handles_420_subsampling_and_restart_markers():
     for i, v in enumerate(vals):
         block = out[:, 8 * i : 8 * (i + 1), 0].astype(int)
         assert np.all(np.abs(block - v) <= 1), (i, v, np.unique(block))
+
+
+def test_avi_codec_roundtrip_frame_sampling_and_hash_plumbing(spark):
+    """The r16 video tier: (a) encode_avi -> decode_avi is lossless
+    (raw 24-bit DIB frames, odd widths row-padded); (b) compressed
+    streams gate loudly; (c) decode_features(real_codec=True) reports
+    the real (w, h, n_frames) off the container and frame_sample fans
+    out real frame indices; (d) video_frame_ahash hashes exactly the
+    sampled frames with the SHARED ahash_bands math — the per-frame
+    relation equals hashing each sampled frame as a still image."""
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import (
+        imagecodec,
+        multimodal,
+        videocodec,
+    )
+
+    frames = videocodec.synth_video_frames(11, n_frames=5, size=16)
+    payload = videocodec.encode_avi(frames, fps=8)
+    assert np.array_equal(videocodec.decode_avi(payload), frames)
+    rng = np.random.default_rng(9)
+    odd = rng.integers(0, 256, (3, 10, 13, 3), dtype=np.uint8)
+    assert np.array_equal(videocodec.decode_avi(videocodec.encode_avi(odd)), odd)
+    with pytest.raises(ValueError, match="RIFF"):
+        videocodec.decode_avi(b"nope")
+
+    media = spark.createDataFrame(
+        [(11, bytearray(payload))], "doc_id bigint, payload binary"
+    ).select(
+        "doc_id", "payload",
+        F.lit(None).cast("string").alias("mime"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha"),
+    )
+    [feat] = multimodal.decode_features(media, real_codec=True).collect()
+    assert (feat.width, feat.height, feat.n_frames) == (16, 16, 5)
+
+    hashed = {
+        (r.doc_id, r.frame_idx): (r.b0, r.b1, r.b2, r.b3)
+        for r in multimodal.video_frame_ahash(media, every_nth=2).collect()
+    }
+    assert set(hashed) == {(11, 0), (11, 2), (11, 4)}
+    for fi in (0, 2, 4):
+        assert hashed[(11, fi)] == tuple(multimodal.ahash_bands(frames[fi]))
+    # frame hashes match the same pixels hashed as still images through
+    # the image tier (shared band math end-to-end)
+    still = spark.createDataFrame(
+        [(fi, bytearray(imagecodec.encode_ppm(frames[fi]))) for fi in (0, 2, 4)],
+        "doc_id bigint, payload binary",
+    )
+    img_rel = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in multimodal.image_ahash(still).collect()
+    }
+    assert all(img_rel[fi] == hashed[(11, fi)] for fi in (0, 2, 4))
+    with pytest.raises(ValueError, match="every_nth"):
+        multimodal.video_frame_ahash(media, every_nth=0)

@@ -211,6 +211,15 @@ HEADLINE = [
     "pq_codebook_staleness",
     "kfold_shard_manifest",
     "ann_recall_zorder",
+    # appended round 16: the real-corpus codec tier — the aHash
+    # keep-list through the PNG decode path (DEFLATE + unfilter per
+    # payload), through the baseline-JPEG entropy pipeline on its
+    # exact block-constant subspace, and the per-sampled-frame hash
+    # relation over real uncompressed-AVI clips (container walk +
+    # shared band math; 4 longs per sampled frame shuffle)
+    "image_ahash_keeplist_png",
+    "image_ahash_keeplist_jpeg",
+    "video_frame_ahash_sample",
 ]
 
 # Second series (VERDICT r06 item 2): the iterative family — queries

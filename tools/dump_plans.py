@@ -128,6 +128,9 @@ NOTES = {
     "pq_codebook_staleness": "the refit decision: per snapshot, one scan projects (cell, DECIMAL reconstruction error) behind plan barriers (codebooks ride as literals) into a cells-row partial aggregate; the only join merges the two cells-row stats relations — no window, no range exchange, the corpus never shuffles.",
     "kfold_shard_manifest": "kfold_assign is a pure-map md5 fold on top of the sharder's ONE range exchange (global_row_number) + broadcast min-rank join; the manifest is a k*n_shards-row partial-aggregated XOR/COUNT/SUM — the fold column adds zero exchanges (plan-pinned).",
     "ann_recall_zorder": "same recall shape as the PQ row but with exact COSINE ground truth (the rung's metric): bounded query sample broadcast across one fan_out corpus scan, z-order candidates from the Morton-bucket join, id-keyed hit join, per-query partial-aggregated counts.",
+    "image_ahash_keeplist_png": "identical plan to the PPM keep-list — the container only changes per-payload decode cost inside the one Arrow pass (DEFLATE + unfilter), never the shape: 4 longs per image shuffle, banded pair join, CC on the tiny pair relation.",
+    "image_ahash_keeplist_jpeg": "same keep-list shape through the baseline-JPEG entropy pipeline (Huffman + dequant + IDCT per payload, executor-side); the block-constant fixture keeps the lossy codec bit-exact so the oracle replay holds.",
+    "video_frame_ahash_sample": "one container decode per clip in the Arrow pass, then a bounded per-clip fan-out (one row per SAMPLED frame, 4 longs each) — sampling is the knob that keeps the shuffle sublinear in raw frame count.",
 }
 
 

@@ -621,7 +621,13 @@ def synth_block_image(doc_id: int, size: int = 16, classes: int = 100):
     cls = doc_id % classes
     nb = size // 8
     y, x = np.mgrid[0:nb, 0:nb]
-    vals = (cls * 37 + x * 61 + y * 29) % 256
+    # class-DEPENDENT gradient coefficients: a fixed (61, 29) slope
+    # leaves distinct classes with correlated above-average bit
+    # patterns (measured: 6x the intended pair count at sf0.1 — whole
+    # 50x50 cross-class near-dup blocks); varying the slope per class
+    # decorrelates the 64 threshold bits across classes while staying
+    # one substitution away from SQL
+    vals = (cls * 37 + x * (61 + cls) + y * (29 + 2 * cls)) % 256
     tile = doc_id % (nb * nb)
     ty, tx = tile // nb, tile % nb
     vals = vals.astype(np.int64)

@@ -666,17 +666,16 @@ def q_image_ahash_keeplist_png(spark, sf_dir):
 # codec breaks the component hash.
 
 _AHASH_JPEG_BANDS_CTES = """px AS (
-      SELECT d.doc_id, d.doc_id % 100 AS cls, t.t % 2 AS tx, t.t // 2 AS ty
-      FROM documents d CROSS JOIN unnest(generate_series(0, 3)) AS t(t)
+      SELECT d.doc_id, d.doc_id % 100 AS cls, t.t % 8 AS tx, t.t // 8 AS ty
+      FROM documents d CROSS JOIN unnest(generate_series(0, 63)) AS t(t)
     ), tiles AS (
       SELECT doc_id, tx, ty,
-        CASE WHEN (ty * 2 + tx) = doc_id % 4
-             THEN LEAST(255, ((cls * 37 + tx * 61 + ty * 29) % 256) + (doc_id % 5))
-             ELSE (cls * 37 + tx * 61 + ty * 29) % 256 END AS v
+        CASE WHEN (ty * 8 + tx) = doc_id % 64
+             THEN LEAST(255, ((cls * 37 + tx * (61 + cls) + ty * (29 + 2 * cls)) % 256) + (doc_id % 5))
+             ELSE (cls * 37 + tx * (61 + cls) + ty * (29 + 2 * cls)) % 256 END AS v
       FROM px
     ), cells AS (
-      SELECT doc_id, (ty * 4 + c.ci // 4) AS i, (tx * 4 + c.ci % 4) AS j, v AS g8
-      FROM tiles CROSS JOIN unnest(generate_series(0, 15)) AS c(ci)
+      SELECT doc_id, ty AS i, tx AS j, v AS g8 FROM tiles
     ), tot AS (
       SELECT doc_id, SUM(g8) AS s FROM cells GROUP BY doc_id
     ), bits AS (
@@ -726,9 +725,22 @@ def q_image_ahash_keeplist_jpeg(spark, sf_dir):
     min-id canonical. The fixture images are 8x8-block-constant, the
     subspace where the lossy codec is exact (jpegcodec docstring), so
     Spark earns every hash bit through the real entropy-coding round
-    trip while the oracle replays pixels + hash math in pure SQL."""
+    trip while the oracle replays pixels + hash math in pure SQL.
+    size=64 on purpose: 64 tiles = one tile per aHash cell, so every
+    hash bit is independent and the banded blocking keeps its usual
+    bucket sizes (a 16x16 / 4-tile fixture left each 16-bit band with
+    only 2 effective bits — ~1250-doc buckets and a 12M-candidate pair
+    join, measured 20.5 s; this form is the PPM row's blocking)."""
+    from etl_fuel_priceguide_ec2_spark.operators.util import fan_out
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    media = multimodal.to_image_media_blocks(docs, "doc_id", size=16, classes=100)
+    # fan_out BEFORE the codec stage: the fixture table is one parquet
+    # split, which would serialize ~40 s of per-payload entropy-coding
+    # work (64 blocks/image at size=64) onto one core; at real scale
+    # the scan has thousands of splits and this is a no-op
+    media = multimodal.to_image_media_blocks(
+        fan_out(docs), "doc_id", size=64, classes=100
+    )
     return multimodal.band_keeplist(docs, multimodal.image_ahash(media))
 
 

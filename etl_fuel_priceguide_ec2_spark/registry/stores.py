@@ -229,17 +229,29 @@ def durable_corpus_store_group(
     return {n: _STORE_CACHE[keys[n]] for n in names}
 
 
-def clear_durable_stores() -> None:
-    """Remove every parquet-backed store generation (plus the session
+def clear_durable_stores(sf_dir: str | None = None) -> None:
+    """Remove parquet-backed store generations (plus the session
     handles pointing at them) — the durable analogue of
     :func:`clear_store_cache` for tests and fixture rewrites that must
-    force a re-mine rather than a re-read."""
+    force a re-mine rather than a re-read.
+
+    ``sf_dir`` scopes the wipe to ONE corpus dir's generations; the
+    default clears everything. Tests exercising the re-mine path MUST
+    pass their own sf_dir: an unscoped clear from a sf0.001 test would
+    also evict the sf0.1 store that the bench's cold rep-1 depends on,
+    silently turning the measured fresh-process read-back (~3.6 s)
+    back into a full re-mine (~17 s) on the next bench run."""
+    import glob
     import os
+    import re
     import shutil
     import tempfile
 
     clear_store_cache()
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), _STORES_DIRNAME),
-        ignore_errors=True,
-    )
+    root = os.path.join(tempfile.gettempdir(), _STORES_DIRNAME)
+    if sf_dir is None:
+        shutil.rmtree(root, ignore_errors=True)
+        return
+    tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.strip("/"))
+    for gen in glob.glob(os.path.join(root, f"*_{tag}_*")):
+        shutil.rmtree(gen, ignore_errors=True)

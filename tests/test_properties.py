@@ -2548,7 +2548,7 @@ def test_capstone_signal_store_invalidated_by_clear_store_cache(spark, sf_dir):
 
     rc._mine_capstone_signals = _counting
     try:
-        clear_durable_stores()
+        clear_durable_stores(sf_dir)  # scoped: never evict other corpora
         first = q(spark, sf_dir).collect()
         q(spark, sf_dir).collect()
         assert len(mines) == 1  # second call served from the session cache
@@ -2557,12 +2557,12 @@ def test_capstone_signal_store_invalidated_by_clear_store_cache(spark, sf_dir):
         assert len(mines) == 1  # re-READ from parquet, no re-mine —
         # this is the fresh-process cold path, now mining-free
         assert sorted(map(tuple, cold)) == sorted(map(tuple, first))
-        clear_durable_stores()
+        clear_durable_stores(sf_dir)
         q(spark, sf_dir).collect()
         assert len(mines) == 2  # durable invalidation forces the re-mine
     finally:
         rc._mine_capstone_signals = real
-        clear_durable_stores()
+        clear_durable_stores(sf_dir)
 
 
 def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):

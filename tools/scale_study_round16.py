@@ -81,7 +81,7 @@ def main() -> None:
 
     sf = "/root/testdata/sf0.1"
     q = registry.queries()["corpus_curation_decision"]
-    clear_durable_stores()
+    clear_durable_stores(sf)  # scoped: only this corpus pays the re-mine
     t0 = time.perf_counter()
     q(spark, sf).count()
     mine_and_write = round(time.perf_counter() - t0, 3)

@@ -300,6 +300,10 @@ def encode_jpeg(
     bit-exactly (see module docstring)."""
     h, w, c = img.shape
     assert c == 3, "encode_jpeg expects (h, w, 3) RGB"
+    if h > 65535 or w > 65535 or h < 1 or w < 1:
+        # SOF dimensions are u16 — struct would wrap silently and the
+        # stream would misdecode with no error
+        raise ValueError(f"JPEG dimensions out of range: {w}x{h}")
     lq, cq = quant_tables(quality)
     dc_l = _huff_codes(*_DC_LUMA)
     ac_l = _huff_codes(*_AC_LUMA)
@@ -410,6 +414,8 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos + 1 >= len(d):  # every valid stream ends in EOI
+            raise ValueError("truncated JPEG entropy stream")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1]

@@ -515,6 +515,18 @@ def to_image_media_blocks(
 
     from etl_fuel_priceguide_ec2_spark.operators import jpegcodec
 
+    q00 = int(jpegcodec.quant_tables(quality)[0][0, 0])
+    if q00 > 7:
+        # the fixture's whole point is EXACT round-trip: DC quantum
+        # q00 <= 7 keeps the reconstructed pixel within 0.5 of the
+        # original (q00/16 < 0.5); a lower quality silently breaks the
+        # oracle's pixel replay, so collide loudly
+        raise ValueError(
+            f"to_image_media_blocks: quality={quality} gives DC quantum "
+            f"{q00} > 7 — block-constant exactness (the oracle contract) "
+            "requires quality >= 77 with the Annex-K luma table"
+        )
+
     @pandas_udf(BinaryType())
     def _synth(ids: pd.Series) -> pd.Series:
         return ids.map(

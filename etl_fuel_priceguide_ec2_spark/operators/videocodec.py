@@ -42,6 +42,8 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     """(n, h, w, 3) uint8 RGB -> uncompressed AVI (BI_RGB 24-bit)."""
     n, h, w, c = frames.shape
     assert c == 3, "encode_avi expects (n, h, w, 3) RGB"
+    if n < 1:
+        raise ValueError("encode_avi requires at least one frame")
     frame_raw = [_frame_bytes(frames[i]) for i in range(n)]
     frame_size = len(frame_raw[0])
 

@@ -71,6 +71,14 @@ RISKY = [
     "similarity_topk_ivf_pq_residual",  # staged _rv + per-cell ADC + rerank
     "ann_recall_ivf_pq",                # exact cut ties + hit counts
     "embedding_snapshot_drift",         # two-scan decimal sums + rounded diff
+    # round 16: the codec tier — the full JPEG entropy pipeline
+    # (Huffman/stuffing/DC prediction must be bit-stable across Arrow
+    # batch boundaries), the PNG DEFLATE+unfilter path, and the AVI
+    # container walk + sampled-frame fan-out (frame order must never
+    # depend on partitioning)
+    "image_ahash_keeplist_jpeg",   # entropy round trip + banded pairs + CC
+    "image_ahash_keeplist_png",    # DEFLATE round trip + banded pairs + CC
+    "video_frame_ahash_sample",    # container walk + per-frame band math
 ]
 
 

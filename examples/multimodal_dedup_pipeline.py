@@ -7,7 +7,9 @@ The X5 dedup symmetry as an executable build:
       → image payloads  (real PPM codec)  → aHash bands ┐
                                           → pHash bands ┼→ banded pair
       → audio payloads  (real WAV codec)  → fingerprint ┘   join → CC →
-                                                            keep-list
+      → video payloads  (real AVI codec)  → per-sampled-     keep-list
+        frame bands → composite-id banded pairs → ALL-frames
+        conjunction → clip pairs → the same CC + keep rule
       → a media item survives iff it is the canonical representative
         under EVERY family (different modalities flag different dup
         groups; the drop sets union)
@@ -82,6 +84,83 @@ def main(sf_dir: str | None = None) -> dict:
         out[name] = {"components": n_comp, "kept": n_kept}
         kept_sets.append(kept_ids)
         print(f"{name:18s} components={n_comp:5d} kept={n_kept:5d} residual_pairs=0")
+
+    # --- the VIDEO family (r16): clip-level dedup over sampled frame
+    # hashes — the fourth modality through the SAME machinery. A clip
+    # pairs with another iff EVERY sampled frame pair (same offset) is
+    # within the Hamming bound: frame hashes ride the identical banded
+    # pair join via a composite (clip, frame) id, then the conjunction
+    # is one count-distinct aggregate, then the same CC + keep rule.
+    video_media = multimodal.to_video_media(docs, "doc_id", n_frames=4)
+    vh = multimodal.video_frame_ahash(video_media, every_nth=2)
+    vh = vh.localCheckpoint(eager=True)  # decode each clip once
+    n_sampled = 2  # frames 0 and 2 of 4
+    composite = vh.select(
+        (F.col("doc_id") * 16 + F.col("frame_idx")).alias("doc_id"),
+        "b0", "b1", "b2", "b3",
+    )
+    fpairs = multimodal.image_ahash_pairs(composite, max_hamming=3)
+    clip_pairs = (
+        fpairs.select(
+            (F.col("id_a") / 16).cast("long").alias("id_a"),
+            (F.col("id_b") / 16).cast("long").alias("id_b"),
+            (F.col("id_a") % 16).alias("off_a"),
+            (F.col("id_b") % 16).alias("off_b"),
+        )
+        .filter(F.col("off_a") == F.col("off_b"))  # aligned frames only
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("off_a").alias("n_off"))
+        .filter(F.col("n_off") == n_sampled)  # ALL sampled frames near
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    vcomp = dedup.connected_components(clip_pairs, "id_a", "id_b")
+    vkl = (
+        docs.join(vcomp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+        .withColumn("kept", F.col("component_id") == F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    v_kept_ids = vkl.filter(F.col("kept")).select("doc_id")
+    out["video_clips"] = {
+        "components": vkl.select("component_id").distinct().count(),
+        "kept": v_kept_ids.count(),
+    }
+    assert vkl.count() == n_docs
+    assert out["video_clips"]["kept"] == out["video_clips"]["components"]
+    # idempotence at CLIP level: re-mining clip pairs among survivors
+    # finds zero (two surviving clips whose every sampled frame pairs
+    # would have shared a component)
+    surv_frames = composite.join(
+        v_kept_ids.select((F.col("doc_id")).alias("clip")),
+        (F.col("doc_id") / 16).cast("long") == F.col("clip"),
+    ).select("doc_id", "b0", "b1", "b2", "b3")
+    resid_clip = (
+        multimodal.image_ahash_pairs(surv_frames, max_hamming=3)
+        .select(
+            (F.col("id_a") / 16).cast("long").alias("ca"),
+            (F.col("id_b") / 16).cast("long").alias("cb"),
+            (F.col("id_a") % 16).alias("oa"),
+            (F.col("id_b") % 16).alias("ob"),
+        )
+        .filter((F.col("oa") == F.col("ob")) & (F.col("ca") != F.col("cb")))
+        .groupBy("ca", "cb")
+        .agg(F.count_distinct("oa").alias("n_off"))
+        .filter(F.col("n_off") == n_sampled)
+        .count()
+    )
+    assert resid_clip == 0, f"video clip keep-list not idempotent ({resid_clip})"
+    kept_sets.append(v_kept_ids)
+    print(
+        f"{'video_clips':18s} components={out['video_clips']['components']:5d} "
+        f"kept={out['video_clips']['kept']:5d} residual_clip_pairs=0"
+    )
 
     # a media item survives iff canonical under EVERY family
     final = kept_sets[0]

@@ -1013,11 +1013,13 @@ def test_mixture_upsample_integer_factors_are_exact_epochs(spark, sf_dir):
     assert idxs == {0, 1}
 
 def test_example_multimodal_dedup_pipeline(sf_dir):
-    """examples/multimodal_dedup_pipeline.py — three perceptual hash
-    families through ONE keep-list composition: per-family keep ==
-    component counts, idempotence (zero residual pairs among
-    survivors) asserted inside the script, and the final multimodal
-    intersection only shrinks."""
+    """examples/multimodal_dedup_pipeline.py — FOUR perceptual hash
+    families (image aHash/pHash, audio fingerprint, and the r16
+    clip-level video family: all-sampled-frames conjunction over
+    composite-id banded pairs) through ONE keep-list composition:
+    per-family keep == component counts, idempotence (zero residual
+    pairs among survivors) asserted inside the script, and the final
+    multimodal intersection only shrinks."""
     import importlib.util
     from pathlib import Path
 
@@ -1028,7 +1030,7 @@ def test_example_multimodal_dedup_pipeline(sf_dir):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     out = mod.main(sf_dir)
-    fams = ("image_ahash", "image_phash", "audio_fingerprint")
+    fams = ("image_ahash", "image_phash", "audio_fingerprint", "video_clips")
     for f in fams:
         assert 0 < out[f]["kept"] == out[f]["components"] <= out["n_docs"]
     assert 0 < out["final_kept"] <= min(out[f]["kept"] for f in fams)

@@ -194,6 +194,44 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _encode_one_block(
+    w: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes
+) -> int:
+    """Entropy-code ONE zigzagged quantized block; returns the new DC
+    predictor. The single definition both the grayscale scan and the
+    color interleaved scan fold — the per-block DC-diff/ZRL/EOB logic
+    was previously duplicated between them, a silent-divergence hazard
+    (code-review r16)."""
+    diff = int(zz[0]) - pred
+    size, bits = _magnitude(diff)
+    code, ln = dc_codes[size]
+    w.write(code, ln)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            break
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        w.write(code, ln)
+        w.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
 def _encode_blocks(
     w: _BitWriter, blocks: np.ndarray, q: np.ndarray, dc_codes, ac_codes
 ) -> None:
@@ -203,35 +241,7 @@ def _encode_blocks(
     coefs = np.einsum("ux,nxy,vy->nuv", _A, blocks - 128.0, _A)
     qc = np.round(coefs / q).astype(np.int64)
     for n in range(qc.shape[0]):
-        zz = qc[n].flatten()[_ZZ]
-        diff = int(zz[0]) - pred
-        pred = int(zz[0])
-        size, bits = _magnitude(diff)
-        code, ln = dc_codes[size]
-        w.write(code, ln)
-        if size:
-            w.write(bits, size)
-        run = 0
-        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-        for k in range(1, 64):
-            if k > last_nz:
-                break
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                w.write(code, ln)
-                run -= 16
-            size, bits = _magnitude(v)
-            code, ln = ac_codes[(run << 4) | size]
-            w.write(code, ln)
-            w.write(bits, size)
-            run = 0
-        if last_nz < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            w.write(code, ln)
+        pred = _encode_one_block(w, qc[n].flatten()[_ZZ], pred, dc_codes, ac_codes)
 
 
 def _tile_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
@@ -367,35 +377,9 @@ def encode_jpeg(
     ]
     for n in range(bh * bw_):
         for ci in range(3):
-            zz = coefs[ci][n].flatten()[_ZZ]
-            diff = int(zz[0]) - preds[ci]
-            preds[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, ln = dcs[ci][size]
-            bwiter.write(code, ln)
-            if size:
-                bwiter.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                if k > last_nz:
-                    break
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = acs[ci][0xF0]
-                    bwiter.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, ln = acs[ci][(run << 4) | size]
-                bwiter.write(code, ln)
-                bwiter.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = acs[ci][0x00]
-                bwiter.write(code, ln)
+            preds[ci] = _encode_one_block(
+                bwiter, coefs[ci][n].flatten()[_ZZ], preds[ci], dcs[ci], acs[ci]
+            )
     bwiter.flush()
     out += bwiter.buf
     out += b"\xff\xd9"
@@ -491,6 +475,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("desynced JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them, or the fill byte itself would read as a
+        # bogus marker and its "length" would desync the walk
+        # (code-review r16)
+        while pos + 4 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -538,6 +528,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = data[0]
+            if ns != len(comps):
+                # baseline JPEG may legally split its components over
+                # several SOS scans; decoding just the first would
+                # silently return a gray image for a color file —
+                # gate loudly like progressive/12-bit (code-review r16)
+                raise NotImplementedError(
+                    f"multi-scan baseline JPEG (first scan covers {ns} of "
+                    f"{len(comps)} components)"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = data[1 + 2 * i], data[2 + 2 * i]
@@ -560,6 +559,10 @@ def _decode_scan(payload, pos, w, h, scan, qtabs, htabs, restart_interval):
     for comp, _, _ in scan:
         pw, ph = mcux * 8 * comp["hs"], mcuy * 8 * comp["vs"]
         planes.append(np.zeros((ph, pw), dtype=np.float64))
+    # zigzagged quant table per scan component, hoisted out of the
+    # per-8x8-block loop (it was re-flattened+fancy-indexed once per
+    # block in the hottest decode loop; code-review r16)
+    qzz = [qtabs[comp["tq"]].flatten()[_ZZ] for comp, _, _ in scan]
     br = _BitReader(payload, pos)
     preds = [0] * len(scan)
     mcu_count = 0
@@ -570,7 +573,6 @@ def _decode_scan(payload, pos, w, h, scan, qtabs, htabs, restart_interval):
                 preds = [0] * len(scan)
             try:
                 for ci, (comp, td, ta) in enumerate(scan):
-                    q = qtabs[comp["tq"]]
                     for by in range(comp["vs"]):
                         for bx in range(comp["hs"]):
                             zz = np.zeros(64, dtype=np.int64)
@@ -593,7 +595,7 @@ def _decode_scan(payload, pos, w, h, scan, qtabs, htabs, restart_interval):
                                 zz[k] = _extend(br.bits(s), s)
                                 k += 1
                             blk = np.zeros(64, np.float64)
-                            blk[_ZZ] = zz * q.flatten()[_ZZ]
+                            blk[_ZZ] = zz * qzz[ci]
                             f = _A.T @ blk.reshape(8, 8) @ _A + 128.0
                             y0 = (my * comp["vs"] + by) * 8
                             x0 = (mx * comp["hs"] + bx) * 8

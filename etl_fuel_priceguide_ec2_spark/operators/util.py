@@ -107,11 +107,30 @@ def iteration_pin(checkpoint_dir: str | None = None):
 
     def _pin(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() != checkpoint_dir:
+        # getCheckpointDir() returns the scheme-qualified dir PLUS a
+        # random per-set UUID subdir (e.g. 'file:/d/0bfb...'), so a
+        # naive equality guard never matches and every pin would
+        # re-run setCheckpointDir — an FS mkdirs plus a fresh UUID dir
+        # per iteration, scattering ~N checkpoint dirs over a long run
+        # (code-review r16). Compare the PARENT of the current value
+        # against the requested dir, scheme-insensitively.
+        if not _checkpoint_dir_matches(sc.getCheckpointDir(), checkpoint_dir):
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=True)
 
     return _pin
+
+
+def _checkpoint_dir_matches(current: str | None, target: str) -> bool:
+    """True iff ``current`` (SparkContext.getCheckpointDir(): the
+    scheme-qualified target plus Spark's per-set UUID subdir) already
+    lives under ``target``. A bare-path target matches its
+    ``file:``-qualified form; fully-qualified targets compare as-is."""
+    if not current:
+        return False
+    parent = current.rstrip("/").rsplit("/", 1)[0]
+    tgt = target.rstrip("/")
+    return parent == tgt or parent == "file:" + tgt
 
 
 def longs_lit(values) -> Column:

@@ -86,14 +86,21 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
 
 
 def decode_avi(payload: bytes) -> np.ndarray:
-    """Uncompressed 24-bit AVI -> (n, h, w, 3) uint8 RGB frames."""
+    """Uncompressed 24-bit AVI -> (n, h, w, 3) uint8 RGB frames.
+
+    Frame dimensions and orientation come from strf's
+    BITMAPINFOHEADER, not avih: biHeight is SIGNED — positive means
+    bottom-up rows (the common DIB layout, un-flipped on decode),
+    negative means top-down (legal and common for RGB; previously
+    decoded vertically flipped with no error, code-review r16)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI (missing RIFF/AVI header)")
     w = h = None
+    top_down = False
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h
+        nonlocal w, h, top_down
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -102,7 +109,8 @@ def decode_avi(payload: bytes) -> np.ndarray:
                 walk(data_start + 4, data_start + size)
             elif fourcc == b"avih":
                 vals = struct.unpack_from("<14I", payload, data_start)
-                w, h = vals[8], vals[9]
+                if w is None:  # strf (authoritative) may already have run
+                    w, h = vals[8], vals[9]
             elif fourcc == b"strf":
                 (
                     _bisize, bw, bh, _planes, bpp, comp,
@@ -112,6 +120,8 @@ def decode_avi(payload: bytes) -> np.ndarray:
                         f"compressed/non-24-bit AVI stream (bpp={bpp}, "
                         f"compression={comp}) — needs PyAV/ffmpeg"
                     )
+                w, h = bw, abs(bh)
+                top_down = bh < 0
             elif fourcc in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("AVI frame before headers")
@@ -120,7 +130,9 @@ def decode_avi(payload: bytes) -> np.ndarray:
                 if len(raw) != stride * h:
                     raise ValueError("truncated AVI frame")
                 rows = np.frombuffer(raw, np.uint8).reshape(h, stride)[:, : w * 3]
-                img = rows.reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR
+                img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+                if not top_down:
+                    img = img[::-1]  # bottom-up rows
                 frames.append(np.ascontiguousarray(img))
             pos = data_start + size + (size % 2)
 

@@ -148,12 +148,19 @@ def _unpersist_all() -> None:
 # read instead of the mining. The cache key embeds a corpus
 # FINGERPRINT (mtime+size of the corpus table files — the bench media
 # cache's ADVICE-r12 pattern), so a regenerated fixture dir can never
-# serve stale signals; stale generations of the same group are pruned
-# on write. Determinism unchanged: builds are deterministic and parquet
+# serve stale signals — the fp keys BOTH the parquet generation dir
+# and the session-cache entries; superseded generations are pruned
+# after a grace period. Determinism unchanged: builds are
+# deterministic and parquet
 # round-trips the exact values, so the store is correctness-invisible
 # (the from-scratch oracle pins it every round).
 
 _STORES_DIRNAME = "etl_fuel_priceguide_ec2_spark_stores"
+# grace period before a superseded generation dir may be pruned: long
+# enough that a concurrent process's in-flight queries against the old
+# generation finish, short enough that /tmp never accumulates more
+# than one superseded generation per (group, tag) in practice
+_STALE_GENERATION_GRACE_SECONDS = 3600.0
 
 
 def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
@@ -189,21 +196,47 @@ def durable_corpus_store_group(
     import re
     import shutil
     import tempfile
+    import time
 
     app_id = spark.sparkContext.applicationId
     _evict_other_apps(app_id)
-    keys = {n: (app_id, sf_dir, f"{group}:{n}") for n in names}
+    # the FINGERPRINT is part of the session-cache key (code-review
+    # r16): without it, an in-process fixture regeneration would hit
+    # the early-return below and serve handles pointing at the OLD
+    # generation's parquet — exactly the staleness the fp exists to
+    # prevent. Stale-fp handles for the same (sf_dir, group) are
+    # evicted here so they can't outlive their (prunable) generation.
+    fp = corpus_fingerprint(sf_dir, table)
+    prefix = f"{group}@"
+    stale_keys = [
+        k
+        for k in _STORE_CACHE
+        if k[1] == sf_dir
+        and k[2].startswith(prefix)
+        and not k[2].startswith(f"{group}@{fp}:")
+    ]
+    for k in stale_keys:
+        del _STORE_CACHE[k]
+        _PLAIN_KEYS.discard(k)
+    keys = {n: (app_id, sf_dir, f"{group}@{fp}:{n}") for n in names}
     if all(k in _STORE_CACHE for k in keys.values()):
         return {n: _STORE_CACHE[keys[n]] for n in names}
 
     tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.strip("/"))
-    fp = corpus_fingerprint(sf_dir, table)
     root = os.path.join(tempfile.gettempdir(), _STORES_DIRNAME)
     base = os.path.join(root, f"{group}_{tag}_{fp}")
-    # exactly ONE generation per (group, tag): a regenerated fixture
-    # gets a new fp; prune the old generation so /tmp never accumulates
+    # one LIVE generation per (group, tag): a regenerated fixture gets
+    # a new fp. Old generations are pruned only after a grace period —
+    # an immediate rmtree could delete parquet another LIVE process's
+    # plain read-back handles still reference mid-query (code-review
+    # r16); clear_durable_stores() remains the deterministic wipe.
+    cutoff = time.time() - _STALE_GENERATION_GRACE_SECONDS
     for stale in glob.glob(os.path.join(root, f"{group}_{tag}_*")):
-        if stale != base:
+        try:
+            old_enough = os.stat(stale).st_mtime < cutoff
+        except OSError:
+            continue
+        if stale != base and old_enough:
             shutil.rmtree(stale, ignore_errors=True)
     marker = os.path.join(base, "_GROUP_DONE")
     if not os.path.exists(marker):

@@ -80,6 +80,41 @@ def delta_available() -> bool:
         return False
 
 
+def _delta_session_configured(spark: SparkSession) -> bool:
+    """True iff the SESSION can actually execute Delta operations —
+    the package being importable is necessary but not sufficient
+    (code-review r16): a session built without the Delta SQL extension
+    fails every DeltaTable/format("delta") call with an analysis error,
+    so auto-detection must key on the capability, not the import."""
+    try:
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        return False
+    return "DeltaSparkSessionExtension" in exts
+
+
+def _fs_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the session's Hadoop filesystem, so it
+    answers correctly for hdfs://, s3a://, and file: paths alike."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _is_existing_non_delta_table(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and is NOT a Delta table — the case
+    where auto mode must keep writing parquet (and explicit Delta must
+    refuse) so the bootstrap branch can never clobber a plain-parquet
+    dimension's history. A Delta table is identified by its
+    ``_delta_log`` dir, checked via the filesystem rather than
+    DeltaTable.isDeltaTable so auto-detection works (and stays cheap)
+    even on sessions without the Delta extension."""
+    if not _fs_path_exists(spark, path):
+        return False
+    return not _fs_path_exists(spark, path.rstrip("/") + "/_delta_log")
+
+
 def upsert_dim(
     src: DataFrame, path: str, key: str, use_delta: bool | None = None
 ) -> None:
@@ -95,23 +130,53 @@ def upsert_dim(
       payload). NON-ATOMIC across writers: two concurrent runs can both
       observe a key absent and both append it (SURVEY.md §7); correct
       under the reference's single-cron-writer model.
-    * Delta (auto-selected when delta-spark is importable, or forced
-      with ``use_delta=True``) — transactional
-      ``MERGE ... WHEN NOT MATCHED THEN INSERT``: Delta's optimistic
-      concurrency control serializes conflicting writers, closing the
-      concurrent-writer race. Same inserted rows either way on a quiet
-      table (the anti-join IS when-not-matched-insert); only atomicity
-      differs. Requires a session with the Delta SQL extension +
-      catalog configured; ``use_delta=True`` without the package raises
-      ImportError loudly rather than silently downgrading atomicity.
+    * Delta (auto-selected when delta-spark is importable AND the
+      session carries the Delta SQL extension AND ``path`` is not an
+      existing plain-parquet table, or forced with ``use_delta=True``)
+      — transactional ``MERGE ... WHEN NOT MATCHED THEN INSERT``:
+      Delta's optimistic concurrency control serializes conflicting
+      writers, closing the concurrent-writer race. Same inserted rows
+      either way on a quiet table (the anti-join IS
+      when-not-matched-insert); only atomicity differs.
+      ``use_delta=True`` without the package raises ImportError loudly
+      rather than silently downgrading atomicity; with the package but
+      an unconfigured session it raises RuntimeError.
+
+    Format-flip safety (code-review r16): a dimension table that was
+    bootstrapped/grown through the parquet path must never be
+    OVERWRITTEN by the Delta bootstrap — that would replace the whole
+    history with the current batch's rows, inverting the
+    insert-if-absent contract. Auto mode therefore stays on the
+    parquet path for an existing non-Delta table; ``use_delta=True``
+    on one raises ValueError (migrate explicitly, e.g.
+    ``CONVERT TO DELTA``, then retry).
     """
     spark = src.sparkSession
     if use_delta is None:
-        use_delta = delta_available()
+        use_delta = (
+            delta_available()
+            and _delta_session_configured(spark)
+            and not _is_existing_non_delta_table(spark, path)
+        )
     if use_delta:
         from delta.tables import DeltaTable  # ImportError = loud gate
 
+        if not _delta_session_configured(spark):
+            raise RuntimeError(
+                "upsert_dim(use_delta=True): delta-spark is importable but "
+                "this session lacks the Delta SQL extension "
+                "(spark.sql.extensions) — rebuild the session with "
+                "configure_spark_with_delta_pip / the Delta extension+catalog "
+                "configs rather than silently downgrading atomicity"
+            )
         if not DeltaTable.isDeltaTable(spark, path):
+            if _fs_path_exists(spark, path):
+                raise ValueError(
+                    f"upsert_dim(use_delta=True): {path!r} holds existing "
+                    "non-Delta data; refusing to overwrite the dimension "
+                    "history with one batch — convert the table to Delta "
+                    "explicitly or pass use_delta=False"
+                )
             src.write.format("delta").mode("overwrite").save(path)
             return
         (

@@ -2605,3 +2605,89 @@ def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
 
     # the reliable mode really wrote durable checkpoint state
     assert any(files for _, _, files in os.walk(ckdir))
+
+
+def test_iteration_pin_sets_checkpoint_dir_once(spark, tmp_path):
+    """The reliable pin's set-once guard must actually match
+    (code-review r16): getCheckpointDir() returns the scheme-qualified
+    dir PLUS a per-set random UUID subdir, so a naive equality check
+    re-ran setCheckpointDir on every pin — one fresh UUID dir per
+    iteration accumulating on the checkpoint FS for the job's life. A
+    multi-pin run must create exactly ONE UUID subdir."""
+    import os
+
+    from etl_fuel_priceguide_ec2_spark.operators.util import (
+        _checkpoint_dir_matches,
+        iteration_pin,
+    )
+
+    ckdir = str(tmp_path / "pin_once")
+    pin = iteration_pin(ckdir)
+    df = spark.range(5)
+    for _ in range(4):
+        df = pin(df.withColumn("id", df["id"] + 1))
+    assert sorted(r.id for r in df.collect()) == [4, 5, 6, 7, 8]
+    assert len(os.listdir(ckdir)) == 1  # one setCheckpointDir, 4 pins
+
+    cur = spark.sparkContext.getCheckpointDir()
+    assert _checkpoint_dir_matches(cur, ckdir)
+    assert _checkpoint_dir_matches(cur, ckdir + "/")
+    assert not _checkpoint_dir_matches(cur, str(tmp_path / "other"))
+    assert not _checkpoint_dir_matches(None, ckdir)
+
+
+def test_durable_store_refingerprints_within_one_process(spark, tmp_path):
+    """The durable group store's session cache is keyed by the corpus
+    FINGERPRINT (code-review r16): regenerating the fixture dir within
+    one process must trigger a re-mine against the new corpus rather
+    than early-returning handles that still point at the superseded
+    generation's parquet."""
+    import os
+
+    from etl_fuel_priceguide_ec2_spark.registry import stores
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    doc_path = str(corpus / "documents.parquet")
+    sf_dir = str(corpus)
+
+    def write_docs(marker):
+        spark.createDataFrame(
+            [(1, marker)], "doc_id bigint, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(doc_path)
+
+    builds = []
+
+    def build_all():
+        builds.append(1)
+        docs = spark.read.parquet(doc_path)
+        return {"sig": docs.groupBy("text").count()}
+
+    try:
+        write_docs("gen-one")
+        first = stores.durable_corpus_store_group(
+            spark, sf_dir, "fp_pin", ["sig"], build_all
+        )["sig"].collect()
+        assert [r.text for r in first] == ["gen-one"] and len(builds) == 1
+        stores.durable_corpus_store_group(
+            spark, sf_dir, "fp_pin", ["sig"], build_all
+        )
+        assert len(builds) == 1  # same generation: served from cache
+
+        write_docs("gen-two")  # regenerate the fixture in-process
+        second = stores.durable_corpus_store_group(
+            spark, sf_dir, "fp_pin", ["sig"], build_all
+        )["sig"].collect()
+        assert [r.text for r in second] == ["gen-two"]
+        assert len(builds) == 2  # new fingerprint forced the re-mine
+        # the superseded generation was NOT rmtree'd immediately (a
+        # concurrent process could still be reading it); both live
+        # under the store root until the grace period / explicit clear
+        import glob
+        import tempfile
+
+        root = os.path.join(tempfile.gettempdir(), stores._STORES_DIRNAME)
+        gens = glob.glob(os.path.join(root, "fp_pin_*"))
+        assert len(gens) == 2
+    finally:
+        stores.clear_durable_stores(sf_dir)

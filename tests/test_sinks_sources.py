@@ -1411,3 +1411,122 @@ def test_avi_codec_roundtrip_frame_sampling_and_hash_plumbing(spark):
     assert all(img_rel[fi] == hashed[(11, fi)] for fi in (0, 2, 4))
     with pytest.raises(ValueError, match="every_nth"):
         multimodal.video_frame_ahash(media, every_nth=0)
+
+
+def test_upsert_dim_delta_never_clobbers_existing_parquet_dim(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Format-flip safety of the Delta gate (code-review r16): a dim
+    table bootstrapped through the parquet path must never be
+    OVERWRITTEN by the Delta bootstrap branch — that would replace the
+    whole upsert history with one batch. (a) auto mode with the
+    package+session both "capable" still stays on the parquet path for
+    an existing non-Delta table; (b) use_delta=True on one raises
+    ValueError before any write; (c) a capable-package but
+    unconfigured-session combination raises RuntimeError under
+    use_delta=True and resolves auto mode to parquet."""
+    import sys
+    import types
+
+    df = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("Id"), F.col("r_name").alias("name")
+    )
+    path = str(tmp_path / "dim_flip")
+    sinks.upsert_dim(df, path, key="Id")  # parquet bootstrap
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before
+
+    # fake a "delta-spark present" environment without the package:
+    # the delta branch imports delta.tables lazily, so stub both
+    fake_tables = types.ModuleType("delta.tables")
+
+    class _NeverDelta:
+        @staticmethod
+        def isDeltaTable(_spark, _path):
+            return False
+
+    fake_tables.DeltaTable = _NeverDelta
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    assert sinks.delta_available()
+
+    # (c) package importable, session unconfigured (this vanilla
+    # session carries no Delta extension): auto => parquet path
+    assert not sinks._delta_session_configured(spark)
+    sinks.upsert_dim(df, path, key="Id")  # auto: appends nothing new
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    with pytest.raises(RuntimeError, match="Delta SQL extension"):
+        sinks.upsert_dim(df, path, key="Id", use_delta=True)
+
+    # (a)/(b) even with a fully "capable" session, an existing
+    # non-Delta table keeps auto on parquet and makes explicit raise
+    monkeypatch.setattr(sinks, "_delta_session_configured", lambda s: True)
+    assert sinks._is_existing_non_delta_table(spark, path)
+    sinks.upsert_dim(df, path, key="Id")  # auto: still the parquet path
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    with pytest.raises(ValueError, match="non-Delta data"):
+        sinks.upsert_dim(df, path, key="Id", use_delta=True)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_jpeg_decoder_fill_bytes_and_multi_scan_gate():
+    """Marker-stream robustness (code-review r16): (a) T.81 B.1.1.2
+    fill bytes — any run of 0xFF before a marker — must not desync the
+    header walk; (b) a baseline file whose first SOS covers fewer
+    components than the frame declares (spec-legal multi-scan) must
+    raise loudly instead of silently decoding a color image as gray."""
+    import struct
+
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import jpegcodec
+
+    img = jpegcodec.synth_block_image(3, 16, 100)
+    payload = jpegcodec.encode_jpeg(img, quality=90, grayscale=True)
+    # inject fill bytes before the DQT marker (0xFFDB)
+    stuffed = payload.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    assert len(stuffed) == len(payload) + 2
+    assert np.array_equal(jpegcodec.decode_jpeg(stuffed), img)
+
+    color = jpegcodec.encode_jpeg(np.ascontiguousarray(img), quality=90)
+    sos = b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+    )
+    assert sos in color
+    # rewrite the SOS to claim a 1-component scan over the 3-component
+    # frame: the multi-scan gate must fire before any entropy decoding
+    single = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        jpegcodec.decode_jpeg(color.replace(sos, single, 1))
+
+
+def test_avi_top_down_frames_decode_unflipped():
+    """strf's BITMAPINFOHEADER height is SIGNED: biHeight < 0 marks a
+    top-down DIB (legal, common for RGB) whose rows are stored
+    first-row-first. Decoding must honor the sign instead of always
+    un-flipping (code-review r16). Construction trick: encoding
+    vertically-flipped frames bottom-up yields byte-identical frame
+    chunks to encoding the ORIGINAL frames top-down, so patching the
+    strf height sign must reconstruct the original frames exactly."""
+    import struct
+
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import videocodec
+
+    frames = videocodec.synth_video_frames(7, n_frames=3, size=16)
+    flipped = np.ascontiguousarray(frames[:, ::-1])
+    payload = bytearray(videocodec.encode_avi(flipped, fps=10))
+    # strf data starts after the fourcc+size header; biHeight sits at
+    # offset 8 within BITMAPINFOHEADER (after biSize, biWidth)
+    strf_at = payload.index(b"strf") + 8
+    (h,) = struct.unpack_from("<i", payload, strf_at + 8)
+    assert h == 16
+    struct.pack_into("<i", payload, strf_at + 8, -h)
+    assert np.array_equal(videocodec.decode_avi(bytes(payload)), frames)
+    # and the bottom-up original still round-trips (sign untouched)
+    assert np.array_equal(
+        videocodec.decode_avi(videocodec.encode_avi(frames)), frames
+    )

@@ -321,6 +321,19 @@ def kfold_export_manifest(
             "with generated column names — rename them first "
             f"({'/'.join(sorted(generated))} are reserved)"
         )
+    # size_cols OUTPUT names must not shadow the manifest's own
+    # columns either — size_cols={'n_docs': ...} would emit two n_docs
+    # columns and every downstream select hits AMBIGUOUS_REFERENCE or
+    # silently reads the wrong one (code-review r16)
+    reserved_out = generated | {"n_docs", "content_checksum"}
+    if fold_col is not None:
+        reserved_out.add(fold_col)
+    bad_out = sorted(o for o in (size_cols or {}) if o in reserved_out)
+    if bad_out:
+        raise ValueError(
+            f"kfold_export_manifest: size_cols output name(s) {bad_out} "
+            "collide with the manifest's own columns"
+        )
     if k is not None:
         folded = sampling.kfold_assign(df, id_col, k, seed=fold_seed)
         fold_col = "fold"

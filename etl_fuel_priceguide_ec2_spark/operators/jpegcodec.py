@@ -129,17 +129,14 @@ def _huff_codes(bits, huffval):
 
 
 def _huff_decode_table(bits, huffval):
-    """(bits, huffval) -> {(length, code): symbol} for the decoder."""
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length]):
-            table[(length, code)] = huffval[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    """(bits, huffval) -> {(length, code): symbol} for the decoder —
+    the inverse of :func:`_huff_codes`, derived from it so the
+    Annex-C canonical-code walk has ONE definition the encoder and
+    decoder cannot diverge on (code-review r16)."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huff_codes(bits, huffval).items()
+    }
 
 
 # DCT-II basis (JPEG normalization): F = A @ f @ A.T, f = A.T @ F @ A

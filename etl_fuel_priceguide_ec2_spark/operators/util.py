@@ -101,7 +101,14 @@ def iteration_pin(checkpoint_dir: str | None = None):
 
     Note ``setCheckpointDir`` is SparkContext-global: the helper sets
     it on first use and later callers may override it — callers sharing
-    a session should pass the same directory."""
+    a session should pass the same directory.
+
+    Retention: Spark deletes reliable checkpoint data only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false) — a RECURRING job using ``checkpoint_dir`` should either
+    set that conf or use a per-run directory it removes afterwards,
+    or the checkpoint FS accumulates one full relation snapshot per
+    pin for the cluster's life (code-review r16; SCALE.md)."""
     if checkpoint_dir is None:
         return lambda df: df.localCheckpoint(eager=True)
 
@@ -112,25 +119,43 @@ def iteration_pin(checkpoint_dir: str | None = None):
         # naive equality guard never matches and every pin would
         # re-run setCheckpointDir — an FS mkdirs plus a fresh UUID dir
         # per iteration, scattering ~N checkpoint dirs over a long run
-        # (code-review r16). Compare the PARENT of the current value
-        # against the requested dir, scheme-insensitively.
-        if not _checkpoint_dir_matches(sc.getCheckpointDir(), checkpoint_dir):
+        # (code-review r16). Two guards: the dir WE last set on this
+        # context (exact, works for any URI form Hadoop may re-qualify
+        # beyond recognition), then a scheme-insensitive parent match
+        # against the live value (covers an externally-set same dir).
+        if getattr(
+            sc, "_iteration_pin_ckdir", None
+        ) != checkpoint_dir and not _checkpoint_dir_matches(
+            sc.getCheckpointDir(), checkpoint_dir
+        ):
             sc.setCheckpointDir(checkpoint_dir)
+        sc._iteration_pin_ckdir = checkpoint_dir
         return df.checkpoint(eager=True)
 
     return _pin
 
 
+def _strip_file_scheme(p: str) -> str:
+    # 'file:/x', 'file://x', and 'file:///x' all name local path '/x'
+    if p.startswith("file:"):
+        rest = p[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return p
+
+
 def _checkpoint_dir_matches(current: str | None, target: str) -> bool:
     """True iff ``current`` (SparkContext.getCheckpointDir(): the
     scheme-qualified target plus Spark's per-set UUID subdir) already
-    lives under ``target``. A bare-path target matches its
-    ``file:``-qualified form; fully-qualified targets compare as-is."""
+    lives under ``target``. Local targets compare with the ``file:``
+    scheme variants normalized away; other schemes compare as-is (a
+    Hadoop-requalified authority won't match — the per-context
+    last-set guard in ``iteration_pin`` covers that case)."""
     if not current:
         return False
     parent = current.rstrip("/").rsplit("/", 1)[0]
-    tgt = target.rstrip("/")
-    return parent == tgt or parent == "file:" + tgt
+    return _strip_file_scheme(parent) == _strip_file_scheme(target.rstrip("/"))
 
 
 def longs_lit(values) -> Column:

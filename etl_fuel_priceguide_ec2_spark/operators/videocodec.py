@@ -97,10 +97,11 @@ def decode_avi(payload: bytes) -> np.ndarray:
         raise ValueError("not an AVI (missing RIFF/AVI header)")
     w = h = None
     top_down = False
+    stream_type = None  # fccType of the most recent strh chunk
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, top_down
+        nonlocal w, h, top_down, stream_type
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -111,7 +112,15 @@ def decode_avi(payload: bytes) -> np.ndarray:
                 vals = struct.unpack_from("<14I", payload, data_start)
                 if w is None:  # strf (authoritative) may already have run
                     w, h = vals[8], vals[9]
-            elif fourcc == b"strf":
+            elif fourcc == b"strh":
+                stream_type = payload[data_start : data_start + 4]
+            elif fourcc == b"strf" and stream_type == b"vids":
+                # strf's layout depends on the OWNING stream's type: a
+                # 'vids' strf is a BITMAPINFOHEADER, an 'auds' strf is
+                # a WAVEFORMATEX — parsing the latter as bitmap fields
+                # read sample rates as dimensions and bits-per-sample
+                # as bpp, failing (or worse) on any AVI that carries an
+                # audio track beside its video (code-review r16)
                 (
                     _bisize, bw, bh, _planes, bpp, comp,
                 ) = struct.unpack_from("<IiiHHI", payload, data_start)

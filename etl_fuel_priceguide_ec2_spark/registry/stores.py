@@ -156,6 +156,23 @@ def _unpersist_all() -> None:
 # (the from-scratch oracle pins it every round).
 
 _STORES_DIRNAME = "etl_fuel_priceguide_ec2_spark_stores"
+
+
+def _corpus_tag(sf_dir: str) -> str:
+    """Filesystem-safe generation tag for a corpus dir. The readable
+    sanitized path alone is AMBIGUOUS — '/a/b_c' and '/a/b/c' both
+    sanitize to 'a_b_c', so pruning or clearing one corpus could wipe
+    the other's generations (code-review r16); a short digest of the
+    normalized raw path disambiguates."""
+    import hashlib
+    import os
+    import re
+
+    norm = os.path.abspath(sf_dir)
+    safe = re.sub(r"[^0-9a-zA-Z.]", "_", norm.strip("/"))
+    return f"{safe}_{hashlib.md5(norm.encode()).hexdigest()[:6]}"
+
+
 # grace period before a superseded generation dir may be pruned: long
 # enough that a concurrent process's in-flight queries against the old
 # generation finish, short enough that /tmp never accumulates more
@@ -193,7 +210,6 @@ def durable_corpus_store_group(
     member landed — a killed writer leaves no half-readable store."""
     import glob
     import os
-    import re
     import shutil
     import tempfile
     import time
@@ -222,14 +238,16 @@ def durable_corpus_store_group(
     if all(k in _STORE_CACHE for k in keys.values()):
         return {n: _STORE_CACHE[keys[n]] for n in names}
 
-    tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.strip("/"))
+    tag = _corpus_tag(sf_dir)
     root = os.path.join(tempfile.gettempdir(), _STORES_DIRNAME)
     base = os.path.join(root, f"{group}_{tag}_{fp}")
     # one LIVE generation per (group, tag): a regenerated fixture gets
-    # a new fp. Old generations are pruned only after a grace period —
-    # an immediate rmtree could delete parquet another LIVE process's
-    # plain read-back handles still reference mid-query (code-review
-    # r16); clear_durable_stores() remains the deterministic wipe.
+    # a new fp. Old generations (and orphaned .building dirs from a
+    # killed writer — the glob matches them too) are pruned only after
+    # a grace period — an immediate rmtree could delete parquet another
+    # LIVE process's plain read-back handles still reference mid-query
+    # (code-review r16); clear_durable_stores() remains the
+    # deterministic wipe.
     cutoff = time.time() - _STALE_GENERATION_GRACE_SECONDS
     for stale in glob.glob(os.path.join(root, f"{group}_{tag}_*")):
         try:
@@ -239,20 +257,52 @@ def durable_corpus_store_group(
         if stale != base and old_enough:
             shutil.rmtree(stale, ignore_errors=True)
     marker = os.path.join(base, "_GROUP_DONE")
-    if not os.path.exists(marker):
+
+    def _generation_complete() -> bool:
+        # the marker alone is not enough evidence: a later release may
+        # request a member an old blessed generation never wrote (the
+        # corpus fp does not change with CODE) — trust the generation
+        # only when every requested member is present (code-review r16)
+        return os.path.exists(marker) and all(
+            os.path.exists(os.path.join(base, f"{n}.parquet")) for n in names
+        )
+
+    if not _generation_complete():
+        if os.path.exists(marker):
+            # blessed by an older code version but missing a member
+            # this version needs: rebuild the whole group coherently
+            shutil.rmtree(base, ignore_errors=True)
         built = build_all()
         missing = [n for n in names if n not in built]
         if missing:
             raise KeyError(
                 f"durable_corpus_store_group: build_all omitted {missing}"
             )
-        os.makedirs(base, exist_ok=True)
+        # build into a PRIVATE dir and publish with one atomic rename:
+        # two processes racing the first-ever build would otherwise
+        # interleave overwrite-writes under the same member paths and
+        # bless a torn mix with the marker (code-review r16)
+        work = f"{base}.building.{os.getpid()}"
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
         for n in names:
             built[n].write.mode("overwrite").parquet(
-                os.path.join(base, f"{n}.parquet")
+                os.path.join(work, f"{n}.parquet")
             )
-        with open(marker, "w") as f:
+        with open(os.path.join(work, "_GROUP_DONE"), "w") as f:
             f.write(fp)
+        try:
+            os.rename(work, base)
+        except OSError:
+            if _generation_complete():
+                # a concurrent builder won the publish race with a
+                # complete generation — use theirs, discard ours
+                shutil.rmtree(work, ignore_errors=True)
+            else:
+                # an incomplete leftover (crashed pre-atomic-rename
+                # writer) blocks the slot: clear it and publish ours
+                shutil.rmtree(base, ignore_errors=True)
+                os.rename(work, base)
     for n in names:
         if keys[n] not in _STORE_CACHE:
             _STORE_CACHE[keys[n]] = spark.read.parquet(
@@ -276,7 +326,6 @@ def clear_durable_stores(sf_dir: str | None = None) -> None:
     back into a full re-mine (~17 s) on the next bench run."""
     import glob
     import os
-    import re
     import shutil
     import tempfile
 
@@ -285,6 +334,6 @@ def clear_durable_stores(sf_dir: str | None = None) -> None:
     if sf_dir is None:
         shutil.rmtree(root, ignore_errors=True)
         return
-    tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.strip("/"))
+    tag = _corpus_tag(sf_dir)
     for gen in glob.glob(os.path.join(root, f"*_{tag}_*")):
         shutil.rmtree(gen, ignore_errors=True)

@@ -187,6 +187,17 @@ def upsert_dim(
             .execute()
         )
         return
+    if _fs_path_exists(spark, path.rstrip("/") + "/_delta_log"):
+        # the format-flip guard's other direction (code-review r16): a
+        # raw-parquet append into a Delta table writes files the
+        # _delta_log never references — invisible to Delta readers,
+        # duplicate keys for raw readers, no error from either
+        raise ValueError(
+            f"upsert_dim: {path!r} is a Delta table; the plain-parquet "
+            "path would append files its transaction log never "
+            "references — run in a Delta-capable session (or pass "
+            "use_delta=True) instead"
+        )
     try:
         existing = spark.read.parquet(path)
     except Exception:

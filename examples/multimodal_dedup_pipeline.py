@@ -99,22 +99,34 @@ def main(sf_dir: str | None = None) -> dict:
         (F.col("doc_id") * 16 + F.col("frame_idx")).alias("doc_id"),
         "b0", "b1", "b2", "b3",
     )
-    fpairs = multimodal.image_ahash_pairs(composite, max_hamming=3)
-    clip_pairs = (
-        fpairs.select(
-            (F.col("id_a") / 16).cast("long").alias("id_a"),
-            (F.col("id_b") / 16).cast("long").alias("id_b"),
-            (F.col("id_a") % 16).alias("off_a"),
-            (F.col("id_b") % 16).alias("off_b"),
+    def clip_conjunction_pairs(frame_hashes):
+        """Clip-level pair rule — ONE definition shared by the mining
+        pass and the idempotence residual check below (they previously
+        duplicated it; a drift between the two would make the example
+        assert a different predicate than it mined, code-review r16):
+        decode the composite (clip*16+frame) id, keep aligned-offset
+        frame near-pairs across distinct clips, and demand ALL
+        n_sampled offsets near (count-distinct conjunction)."""
+        fpairs = multimodal.image_ahash_pairs(frame_hashes, max_hamming=3)
+        return (
+            fpairs.select(
+                (F.col("id_a") / 16).cast("long").alias("ca"),
+                (F.col("id_b") / 16).cast("long").alias("cb"),
+                (F.col("id_a") % 16).alias("oa"),
+                (F.col("id_b") % 16).alias("ob"),
+            )
+            .filter((F.col("oa") == F.col("ob")) & (F.col("ca") != F.col("cb")))
+            .groupBy("ca", "cb")
+            .agg(F.count_distinct("oa").alias("n_off"))
+            .filter(F.col("n_off") == n_sampled)  # ALL sampled frames near
+            .select("ca", "cb")
         )
-        .filter(F.col("off_a") == F.col("off_b"))  # aligned frames only
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count_distinct("off_a").alias("n_off"))
-        .filter(F.col("n_off") == n_sampled)  # ALL sampled frames near
+
+    clip_pairs = (
+        clip_conjunction_pairs(composite)
         .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+            F.least("ca", "cb").alias("id_a"),
+            F.greatest("ca", "cb").alias("id_b"),
         )
         .distinct()
     )
@@ -141,20 +153,7 @@ def main(sf_dir: str | None = None) -> dict:
         v_kept_ids.select((F.col("doc_id")).alias("clip")),
         (F.col("doc_id") / 16).cast("long") == F.col("clip"),
     ).select("doc_id", "b0", "b1", "b2", "b3")
-    resid_clip = (
-        multimodal.image_ahash_pairs(surv_frames, max_hamming=3)
-        .select(
-            (F.col("id_a") / 16).cast("long").alias("ca"),
-            (F.col("id_b") / 16).cast("long").alias("cb"),
-            (F.col("id_a") % 16).alias("oa"),
-            (F.col("id_b") % 16).alias("ob"),
-        )
-        .filter((F.col("oa") == F.col("ob")) & (F.col("ca") != F.col("cb")))
-        .groupBy("ca", "cb")
-        .agg(F.count_distinct("oa").alias("n_off"))
-        .filter(F.col("n_off") == n_sampled)
-        .count()
-    )
+    resid_clip = clip_conjunction_pairs(surv_frames).count()
     assert resid_clip == 0, f"video clip keep-list not idempotent ({resid_clip})"
     kept_sets.append(v_kept_ids)
     print(

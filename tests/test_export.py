@@ -469,3 +469,24 @@ def test_kfold_export_manifest_collision_guard(spark, docs):
     assert export.kfold_export_manifest(
         folded, "doc_id", n_shards=N_SHARDS, fold_col="fold"
     ).count() > 0
+
+
+def test_kfold_export_manifest_size_cols_output_collision_raises(spark, docs):
+    """size_cols OUTPUT names must not shadow the manifest's own
+    columns (code-review r16): {'n_docs': ...} would emit two n_docs
+    columns and downstream selects hit AMBIGUOUS_REFERENCE or silently
+    read the wrong one — the same silent-clobber class the generated-
+    name guard already collides loudly on."""
+    import pytest
+
+    for bad in ("n_docs", "content_checksum", "fold", "shard"):
+        with pytest.raises(ValueError, match="size_cols"):
+            export.kfold_export_manifest(
+                docs, "doc_id", n_shards=4, k=2,
+                size_cols={bad: "n_chars"},
+            )
+    # a well-named output still works
+    ok = export.kfold_export_manifest(
+        docs, "doc_id", n_shards=4, k=2, size_cols={"total_chars": "n_chars"}
+    )
+    assert "total_chars" in ok.columns

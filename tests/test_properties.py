@@ -2691,3 +2691,84 @@ def test_durable_store_refingerprints_within_one_process(spark, tmp_path):
         assert len(gens) == 2
     finally:
         stores.clear_durable_stores(sf_dir)
+
+
+def test_iteration_pin_file_uri_target_sets_once(spark, tmp_path):
+    """URI-form targets must satisfy the set-once guard too
+    (code-review r16): 'file:///d' and the Hadoop-qualified
+    'file:/d/<uuid>' name the same dir — without normalization every
+    pin re-ran setCheckpointDir for URI spellings, recreating the
+    per-iteration UUID-dir scatter the guard exists to prevent."""
+    import os
+
+    from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+    ckdir = tmp_path / "pin_uri"
+    pin = iteration_pin(f"file://{ckdir}")
+    df = spark.range(3)
+    for _ in range(3):
+        df = pin(df.withColumn("id", df["id"] + 1))
+    assert sorted(r.id for r in df.collect()) == [3, 4, 5]
+    assert len(os.listdir(ckdir)) == 1
+
+
+def test_durable_store_rebuilds_when_new_member_requested(spark, tmp_path):
+    """_GROUP_DONE alone must not be trusted (code-review r16): a
+    generation blessed by an older code version may lack a member a
+    newer release requests — the store must rebuild the group rather
+    than throw Path-does-not-exist on the missing parquet forever
+    (the corpus fingerprint never changes with code)."""
+    from etl_fuel_priceguide_ec2_spark.registry import stores
+
+    corpus = tmp_path / "corpus_members"
+    corpus.mkdir()
+    doc_path = str(corpus / "documents.parquet")
+    sf_dir = str(corpus)
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(doc_path)
+
+    builds = []
+
+    def build_v1():
+        builds.append("v1")
+        docs = spark.read.parquet(doc_path)
+        return {"sig": docs.groupBy("text").count()}
+
+    def build_v2():
+        builds.append("v2")
+        docs = spark.read.parquet(doc_path)
+        return {
+            "sig": docs.groupBy("text").count(),
+            "extra": docs.select("doc_id"),
+        }
+
+    try:
+        stores.durable_corpus_store_group(
+            spark, sf_dir, "member_pin", ["sig"], build_v1
+        )
+        assert builds == ["v1"]
+        got = stores.durable_corpus_store_group(
+            spark, sf_dir, "member_pin", ["sig", "extra"], build_v2
+        )
+        assert builds == ["v1", "v2"]  # marker alone did not satisfy
+        assert got["extra"].count() == 1
+        stores.durable_corpus_store_group(
+            spark, sf_dir, "member_pin", ["sig", "extra"], build_v2
+        )
+        assert builds == ["v1", "v2"]  # rebuilt generation now serves
+    finally:
+        stores.clear_durable_stores(sf_dir)
+
+
+def test_corpus_tag_disambiguates_sanitization_collisions(tmp_path):
+    """'/a/b_c' and '/a/b/c' sanitize to the same readable tag — the
+    digest suffix must keep their store generations (and scoped
+    clears) apart (code-review r16)."""
+    from etl_fuel_priceguide_ec2_spark.registry.stores import _corpus_tag
+
+    a = str(tmp_path / "x_y" / "sf1")
+    b = str(tmp_path / "x" / "y_sf1")
+    assert _corpus_tag(a) != _corpus_tag(b)
+    # stable for equivalent spellings of the same dir
+    assert _corpus_tag(a) == _corpus_tag(a + "/")

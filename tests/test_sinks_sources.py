@@ -1530,3 +1530,79 @@ def test_avi_top_down_frames_decode_unflipped():
     assert np.array_equal(
         videocodec.decode_avi(videocodec.encode_avi(frames)), frames
     )
+
+
+def test_upsert_dim_parquet_path_refuses_delta_table(spark, sf_dir, tmp_path):
+    """The format-flip guard's other direction (code-review r16): the
+    plain-parquet path must refuse a Delta table — a raw append there
+    would write files the _delta_log never references (invisible to
+    Delta readers, duplicate keys for raw-parquet readers, no error
+    from either engine)."""
+    import os
+
+    df = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("Id"), F.col("r_name").alias("name")
+    )
+    path = str(tmp_path / "dim_delta_reverse")
+    sinks.upsert_dim(df, path, key="Id")  # parquet bootstrap
+    os.makedirs(os.path.join(path, "_delta_log"))  # now "a Delta table"
+    with pytest.raises(ValueError, match="_delta_log|Delta table"):
+        sinks.upsert_dim(df, path, key="Id")
+
+
+def test_avi_with_audio_track_decodes_video_stream():
+    """Real-world AVIs carry an audio stream beside the video: the
+    audio strl's strf is a WAVEFORMATEX, not a BITMAPINFOHEADER, so
+    strf parsing must be gated on the owning strh's fccType — parsing
+    the audio strf as bitmap fields read bits-per-sample (16) as bpp
+    and raised on a perfectly decodable file (code-review r16)."""
+    import struct
+
+    import numpy as np
+
+    from etl_fuel_priceguide_ec2_spark.operators import videocodec
+
+    frames = videocodec.synth_video_frames(5, n_frames=2, size=16)
+    n, h, w, _ = frames.shape
+    raw = [videocodec._frame_bytes(frames[i]) for i in range(n)]
+    fsize = len(raw[0])
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I", 100000, fsize * 10, 0, 0x10, n, 0, 2, fsize, w, h, 0, 0, 0, 0
+    )
+    vstrh = (
+        b"vids" + b"DIB " + struct.pack("<IHHI", 0, 0, 0, 0)
+        + struct.pack("<7I", 1, 10, 0, n, fsize, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    vstrf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 2835, 2835, 0, 0
+    )
+    astrh = (
+        b"auds" + b"\x00\x00\x00\x00" + struct.pack("<IHHI", 0, 0, 0, 0)
+        + struct.pack("<7I", 1, 44100, 0, 44100, 2, 0, 0)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    # WAVEFORMATEX: PCM tag, mono, 44.1 kHz, 16-bit samples
+    astrf = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", vstrh) + chunk(b"strf", vstrf))
+        + lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(chunk(b"00db", fr) for fr in raw)
+        + chunk(b"01wb", b"\x00\x00" * 100),
+    )
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert np.array_equal(videocodec.decode_avi(payload), frames)

@@ -31,7 +31,10 @@ from etl_fuel_priceguide_ec2_spark.operators import joins
 
 
 def append_fact(
-    snapshot: DataFrame, path: str, run_ts_col: str = "run_ts"
+    snapshot: DataFrame,
+    path: str,
+    run_ts_col: str = "run_ts",
+    run_id_suffix: str | None = None,
 ) -> None:
     """S5: append a run's snapshot rows, partitioned by
     ``run_date=.../run_id=...``.
@@ -47,10 +50,20 @@ def append_fact(
 
     Assumes one distinct run_ts per call (the reference's per-run cron
     model, index.js:329-345); multi-run DataFrames still work — each
-    run lands in its own sub-partition."""
-    out = snapshot.withColumn("run_date", F.to_date(F.col(run_ts_col))).withColumn(
-        "run_id", F.date_format(F.col(run_ts_col), "yyyyMMdd'T'HHmmssSSS")
-    )
+    run lands in its own sub-partition.
+
+    ``run_id_suffix`` extends the run identity beyond the timestamp:
+    callers whose run_ts is NOT unique per call (a streaming
+    foreachBatch using the batch's max event time — two batches can
+    share a max ts) must append a per-call stable token (the batch id)
+    or the second call's dynamic overwrite deletes the first call's
+    rows (code-review r16)."""
+    run_id = F.date_format(F.col(run_ts_col), "yyyyMMdd'T'HHmmssSSS")
+    if run_id_suffix is not None:
+        run_id = F.concat(run_id, F.lit(run_id_suffix))
+    out = snapshot.withColumn(
+        "run_date", F.to_date(F.col(run_ts_col))
+    ).withColumn("run_id", run_id)
     # sort by key inside each partition file: parquet row-group min/max
     # stats then skip row groups on Id point lookups (W1 reads), the
     # file-level complement to run_date partition pruning

@@ -43,15 +43,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # build this arrives as either a raw long of nanos (when
         # spark.sql.legacy.parquet.nanosAsLong applies) or TIMESTAMP_NTZ
         # truncated to micros (Spark >= 4.1.2 reads nanos natively).
-        # Normalize both to TimestampType truncated to micros — exactly
-        # what DuckDB's TIMESTAMP read does, so oracles agree (verified
-        # value-identical over the full sf0.01 table).
+        # Normalize both to TimestampType truncated to micros with the
+        # file's wall clock as the UTC-anchored epoch — exactly the
+        # value DuckDB's naive TIMESTAMP read compares as, so oracles
+        # agree (verified value-identical over the full sf0.01 table).
+        # Timezone stability (code-review r16): timestamp_micros is
+        # epoch-anchored and already session-tz-independent, but a
+        # bare NTZ->timestamp cast interprets the wall clock in the
+        # SESSION tz (epoch W - offset), so the two build paths
+        # diverged by the session offset anywhere but UTC —
+        # from_utc_timestamp(cast, sessionTz) adds the offset back
+        # (empirically verified: collect() renders via the driver's
+        # system tz, so the EPOCH is the comparison-stable quantity;
+        # identity under UTC, the pinned driver/test environment;
+        # tz-stability test-pinned).
+        #
+        # Session side effect, BY DESIGN: the nanosAsLong conf must
+        # remain set for the life of any returned events scan —
+        # SQLConf is captured when the query EXECUTES, so a
+        # save-restore around this lazy read would break the scan at
+        # action time. Other nanos-parquet reads in the same session
+        # will also see longs; use this catalog for such reads.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        return df.withColumn(
+            "ts",
+            F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz),
+        )
     return spark.read.parquet(path)
 
 

@@ -31,8 +31,16 @@ def load_config(
     for k, v in spark.sparkContext.getConf().getAll():
         if k.startswith(prefix):
             out[k[len(prefix) :]] = v
-    # ...runtime values (spark.conf.set) on the per-session SQLConf;
-    # probe known keys there (defaults + required), runtime wins
+    # ...runtime values (spark.conf.set) on the per-session SQLConf.
+    # Enumerate them via SET (the one public listing of explicitly-set
+    # session confs) so a runtime key OUTSIDE defaults/required is
+    # collected too — previously only already-known keys were probed
+    # and novel spark.conf.set values were silently missed
+    # (code-review r16)
+    for row in spark.sql("SET").collect():
+        if row[0].startswith(prefix):
+            out[row[0][len(prefix) :]] = row[1]
+    # ...and probe known keys directly, runtime wins
     for k in set(out) | set(required or []):
         try:
             out[k] = spark.conf.get(prefix + k)

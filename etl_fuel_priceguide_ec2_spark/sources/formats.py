@@ -29,7 +29,15 @@ def read_table(
     spark: SparkSession, path: str, fmt: str, schema: StructType | str
 ) -> DataFrame:
     """Schema-explicit read — no inference pass. CSV/JSON parse in
-    PERMISSIVE mode: malformed rows null out instead of failing (P6)."""
+    PERMISSIVE mode: malformed rows null out instead of failing (P6).
+    Unknown formats raise (code-review r16): the old silent parquet
+    fallback turned a typo'd fmt into a corrupt-footer error — or a
+    wrong-but-successful read — far from the call site, asymmetric
+    with write_table's KeyError."""
+    if fmt not in WRITERS:
+        raise KeyError(
+            f"read_table: unknown format {fmt!r}; known: {sorted(WRITERS)}"
+        )
     r = spark.read.schema(schema)
     if fmt == "csv":
         return r.option("header", "true").option("mode", "PERMISSIVE").csv(path)

@@ -66,6 +66,13 @@ def enrich_from_detail_endpoint(
     """
     n = num_partitions or ids.sparkSession.sparkContext.defaultParallelism
 
+    schema = (
+        StructType.fromDDL(out_schema)
+        if isinstance(out_schema, str)
+        else out_schema
+    )
+    field_names = [f.name for f in schema.fields]
+
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
@@ -77,6 +84,15 @@ def enrich_from_detail_endpoint(
                     # P6: log-and-skip semantics (index.js:137-140)
                     continue
             if out:
-                yield pd.DataFrame(out)
+                # Shape the frame to the declared schema (code-review
+                # r16): mapInPandas matches output columns BY NAME, so
+                # an optional JSON field absent from every response in
+                # a batch (endpoints commonly omit null fields) would
+                # raise at the Arrow boundary and fail the job — the
+                # opposite of P6. Missing/extra fields become None/are
+                # dropped; object dtype keeps absent longs as None
+                # (NaN-as-float would break the integer cast).
+                frame = pd.DataFrame(out).reindex(columns=field_names)
+                yield frame.astype(object).where(frame.notna(), None)
 
-    return ids.select(id_col).repartition(n).mapInPandas(_fetch, out_schema)
+    return ids.select(id_col).repartition(n).mapInPandas(_fetch, schema)

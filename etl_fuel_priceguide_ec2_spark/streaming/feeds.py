@@ -83,21 +83,38 @@ def run_microbatch_etl(
     from etl_fuel_priceguide_ec2_spark import sinks
 
     def _one_run(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # run_ts = the batch's max event time, attached via a broadcast
-        # cross join with the 1-row aggregate — stays inside the plan
-        # (no driver-side collect in the per-batch hot path)
-        run = batch_df.agg(F.max("ts").alias("run_ts"))
-        snapshot = batch_df.select(
-            F.col("user_id").alias("Id"),
-            F.col("value").alias("price"),
-            F.col("event_type").alias("fuel_type"),
-        ).crossJoin(F.broadcast(run))
-        sinks.append_fact(snapshot, fact_path)
-        keys = batch_df.select(F.col("user_id").alias("Id")).distinct()
-        src = keys.join(dim_src, "Id", "inner")
-        sinks.upsert_dim(src, dim_path, key="Id")
+        # persist once: this body reads the batch 3-4 times (isEmpty,
+        # the fact write incl. the max-ts aggregate, the distinct-keys
+        # dim path) and each action would otherwise re-read the source
+        # (code-review r16)
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            # run_ts = the batch's max event time, attached via a
+            # broadcast cross join with the 1-row aggregate — stays
+            # inside the plan (no driver-side collect in the per-batch
+            # hot path). The run IDENTITY additionally carries the
+            # batch id (code-review r16): max event time alone is not
+            # unique per batch — a later batch holding only late or
+            # duplicate events can share an earlier batch's max ts, and
+            # the dynamic partition overwrite would then DELETE the
+            # earlier batch's fact rows. batch_id is replay-stable, so
+            # a replayed batch still overwrites exactly its own
+            # partition (idempotent), while distinct batches never
+            # collide.
+            run = batch_df.agg(F.max("ts").alias("run_ts"))
+            snapshot = batch_df.select(
+                F.col("user_id").alias("Id"),
+                F.col("value").alias("price"),
+                F.col("event_type").alias("fuel_type"),
+            ).crossJoin(F.broadcast(run))
+            sinks.append_fact(snapshot, fact_path, run_id_suffix=f"-b{batch_id}")
+            keys = batch_df.select(F.col("user_id").alias("Id")).distinct()
+            src = keys.join(dim_src, "Id", "inner")
+            sinks.upsert_dim(src, dim_path, key="Id")
+        finally:
+            batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_one_run)
@@ -108,9 +125,18 @@ def run_microbatch_etl(
 
 
 def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 day") -> DataFrame:
-    """Streaming exact dedup (X1's streaming mirror): state holds one
-    entry per key inside the watermark horizon; replays and duplicate
-    deliveries are dropped exactly-once per key."""
+    """Streaming exact dedup (X1's streaming mirror): exactly one
+    surviving row per key over the stream's whole life.
+
+    State caveat (code-review r16): ``dropDuplicates`` state is only
+    watermark-evicted when the event-time column is PART of ``keys`` —
+    with plain keys (the common call), the watermark bounds nothing
+    and state holds every distinct key forever. That is the right
+    trade only for BOUNDED key spaces (entity ids, dimension keys);
+    for unbounded per-event keys use
+    :func:`dedup_stream_within_watermark`, which expires each key at
+    the horizon (and may therefore keep both of two duplicates farther
+    apart than the watermark)."""
     return stream.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
@@ -451,8 +477,16 @@ def exact_substring_stream(
     miner's documented caveat).
 
     At-least-once caveat: a replayed batch re-appends state and spans;
-    grams dedupe exactly on (id, pos) and spans on their full row —
-    read with dropDuplicates, or compact the store periodically."""
+    spans dedupe on their full row — read them with dropDuplicates, or
+    compact the store periodically. The gram store is dedup'd on
+    (id, pos) at EVERY history read below, not just by external
+    readers (code-review r16): unlike the LSH/perceptual stores, where
+    duplicated state rows only yield duplicate (removable) pair rows,
+    duplicated grams change VALUES — per-gram frequencies double
+    (spuriously crossing ``max_gram_freq``, silently dropping real
+    spans) and duplicated match rows fragment the run-length diagonal
+    grouping (long spans split into sub-``min_span_tokens`` pieces).
+    """
     from etl_fuel_priceguide_ec2_spark.operators import dedup
 
     grams_path = f"{store_dir}/grams"
@@ -472,6 +506,11 @@ def exact_substring_stream(
             # propagate and fail the micro-batch instead of dropping
             # every historical span for the slice (ADVICE r08).
             grams_hist = grams_new.limit(0)
+        else:
+            # replay armor, applied OUTSIDE the try (a missing-column
+            # schema drift must fail loudly, not read as "first
+            # batch" — the r13 union-outside-the-try lesson)
+            grams_hist = grams_hist.dropDuplicates([id_col, "pos"])
         spans = dedup.exact_substring_spans_incremental(
             grams_hist, grams_new, k, min_span_tokens, max_gram_freq
         )
@@ -660,6 +699,14 @@ def perceptual_dedup_stream(
     (id_a, id_b)) — read with dropDuplicates, or compact the store
     periodically."""
     from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    if max_hamming >= 4:
+        # validate BEFORE the stream starts (the training_export_stage
+        # pattern): inside foreachBatch this surfaces as an opaque
+        # first-micro-batch StreamingQueryException (code-review r16)
+        raise ValueError(
+            "band blocking guarantees recall only for max_hamming <= 3"
+        )
 
     bands_path = f"{store_dir}/bands"
     pairs_path = f"{store_dir}/pairs"

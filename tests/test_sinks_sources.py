@@ -1606,3 +1606,95 @@ def test_avi_with_audio_track_decodes_video_stream():
     body = b"AVI " + hdrl + movi
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     assert np.array_equal(videocodec.decode_avi(payload), frames)
+
+
+def test_enrich_detail_endpoint_tolerates_missing_optional_fields(spark):
+    """P6 contract at the Arrow boundary (code-review r16): detail
+    endpoints commonly omit null fields from their JSON — a field
+    absent from EVERY response in a batch (or a long field absent from
+    some rows) must yield nulls, not a KeyError/cast failure that
+    aborts the job. Extra undeclared fields are dropped."""
+    ids = spark.range(1, 9).select(F.col("id").alias("Id"))
+
+    def fetcher(url):
+        key = int(url.rsplit("/", 1)[1])
+        if key % 2 == 0:
+            # no Marca anywhere, Codigo missing on evens, extra field
+            return json.dumps({"Nome": f"n{key}", "extra": "x"})
+        return json.dumps({"Codigo": key, "Nome": f"n{key}"})
+
+    out = rest.enrich_from_detail_endpoint(
+        ids, "Id", "https://api.example.test/station/", fetcher,
+        "Codigo bigint, Nome string, Marca string",
+    ).collect()
+    assert len(out) == 8
+    assert all(r.Marca is None for r in out)
+    assert {r.Codigo for r in out if r.Codigo is not None} == {1, 3, 5, 7}
+    assert all(r.Nome.startswith("n") for r in out)
+    assert "extra" not in out[0].asDict()
+
+
+def test_append_fact_run_id_suffix_separates_same_ts_runs(spark, sf_dir, tmp_path):
+    """Two runs sharing one run_ts (a streaming foreachBatch keyed on
+    the batch's max EVENT time — not unique per batch) must not
+    overwrite each other when the caller supplies per-batch suffixes;
+    the same (ts, suffix) replayed stays idempotent (code-review r16)."""
+    path = str(tmp_path / "fact_suffix")
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    snap = pipeline.build_fact_append(ev, run_ts="2024-03-01 00:00:00")
+    n = snap.count()
+    sinks.append_fact(snap, path, run_id_suffix="-b0")
+    sinks.append_fact(snap, path, run_id_suffix="-b1")  # same max ts!
+    assert sinks.read_fact(spark, path).count() == 2 * n
+    sinks.append_fact(snap, path, run_id_suffix="-b1")  # replay of b1
+    assert sinks.read_fact(spark, path).count() == 2 * n  # idempotent
+
+
+def test_read_table_unknown_format_raises(spark, tmp_path):
+    """read_table must reject unknown formats loudly (code-review r16)
+    instead of silently attempting a parquet read of non-parquet data,
+    mirroring write_table's KeyError."""
+    from etl_fuel_priceguide_ec2_spark.sources import formats
+
+    with pytest.raises(KeyError, match="unknown format"):
+        formats.read_table(spark, str(tmp_path / "x"), "avro", "a bigint")
+
+
+def test_load_config_collects_novel_runtime_keys(spark):
+    """A spark.conf.set key under the prefix that appears in neither
+    defaults nor required must still be collected (code-review r16) —
+    the docstring's 'collect ALL keys under prefix' promise."""
+    from etl_fuel_priceguide_ec2_spark.sources import config as cfg
+
+    spark.conf.set("fuelpg_test.novel_key", "live")
+    try:
+        got = cfg.load_config(spark, "fuelpg_test", defaults={"other": "d"})
+        assert got["novel_key"] == "live"
+        assert got["other"] == "d"
+    finally:
+        spark.conf.unset("fuelpg_test.novel_key")
+
+
+def test_events_ts_epoch_stable_across_session_timezone(spark, sf_dir):
+    """events.ts must be the file wall clock anchored as UTC epoch
+    REGARDLESS of spark.sql.session.timeZone (code-review r16): the
+    NTZ build path interpreted the wall clock in the session zone,
+    diverging from the epoch-anchored nanosAsLong path (and from the
+    DuckDB oracle) by the zone offset anywhere but UTC."""
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key)
+    ref = [
+        r.ts
+        for r in load_table(spark, sf_dir, "events")
+        .orderBy("event_id").limit(10).collect()
+    ]
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        shifted = [
+            r.ts
+            for r in load_table(spark, sf_dir, "events")
+            .orderBy("event_id").limit(10).collect()
+        ]
+    finally:
+        spark.conf.set(tz_key, old)
+    assert ref == shifted and ref

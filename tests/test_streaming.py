@@ -1005,3 +1005,92 @@ def test_streaming_ann_replay_recovery_recipe(spark, sf_dir, tmp_path):
     assert raw.count() > len(clean)  # the duplicates are really there
     recovered = sorted(map(tuple, raw.dropDuplicates().collect()))
     assert recovered == clean
+
+
+def test_streaming_exact_substring_immune_to_replayed_gram_state(spark, tmp_path):
+    """At-least-once replay armor for the gram store (code-review r16):
+    duplicated gram rows change VALUES downstream — per-gram
+    frequencies double (spuriously crossing max_gram_freq, silently
+    dropping real spans) and duplicated match rows fragment the
+    diagonal run-length grouping. The stream's own history read must
+    dedupe on (id, pos); this test plants a duplicated slice and pins
+    that the next batch still mines the true span under a tight
+    frequency cap."""
+    from pyspark.sql import functions as F
+
+    from etl_fuel_priceguide_ec2_spark.operators import dedup
+
+    s1 = [f"t{i}" for i in range(40)]
+    doc_a = (1, " ".join(s1 + [f"na{i}" for i in range(6)]))
+    doc_c = (2, " ".join([f"nc{i}" for i in range(9)] + s1))
+    store = str(tmp_path / "replay_store")
+
+    # phase 1: doc A arrives
+    src1 = str(tmp_path / "replay_src1")
+    spark.createDataFrame([doc_a], "doc_id: bigint, text: string").coalesce(
+        1
+    ).write.parquet(src1)
+    stream1 = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src1)
+    )
+    feeds.exact_substring_stream(
+        stream1, "doc_id", "text", store, str(tmp_path / "ck1"),
+        k=8, min_span_tokens=20, max_gram_freq=2,
+    ).awaitTermination(120)
+
+    # simulate an at-least-once replay: the batch's gram state lands twice
+    grams = spark.read.parquet(f"{store}/grams")
+    grams.write.mode("append").parquet(f"{store}/grams")
+    assert spark.read.parquet(f"{store}/grams").count() == 2 * grams.count()
+
+    # phase 2: doc C (shares the 40-token span with A) in a NEW stream
+    src2 = str(tmp_path / "replay_src2")
+    spark.createDataFrame([doc_c], "doc_id: bigint, text: string").coalesce(
+        1
+    ).write.parquet(src2)
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src2)
+    )
+    feeds.exact_substring_stream(
+        stream2, "doc_id", "text", store, str(tmp_path / "ck2"),
+        k=8, min_span_tokens=20, max_gram_freq=2,
+    ).awaitTermination(120)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{store}/spans")
+            .drop("_batch").dropDuplicates().collect(),
+        )
+    )
+    both = spark.createDataFrame(
+        [doc_a, doc_c], "doc_id: bigint, text: string"
+    )
+    expect = sorted(
+        map(
+            tuple,
+            dedup.exact_substring_spans(
+                both, "doc_id", "text", k=8,
+                min_span_tokens=20, max_gram_freq=2,
+            ).collect(),
+        )
+    )
+    assert got == expect and len(expect) >= 1
+
+
+def test_perceptual_dedup_stream_validates_before_start(spark, tmp_path):
+    """The max_hamming recall gate must fire BEFORE the stream starts
+    (code-review r16) — inside foreachBatch it surfaced as an opaque
+    first-micro-batch StreamingQueryException."""
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import multimodal
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="max_hamming"):
+        feeds.perceptual_dedup_stream(
+            stream, str(tmp_path / "st"), str(tmp_path / "ck"),
+            hasher=multimodal.image_ahash, max_hamming=4,
+        )

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_fuel_priceguide_ec2_spark.operators.util import round_like_duckdb
+
 
 def pair_affinity(
     baskets: DataFrame,
@@ -102,15 +104,15 @@ def pair_affinity(
             "support",
             "support_a",
             "support_b",
-            F.round(
+            round_like_duckdb(
                 F.col("support").cast("double") / F.col("support_a").cast("double"),
                 9,
             ).alias("confidence_ab"),
-            F.round(
+            round_like_duckdb(
                 F.col("support").cast("double") / F.col("support_b").cast("double"),
                 9,
             ).alias("confidence_ba"),
-            F.round(
+            round_like_duckdb(
                 (F.col("support").cast("double") * F.col("_n").cast("double"))
                 / (
                     F.col("support_a").cast("double")

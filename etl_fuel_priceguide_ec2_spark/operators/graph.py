@@ -9,16 +9,22 @@ stays flat and nothing re-runs upstream pair mining).
 Engine-portable float discipline (the repo standard): per-edge
 contributions round to 12 dp and SUM as DECIMAL(38,12) —
 addition-order-free — then the damping update is double arithmetic on
-identical literals, rounded back to 12 dp. Every iteration's state is
-therefore bit-identical across engines, and the DuckDB oracle replays
-the full fixed-iteration run as an unrolled CTE chain (the k-means
-oracle pattern).
+identical literals, rounded back to 12 dp. All DOUBLE roundings go
+through ``util.round_like_duckdb`` (code-review r16): Spark's native
+ROUND rounds the double's shortest decimal repr and diverges from
+DuckDB's scaled-double model exactly at .5-boundary quotients, which
+pagerank's pr/out-degree hits on ordinary graphs. Under the shared
+model every iteration's state is bit-identical across engines, and
+the DuckDB oracle replays the full fixed-iteration run as an
+unrolled CTE chain (the k-means oracle pattern).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from etl_fuel_priceguide_ec2_spark.operators.util import round_like_duckdb
 
 
 def pagerank(
@@ -61,12 +67,18 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # an empty edge list would constant-fold the 1/n teleport into
+        # DIVIDE_BY_ZERO under ANSI mode (code-review r16) — return the
+        # empty relation with the output schema, like hits and the
+        # oracle replay do
+        return nodes.select("node", F.lit(0.0).alias("pr"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     # degree folded into the edge relation once -> each iteration is
     # ONE keyed join + one aggregate + the node left-join
     e_deg = pin(e.join(deg, "_s"))
     ranks = nodes.select(
-        "node", F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("pr")
+        "node", round_like_duckdb(F.lit(1.0) / F.lit(float(n)), 12).alias("pr")
     )
     teleport = F.lit((1.0 - damping)) / F.lit(float(n))
     for _ in range(iters):
@@ -74,7 +86,7 @@ def pagerank(
             e_deg.join(ranks, e_deg["_s"] == ranks["node"])
             .select(
                 F.col("_d").alias("node"),
-                F.round(F.col("pr") / F.col("_deg"), 12)
+                round_like_duckdb(F.col("pr") / F.col("_deg"), 12)
                 .cast("decimal(38,12)")
                 .alias("_c"),
             )
@@ -84,7 +96,7 @@ def pagerank(
         ranks = pin(
             nodes.join(contrib, "node", "left").select(
                 "node",
-                F.round(
+                round_like_duckdb(
                     teleport
                     + F.lit(float(damping))
                     * F.coalesce(F.col("_s_c").cast("double"), F.lit(0.0)),
@@ -173,8 +185,11 @@ def triangle_counts(
     only float is one final division for the coefficient
     (2*tri / (deg*(deg-1)), both operands exact, rounded to 9 dp), so
     results hash-match the DuckDB replay."""
-    if pairs.schema[a].dataType.simpleString() not in ("int", "bigint", "long"):
-        raise ValueError("triangle_counts expects integer node ids")
+    for c in (a, b):  # BOTH endpoints (code-review r16): a string b
+        # column would pass a one-sided check and coerce the union of
+        # node ids to string deep in execution
+        if pairs.schema[c].dataType.simpleString() not in ("int", "bigint", "long"):
+            raise ValueError("triangle_counts expects integer node ids")
     e = pairs.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
     ends = e.select(F.col("_a").alias("node")).unionAll(
         e.select(F.col("_b").alias("node"))
@@ -237,7 +252,7 @@ def triangle_counts(
         "degree",
         F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
         F.when(F.col("degree") >= 2,
-            F.round(
+            round_like_duckdb(
                 (F.coalesce(F.col("n_triangles"), F.lit(0)) * 2).cast("double")
                 / (F.col("degree").cast("long") * (F.col("degree") - 1)).cast("double"),
                 9,
@@ -390,7 +405,7 @@ def hits(
         # are L1-bounded (see the hits() docstring); the init total is
         # n, so past ~9k NODES the engines may differ by 1 ulp here.
         return F.when(tot_col.isNull() | (tot_col == 0), F.lit(0.0)).otherwise(
-            F.round(
+            round_like_duckdb(
                 F.coalesce(raw_col, F.lit(0).cast(_dec)).cast("double")
                 / tot_col.cast("double"),
                 12,

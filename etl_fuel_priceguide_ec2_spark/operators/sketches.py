@@ -127,7 +127,14 @@ def hll_estimate(
     b: int = 8,
 ) -> DataFrame:
     """Finish a register table into (buckets_hit, n_distinct_est) per
-    group — the tiny final aggregate over at most 2^b rows per group."""
+    group — the tiny final aggregate over at most 2^b rows per group.
+
+    ``b`` MUST equal the ``b`` the register table was built with
+    (hll_registers embeds it in every bucket/rho value) — a mismatch
+    silently mis-scales the estimate; it cannot be detected here
+    without scanning the registers (code-review r16)."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
     m = 1 << b
     maxrho = (60 - b) + 1
     groups = list(group_cols or [])
@@ -160,6 +167,18 @@ def hll_estimate(
     )
 
 
+def _validate_probe_keys(probe_keys: list) -> None:
+    # Shared by the operator and its oracle generator (code-review
+    # r16): an empty list renders "FROM (VALUES )" and a None key
+    # renders "(None)" — both DuckDB parse errors — so the contract is
+    # validated identically on BOTH sides instead of one side crashing
+    # mid-sim.
+    if not probe_keys:
+        raise ValueError("probe_keys must be a non-empty list")
+    if any(k is None for k in probe_keys):
+        raise ValueError("probe_keys must not contain None")
+
+
 def cms_point_counts(
     df: DataFrame,
     key_col: str,
@@ -186,6 +205,7 @@ def cms_point_counts(
     For DATA-DEPENDENT probes (candidates from another relation, never
     collected to the driver) compose ``cms_registers`` +
     ``cms_estimate`` directly."""
+    _validate_probe_keys(probe_keys)
     spark = df.sparkSession
     probes = spark.createDataFrame(
         [(k,) for k in probe_keys], f"{key_col} {df.schema[key_col].dataType.simpleString()}"
@@ -316,6 +336,7 @@ def cms_oracle_sql(
     ``key_sql_type`` pins the probe column's dtype to the table's —
     a bare VALUES list would come out INTEGER and fail the driver's
     dtype-sensitive schema compare)."""
+    _validate_probe_keys(probe_keys)
     # SQL-escape string probes by doubling single quotes — repr() would
     # emit Python-style double quotes for keys containing ', which DuckDB
     # parses as an identifier (ADVICE r05).
@@ -446,11 +467,18 @@ def bloom_membership_report(
     flagged = passes.join(
         build_keys.withColumn("_true", F.lit(1)), "_key", "left"
     ).select("_pass", F.coalesce("_true", F.lit(0)).alias("_true"))
+    # coalesce: SUM over an empty probe relation is NULL; the module
+    # contract (ADVICE r08, oversized_baskets) is zeros on empty input
+    # so downstream arithmetic never hits NULL only on the edge case
+    # (code-review r16)
+    z = F.lit(0).cast("long")
     return flagged.agg(
         F.count(F.lit(1)).alias("n_probe_keys"),
-        F.sum("_pass").alias("n_bloom_pass"),
-        F.sum("_true").alias("n_true_members"),
-        (F.sum("_pass") - F.sum("_true")).alias("n_false_positives"),
+        F.coalesce(F.sum("_pass"), z).alias("n_bloom_pass"),
+        F.coalesce(F.sum("_true"), z).alias("n_true_members"),
+        (F.coalesce(F.sum("_pass"), z) - F.coalesce(F.sum("_true"), z)).alias(
+            "n_false_positives"
+        ),
     )
 
 
@@ -496,9 +524,10 @@ def bloom_oracle_sql(
       FROM passes ps LEFT JOIN build_keys b USING (_key)
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
-           CAST(SUM(_pass) AS BIGINT) AS n_bloom_pass,
-           CAST(SUM(_true) AS BIGINT) AS n_true_members,
-           CAST(SUM(_pass) - SUM(_true) AS BIGINT) AS n_false_positives
+           CAST(COALESCE(SUM(_pass), 0) AS BIGINT) AS n_bloom_pass,
+           CAST(COALESCE(SUM(_true), 0) AS BIGINT) AS n_true_members,
+           CAST(COALESCE(SUM(_pass), 0) - COALESCE(SUM(_true), 0)
+                AS BIGINT) AS n_false_positives
     FROM flagged
 """
 
@@ -813,6 +842,11 @@ def kmv_sketch(
     rows."""
     if k < 2:
         raise ValueError(f"kmv k must be >= 2, got {k}")
+    if nsplits < 1:
+        # _h % 0 would raise DIVIDE_BY_ZERO deep inside the min-k job
+        # under ANSI mode with no hint at the bad argument
+        # (code-review r16)
+        raise ValueError(f"kmv nsplits must be >= 1, got {nsplits}")
     groups = list(group_cols or [])
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10

@@ -158,6 +158,31 @@ def _checkpoint_dir_matches(current: str | None, target: str) -> bool:
     return _strip_file_scheme(parent) == _strip_file_scheme(target.rstrip("/"))
 
 
+def round_like_duckdb(col: Column, digits: int) -> Column:
+    """ROUND(double, d) in DuckDB's model — scale in DOUBLE, round the
+    scaled value to an integer (ties away from zero), scale back —
+    replicated on the Spark side wherever a rounded DOUBLE quotient
+    feeds a cross-engine value-hash.
+
+    Why: Spark's native ROUND rounds the SHORTEST DECIMAL REPR of the
+    double (BigDecimal HALF_UP), so a quotient whose repr carries a 5
+    one digit past the target scale rounds UP even when the scaled
+    double sits just under the .5 boundary — where DuckDB, which
+    multiplies by 10^d in double first, rounds DOWN. Empirically
+    (code-review r16): 0.0019953703705 at 12 dp -> Spark native
+    0.001995370371 vs DuckDB 0.00199537037; pagerank's pr/out-degree
+    hits this on ordinary graphs (out-degree 2, odd 12th digit), so
+    its bit-identical-iterations contract was false. Under this model
+    both engines perform the identical IEEE multiply, tie-away
+    integer round, and divide — bit-for-bit agreement restored. Exact
+    ties (scaled value representable as K + 0.5) round away from zero
+    in both engines (verified)."""
+    from pyspark.sql import functions as F
+
+    scale = F.lit(float(10**digits))
+    return F.round(col * scale, 0) / scale
+
+
 def longs_lit(values) -> Column:
     """``array<bigint>`` literal in ONE py4j call — the integer sibling
     of :func:`vec_lit` (minhash permutation indices, simhash bit

@@ -2772,3 +2772,102 @@ def test_corpus_tag_disambiguates_sanitization_collisions(tmp_path):
     assert _corpus_tag(a) != _corpus_tag(b)
     # stable for equivalent spellings of the same dir
     assert _corpus_tag(a) == _corpus_tag(a + "/")
+
+
+def test_pagerank_boundary_rounding_matches_duckdb_oracle(spark):
+    """The bit-identical-iterations contract on a graph that HITS the
+    .5-boundary rounding case (code-review r16, empirically found on
+    this exact seed): pr/out-degree = 0.0019953703705 rounds UP under
+    Spark's native ROUND (shortest-repr BigDecimal HALF_UP) but DOWN
+    under DuckDB's scaled-double model — util.round_like_duckdb makes
+    the Spark side follow the oracle's model, so the full 5-iteration
+    replay must now agree value-for-value."""
+    import random
+
+    import duckdb
+
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+
+    rng = random.Random(9)
+    edges = list(
+        {
+            (rng.randrange(150), rng.randrange(150))
+            for _ in range(450)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.pr for r in graph.pagerank(df, iters=5).collect()}
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    con.execute(f"CREATE VIEW edges AS SELECT * FROM (VALUES {vals}) t(src, dst)")
+    sql = graph.pagerank_oracle_sql("SELECT src, dst FROM edges", iters=5)
+    expect = dict(con.execute(sql).fetchall())
+    assert set(got) == set(expect)
+    diffs = {n for n in got if got[n] != expect[n]}
+    assert not diffs, f"{len(diffs)} nodes diverge, e.g. {sorted(diffs)[:3]}"
+
+
+def test_pagerank_empty_edge_list_returns_empty(spark):
+    """An empty edge list must yield an empty (node, pr) relation —
+    not a constant-folded DIVIDE_BY_ZERO from the 1/n teleport under
+    ANSI mode (code-review r16); hits and the oracle replay already
+    return empty."""
+    from etl_fuel_priceguide_ec2_spark.operators import graph
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = graph.pagerank(empty, iters=3)
+    assert out.columns == ["node", "pr"] and out.count() == 0
+
+
+def test_sketch_argument_guards(spark, sf_dir):
+    """Uniform loud-guard coverage across the sketch tier
+    (code-review r16): kmv nsplits, hll_estimate b, triangle b-column
+    dtype, and the probe-keys contract shared by cms_point_counts and
+    its oracle generator."""
+    import pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import graph, sketches
+
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="nsplits"):
+        sketches.kmv_sketch(orders, "o_custkey", nsplits=0)
+    with pytest.raises(ValueError, match=r"b must be"):
+        sketches.hll_estimate(spark.range(1), b=3)
+    with pytest.raises(ValueError, match="probe_keys"):
+        sketches.cms_point_counts(orders, "o_custkey", [])
+    with pytest.raises(ValueError, match="probe_keys"):
+        sketches.cms_point_counts(orders, "o_custkey", [1, None])
+    with pytest.raises(ValueError, match="probe_keys"):
+        sketches.cms_oracle_sql("orders", "o_custkey", [])
+    with pytest.raises(ValueError, match="integer node ids"):
+        graph.triangle_counts(
+            spark.createDataFrame([(1, "x")], "a bigint, b string")
+        )
+
+
+def test_bloom_membership_report_empty_probe_is_zeros(spark, sf_dir):
+    """Empty probe relation yields coalesced ZEROS, not NULL sums —
+    the module's empty-input contract (ADVICE r08), now symmetric
+    with the oracle's COALESCE (code-review r16)."""
+    import duckdb
+
+    from etl_fuel_priceguide_ec2_spark.operators import sketches
+    from etl_fuel_priceguide_ec2_spark.sources.catalog import load_table
+
+    build = load_table(spark, sf_dir, "region")
+    probe = build.limit(0)
+    [r] = sketches.bloom_membership_report(
+        build, probe, "r_regionkey", "r_regionkey", n_words=8, k=2
+    ).collect()
+    assert (r.n_probe_keys, r.n_bloom_pass, r.n_true_members,
+            r.n_false_positives) == (0, 0, 0, 0)
+    con = duckdb.connect()
+    sql = sketches.bloom_oracle_sql(
+        "(SELECT 1 AS _key)", "(SELECT 1 AS _key WHERE FALSE)",
+        n_words=8, k=2,
+    )
+    assert con.execute(sql).fetchone() == (0, 0, 0, 0)

@@ -269,6 +269,14 @@ def ngram_jaccard_pairs(
                 ).alias("prefix"),
             )
         )
+        # NOT pinned (r16 A/B): both candidate sides recompute this
+        # subtree (plan shows the df-aggregate chain twice), but an
+        # eager localCheckpoint of `ordered` measured a consistent
+        # REGRESSION (7.25 s -> 9.48 s min-of-4 interleaved at sf0.1,
+        # tools/ab_round16_jacc.py) — the two lazy subtrees' stages
+        # schedule concurrently across idle cores, while the pin
+        # serializes the whole query behind one materialization job.
+        # Same verdict as the raw shingle relation: recompute wins.
         # carry set_size into the prefix join: the length filter
         # (J >= t forces min|A|,|B| >= t*max) prunes candidate pair-rows
         # BEFORE the distinct — on skewed corpora the prefix join's raw
@@ -836,11 +844,39 @@ def connected_components(
         def rp(d: DataFrame, col: str) -> DataFrame:
             return d
     edges = rp(edges, "dst")
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "component_id", F.col("node")
-    )
     if hops_per_probe != "auto" and hops_per_probe < 1:
         raise ValueError(f"hops_per_probe must be >= 1 or 'auto', got {hops_per_probe}")
+
+    def _hop(work: DataFrame) -> DataFrame:
+        neighbor_min = (
+            edges.join(rp(work, "node"), edges.dst == work.node)
+            .transform(lambda d: rp(d, "src"))
+            .groupBy("src")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_min = F.least(
+            F.col("component_id"),
+            F.coalesce(F.col("nbr_min"), F.col("component_id")),
+        )
+        return (
+            rp(work, "node")
+            .join(neighbor_min, work.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                new_min.alias("component_id"),
+                (new_min != F.col("component_id")).alias("_lastch"),
+            )
+        )
+
+    if max_iter < 1:
+        # degenerate caller: the pre-loop state (every node its own label)
+        return (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("component_id"))
+            .select(F.col("node").alias("doc_id"), "component_id")
+        )
+    labels = None
     for it in range(max_iter):
         if hops_per_probe == "auto":
             # first two probe cycles: the hops=1 schedule (shallow
@@ -855,27 +891,30 @@ def connected_components(
         # lineage, materializes the batched rounds exactly once) and
         # probe convergence against the materialized result — the probe
         # is a near-free local filter, not a recomputation
-        work = rp(labels, "node").withColumn("_lastch", F.lit(True))
-        for _ in range(hops):
-            neighbor_min = (
-                edges.join(rp(work, "node"), edges.dst == work.node)
-                .transform(lambda d: rp(d, "src"))
-                .groupBy("src")
-                .agg(F.min("component_id").alias("nbr_min"))
+        if labels is None:
+            # Hop 1 fused into label init (r16 optimization): with
+            # labels(v) = v, the first HashMin hop's join against the
+            # label relation is the identity mapping, so
+            # min_{u->v} label(u) is just MIN(dst) GROUPed BY src over
+            # the (doubled, so every node appears as src) edge
+            # relation. One map-side-combined aggregate replaces the
+            # node-set distinct + the hop's two joins — round 1 always
+            # runs, so every CC caller saves those two shuffles.
+            # nbr_min is never NULL (each src row has a dst), and the
+            # change flag is exactly "some neighbor is smaller".
+            work = edges.groupBy(F.col("src").alias("node")).agg(
+                F.min("dst").alias("_nm")
+            ).select(
+                "node",
+                F.least(F.col("node"), F.col("_nm")).alias("component_id"),
+                (F.col("_nm") < F.col("node")).alias("_lastch"),
             )
-            new_min = F.least(
-                F.col("component_id"),
-                F.coalesce(F.col("nbr_min"), F.col("component_id")),
-            )
-            work = (
-                rp(work, "node")
-                .join(neighbor_min, work.node == neighbor_min.src, "left")
-                .select(
-                    "node",
-                    new_min.alias("component_id"),
-                    (new_min != F.col("component_id")).alias("_lastch"),
-                )
-            )
+            for _ in range(hops - 1):
+                work = _hop(work)
+        else:
+            work = rp(labels, "node").withColumn("_lastch", F.lit(True))
+            for _ in range(hops):
+                work = _hop(work)
         work = pin(work)
         changed = work.filter(F.col("_lastch")).limit(1).count()
         labels = work.drop("_lastch")
@@ -1987,6 +2026,19 @@ def tfidf_topk_cosine_pairs(
     u = w.join(nrm, id_col).select(
         F.col(id_col), "token", (F.col("w") / F.col("nn")).alias("nw")
     )
+    # Materialize the kept-terms relation ONCE before the self-join
+    # (r16 optimization): u is consumed by BOTH join sides, and both
+    # sides' subtrees each re-run the whole tf/df/window/norm pipeline
+    # — and u itself embeds w twice (w ⋈ nrm(w)), so the token
+    # aggregates were executing FOUR times per query (plan audit,
+    # plans/r16/tfidf_cosine_pairs_before.txt: 12 parquet scans).
+    # u is the SMALL decision relation (k rows per doc: id, token, nw)
+    # — the guide's "decide with small rows" shape — so pinning it
+    # costs one tiny materialization and removes 3 of the 4 pipeline
+    # executions. Unlike the raw shingle relation (where recompute
+    # measured 2x faster than caching), this subtree contains two
+    # aggregates and a window — real shuffles, not fused map work.
+    u = u.localCheckpoint(eager=True)
     a = u.select(F.col(id_col).alias("id_a"), "token", F.col("nw").alias("nw_a"))
     b = u.select(F.col(id_col).alias("id_b"), "token", F.col("nw").alias("nw_b"))
     # Per-term products quantize to integer 1e-12 microunits and

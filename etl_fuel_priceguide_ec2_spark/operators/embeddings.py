@@ -836,7 +836,7 @@ def zscore_outliers_oracle_sql(table: str, id_col: str, vec_col: str) -> str:
 
 
 def embedding_second_moment_state(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, id_col: str, vec_col: str, slice_col: str | None = None
 ) -> DataFrame:
     """Per-slice second-moment state: (dim_i, dim_j, s_ij) upper
     triangle, s_ij the DECIMAL-exact sum of 9dp-quantized products —
@@ -870,7 +870,17 @@ def embedding_second_moment_state(
     can never silently overflow the int64 fast lane. Non-finite
     products (NULL/NaN elements) contribute nothing, and a pair with
     no finite product in a task emits a NULL partial — matching the
-    explode form's SUM-over-NULLs row for all-NULL dimensions."""
+    explode form's SUM-over-NULLs row for all-NULL dimensions.
+
+    ``slice_col``: compute EVERY slice's state in ONE corpus pass —
+    the partial accumulators key on (slice, d) and the merge groups by
+    (slice, dim_i, dim_j), so the output is the per-slice states
+    stacked (exactly the union of per-slice calls). Bit-identical to
+    filtering per slice and unioning: accumulation is exact integers
+    (int64 fast lane within <=256-row blocks, Python ints beyond), so
+    partial grouping/order cannot change any sum (r16 optimization —
+    the sliced-ingest covariance query paid one full MapInPandas pass
+    PER SLICE for the same total Arrow work)."""
     df = fan_out(df)
     # decimal(38,12): 26 integer digits of headroom for the PER-TASK
     # partial. The explode form only capped individual 12dp TERMS at
@@ -880,6 +890,10 @@ def embedding_second_moment_state(
     # never had (ADVICE r11). The Python side accumulates unbounded
     # ints, so the Arrow boundary is the only place width matters.
     out_schema = "dim_i long, dim_j long, s_ij decimal(38,12)"
+    if slice_col is not None:
+        # slice keys ride the Arrow boundary as longs (the sliced-ingest
+        # pattern keys on an integer slice/day id)
+        out_schema = f"`{slice_col}` long, " + out_schema
 
     def _partials(batches):
         import numpy as np
@@ -898,67 +912,85 @@ def embedding_second_moment_state(
                 .scaleb(12)
             )
 
-        tri = {}  # d -> (iu0, iu1)
-        acc12 = {}  # d -> object ndarray of exact int 1e-12 units
-        seen = {}  # d -> bool ndarray: any finite product for the pair
+        tri = {}  # (slice, d) -> (iu0, iu1)
+        acc12 = {}  # (slice, d) -> object ndarray of exact int 1e-12 units
+        seen = {}  # (slice, d) -> bool ndarray: any finite product for pair
         for pdf in batches:
-            vecs = [
-                np.asarray(v, dtype=np.float64)
-                for v in pdf[vec_col]
-                if v is not None and len(v) > 0
-            ]
-            bylen: dict[int, list] = {}
-            for v in vecs:
-                bylen.setdefault(len(v), []).append(v)
-            for d, vs in bylen.items():
-                if d not in tri:
-                    tri[d] = np.triu_indices(d)
-                    npairs = len(tri[d][0])
-                    acc12[d] = np.zeros(npairs, dtype=object)
-                    seen[d] = np.zeros(npairs, dtype=bool)
-                iu0, iu1 = tri[d]
-                for k in range(0, len(vs), 256):
-                    vmat = np.stack(vs[k : k + 256])
-                    prod = vmat[:, iu0] * vmat[:, iu1]
-                    ok = np.isfinite(prod)
-                    scaled = np.where(ok, prod, 0.0) * 1e9
-                    frac = scaled - np.floor(scaled)
-                    slow = ok & (
-                        (np.abs(prod) >= 1e3)
-                        | (
-                            np.abs(frac - 0.5)
-                            <= np.abs(scaled) * 1e-15 + 1e-9
+            groups = (
+                ((sl, sub) for sl, sub in pdf.groupby(slice_col, sort=False))
+                if slice_col is not None
+                else ((None, pdf),)
+            )
+            for sl, sub in groups:
+                vecs = [
+                    np.asarray(v, dtype=np.float64)
+                    for v in sub[vec_col]
+                    if v is not None and len(v) > 0
+                ]
+                bylen: dict[int, list] = {}
+                for v in vecs:
+                    bylen.setdefault(len(v), []).append(v)
+                for d, vs in bylen.items():
+                    key = (sl, d)
+                    if key not in tri:
+                        tri[key] = np.triu_indices(d)
+                        npairs = len(tri[key][0])
+                        acc12[key] = np.zeros(npairs, dtype=object)
+                        seen[key] = np.zeros(npairs, dtype=bool)
+                    iu0, iu1 = tri[key]
+                    for k in range(0, len(vs), 256):
+                        vmat = np.stack(vs[k : k + 256])
+                        prod = vmat[:, iu0] * vmat[:, iu1]
+                        ok = np.isfinite(prod)
+                        scaled = np.where(ok, prod, 0.0) * 1e9
+                        frac = scaled - np.floor(scaled)
+                        slow = ok & (
+                            (np.abs(prod) >= 1e3)
+                            | (
+                                np.abs(frac - 0.5)
+                                <= np.abs(scaled) * 1e-15 + 1e-9
+                            )
                         )
-                    )
-                    fast = ok & ~slow
-                    # fast lane: |q| < 1e12, <=256 rows -> int64-safe
-                    # (slow/huge elements zeroed BEFORE the cast so the
-                    # int64 conversion never sees an out-of-range value)
-                    q = _qd_vec(np.where(fast, scaled, 0.0)).astype(np.int64)
-                    acc12[d] += q.sum(axis=0) * 1000
-                    for r, c in np.argwhere(slow):
-                        acc12[d][c] += _exact12(float(prod[r, c]))
-                    seen[d] |= ok.any(axis=0)
+                        fast = ok & ~slow
+                        # fast lane: |q| < 1e12, <=256 rows -> int64-safe
+                        # (slow/huge elements zeroed BEFORE the cast so the
+                        # int64 conversion never sees an out-of-range value)
+                        q = _qd_vec(np.where(fast, scaled, 0.0)).astype(np.int64)
+                        acc12[key] += q.sum(axis=0) * 1000
+                        for r, c in np.argwhere(slow):
+                            acc12[key][c] += _exact12(float(prod[r, c]))
+                        seen[key] |= ok.any(axis=0)
         rows = []
-        for d in tri:
-            iu0, iu1 = tri[d]
-            for a, b, s, sn in zip(iu0, iu1, acc12[d], seen[d]):
+        for key in tri:
+            sl, d = key
+            iu0, iu1 = tri[key]
+            pre = () if slice_col is None else (int(sl),)
+            for a, b, s, sn in zip(iu0, iu1, acc12[key], seen[key]):
                 rows.append(
-                    (
+                    pre
+                    + (
                         int(a) + 1,
                         int(b) + 1,
                         Decimal(int(s)).scaleb(-12) if sn else None,
                     )
                 )
         if rows:
-            yield pd.DataFrame(rows, columns=["dim_i", "dim_j", "s_ij"])
+            cols = ([] if slice_col is None else [slice_col]) + [
+                "dim_i",
+                "dim_j",
+                "s_ij",
+            ]
+            yield pd.DataFrame(rows, columns=cols)
 
+    keys = ([] if slice_col is None else [slice_col]) + ["dim_i", "dim_j"]
+    sel = [] if slice_col is None else [F.col(slice_col)]
     return (
-        df.select(vec_col)
+        df.select(*(([] if slice_col is None else [slice_col]) + [vec_col]))
         .mapInPandas(_partials, schema=out_schema)
-        .groupBy("dim_i", "dim_j")
+        .groupBy(*keys)
         .agg(F.sum(F.col("s_ij").cast(_SUM_DEC_WIDE)).alias("s_ij"))
         .select(
+            *sel,
             F.col("dim_i").cast("long").alias("dim_i"),
             F.col("dim_j").cast("long").alias("dim_j"),
             "s_ij",
@@ -967,21 +999,25 @@ def embedding_second_moment_state(
 
 
 def embedding_first_moment_state(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, id_col: str, vec_col: str, slice_col: str | None = None
 ) -> DataFrame:
     """Per-slice first-moment state: (dim_i, s, n) — d rows per
-    slice."""
+    slice. ``slice_col``: carry the slice key through the explode and
+    group by (slice, dim) — every slice's state in ONE corpus pass,
+    row-identical to per-slice calls unioned (decimal SUM per group is
+    exact, so the grouping key split cannot change any sum)."""
     df = fan_out(df)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sl = [] if slice_col is None else [F.col(slice_col)]
     return (
-        df.select(F.posexplode(v).alias("pos", "x"))
-        .select((F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
-        .groupBy("i")
+        df.select(*sl, F.posexplode(v).alias("pos", "x"))
+        .select(*sl, (F.col("pos") + 1).alias("i"), F.round("x", 9).alias("x"))
+        .groupBy(*([] if slice_col is None else [slice_col]), "i")
         .agg(
             F.sum(F.col("x").cast(_SUM_DEC)).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select(F.col("i").cast("long").alias("dim_i"), "s", "n")
+        .select(*sl, F.col("i").cast("long").alias("dim_i"), "s", "n")
     )
 
 

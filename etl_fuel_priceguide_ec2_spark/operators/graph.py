@@ -81,6 +81,15 @@ def pagerank(
         "node", round_like_duckdb(F.lit(1.0) / F.lit(float(n)), 12).alias("pr")
     )
     teleport = F.lit((1.0 - damping)) / F.lit(float(n))
+    # Per-iteration rank pinning is needed only in reliable-checkpoint
+    # mode (bounded recompute on executor loss for preemptible fleets).
+    # With fixed iterations and pinned e_deg/nodes the rank chain is a
+    # LINEAR dag — each iteration's ranks feeds exactly one downstream
+    # consumer — so in the localCheckpoint default the whole run can
+    # execute as ONE lazy plan: no per-iteration materialization job,
+    # and shuffle files give the usual stage-retry recovery (r16
+    # optimization; measured on the bench row — see OPTIMIZATION_r16).
+    rank_pin = pin if checkpoint_dir is not None else (lambda df: df)
     for _ in range(iters):
         contrib = (
             e_deg.join(ranks, e_deg["_s"] == ranks["node"])
@@ -93,7 +102,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s_c"))
         )
-        ranks = pin(
+        ranks = rank_pin(
             nodes.join(contrib, "node", "left").select(
                 "node",
                 round_like_duckdb(

@@ -1158,10 +1158,18 @@ def bigram_logprob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     ).otherwise(F.array().cast("array<string>"))
     bg = fan_out(df).select(F.col(id_col), F.explode(grams).alias("g"))
     big = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c_uv"))
+    # C(u,.) = sum_v C(u,v): derive the context counts from the
+    # vocabulary-sized bigram-count relation instead of a SECOND full
+    # corpus explode + corpus-sized shuffle (r16 optimization, guide
+    # §2.2 — shuffle model-sized rows, not corpus-sized ones; exactly
+    # equal integers by definition). The two `big` subtrees (join left
+    # + this rollup) shuffle on the same key from the same subplan, so
+    # the exchange is reused at runtime where the old ctx exchange
+    # never could be.
     ctx = (
-        bg.select(F.substring_index("g", " ", 1).alias("u"))
+        big.select(F.substring_index("g", " ", 1).alias("u"), "c_uv")
         .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("c_u"))
+        .agg(F.sum("c_uv").alias("c_u"))
     )
     vocab = (
         fan_out(df)

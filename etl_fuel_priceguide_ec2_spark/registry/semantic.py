@@ -955,15 +955,27 @@ def q_embedding_covariance_from_state(spark, sf_dir):
     re-scanned."""
     from pyspark.sql import functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    sij_slices = None
-    si_slices = None
-    for k in range(3):
-        s = emb.filter(F.col("vec_id") % 3 == k)
-        sij = _emb.embedding_second_moment_state(s, "vec_id", "embedding")
-        si = _emb.embedding_first_moment_state(s, "vec_id", "embedding")
-        sij_slices = sij if sij_slices is None else sij_slices.unionByName(sij)
-        si_slices = si if si_slices is None else si_slices.unionByName(si)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_slice", (F.col("vec_id") % 3).cast("long")
+    )
+    # One corpus pass per state kind (r16 optimization): slice_col keys
+    # the partial accumulators / group keys on the slice id, producing
+    # the three slices' states stacked — row-identical to the previous
+    # filter-per-slice loop (exact integer/decimal accumulation; pinned
+    # by test_embeddings), but 1 MapInPandas pass instead of 3 and
+    # 1 explode pass instead of 3 (the before-plan scanned the corpus
+    # 18x: each slice chain re-expanded under every consumer). The
+    # merge ignores the extra _slice column by construction (it groups
+    # by the dim keys alone).
+    sij_slices = _emb.embedding_second_moment_state(
+        emb, "vec_id", "embedding", slice_col="_slice"
+    )
+    si_slices = _emb.embedding_first_moment_state(
+        emb, "vec_id", "embedding", slice_col="_slice"
+    )
+    # si feeds BOTH broadcast sides of the final join; pin the 3d-row
+    # state so the explode pass runs once, not twice
+    si_slices = si_slices.localCheckpoint(eager=True)
     return _emb.embedding_covariance_from_state(sij_slices, si_slices)
 
 

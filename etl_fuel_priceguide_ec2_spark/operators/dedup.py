@@ -1026,7 +1026,16 @@ def exact_substring_spans(
             .filter(F.col("_f") <= max_gram_freq)
             .select("_h")
         )
-        grams = grams.join(keep, "_h")
+        # Pin the freq-capped gram relation ONCE (r16 optimization): the
+        # self-join consumes it twice and the cap aggregate is a third
+        # pass over the same tokenize+explode chain (before-plan: 26
+        # Exchanges). Unlike the ngram-jaccard prefix pin (rejected —
+        # cheap fused recompute, concurrent subtrees), this chain pays a
+        # full explode + cap-join per copy: A/B 3.730 -> 2.963 s
+        # min-of-4 at sf0.1 with identical output
+        # (tools/ab_round16_ess.py). At scale this capped-gram relation
+        # is the persistable suffix-index state.
+        grams = grams.join(keep, "_h").localCheckpoint(eager=True)
     a = grams.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "_h"
     )
@@ -1326,7 +1335,13 @@ def exact_substring_spans_incremental(
             .filter(F.col("_f") <= max_gram_freq)
             .select("_h")
         )
-        allg = allg.join(keep, "_h")
+        # Pin the freq-capped union relation ONCE (r16 optimization, the
+        # exact_substring_spans lesson): it is consumed by the new-side
+        # filter AND the join's all side, and the cap aggregate is a
+        # third pass over the state construction. A/B 4.546 -> 3.082 s
+        # min-of-4 at sf0.1, identical output
+        # (tools/ab_round16_essinc.py).
+        allg = allg.join(keep, "_h").localCheckpoint(eager=True)
     n = allg.filter(F.col("_onew")).select(
         F.col("_oid").alias("_nid"), F.col("_opos").alias("_npos"), "_h"
     )

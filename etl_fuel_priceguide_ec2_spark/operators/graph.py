@@ -199,7 +199,16 @@ def triangle_counts(
         # node ids to string deep in execution
         if pairs.schema[c].dataType.simpleString() not in ("int", "bigint", "long"):
             raise ValueError("triangle_counts expects integer node ids")
-    e = pairs.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+    # Pin the (usually mined) pair relation ONCE (r16 optimization): it
+    # feeds the degree aggregate, both sides of the rank joins, AND —
+    # via deg — the final left join, so an expensive upstream mining
+    # subtree (the registry query: a 12-scan union of 3-way joins)
+    # re-expanded under the oe construction and again in the final
+    # plan. A/B tools/ab_round16_tri.py (with the explode below):
+    # 3.878 -> 3.136 s min-of-4 at sf0.1, identical output.
+    e = pairs.select(F.col(a).alias("_a"), F.col(b).alias("_b")).localCheckpoint(
+        eager=True
+    )
     ends = e.select(F.col("_a").alias("node")).unionAll(
         e.select(F.col("_b").alias("node"))
     )
@@ -250,11 +259,12 @@ def triangle_counts(
     wedges = e1.join(e2, "w_u").filter(F.col("rkv") < F.col("rkw"))
     closing = oe.select(F.col("u").alias("w_v"), F.col("v").alias("w_w"))
     tri = wedges.join(closing, ["w_v", "w_w"]).select("w_u", "w_v", "w_w")
-    corners = (
-        tri.select(F.col("w_u").alias("node"))
-        .unionAll(tri.select(F.col("w_v").alias("node")))
-        .unionAll(tri.select(F.col("w_w").alias("node")))
-    )
+    # One explode pass instead of a 3-branch union of tri (r16
+    # optimization): the union re-expanded the wedge SMJ — the O(m^1.5)
+    # stage — under every branch, running it 3x in the final plan
+    # (before-plan ops 62/83/104). explode(array(u,v,w)) yields the
+    # same corner multiset in one pass. Measured with the pin above.
+    corners = tri.select(F.explode(F.array("w_u", "w_v", "w_w")).alias("node"))
     per_node = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
     return deg.join(per_node, "node", "left").select(
         "node",

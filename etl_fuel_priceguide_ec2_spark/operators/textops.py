@@ -1000,10 +1000,22 @@ def domain_classifier_labels(
     columns, the unavoidable output lower bound. Same decimal-sum /
     one-rounded-division portability contract as the binary scorer."""
     from pyspark.sql import Window
+    # Pin a self-built featurization ONCE (r16 optimization): unlike the
+    # binary scorer (one consumer), this plan aggregates feats TWICE —
+    # per-doc counts and per-class matched weights — so the lazy corpus
+    # tokenize+explode ran under both. A/B (tools/ab_round16_domcls.py),
+    # identical output: contended box 6.372 -> 3.583 s min-of-4 (half
+    # the work wins when cores are busy); idle box 2.342 vs 2.352 s
+    # (concurrent duplicate subtrees hide in free cores). Kept for the
+    # CPU-seconds reduction — the quantity that transfers to a busy
+    # cluster. A caller-supplied ``features`` relation is left
+    # untouched (the caller owns its materialization policy).
     feats = (
         features
         if features is not None
-        else classifier_features(df, id_col, text_col, n_buckets)
+        else classifier_features(df, id_col, text_col, n_buckets).localCheckpoint(
+            eager=True
+        )
     )
     per_doc = feats.groupBy(id_col).agg(
         F.count("feature_id").alias("n_features")

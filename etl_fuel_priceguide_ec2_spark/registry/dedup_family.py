@@ -309,18 +309,24 @@ def q_dedup_savings_report(spark, sf_dir):
     from pyspark.sql import functions as F
 
     kl = q_minhash_dedup_keeplist(spark, sf_dir).select("doc_id", "kept")
+    # Project length(text) BEFORE the keep-list join (r16, guide §2.2
+    # shuffle-fewer-bytes): the aggregate only ever reads the length,
+    # so the join no longer carries corpus text payloads — at scale
+    # that join is a corpus-sized shuffle. Locally neutral (A/B
+    # tools/ab_round16_savings.py: mins 4.571 vs 4.499 and 3.096 vs
+    # 3.408 across two runs, identical 5-row output).
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
+        "doc_id", "lang", F.length("text").alias("_len")
     )
     dropped = F.when(~F.col("kept"), 1).otherwise(0)
-    dropped_chars = F.when(~F.col("kept"), F.length("text")).otherwise(0)
+    dropped_chars = F.when(~F.col("kept"), F.col("_len")).otherwise(0)
     return (
         docs.join(kl, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(dropped).cast("long").alias("n_dropped"),
-            F.sum(F.length("text")).cast("long").alias("chars_total"),
+            F.sum("_len").cast("long").alias("chars_total"),
             F.sum(dropped_chars).cast("long").alias("chars_dropped"),
         )
         .select(
@@ -652,7 +658,18 @@ def q_winnow_candidate_pairs(spark, sf_dir):
     )
     corpus = docs.unionAll(twins)
     state = dedup.positional_gram_state(corpus, "doc_id", "text", k=8, hash="md5")
-    fps = dedup.winnow_fingerprints(state, w=4)
+    # Pin the fingerprint index ONCE (r16 optimization): the candidate
+    # step consumes it three times (freq-cap aggregate + both self-join
+    # sides), and each lazy copy re-ran the md5-gram explode + per-doc
+    # window + distinct (before-plan: 24 parquet scans / 34 exchanges).
+    # Unlike the ngram-jaccard prefix pin (rejected — recompute was
+    # cheap fused map work), this chain carries a real window + two
+    # shuffles per copy: A/B 2.665 -> 2.045 s min-of-4 at sf0.1 with
+    # identical output (tools/ab_round16_winnow.py). The index is the
+    # persistable MOSS state (~2/(w+1) of the gram relation) — at
+    # scale it would be written to storage at ingest, which is this
+    # same materialization.
+    fps = dedup.winnow_fingerprints(state, w=4).localCheckpoint(eager=True)
     return dedup.fingerprint_candidates(fps, min_shared=2, max_fp_freq=64)
 
 

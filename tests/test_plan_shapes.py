@@ -588,6 +588,39 @@ def test_triangle_wedge_join_is_keyed_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_r16_pinned_miners_run_their_expensive_subtree_once(spark, sf_dir):
+    """The round-16 subtree pins' load-bearing property, pinned on the
+    FINAL plan: after the one eager materialization of the shared
+    relation (gram index / featurization / mined pairs), the query's
+    final plan must contain ZERO parquet scans — i.e. the tokenize/
+    explode/mining chain that used to re-expand under every consumer
+    (24/22/12/4 scans in plans/r16/*_before.txt) executes exactly once.
+    The triangle plan must additionally produce corners via ONE
+    explode (Generate) instead of the 3-branch union that re-ran the
+    wedge join per branch."""
+    from etl_fuel_priceguide_ec2_spark import registry
+
+    import re
+
+    qs = registry.queries()
+    for name in (
+        "exact_substring_spans",
+        "exact_substring_incremental_spans",
+        "winnow_candidate_pairs",
+        "triangle_counts_part_graph",
+        "domain_classifier_labels",
+    ):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, name
+        assert "Scan ExistingRDD" in plan, name
+    tri_plan = _plan(qs["triangle_counts_part_graph"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Generate", tri_plan)) == 1
+    # the only remaining Union is the cheap two-projection `ends`
+    # relation feeding the degree aggregate; the 3-branch corners
+    # union (which re-ran the wedge join per branch) is gone
+    assert len(re.findall(r"\(\d+\) Union", tri_plan)) == 1
+
+
 def test_affinity_pair_join_keyed_and_total_broadcast(spark, sf_dir):
     """The pair-generating self-join must be a keyed equi-join on the
     basket (never cartesian), and the ONLY nested-loop join allowed is
@@ -694,12 +727,16 @@ def test_curation_decision_plan_no_cartesian_single_shingle_scan(spark, sf_dir):
     finally:
         _dedup._shingle_array = real_shingle
     assert len(calls) == 1, "miners must share one tokenize+shingle scan"
-    # pair/span mining: hash-joined, never cartesian; the classifier
-    # grid BNLJ lives in quality/domain (one per model)
+    # pair/span mining: keyed joins, never cartesian; the classifier
+    # grid BNLJ lives in quality/domain (one per model). Since the r16
+    # gram-relation pin, the span miner's diagonal self-join runs over
+    # the pinned (ExistingRDD) gram relation, where Spark has no stats
+    # and picks SortMergeJoin — still a keyed equi-join on _h, which is
+    # the load-bearing property (never all-pairs).
     for name in ("jaccard_pairs", "containment_pairs", "spans"):
         plan = _plan(sigs[name])
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
     for name in ("quality", "domain"):
         plan = _plan(sigs[name])
         assert "CartesianProduct" not in plan, name

@@ -680,15 +680,30 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_hash, IMAGE_AHASH_SCHEMA)
 
 
-def image_ahash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+def image_ahash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Near-dup image pairs from the aHash band relation: candidates
     must share >= 1 of the 4 bands (pigeonhole: Hamming <= 3 over 64
     bits forces one band identical — recall is exactly 1.0 for
     max_hamming <= 3), verified by the exact band-wise popcount. The
     SimHash prefix-block pattern applied to image space; the join never
-    sees payloads, only 4-long rows."""
+    sees payloads, only 4-long rows.
+
+    The band relation is pinned before the self-join (r17): both join
+    sides derive from ``hashes``, and a lazy lineage re-runs the whole
+    upstream decode/hash mapInPandas chain once PER SIDE — the r16 pin
+    heuristic's clear-win case (expensive Python per copy, tiny pinned
+    relation: 5 longs per image, the persistable ingest state).
+    ``checkpoint_dir`` switches the pin to a reliable ``.checkpoint()``
+    for executor-loss recovery (util.iteration_pin), bit-identical."""
+    from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
     if max_hamming >= 4:
         raise ValueError("band blocking guarantees recall only for max_hamming <= 3")
+    hashes = iteration_pin(checkpoint_dir)(hashes)
     bands = hashes.select(
         "doc_id",
         "b0",

@@ -50,73 +50,24 @@ def register(name: str, oracle: str | None):
 # the previous round's red rows) to the front so that, across rounds,
 # every query accumulates at least one green driver row. Queries absent
 # from the list keep definition order AFTER the prioritized ones.
-# Round-16 window (FROZEN at round start — standing discipline: anything
-# registered after this list is set must lead round 17, never slot into
+# Round-17 window (FROZEN at round start — standing discipline: anything
+# registered after this list is set must lead round 18, never slot into
 # this window late). Derived from `tools/staleness_ledger.py` run AFTER
-# committing the round-15 driver artifacts (CORRECTNESS_r15/BENCH_r15):
+# committing the round-16 driver artifacts (CORRECTNESS_r16/BENCH_r16):
 # order = (never-driver-seen first, then rounds-since-last-green desc,
 # registration order); committed LEDGER.json is the audit trail.
-# Slots 1-3: the three round-15 post-freeze additions (never in a driver
-# window; each sim-green at sf0.01 with committed SIMLOG.json records
-# and judge-re-verified oracle-green per VERDICT r15). Slots 4-45: the
-# full r11-last-green remainder, ledger order. Slots 46-50: the stalest
-# r12 cohort head, ledger order. Slots 51-70 pin the round-17 net head
-# (next-stalest r12 cohort, ledger order).
+# Slots 1-3: the three round-16 post-freeze codec additions (never in a
+# driver window; sim-green at sf0.01 with committed SIMLOG.json records
+# AND covered by the full-tree 248/248 sim). Slots 4-48: the stalest
+# r12-last-green cohort, ledger order. Slots 49-50: the r13 cohort
+# head, ledger order. Slots 51-70 pin the round-18 net head
+# (next-stalest r13 cohort, ledger order).
 _ROUND_PRIORITY: list[str] = [
-    # --- 3 round-15 post-freeze additions (never driver-seen) ---
-    "kfold_shard_manifest",
-    "pq_codebook_staleness",
-    "ann_recall_zorder",
-    # --- full r11-last-green remainder (ledger order) ---
-    "rollup_brand_stats",
-    "set_ops_symmetric_diff",
-    "distinct_users_by_type",
-    "json_props_agg",
-    "window_running_sum",
-    "part_affinity_lift",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "minhash_incremental_pairs",
-    "snm_multipass_pairs",
-    "similarity_topk",
-    "bm25_topk_docs",
-    "bpe_merge_candidates",
-    "hybrid_rrf_topk_docs",
-    "bpe_learned_merges",
-    "doc_hashed_embeddings",
-    "doc_embedding_topk",
-    "zorder_layout_lineitem",
-    "pagerank_supplier_customer",
-    "triangle_counts_part_graph",
-    "curation_decision_outlier_gated",
-    "try_functions_battery",
-    "bitwise_battery",
-    "contamination_attribution",
-    "pca_top2_subspace_scores",
-    "embedding_outlier_zscores",
-    "embedding_covariance_from_state",
-    "embedding_pca_zorder_layout",
-    "similarity_topk_zorder",
-    "embedding_zdist_quantiles",
-    "embedding_fisher_scores",
-    "pca_residual_outliers",
-    "hll_users_by_event_type",
-    "hll_distinct_event_ids",
-    "hll_weekly_rollup_users",
-    "heavy_hitter_users",
-    "hll_intersection_user_sets",
-    "bloom_membership_orders",
-    "cms_user_event_counts",
-    "cms_token_frequencies",
-    "dd_quantile_order_totals",
-    # --- stalest r12 cohort head (ledger order) ---
-    "minhash_dedup_keeplist",
-    "exact_substring_spans",
-    "duplicated_span_coverage",
-    "exact_substring_incremental_spans",
-    "phrase_occurrences",
-    # --- slots 51+: past the driver window; round-17 net head ---
+    # --- 3 round-16 post-freeze additions (never driver-seen) ---
+    "image_ahash_keeplist_png",
+    "image_ahash_keeplist_jpeg",
+    "video_frame_ahash_sample",
+    # --- stalest r12 cohort (ledger order) ---
     "scrub_duplicated_spans",
     "winnow_candidate_pairs",
     "containment_pairs",
@@ -137,6 +88,55 @@ _ROUND_PRIORITY: list[str] = [
     "price_change_deltas",
     "sessionize_events",
     "csv_roundtrip_battery",
+    "similarity_topk_int8",
+    "key_skew_profile",
+    "salted_event_value_agg",
+    "incremental_monthly_rollup",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_top_customers",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
+    "q19_disjunctive_revenue",
+    "hash_split_train_val_test",
+    "mixture_sample_by_lang",
+    "weighted_sample_chars",
+    "temperature_mixture_allocation",
+    "training_export_shards",
+    "training_export_manifest",
+    "training_export_contamination_manifest",
+    "semantic_kmeans_clusters",
+    "semantic_dedup_pairs",
+    "zca_whitened_scores",
+    "kmv_intersection_user_sets",
+    "dd_quantile_weekly_rollup",
+    "cms_selfjoin_size_events",
+    "kmv_distinct_by_event_type",
+    # --- r13 cohort head (ledger order) ---
+    "asof_latest_per_key",
+    "asof_point_lookup",
+    # --- slots 51+: past the driver window; round-18 net head ---
+    "enrichment_join",
+    "image_phash_keeplist",
+    "asof_join_tolerance_7d",
+    "event_transition_matrix",
+    "pivot_event_counts",
+    "percentile_prices",
+    "string_battery",
+    "array_battery",
+    "json_struct_parse",
+    "semi_join_active_customers",
+    "ohlc_daily_values",
+    "tfidf_top_terms",
+    "vocabulary_top20",
+    "bigram_top_per_lang",
+    "deterministic_sample",
+    "mad_outlier_docs",
+    "udtf_ngrams_explode",
+    "bpe_encoded_vocab",
+    "bpe_tokens_per_doc",
+    "salted_join_skewed_flag",
 ]
 
 

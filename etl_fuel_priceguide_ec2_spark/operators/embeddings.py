@@ -835,6 +835,27 @@ def zscore_outliers_oracle_sql(table: str, id_col: str, vec_col: str) -> str:
 # a daily embedding ingest never re-scans history vectors.
 
 
+def _checked_slice(df: DataFrame, slice_col: str) -> DataFrame:
+    """Shared slice-key contract for BOTH moment-state operators
+    (ADVICE r16): the state schema carries the slice as a LONG (the
+    sliced-ingest pattern keys on an integer slice/day id), so reject
+    non-integral slice columns up front with a clear error instead of
+    an opaque executor failure deep inside mapInPandas; and drop
+    NULL-slice rows in BOTH operators — pandas groupby silently drops
+    NULL keys while Spark's groupBy keeps a NULL group, and a
+    covariance merge joining the two states by dim keys alone would
+    silently skew if one side kept rows the other lost. A NULL slice
+    id has no meaning in the slice-state model (which ingest slice is
+    it?), so the invariant is: slice keys are non-null integers."""
+    dt = df.schema[slice_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"slice_col {slice_col!r} must be an integral type (state "
+            f"schema carries it as long), got {dt}"
+        )
+    return df.filter(F.col(slice_col).isNotNull())
+
+
 def embedding_second_moment_state(
     df: DataFrame, id_col: str, vec_col: str, slice_col: str | None = None
 ) -> DataFrame:
@@ -882,6 +903,8 @@ def embedding_second_moment_state(
     the sliced-ingest covariance query paid one full MapInPandas pass
     PER SLICE for the same total Arrow work)."""
     df = fan_out(df)
+    if slice_col is not None:
+        df = _checked_slice(df, slice_col)
     # decimal(38,12): 26 integer digits of headroom for the PER-TASK
     # partial. The explode form only capped individual 12dp TERMS at
     # decimal(30,12) and accumulated in Spark's widened SUM type
@@ -1007,6 +1030,8 @@ def embedding_first_moment_state(
     row-identical to per-slice calls unioned (decimal SUM per group is
     exact, so the grouping key split cannot change any sum)."""
     df = fan_out(df)
+    if slice_col is not None:
+        df = _checked_slice(df, slice_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sl = [] if slice_col is None else [F.col(slice_col)]
     return (

@@ -1571,3 +1571,49 @@ def test_pq_reconstruction_report_zero_err_old_cell(spark):
         on_codewords, empty, "vec_id", "embedding", cents, books
     ).collect()
     assert r3.err_new is None and r3.refit is None and r3.err_growth is None
+
+
+def test_slice_state_guards_reject_bad_slice_keys(spark):
+    """ADVICE r16: the two moment-state operators must share ONE
+    slice-key contract — non-integral slice dtypes raise a clear
+    ValueError up front (the state schema carries the slice as long;
+    previously a string slice died deep inside mapInPandas), and
+    NULL-slice rows are dropped by BOTH operators (previously pandas
+    groupby silently dropped them in the second-moment state while
+    Spark's groupBy kept a NULL group in the first-moment state — a
+    merge joining by dim keys alone would silently skew)."""
+    import pytest as _pytest
+
+    from etl_fuel_priceguide_ec2_spark.operators import embeddings as emb
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 2.0]),
+            (2, "b", [3.0, 4.0]),
+        ],
+        "vec_id long, day string, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        emb.embedding_second_moment_state(df, "vec_id", "embedding", slice_col="day")
+    with _pytest.raises(ValueError, match="integral"):
+        emb.embedding_first_moment_state(df, "vec_id", "embedding", slice_col="day")
+
+    withnull = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, None, [10.0, 20.0]),  # NULL slice: dropped from BOTH states
+            (3, 0, [3.0, 4.0]),
+        ],
+        "vec_id long, sl long, embedding array<double>",
+    )
+    si = emb.embedding_first_moment_state(
+        withnull, "vec_id", "embedding", slice_col="sl"
+    ).collect()
+    sij = emb.embedding_second_moment_state(
+        withnull, "vec_id", "embedding", slice_col="sl"
+    ).collect()
+    assert {r.sl for r in si} == {0}
+    assert {r.sl for r in sij} == {0}
+    # and the slice-0 sums exclude the NULL-slice row's values
+    s_by_dim = {r.dim_i: float(r.s) for r in si}
+    assert s_by_dim == {1: 4.0, 2: 6.0}

@@ -132,6 +132,7 @@ def ngram_jaccard_pairs(
     collapse_identical: bool = False,
     skew_stats: dict | None = None,
     shingle_sets: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """X2 (exact verify path): near-dup pairs by word n-gram Jaccard.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
@@ -246,9 +247,37 @@ def ngram_jaccard_pairs(
         # and the prefix join shuffle long keys instead of 20-40-byte
         # strings. Measured ~15% on the skewed benchmark locally (CPU-bound
         # there); the byte-size win compounds at real network-shuffle scale.
-        hsets = sets.select(
-            F.col(id_col),
-            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingles"),
+        #
+        # Pin the hashed shingle-set relation ONCE (r17, VERDICT r16
+        # item 1 — the structural fix for the skewed bench row): FOUR
+        # subtrees consume hsets (the df aggregate, the ordered/prefix
+        # chain feeding BOTH candidate sides, and both verify-join
+        # sides), and each lazy copy re-ran the full scan + tokenize +
+        # shingle + xxhash chain — the before-plan shows 6 parquet
+        # scans with the shingle transform also duplicated into each
+        # Generate's pushed-down non-empty filter (~10 corpus-sized
+        # transform passes per query). A/B tools/ab_round17_jacc.py:
+        # base 5.85 -> 4.18 s with hsets+pre pinned; the follow-up
+        # isolation run shows pinning hsets ALONE is better still
+        # (min 3.47/med 4.18 vs min 4.48/med 5.68 over 8 interleaved
+        # reps) — the ordered/prefix recompute from pinned hsets is
+        # cheap fused-map + two aggregates whose two lazy copies
+        # schedule concurrently (the r16 pin heuristic), while an
+        # eager pre pin serializes them. The r16-rejected `ordered`
+        # pin (7.25 -> 9.48 s) pinned too HIGH: it kept the scan
+        # duplication and paid the serialization. At scale the pinned
+        # relation is the per-doc hashed shingle-set state (~corpus
+        # token count x 8 bytes); checkpoint_dir= makes the pin
+        # executor-loss survivable (util.iteration_pin).
+        from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+        hsets = iteration_pin(checkpoint_dir)(
+            sets.select(
+                F.col(id_col),
+                F.array_distinct(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                ).alias("shingles"),
+            )
         )
         sh = hsets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -847,6 +876,17 @@ def connected_components(
     if hops_per_probe != "auto" and hops_per_probe < 1:
         raise ValueError(f"hops_per_probe must be >= 1 or 'auto', got {hops_per_probe}")
 
+    # NOT broadcast-hinted, unlike pagerank/hits (r17 A/B,
+    # tools/ab_round17_cc.py): broadcasting the node-sized label side
+    # of the hop joins measured FLAT on the deep embedding graph
+    # (semantic keep-list 5.19 -> 4.89 min-of-4 at 32 cores, dead even
+    # at 8) and ~8% WORSE on the shallow ngram graph at 8 cores
+    # (2.69 -> 2.92) — the per-call edge-count gate job plus one
+    # broadcast build per probe cycle eat the saved exchanges because
+    # CC pins (and therefore re-materializes) the labels every cycle
+    # anyway, unlike pagerank's lazy chain where the broadcast replaces
+    # a real per-iteration shuffle of the edge relation.
+
     def _hop(work: DataFrame) -> DataFrame:
         neighbor_min = (
             edges.join(rp(work, "node"), edges.dst == work.node)
@@ -975,6 +1015,7 @@ def exact_substring_spans(
     k: int = 8,
     min_span_tokens: int = 30,
     max_gram_freq: int | None = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cross-document EXACT duplicated spans >= ``min_span_tokens``
     tokens — the suffix-array/dup-span dedup family (boilerplate and
@@ -1034,8 +1075,14 @@ def exact_substring_spans(
         # full explode + cap-join per copy: A/B 3.730 -> 2.963 s
         # min-of-4 at sf0.1 with identical output
         # (tools/ab_round16_ess.py). At scale this capped-gram relation
-        # is the persistable suffix-index state.
-        grams = grams.join(keep, "_h").localCheckpoint(eager=True)
+        # is the persistable suffix-index state. The pin routes through
+        # util.iteration_pin (VERDICT r16 item 4): default = eager
+        # localCheckpoint; ``checkpoint_dir=`` = reliable .checkpoint()
+        # (executor-loss survivable — the pinned relation is O(corpus
+        # token positions) of executor storage, SCALE.md).
+        from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+        grams = iteration_pin(checkpoint_dir)(grams.join(keep, "_h"))
     a = grams.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "_h"
     )
@@ -1295,6 +1342,7 @@ def exact_substring_spans_incremental(
     k: int = 8,
     min_span_tokens: int = 30,
     max_gram_freq: int | None = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Daily-ingest exact-substring dedup: all maximal shared spans
     involving AT LEAST ONE new document, mined from the persisted
@@ -1340,8 +1388,13 @@ def exact_substring_spans_incremental(
         # filter AND the join's all side, and the cap aggregate is a
         # third pass over the state construction. A/B 4.546 -> 3.082 s
         # min-of-4 at sf0.1, identical output
-        # (tools/ab_round16_essinc.py).
-        allg = allg.join(keep, "_h").localCheckpoint(eager=True)
+        # (tools/ab_round16_essinc.py). Routed through iteration_pin
+        # (VERDICT r16 item 4): ``checkpoint_dir=`` makes the pin an
+        # executor-loss-survivable reliable checkpoint; the relation is
+        # O(union-corpus token positions) of pin storage (SCALE.md).
+        from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+        allg = iteration_pin(checkpoint_dir)(allg.join(keep, "_h"))
     n = allg.filter(F.col("_onew")).select(
         F.col("_oid").alias("_nid"), F.col("_opos").alias("_npos"), "_h"
     )

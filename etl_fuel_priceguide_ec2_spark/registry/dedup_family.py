@@ -668,8 +668,14 @@ def q_winnow_candidate_pairs(spark, sf_dir):
     # identical output (tools/ab_round16_winnow.py). The index is the
     # persistable MOSS state (~2/(w+1) of the gram relation) — at
     # scale it would be written to storage at ingest, which is this
-    # same materialization.
-    fps = dedup.winnow_fingerprints(state, w=4).localCheckpoint(eager=True)
+    # same materialization. Routed through util.iteration_pin (VERDICT
+    # r16 item 4) so a production caller holding a checkpoint dir can
+    # swap the eager localCheckpoint for a reliable checkpoint at one
+    # edit point; the pinned index is ~2/(w+1) of the positional-gram
+    # relation — O(corpus positions / 2.5) of pin storage (SCALE.md).
+    from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+    fps = iteration_pin(None)(dedup.winnow_fingerprints(state, w=4))
     return dedup.fingerprint_candidates(fps, min_shared=2, max_fp_freq=64)
 
 

@@ -2603,6 +2603,34 @@ def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
     ).collect()))
     assert local_cc == relia_cc and local_cc
 
+    # r17: the span-miner and triangle pins route through the same
+    # helper (VERDICT r16 item 4) — same durability-only contract
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " tail one"),
+            (2, "lead words " + base),
+            (3, "unrelated filler text entirely " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    local_sp = sorted(map(tuple, dedup.exact_substring_spans(
+        docs, "doc_id", "text", k=8, min_span_tokens=30
+    ).collect()))
+    relia_sp = sorted(map(tuple, dedup.exact_substring_spans(
+        docs, "doc_id", "text", k=8, min_span_tokens=30, checkpoint_dir=ckdir
+    ).collect()))
+    assert local_sp == relia_sp and local_sp
+
+    tri_pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    local_tc = sorted(map(tuple, graph.triangle_counts(tri_pairs).collect()))
+    relia_tc = sorted(map(tuple, graph.triangle_counts(
+        tri_pairs, checkpoint_dir=ckdir
+    ).collect()))
+    assert local_tc == relia_tc and local_tc
+
     # the reliable mode really wrote durable checkpoint state
     assert any(files for _, _, files in os.walk(ckdir))
 

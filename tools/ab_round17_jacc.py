@@ -16,6 +16,16 @@ Variants (all must be bit-identical to the baseline):
 
 Method: same session, order-rotated, min-of-4 per variant, sorted-row
 equality asserted before any timing (the r16 evidence rules).
+
+RESULT (32 cores, sf0.1): base 5.853 / pre_pin 7.494 / hs_pin 4.180 /
+freq2 4.318 min-of-4 — and the follow-up isolation run (8 interleaved
+reps) showed pinning hsets WITHOUT the pre pin is better still:
+hs_only min 3.474/med 4.182 vs hs_pin min 4.481/med 5.684. KEPT: the
+hsets-only pin, now inside ngram_jaccard_pairs' prefix path. The
+ordered/prefix recompute from pinned hsets is cheap fused work whose
+two lazy copies schedule concurrently (r16 pin heuristic); the eager
+pre pin serializes them, and the r16-rejected `ordered` pin sat even
+higher (kept all 6 corpus scans AND serialized).
 """
 
 from __future__ import annotations

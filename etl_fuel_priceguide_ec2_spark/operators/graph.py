@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 
 from etl_fuel_priceguide_ec2_spark.operators.util import round_like_duckdb
 
+# Score relations (ranks / hub / auth) are node-sized: one row of
+# (node, double) per node. Below this node count the relation builds a
+# broadcast hash table of a few hundred MB at most (~48 B/entry framed
+# ≈ 200 MB at the cap) — the guide §3.1 envelope — so the per-iteration
+# edge⋈scores join can be a BroadcastHashJoin and the EDGE relation
+# (the corpus-sized side) is never shuffled by the join at all; only
+# the contribution aggregate exchanges data. Above the cap the keyed
+# SMJ/SHJ path stays (a billion-node graph must shuffle by key).
+_BROADCAST_SCORES_MAX_NODES = 4_000_000
+
+# In the lazy (localCheckpoint-free) pagerank mode, pin every Nth
+# iteration anyway: plan depth grows linearly with iters and Catalyst
+# analysis cost quadratically (ADVICE r16) — at the registry's iters=5
+# this never fires, while a caller passing iters=50 gets a recovery
+# boundary and bounded plan depth every 10 rounds.
+_LAZY_PIN_EVERY = 10
+
 
 def pagerank(
     edges: DataFrame,
@@ -34,6 +51,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    broadcast_scores: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (pass both
     directions for an undirected graph — that also guarantees no
@@ -48,7 +66,13 @@ def pagerank(
     ``checkpoint_dir`` switches the pin from localCheckpoint (fast,
     executor-local, unrecoverable on executor loss) to a reliable
     ``.checkpoint()`` that survives executor loss on preemptible
-    fleets; results are bit-identical (``util.iteration_pin``)."""
+    fleets; results are bit-identical (``util.iteration_pin``).
+
+    ``broadcast_scores``: hint the node-sized score side of each
+    iteration's joins to broadcast (the edge relation never shuffles).
+    Default ``None`` auto-enables iff the node count (already computed
+    for the teleport term) is <= ``_BROADCAST_SCORES_MAX_NODES``;
+    identical results either way — only the join strategy changes."""
     from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
 
     pin = iteration_pin(checkpoint_dir)
@@ -81,6 +105,16 @@ def pagerank(
         "node", round_like_duckdb(F.lit(1.0) / F.lit(float(n)), 12).alias("pr")
     )
     teleport = F.lit((1.0 - damping)) / F.lit(float(n))
+    # Score relations are node-sized and n is already known: below the
+    # broadcast cap, hint BOTH per-iteration joins (edges⋈ranks and the
+    # nodes⋈contrib completion) to broadcast the score side — the edge
+    # relation then never shuffles and each iteration's only exchange
+    # is the contribution aggregate (guide §3.1; r17 A/B
+    # tools/ab_round17_graph.py). Join strategy changes values nowhere:
+    # contributions still sum as DECIMAL per node.
+    if broadcast_scores is None:
+        broadcast_scores = n <= _BROADCAST_SCORES_MAX_NODES
+    bc = F.broadcast if broadcast_scores else (lambda d: d)
     # Per-iteration rank pinning is needed only in reliable-checkpoint
     # mode (bounded recompute on executor loss for preemptible fleets).
     # With fixed iterations and pinned e_deg/nodes the rank chain is a
@@ -88,11 +122,13 @@ def pagerank(
     # consumer — so in the localCheckpoint default the whole run can
     # execute as ONE lazy plan: no per-iteration materialization job,
     # and shuffle files give the usual stage-retry recovery (r16
-    # optimization; measured on the bench row — see OPTIMIZATION_r16).
-    rank_pin = pin if checkpoint_dir is not None else (lambda df: df)
-    for _ in range(iters):
+    # optimization; measured on the bench row — see OPTIMIZATION_r16),
+    # with a depth-bounding pin every _LAZY_PIN_EVERY iterations so a
+    # large-iters caller never builds an unboundedly deep plan
+    # (ADVICE r16).
+    for it in range(1, iters + 1):
         contrib = (
-            e_deg.join(ranks, e_deg["_s"] == ranks["node"])
+            e_deg.join(bc(ranks), e_deg["_s"] == ranks["node"])
             .select(
                 F.col("_d").alias("node"),
                 round_like_duckdb(F.col("pr") / F.col("_deg"), 12)
@@ -102,17 +138,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s_c"))
         )
-        ranks = rank_pin(
-            nodes.join(contrib, "node", "left").select(
-                "node",
-                round_like_duckdb(
-                    teleport
-                    + F.lit(float(damping))
-                    * F.coalesce(F.col("_s_c").cast("double"), F.lit(0.0)),
-                    12,
-                ).alias("pr"),
-            )
+        ranks = nodes.join(bc(contrib), "node", "left").select(
+            "node",
+            round_like_duckdb(
+                teleport
+                + F.lit(float(damping))
+                * F.coalesce(F.col("_s_c").cast("double"), F.lit(0.0)),
+                12,
+            ).alias("pr"),
         )
+        if checkpoint_dir is not None or it % _LAZY_PIN_EVERY == 0:
+            ranks = pin(ranks)
     return ranks
 
 
@@ -172,6 +208,7 @@ def triangle_counts(
     a: str = "a",
     b: str = "b",
     rank_base: int = 1_000_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over
     an UNDIRECTED graph given as distinct unordered pairs (``a < b``).
@@ -199,6 +236,15 @@ def triangle_counts(
         # node ids to string deep in execution
         if pairs.schema[c].dataType.simpleString() not in ("int", "bigint", "long"):
             raise ValueError("triangle_counts expects integer node ids")
+    from etl_fuel_priceguide_ec2_spark.operators.util import iteration_pin
+
+    # Both pins below route through util.iteration_pin (VERDICT r16
+    # item 4): the default stays the eager localCheckpoint, while
+    # ``checkpoint_dir=`` switches them to reliable .checkpoint()s so a
+    # preemptible-fleet run can lose an executor without losing the
+    # pinned pair/oriented-edge relations (both are O(edges) of
+    # executor storage — SCALE.md documents the size classes).
+    pin = iteration_pin(checkpoint_dir)
     # Pin the (usually mined) pair relation ONCE (r16 optimization): it
     # feeds the degree aggregate, both sides of the rank joins, AND —
     # via deg — the final left join, so an expensive upstream mining
@@ -206,9 +252,7 @@ def triangle_counts(
     # re-expanded under the oe construction and again in the final
     # plan. A/B tools/ab_round16_tri.py (with the explode below):
     # 3.878 -> 3.136 s min-of-4 at sf0.1, identical output.
-    e = pairs.select(F.col(a).alias("_a"), F.col(b).alias("_b")).localCheckpoint(
-        eager=True
-    )
+    e = pin(pairs.select(F.col(a).alias("_a"), F.col(b).alias("_b")))
     ends = e.select(F.col("_a").alias("node")).unionAll(
         e.select(F.col("_b").alias("node"))
     )
@@ -250,9 +294,9 @@ def triangle_counts(
             .alias("v"),
             F.greatest("_rka", "_rkb").alias("rkv"),
         )
-        # reused three times below — checkpoint so the upstream pair
+        # reused three times below — pinned so the upstream pair
         # mining + rank joins run once (the pagerank/CC lesson)
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     e1 = oe.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"), "rkv")
     e2 = oe.select(F.col("u").alias("w_u"), F.col("v").alias("w_w"), F.col("rkv").alias("rkw"))
@@ -344,6 +388,7 @@ def hits(
     dst: str = "dst",
     iters: int = 3,
     checkpoint_dir: str | None = None,
+    broadcast_scores: bool | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities over a DIRECTED edge list, L1
     normalization (each phase divides by the global score sum — HITS
@@ -412,6 +457,17 @@ def hits(
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
     )
+    # Score relations are node-sized (and pinned, so stats-free — Spark
+    # would never pick broadcast on its own): below the cap, hint every
+    # edge⋈raw phase join and the completion left-joins to broadcast
+    # the score side, so the edge relation never shuffles and each
+    # phase's only exchange is its aggregate (guide §3.1; VERDICT r16
+    # item 3 — join strategy only, values untouched). The count runs
+    # over the pinned nodes blocks (cheap) and only when the caller
+    # didn't decide.
+    if broadcast_scores is None:
+        broadcast_scores = nodes.count() <= _BROADCAST_SCORES_MAX_NODES
+    bc = F.broadcast if broadcast_scores else (lambda d: d)
 
     _dec = "decimal(38,12)"
 
@@ -444,7 +500,7 @@ def hits(
         # one-row total and the next phase's join both consume `raw`,
         # and an unmaterialized lineage would run the edge join twice
         raw_i = (
-            e.join(raw_prev, e[join_on] == raw_prev["node"])
+            e.join(bc(raw_prev), e[join_on] == raw_prev["node"])
             .crossJoin(F.broadcast(tot_prev))
             .select(
                 F.col(group_on).alias("node"),
@@ -462,14 +518,14 @@ def hits(
 
     def _complete(raw_f: DataFrame, tot_f: DataFrame, out: str) -> DataFrame:
         return (
-            nodes.join(raw_f, "node", "left")
+            nodes.join(bc(raw_f), "node", "left")
             .crossJoin(F.broadcast(tot_f))
             .select("node", _norm(F.col("_raw"), F.col("_t")).alias(out))
         )
 
     return (
         _complete(raw, tot, "hub")
-        .join(_complete(raw_a, tot_a, "auth"), "node")
+        .join(bc(_complete(raw_a, tot_a, "auth")), "node")
         .select("node", "hub", "auth")
     )
 

@@ -646,18 +646,22 @@ def semantic_dedup_pairs_two_level(
         ).filter(F.lit(False))
     k1 = len(c1)  # inputs smaller than k1 yield fewer centroids
     cent1 = mat_lit(c1)
+    # The coarse distance array is carried as an explicit _d1 column:
+    # it feeds BOTH the residual's primary-cell lookup and the level-1
+    # probe ranking, and an expensive alias referenced more than once
+    # is exactly what CollapseProject refuses to inline — so the
+    # O(k1·d) fold evaluates once per row instead of twice (r17).
     d1 = sq_dists_expr("_v", c1)
-    primary = (F.array_position(d1, F.array_min(d1)) - 1).cast("int")
+    primary = (F.array_position(F.col("_d1"), F.array_min("_d1")) - 1).cast("int")
     resid = F.zip_with(
         "_v", F.element_at(cent1, primary + F.lit(1)), lambda x, c: x - c
     )
     k2 = len(c2)  # same clamp on the residual codebook
 
-    def _probe_blocks(vec_text, cents, k):
-        d = sq_dists_expr(vec_text, cents)
+    def _rank_blocks(dcol, k):
         ranked = F.array_sort(
             F.zip_with(
-                d,
+                dcol,
                 F.sequence(F.lit(0), F.lit(k - 1)),
                 lambda dd, i: F.struct(dd.alias("d"), i.alias("cid")),
             )
@@ -670,10 +674,24 @@ def semantic_dedup_pairs_two_level(
     # CollapseProject also blocks column pruning into the self-join
     # branches, so the right branch would carry the 64-double vectors
     # it otherwise drops. Barrier only where re-expansion dominates.
+    #
+    # r17 (VERDICT r16 item 6 — run the coarse distance work once):
+    # _d1 is an explicit column feeding BOTH the residual's
+    # primary-cell lookup and the level-1 probe ranking; an expensive
+    # alias referenced twice is exactly what CollapseProject refuses
+    # to inline, so the O(k1·d) fold evaluates once per row instead of
+    # twice. A/B (tools/ab_round17_twolevel.py variants): 3.11 -> 2.60 s
+    # min-of-5 at sf0.1, identical 521 pairs. The chained explodes are
+    # deliberately KEPT: pre-computing the level-2 probe array _b2s
+    # below the level-1 Generate — the "obvious" next step — measured
+    # 3x SLOWER (9.7 s min-of-5): the un-inlined array columns ride
+    # into both self-join branches and defeat the pruning the NB above
+    # warns about.
     probed = (
-        base.withColumn("_resid", resid)
-        .withColumn("_b1", F.explode(_probe_blocks("_v", c1, k1)))
-        .withColumn("_b2", F.explode(_probe_blocks("_resid", c2, k2)))
+        base.withColumn("_d1", d1)
+        .withColumn("_resid", resid)
+        .withColumn("_b1", F.explode(_rank_blocks(F.col("_d1"), k1)))
+        .withColumn("_b2", F.explode(_rank_blocks(sq_dists_expr("_resid", c2), k2)))
         .withColumn("block", F.col("_b1") * k2 + F.col("_b2"))
     )
     # Plan note (round-12 profile): carrying va through the candidate

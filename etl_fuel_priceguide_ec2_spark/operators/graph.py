@@ -59,9 +59,11 @@ def pagerank(
     Output: (node, pr) for every node appearing in the edge list,
     pr rounded to 12 dp.
 
-    Plan per iteration: edges ⋈ ranks on src (shuffle on the key),
-    contribution aggregate on dst (map-side combined), left join back
-    to the node set (nodes with no in-edges keep the teleport term).
+    Plan per iteration: edges ⋈ ranks on src (a broadcast of the
+    node-sized rank relation below the node cap — the edge relation
+    never shuffles; a keyed shuffle join above it), contribution
+    aggregate on dst (map-side combined), left join back to the node
+    set (nodes with no in-edges keep the teleport term).
     State is one (node, pr) relation, pinned per iteration —
     ``checkpoint_dir`` switches the pin from localCheckpoint (fast,
     executor-local, unrecoverable on executor loss) to a reliable
@@ -421,9 +423,11 @@ def hits(
     identical IEEE operation, rounded back to 12 dp — every iteration
     bit-identical to the oracle's unrolled CTE replay.
 
-    Plan per iteration: 2 keyed joins + 2 map-side-combined aggregates
-    + 2 one-row totals, with the raw per-phase sums localCheckpointed so
-    lineage stays flat (the connected_components / pagerank lesson).
+    Plan per iteration: 2 edge⋈scores joins (broadcast of the
+    node-sized score side below the node cap, keyed shuffle joins
+    above it) + 2 map-side-combined aggregates + 2 one-row totals,
+    with the raw per-phase sums localCheckpointed so lineage stays
+    flat (the connected_components / pagerank lesson).
     Intermediate phases carry UNNORMALIZED (raw_sum, 1-row-total) state
     and fold the previous phase's normalization (the same
     round(raw/total, 12) the oracle applies per node) into the edge
